@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry maps a SURVEY.md §2 operator to a callable
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` holds the DuckDB
+equivalent over the same parquet views. The availability-domain queries run
+the real engine code in ``binance_futures_availability_spark`` over an
+availability-shaped fact table derived deterministically from ``lineitem``
+(see operators/availability.py and its ``DA_SQL`` CTE).
+
+Determinism: every double that reaches an output is derived from exact
+DECIMAL(18,2) aggregation or scalar arithmetic on bit-identical inputs, so
+Spark and DuckDB hash-match. Generation timestamps are pinned literals.
 """
 
 from __future__ import annotations
@@ -12,27 +17,284 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_futures_availability_spark.catalog import load_table
+from binance_futures_availability_spark.operators import (
+    analytics,
+    availability,
+    rankings,
+    snapshots,
+    timelines,
+    volume,
+)
+from binance_futures_availability_spark.operators.availability import (
+    availability_from_lineitem,
+    with_da,
+)
+from binance_futures_availability_spark.sources import writer
+from binance_futures_availability_spark.validation import completeness, continuity
+
+# --- stable parameters (data spans 1995-01-02 .. 2001-11-04 at all SFs) ---
+SNAP_DATE = "1998-09-24"  # largest cohort date at sf0.01 (the t2 gate SF)
+RANGE_START, RANGE_END = "1998-06-01", "1998-08-31"
+YEAR_START, YEAR_END = "1998-01-01", "1998-12-31"
+LISTING_DATE = "1995-01-05"  # has new listings at every SF
+SYMBOL = "S0007"  # suppkey 7 exists at every scale factor
+PCTL_SYMBOL = "S0020"  # in the SNAP_DATE volume cohort at sf0.01
+GEN_TS = "2026-01-01 00:00:00"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full volume-rankings window pipeline at sf0.001."""
+    da = availability_from_lineitem(spark, "/root/testdata/sf0.001")
+    return rankings.volume_rankings(da, generated_at=GEN_TS)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _da(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return availability_from_lineitem(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # P1/P2 — snapshots
+        "availability_snapshot": lambda s, d: snapshots.available_symbols_on_date(
+            _da(s, d), SNAP_DATE
+        ),
+        "availability_range_distinct": lambda s, d: snapshots.symbols_available_in_range(
+            _da(s, d), RANGE_START, RANGE_END
+        ),
+        # P3/A2 — timelines
+        "availability_timeline": lambda s, d: timelines.availability_timeline(
+            _da(s, d), SYMBOL
+        ),
+        "first_listing_date": lambda s, d: timelines.first_listing_date(
+            _da(s, d), SYMBOL
+        ),
+        "last_available_date": lambda s, d: timelines.last_available_date(
+            _da(s, d), SYMBOL
+        ),
+        # A1/J3/J4/A5/A6 — analytics
+        "availability_trend": lambda s, d: analytics.availability_trend(
+            _da(s, d), YEAR_START, YEAR_END
+        ),
+        "new_listings": lambda s, d: analytics.new_listings(_da(s, d), LISTING_DATE),
+        "delistings": lambda s, d: analytics.delistings(_da(s, d), SNAP_DATE),
+        "availability_stats": lambda s, d: analytics.availability_stats(_da(s, d)),
+        # W1-W3/O2/O3/A3/A4 — volume
+        "top_by_volume": lambda s, d: volume.top_by_volume(_da(s, d), SNAP_DATE, 10),
+        "volume_percentile": lambda s, d: volume.volume_percentile(
+            _da(s, d), PCTL_SYMBOL, SNAP_DATE
+        ),
+        "average_volume": lambda s, d: volume.average_volume(
+            _da(s, d), SYMBOL, YEAR_START, YEAR_END
+        ),
+        "volume_trend": lambda s, d: volume.volume_trend(_da(s, d), SYMBOL, 30),
+        "market_summary": lambda s, d: volume.market_summary(_da(s, d), SNAP_DATE),
+        # W4-W8/J1/J2/F5-F7 — rankings pipeline (flagship)
+        "volume_rankings": lambda s, d: rankings.volume_rankings(
+            _da(s, d), generated_at=GEN_TS
+        ),
+        # J5/F2 — continuity; A7 — completeness; A8 — matview
+        "continuity_gaps": lambda s, d: continuity.find_gaps(
+            _da(s, d), YEAR_START, YEAR_END
+        ),
+        "incomplete_dates": lambda s, d: completeness.incomplete_dates(
+            _da(s, d), 5, YEAR_START, YEAR_END
+        ),
+        "symbol_counts_matview": lambda s, d: writer.refresh_symbol_counts(
+            _da(s, d)
+        ).select("date", "total_symbols", "available_count", "unavailable_count"),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------------
+# oracles (DuckDB SQL over the same parquet views)
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "availability_snapshot": with_da(f"""
+            SELECT symbol, file_size_bytes, last_modified
+            FROM da WHERE date = DATE '{SNAP_DATE}' AND available
+            ORDER BY symbol"""),
+        "availability_range_distinct": with_da(f"""
+            SELECT DISTINCT symbol FROM da
+            WHERE date BETWEEN DATE '{RANGE_START}' AND DATE '{RANGE_END}'
+              AND available
+            ORDER BY symbol"""),
+        "availability_timeline": with_da(f"""
+            SELECT date, available, file_size_bytes, status_code
+            FROM da WHERE symbol = '{SYMBOL}' ORDER BY date"""),
+        "first_listing_date": with_da(f"""
+            SELECT MIN(date) AS first_date FROM da
+            WHERE symbol = '{SYMBOL}' AND available"""),
+        "last_available_date": with_da(f"""
+            SELECT MAX(date) AS last_date FROM da
+            WHERE symbol = '{SYMBOL}' AND available"""),
+        "availability_trend": with_da(f"""
+            SELECT date, COUNT(*) AS available_count FROM da
+            WHERE available AND date >= DATE '{YEAR_START}'
+              AND date <= DATE '{YEAR_END}'
+            GROUP BY date ORDER BY date"""),
+        "new_listings": with_da(f"""
+            SELECT DISTINCT symbol FROM da
+            WHERE date = DATE '{LISTING_DATE}' AND available
+              AND symbol NOT IN (
+                SELECT symbol FROM da
+                WHERE date < DATE '{LISTING_DATE}' AND available)
+            ORDER BY symbol"""),
+        "delistings": with_da(f"""
+            SELECT DISTINCT symbol FROM da
+            WHERE date = DATE '{SNAP_DATE}' - INTERVAL 1 DAY AND available
+              AND symbol NOT IN (
+                SELECT symbol FROM da
+                WHERE date = DATE '{SNAP_DATE}' AND available)
+            ORDER BY symbol"""),
+        "availability_stats": with_da("""
+            SELECT COUNT(*) AS total_records,
+                   SUM(CASE WHEN available THEN 1 ELSE 0 END) AS available_records,
+                   SUM(CASE WHEN NOT available THEN 1 ELSE 0 END)
+                       AS unavailable_records,
+                   COUNT(DISTINCT date) AS distinct_dates,
+                   COUNT(DISTINCT symbol) AS distinct_symbols,
+                   MIN(date) AS min_date,
+                   MAX(date) AS max_date
+            FROM da"""),
+        "top_by_volume": with_da(f"""
+            WITH ranked AS (
+                SELECT symbol, quote_volume_usdt, trade_count,
+                       RANK() OVER (ORDER BY quote_volume_usdt DESC) AS volume_rank,
+                       CAST(SUM(CAST(quote_volume_usdt AS DECIMAL(18,2))) OVER ()
+                            AS DOUBLE) AS total_market_volume
+                FROM da
+                WHERE date = DATE '{SNAP_DATE}' AND available
+                  AND quote_volume_usdt IS NOT NULL
+            )
+            SELECT symbol, quote_volume_usdt, trade_count, volume_rank,
+                   ROUND(100.0 * quote_volume_usdt / total_market_volume, 2)
+                       AS market_share_pct
+            FROM ranked ORDER BY quote_volume_usdt DESC LIMIT 10"""),
+        "volume_percentile": with_da(f"""
+            WITH ranked AS (
+                SELECT symbol,
+                       RANK() OVER (ORDER BY quote_volume_usdt DESC) AS rank,
+                       COUNT(*) OVER () AS total_symbols
+                FROM da
+                WHERE date = DATE '{SNAP_DATE}' AND available
+                  AND quote_volume_usdt IS NOT NULL
+            )
+            SELECT rank, total_symbols,
+                   ROUND(100.0 * (total_symbols - rank) / total_symbols, 2)
+                       AS percentile
+            FROM ranked WHERE symbol = '{PCTL_SYMBOL}'"""),
+        "average_volume": with_da(f"""
+            SELECT CAST(SUM(CAST(quote_volume_usdt AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS avg_volume_usdt,
+                   CAST(SUM(trade_count) AS DOUBLE) / COUNT(*) AS avg_trade_count,
+                   COUNT(*) AS days_with_data,
+                   MIN(quote_volume_usdt) AS min_volume_usdt,
+                   MAX(quote_volume_usdt) AS max_volume_usdt
+            FROM da
+            WHERE symbol = '{SYMBOL}'
+              AND date BETWEEN DATE '{YEAR_START}' AND DATE '{YEAR_END}'
+              AND available AND quote_volume_usdt IS NOT NULL"""),
+        "volume_trend": with_da(f"""
+            SELECT date, quote_volume_usdt, trade_count FROM da
+            WHERE symbol = '{SYMBOL}' AND available
+              AND quote_volume_usdt IS NOT NULL
+            ORDER BY date DESC LIMIT 30"""),
+        "market_summary": with_da(f"""
+            SELECT CAST(SUM(CAST(quote_volume_usdt AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_volume_usdt,
+                   SUM(trade_count) AS total_trade_count,
+                   COUNT(*) AS symbol_count,
+                   CAST(SUM(CAST(quote_volume_usdt AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS avg_volume_usdt
+            FROM da
+            WHERE date = DATE '{SNAP_DATE}' AND available
+              AND quote_volume_usdt IS NOT NULL"""),
+        "volume_rankings": with_da(f"""
+            WITH cohort AS (
+                SELECT date, symbol, quote_volume_usdt, trade_count FROM da
+                WHERE available AND quote_volume_usdt IS NOT NULL
+            ),
+            daily_ranks AS (
+                SELECT date, symbol, quote_volume_usdt, trade_count,
+                       DENSE_RANK() OVER (PARTITION BY date
+                           ORDER BY quote_volume_usdt DESC) AS rank,
+                       PERCENT_RANK() OVER (PARTITION BY date
+                           ORDER BY quote_volume_usdt DESC) * 100 AS percentile,
+                       CASE WHEN CAST(SUM(CAST(quote_volume_usdt AS DECIMAL(18,2)))
+                                 OVER (PARTITION BY date) AS DOUBLE) <> 0.0
+                            THEN quote_volume_usdt /
+                                 CAST(SUM(CAST(quote_volume_usdt AS DECIMAL(18,2)))
+                                      OVER (PARTITION BY date) AS DOUBLE) * 100
+                       END AS market_share_pct
+                FROM cohort
+            ),
+            trailing_availability AS (
+                SELECT symbol, date,
+                       COUNT(*) OVER (PARTITION BY symbol ORDER BY date
+                           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+                           AS days_available_30d
+                FROM cohort
+            ),
+            rank_changes AS (
+                SELECT date, symbol, rank AS current_rank,
+                       LAG(rank, 1) OVER (PARTITION BY symbol ORDER BY date)
+                           AS rank_1d_ago,
+                       LAG(rank, 7) OVER (PARTITION BY symbol ORDER BY date)
+                           AS rank_7d_ago,
+                       LAG(rank, 14) OVER (PARTITION BY symbol ORDER BY date)
+                           AS rank_14d_ago,
+                       LAG(rank, 30) OVER (PARTITION BY symbol ORDER BY date)
+                           AS rank_30d_ago
+                FROM daily_ranks
+            )
+            SELECT dr.date, dr.symbol,
+                   CAST(dr.rank AS SMALLINT) AS rank,
+                   dr.quote_volume_usdt, dr.trade_count,
+                   CAST(rc.current_rank - rc.rank_1d_ago AS SMALLINT)
+                       AS rank_change_1d,
+                   CAST(rc.current_rank - rc.rank_7d_ago AS SMALLINT)
+                       AS rank_change_7d,
+                   CAST(rc.current_rank - rc.rank_14d_ago AS SMALLINT)
+                       AS rank_change_14d,
+                   CAST(rc.current_rank - rc.rank_30d_ago AS SMALLINT)
+                       AS rank_change_30d,
+                   CAST(dr.percentile AS FLOAT) AS percentile,
+                   CAST(dr.market_share_pct AS FLOAT) AS market_share_pct,
+                   CAST(COALESCE(ta.days_available_30d, 0) AS TINYINT)
+                       AS days_available,
+                   CAST(TIMESTAMP '{GEN_TS}' AS TIMESTAMP) AS generation_timestamp
+            FROM daily_ranks dr
+            JOIN rank_changes rc ON dr.date = rc.date AND dr.symbol = rc.symbol
+            LEFT JOIN trailing_availability ta
+                 ON dr.date = ta.date AND dr.symbol = ta.symbol
+            ORDER BY dr.date, dr.rank, dr.symbol"""),
+        "continuity_gaps": with_da(f"""
+            SELECT expected_date FROM (
+                SELECT unnest(generate_series(DATE '{YEAR_START}',
+                                              DATE '{YEAR_END}',
+                                              INTERVAL 1 DAY))::DATE
+                       AS expected_date
+            )
+            WHERE expected_date NOT IN (SELECT DISTINCT date FROM da)
+            ORDER BY expected_date"""),
+        "incomplete_dates": with_da(f"""
+            SELECT date, COUNT(*) AS symbol_count FROM da
+            WHERE available AND date >= DATE '{YEAR_START}'
+              AND date <= DATE '{YEAR_END}'
+            GROUP BY date HAVING COUNT(*) < 5 ORDER BY date"""),
+        "symbol_counts_matview": with_da("""
+            SELECT date, COUNT(*) AS total_symbols,
+                   SUM(CASE WHEN available THEN 1 ELSE 0 END) AS available_count,
+                   SUM(CASE WHEN NOT available THEN 1 ELSE 0 END)
+                       AS unavailable_count
+            FROM da GROUP BY date"""),
+    }

@@ -1,0 +1,101 @@
+"""Analytics queries — trends, listings/delistings (anti-joins), stats.
+
+Parity: reference src/binance_futures_availability/queries/analytics.py
+(A1 :29-62 and :160-206, J3 :64-110, J4 :112-158) and the conditional-agg /
+count-distinct stats blocks (availability_db.py:232-242,
+.github/scripts/generate_stats.py:17-36).
+
+Anti-join note (SURVEY.md §4): the reference uses null-sensitive ``NOT IN
+(subquery)``; its subquery columns are NOT NULL so ``left_anti`` is
+semantics-identical — we encode left_anti explicitly, which Catalyst executes
+as a broadcast anti-join when the right side (a distinct symbol set) is small.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def availability_trend(
+    da: DataFrame,
+    start: dt.date | str | None = None,
+    end: dt.date | str | None = None,
+) -> DataFrame:
+    """A1 — per-date count of available symbols, sorted by date.
+
+    Reference SQL: analytics.py:52-59 (full table) and :160-206 (ranged).
+    Map-side partial counts make this one narrow shuffle at any scale; the
+    matview (sources/writer.refresh_symbol_counts) answers it from a summary
+    table 50× faster for interactive use (ADR-0019).
+    """
+    out = da.filter(F.col("available"))
+    if start is not None:
+        out = out.filter(F.col("date") >= F.lit(start))
+    if end is not None:
+        out = out.filter(F.col("date") <= F.lit(end))
+    return out.groupBy("date").agg(F.count(F.lit(1)).alias("available_count")).orderBy(
+        "date"
+    )
+
+
+def new_listings(da: DataFrame, date: dt.date | str) -> DataFrame:
+    """J3 — symbols available on ``date`` but never available before it.
+
+    Reference SQL: analytics.py:95-106 (NOT IN over earlier dates).
+    ``before`` collapses to a distinct symbol set before the anti-join, so
+    the join's right side is tiny (≤ #symbols) and broadcasts.
+    """
+    today = (
+        da.filter((F.col("date") == F.lit(date)) & F.col("available"))
+        .select("symbol")
+        .distinct()
+    )
+    before = (
+        da.filter((F.col("date") < F.lit(date)) & F.col("available"))
+        .select("symbol")
+        .distinct()
+    )
+    return today.join(before, "symbol", "left_anti").orderBy("symbol")
+
+
+def delistings(da: DataFrame, date: dt.date | str) -> DataFrame:
+    """J4 — symbols available the day before ``date`` but not on ``date``.
+
+    Reference SQL: analytics.py:142-153 (date arithmetic F1 at :146).
+    """
+    yesterday = (
+        da.filter(
+            (F.col("date") == F.date_sub(F.lit(date), 1)) & F.col("available")
+        )
+        .select("symbol")
+        .distinct()
+    )
+    today = (
+        da.filter((F.col("date") == F.lit(date)) & F.col("available"))
+        .select("symbol")
+        .distinct()
+    )
+    return yesterday.join(today, "symbol", "left_anti").orderBy("symbol")
+
+
+def availability_stats(da: DataFrame) -> DataFrame:
+    """A5 + A6 — one-row overall stats block.
+
+    Reference: generate_stats.py:17-36 (conditional agg + COUNT DISTINCT).
+    count_distinct over date/symbol is exact here; at 100 TB swap in
+    approx_count_distinct for the interactive path.
+    """
+    return da.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.sum(F.when(F.col("available"), 1).otherwise(0)).alias("available_records"),
+        F.sum(F.when(~F.col("available"), 1).otherwise(0)).alias(
+            "unavailable_records"
+        ),
+        F.countDistinct("date").alias("distinct_dates"),
+        F.countDistinct("symbol").alias("distinct_symbols"),
+        F.min("date").alias("min_date"),
+        F.max("date").alias("max_date"),
+    )

@@ -1,0 +1,115 @@
+"""Availability fact-table adapter over the synthetic testdata.
+
+The engine's domain model is the 17-column ``daily_availability`` table
+(reference: src/binance_futures_availability/database/schema.py:68-95). The
+driver's testdata is TPC-H-ish, so for the correctness gate we *derive* an
+availability-shaped DataFrame from ``lineitem`` deterministically:
+
+- ``date``    = CAST(l_shipdate AS DATE)
+- ``symbol``  = 'S' || lpad(l_suppkey, 3, '0')   (supplier plays "symbol")
+- one row per (date, symbol) that had any shipment — absent combinations are
+  the natural "file missing" gaps the reference's continuity/anti-join
+  queries look for
+- ``available``          = trade_count >= 2            (both truth values occur)
+- ``quote_volume_usdt``  = exact DECIMAL(18,2) sum of l_extendedprice, cast to
+  DOUBLE, NULLed for ~1/7 of rows (volume_base % 7 == 0) so the reference's
+  IS [NOT] NULL cohort predicates (queries/volume.py:57-59,
+  scripts/operations/backfill_volume.py:77-82) are non-degenerate
+- ``trade_count``        = COUNT(*)
+- ``file_size_bytes``    = exact integer sum of round(l_quantity)
+- ``status_code``        = 200 if available else 404
+- ``last_modified``      = date + 1 day as timestamp
+
+Exact-decimal discipline: every monetary aggregate is summed as
+DECIMAL(18,2) (order-independent, exact) and only then cast to DOUBLE, so
+Spark and the DuckDB oracle produce bit-identical values regardless of
+reduction order. Floating-point SUM would hash-mismatch.
+
+The same derivation exists as a SQL CTE (``DA_SQL``) for oracle queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def availability_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the daily_availability-shaped DataFrame from lineitem.
+
+    One narrow projection feeds one hash aggregation: Catalyst prunes the scan
+    to 3 columns and does partial (map-side) aggregation before the shuffle on
+    (date, symbol) — the same shape a 100 TB fact-table rollup wants.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.to_date("l_shipdate").alias("date"),
+        F.concat(F.lit("S"), F.lpad(F.col("l_suppkey").cast("string"), 4, "0")).alias(
+            "symbol"
+        ),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        F.round("l_quantity").cast("long").alias("qty_int"),
+    )
+    agg = base.groupBy("date", "symbol").agg(
+        F.count(F.lit(1)).alias("trade_count"),
+        F.sum("price_dec").alias("vol_dec"),
+        F.sum("qty_int").alias("file_size_bytes"),
+    )
+    return agg.select(
+        "date",
+        "symbol",
+        (F.col("trade_count") >= 2).alias("available"),
+        "file_size_bytes",
+        F.to_timestamp(F.date_add("date", 1)).alias("last_modified"),
+        F.concat(
+            F.lit("s3://data/"), F.col("symbol"), F.lit("/"), F.col("date").cast("string")
+        ).alias("url"),
+        F.when(F.col("trade_count") >= 2, F.lit(200)).otherwise(F.lit(404)).alias(
+            "status_code"
+        ),
+        F.when(F.col("file_size_bytes") % 7 != 0, F.col("vol_dec").cast("double")).alias(
+            "quote_volume_usdt"
+        ),
+        "trade_count",
+        F.col("file_size_bytes").cast("double").alias("volume_base"),
+    )
+
+
+#: DuckDB CTE equivalent of :func:`availability_from_lineitem` — prepend to
+#: oracle SQL as ``WITH da AS ({DA_SQL}) SELECT ...``.
+DA_SQL = """
+SELECT date,
+       symbol,
+       trade_count >= 2 AS available,
+       file_size_bytes,
+       CAST(date + INTERVAL 1 DAY AS TIMESTAMP) AS last_modified,
+       's3://data/' || symbol || '/' || CAST(date AS VARCHAR) AS url,
+       CASE WHEN trade_count >= 2 THEN 200 ELSE 404 END AS status_code,
+       CASE WHEN file_size_bytes % 7 <> 0 THEN CAST(vol_dec AS DOUBLE) END
+           AS quote_volume_usdt,
+       trade_count,
+       CAST(file_size_bytes AS DOUBLE) AS volume_base
+FROM (
+    SELECT CAST(l_shipdate AS DATE) AS date,
+           'S' || lpad(CAST(l_suppkey AS VARCHAR), 4, '0') AS symbol,
+           COUNT(*) AS trade_count,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS vol_dec,
+           SUM(CAST(round(l_quantity) AS BIGINT)) AS file_size_bytes
+    FROM lineitem
+    GROUP BY 1, 2
+)
+""".strip()
+
+
+def with_da(select_sql: str) -> str:
+    """Wrap an oracle SELECT that references table ``da`` with the CTE.
+
+    If the query already starts with its own WITH clause, splice ``da`` into
+    the same CTE list (SQL does not allow nested top-level WITH).
+    """
+    stripped = select_sql.lstrip()
+    if stripped.upper().startswith("WITH "):
+        return f"WITH da AS (\n{DA_SQL}\n),\n{stripped[5:]}"
+    return f"WITH da AS (\n{DA_SQL}\n)\n{select_sql}"

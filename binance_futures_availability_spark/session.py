@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Design notes (scale-first):
+- Session timezone pinned to UTC so date/timestamp semantics are stable and
+  oracle comparisons (DuckDB) are honest. The reference mixes naive dates and
+  UTC timestamps (reference: pyproject.toml:72-76 ruff DTZ exceptions); we pin.
+- AQE on: runtime partition coalescing + skew-join handling are the first line
+  of defense at 100 TB where static shuffle.partitions is always wrong.
+- shuffle.partitions defaults to the local core count for tests; on a real
+  cluster this is overridden by AQE's coalescing from a high initial value.
+- Arrow enabled for any toPandas()/pandas_udf boundary (vectorized transfer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "bfa-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the engine's SparkSession.
+
+    Local mode for tests/bench; on a cluster, master comes from spark-submit
+    and everything here still applies.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-mode friendliness; harmless on a cluster
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,105 @@
+"""Writers: key-dedup UPSERT, partitioned parquet, matview refresh.
+
+Parity targets:
+- INSERT OR REPLACE single/batch upsert (reference
+  database/availability_db.py:94-197, S2/S3 in SURVEY.md). Spark/parquet has
+  no PK, so upsert = union + deterministic winner per key (latest
+  ``probe_timestamp``) — exactly the idempotent-reprobe semantics the 20-day
+  lookback depends on (reference .github/scripts/run_daily_update.py:41-69).
+- ``daily_symbol_counts`` matview refresh (availability_db.py:219-244, A8).
+
+Scale notes: the dedup window shuffles on the key — the same shuffle a MERGE
+would do. For a date-partitioned table, ``upsert_partitioned`` rewrites ONLY
+the touched date partitions (dynamic partition overwrite), which is the
+100 TB-safe path: work is proportional to the incoming dates, not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_latest(
+    df: DataFrame, key: list[str], version_col: str
+) -> DataFrame:
+    """Keep exactly one row per key — the one with the highest version.
+
+    Ties (same version) break deterministically on the remaining column
+    values, mirroring last-write-wins of INSERT OR REPLACE
+    (availability_db.py:97-101).
+    """
+    order = [F.col(version_col).desc()] + [
+        F.col(c).desc() for c in df.columns if c not in key and c != version_col
+    ]
+    w = Window.partitionBy(*key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key: list[str],
+    version_col: str,
+) -> DataFrame:
+    """S2/S3 — batch UPSERT: incoming rows replace same-key existing rows.
+
+    Incoming always beats existing on key collision regardless of version
+    (matching INSERT OR REPLACE), via a precedence column that sorts after
+    the version.
+    """
+    tagged = existing.withColumn("__src", F.lit(0)).unionByName(
+        incoming.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*key).orderBy(F.col("__src").desc(), F.col(version_col).desc())
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str = "date") -> None:
+    """Write the fact table partitioned by date — the layout that replaces
+    the reference's indexes (SURVEY.md §1.4): date-equality queries prune to
+    one partition; parquet min/max stats on symbol serve the timeline path."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def upsert_partitioned(
+    spark_existing_path: str,
+    incoming: DataFrame,
+    key: list[str],
+    version_col: str,
+    partition_col: str = "date",
+) -> None:
+    """Upsert by rewriting only the date partitions present in ``incoming``
+    (dynamic partition overwrite). Cost ∝ touched dates, not table size."""
+    spark = incoming.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    existing = spark.read.parquet(spark_existing_path)
+    touched = incoming.select(partition_col).distinct()
+    relevant = existing.join(F.broadcast(touched), partition_col, "left_semi")
+    merged = upsert(relevant, incoming, key, version_col)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+        spark_existing_path
+    )
+
+
+def refresh_symbol_counts(da: DataFrame) -> DataFrame:
+    """A8 — recompute the ``daily_symbol_counts`` summary (matview).
+
+    Reference SQL: availability_db.py:219-244 (per-date total/available/
+    unavailable + CURRENT_TIMESTAMP). One narrow shuffle; incremental refresh
+    = filter ``da`` to touched dates first and overwrite those summary rows.
+    """
+    return da.groupBy("date").agg(
+        F.count(F.lit(1)).alias("total_symbols"),
+        F.sum(F.when(F.col("available"), 1).otherwise(0)).alias("available_count"),
+        F.sum(F.when(~F.col("available"), 1).otherwise(0)).alias("unavailable_count"),
+        F.current_timestamp().alias("last_updated"),
+    )

@@ -1,0 +1,88 @@
+"""Upsert / matview / differ semantics — reference parity:
+tests/test_database/test_availability_db.py:33-51 (upsert keeps one row with
+the new value), availability_db.py:219-244 (matview refresh),
+scripts/verify-database-consistency.py:266-339 (row diff)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from binance_futures_availability_spark.schema import DAILY_AVAILABILITY
+from binance_futures_availability_spark.sources import writer
+from binance_futures_availability_spark.validation import cross_check, differ
+
+from conftest import _row
+
+D = dt.date
+
+
+def make_da(spark, rows):
+    return spark.createDataFrame([_row(*r) for r in rows], DAILY_AVAILABILITY)
+
+
+def test_upsert_replaces_on_key_collision(spark):
+    existing = make_da(spark, [(D(2024, 1, 1), "BTCUSDT", True, 100.0)])
+    incoming = make_da(spark, [(D(2024, 1, 1), "BTCUSDT", True, 999.0)])
+    out = writer.upsert(existing, incoming, ["date", "symbol"], "probe_timestamp")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["quote_volume_usdt"] == 999.0
+
+
+def test_upsert_keeps_disjoint_keys(spark):
+    existing = make_da(spark, [(D(2024, 1, 1), "BTCUSDT", True, 100.0)])
+    incoming = make_da(spark, [(D(2024, 1, 2), "BTCUSDT", True, 200.0)])
+    out = writer.upsert(existing, incoming, ["date", "symbol"], "probe_timestamp")
+    assert out.count() == 2
+
+
+def test_dedup_latest(spark):
+    import datetime
+
+    r1 = list(_row(D(2024, 1, 1), "BTCUSDT", True, 1.0))
+    r2 = list(_row(D(2024, 1, 1), "BTCUSDT", True, 2.0))
+    r2[7] = datetime.datetime(2024, 1, 17)  # later probe_timestamp wins
+    df = spark.createDataFrame([tuple(r1), tuple(r2)], DAILY_AVAILABILITY)
+    out = writer.dedup_latest(df, ["date", "symbol"], "probe_timestamp").collect()
+    assert len(out) == 1
+    assert out[0]["quote_volume_usdt"] == 2.0
+
+
+def test_matview_counts(spark, populated_da):
+    mv = {r["date"]: r for r in writer.refresh_symbol_counts(populated_da).collect()}
+    d3 = mv[D(2024, 1, 15)]
+    assert d3["total_symbols"] == 3
+    assert d3["available_count"] == 2
+    assert d3["unavailable_count"] == 1
+
+
+def test_differ_statuses(spark):
+    a = make_da(
+        spark,
+        [
+            (D(2024, 1, 1), "BTCUSDT", True, 100.0),
+            (D(2024, 1, 1), "ETHUSDT", True, 50.0),
+            (D(2024, 1, 1), "XRPUSDT", True, 10.0),
+        ],
+    )
+    b = make_da(
+        spark,
+        [
+            (D(2024, 1, 1), "BTCUSDT", True, 100.0),  # equal
+            (D(2024, 1, 1), "ETHUSDT", True, 51.0),  # mismatch
+            (D(2024, 1, 1), "ADAUSDT", True, 5.0),  # only_right
+        ],
+    )
+    summary = differ.diff_summary(a, b, ["date", "symbol"])
+    assert summary == {"only_left": 1, "only_right": 1, "mismatch": 1, "equal": 1}
+
+
+def test_cross_check_sets(spark):
+    db = spark.createDataFrame([("A",), ("B",), ("C",)], ["symbol"])
+    api = spark.createDataFrame([("B",), ("C",), ("D",)], ["symbol"])
+    r = cross_check.compare_symbol_sets(db, api)
+    assert r["matched"] == 2
+    assert r["only_in_db"] == 1
+    assert r["only_in_api"] == 1
+    missing = cross_check.symbols_missing_from_db(api, db).collect()
+    assert [r["symbol"] for r in missing] == ["D"]
