@@ -1,0 +1,92 @@
+"""Reusable column expressions — pure, JVM-side (no Python UDFs).
+
+Cross-engine determinism toolkit: every helper here has an exact DuckDB SQL
+equivalent (documented inline) so operators built from them hash-match the
+oracle. The two foundational tricks:
+
+- ``md5_int60``: a 60-bit integer hash of a string via md5 hex — identical in
+  Spark (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+  (``('0x' || substr(md5(x),1,15))::BIGINT``). Replaces engine-specific
+  ``xxhash64``/``hash`` whose values differ across engines.
+- ``quantize_embedding``: float vector → exact integer vector
+  (``round(e*1e6)``), making dot products / norms exactly representable in
+  doubles (< 2^53), so cosine similarity is bit-deterministic regardless of
+  summation order. This is the scale-safe answer to float-reduction
+  nondeterminism on a 1000-executor cluster, not just an oracle trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Embedding quantization scale; products fit doubles exactly: 64 dims ×
+#: (0.53e6)^2 ≈ 1.8e13 < 2^53.
+EMB_SCALE = 1_000_000
+
+#: MinHash modulus (30-bit prime): a*x+b stays far below 2^63.
+MINHASH_P = 1_000_000_007
+
+
+def md5_int60(col: Column) -> Column:
+    """60-bit integer from md5 hex prefix.
+
+    DuckDB: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text.
+
+    DuckDB: ``regexp_split_to_array(trim(x), '\\s+')``.
+    """
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Number of whitespace tokens. DuckDB: ``len(regexp_split_to_array(...))``."""
+    return F.size(tokens(col))
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercased, whitespace-collapsed text (dedup canonical form).
+
+    DuckDB: ``lower(trim(regexp_replace(x, '\\s+', ' ', 'g')))``.
+    """
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def quantize_embedding(col: Column) -> Column:
+    """float array → exact integer array (×1e6, rounded).
+
+    The float element is cast to DOUBLE before the multiply — float32
+    arithmetic would round differently between engines. Explicit round()
+    (not a decimal cast: DuckDB truncates on double→decimal, Spark rounds).
+
+    DuckDB: ``list_transform(x, e -> CAST(round(CAST(e AS DOUBLE) * 1000000)
+    AS BIGINT))``.
+    """
+    return F.transform(
+        col, lambda e: F.round(e.cast("double") * F.lit(float(EMB_SCALE))).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact dot product of two integer arrays (bigint fold, left-to-right).
+
+    DuckDB: ``list_dot_product(qa, qb)`` — exact because all intermediate
+    values are integers < 2^53 even when computed in doubles.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_from_quantized(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cos = dot / (sqrt(na) * sqrt(nb)) — deterministic given exact ints."""
+    return dot.cast("double") / (
+        F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double"))
+    )

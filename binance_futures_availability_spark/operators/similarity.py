@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension operators: brute-force cosine top-k as the correctness
+baseline, random-hyperplane LSH bucketing as the scale path, and
+embedding-cosine near-duplicate pairs for dedup.
+
+Determinism: embeddings are quantized to exact integers
+(functions.quantize_embedding) so dot products and norms are exactly
+representable and cosine values are bit-identical across engines and across
+reduction orders — which also makes results reproducible run-to-run on a
+real cluster (float atomics aren't).
+
+Scale design:
+- ``ann_topk``: the query vector is a broadcast literal; the scan is a
+  narrow projection + TakeOrderedAndProject (no shuffle of the corpus).
+- ``cosine_pairs``: all-pairs is O(n²) — the oracle/baseline path. The LSH
+  variant buckets by hyperplane sign bits first, turning the cross join
+  into an equi-join on bucket; recall is traded via n_planes.
+- At 100 TB, partition the corpus by bucket and broadcast the (tiny) plane
+  matrix — the same plan shape Spark ML's approxSimilarityJoin uses.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import (
+    cosine_from_quantized,
+    int_dot,
+    quantize_embedding,
+)
+
+#: deterministic random hyperplanes (seed 42), 8 planes × 64 dims, ints in
+#: [-1000, 1000] — exact integer dot with quantized embeddings.
+_rng = random.Random(42)
+N_PLANES = 8
+EMB_DIM = 64
+PLANES: list[list[int]] = [
+    [_rng.randint(-1000, 1000) for _ in range(EMB_DIM)] for _ in range(N_PLANES)
+]
+
+
+def _with_quantized(emb: DataFrame, vec_col: str) -> DataFrame:
+    q = quantize_embedding(F.col(vec_col))
+    return emb.withColumn("__q", q).withColumn("__norm", int_dot(F.col("__q"), F.col("__q")))
+
+
+def ann_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against one corpus vector as the query.
+
+    The single query row is broadcast; ORDER BY (cos DESC, id) LIMIT k plans
+    as TakeOrderedAndProject — no corpus shuffle. Deterministic tie-break on
+    id keeps the k-boundary stable.
+    """
+    base = _with_quantized(emb, vec_col)
+    qrow = (
+        base.filter(F.col(id_col) == query_vec_id)
+        .select(
+            F.col("__q").alias("__qq"), F.col("__norm").alias("__qnorm")
+        )
+    )
+    joined = base.filter(F.col(id_col) != query_vec_id).crossJoin(F.broadcast(qrow))
+    dot = int_dot(F.col("__q"), F.col("__qq"))
+    return (
+        joined.select(
+            F.col(id_col),
+            cosine_from_quantized(dot, F.col("__norm"), F.col("__qnorm")).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold (brute-force baseline)."""
+    base = _with_quantized(emb, vec_col)
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("__q").alias("qa"), F.col("__norm").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("__q").alias("qb"), F.col("__norm").alias("nb")
+    )
+    dot = int_dot(F.col("qa"), F.col("qb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_from_quantized(dot, F.col("na"), F.col("nb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _bucket_expr(q_col):
+    """LSH bucket id: sign bits of the 8 plane dot products (exact ints)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(PLANES):
+        pdot = int_dot(q_col, F.array(*[F.lit(v).cast("long") for v in plane]))
+        bucket = bucket + F.when(pdot > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_buckets(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, bucket) — random-hyperplane signature of each embedding."""
+    base = _with_quantized(emb, vec_col)
+    return base.select(F.col(id_col), _bucket_expr(F.col("__q")).alias("bucket"))
+
+
+def lsh_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path near-dup: same-bucket candidates verified by exact cosine.
+
+    The bucket equi-join replaces the O(n²) cross join; candidates are then
+    exactly verified, so precision is 1 and recall is the LSH collision
+    probability (cos ≥ 0.95 pairs rarely split across all 8 planes).
+    """
+    base = _with_quantized(emb, vec_col).withColumn(
+        "bucket", _bucket_expr(F.col("__q"))
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__q").alias("qa"),
+        F.col("__norm").alias("na"),
+        "bucket",
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__q").alias("qb"),
+        F.col("__norm").alias("nb"),
+        "bucket",
+    )
+    dot = int_dot(F.col("qa"), F.col("qb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_from_quantized(dot, F.col("na"), F.col("nb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def label_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid of quantized embeddings, long format
+    (label, dim, mean_value) — exact integer sums, deterministic means.
+
+    Demonstrates vector aggregation without UDFs: posexplode to (label,
+    dim, value) then integer-sum per (label, dim). Long format keeps the
+    output scalar-typed (hashable by the oracle gate); ``F.transform`` +
+    ``array_sort`` can rebuild vectors when needed.
+    """
+    base = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(quantize_embedding(F.col(vec_col))).alias("dim", "v"),
+    )
+    return (
+        base.groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "label",
+            "dim",
+            (F.col("s").cast("double") / F.col("c")).alias("mean_value"),
+        )
+        .orderBy("label", "dim")
+    )

@@ -1,0 +1,115 @@
+"""Text analysis operators over a documents table.
+
+North-star extension operators (no reference counterpart — SURVEY.md §2.10):
+language-ID (stopword n-gram heuristic), quality scoring, token counting,
+document fingerprinting. All pure ``pyspark.sql.functions`` expressions —
+whole-stage-codegen'd, no Python in the hot path — with exact DuckDB
+equivalents for the oracle gate.
+
+Scale: every operator here is a narrow projection (no shuffle at all) — it
+streams through 100 TB at scan speed and pairs with predicate pushdown on
+(lang, source) partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_int60, normalized_text, token_count, tokens
+
+#: language → stopword regex (word-boundary alternation, full-match group 0)
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|a)\b",
+    "de": r"\b(der|die|und|das|ist|ein)\b",
+    "fr": r"\b(le|la|les|et|est|un)\b",
+    "es": r"\b(el|los|las|y|es|un)\b",
+    "zh": r"(的|是|了|在|和)",
+}
+#: deterministic tie-break priority (first wins on score ties)
+LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]
+
+
+def _stop_count(col, lang: str):
+    return F.size(F.regexp_extract_all(col, F.lit(LANG_STOPWORDS[lang]), F.lit(0)))
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace + word-regex token counts per document."""
+    return docs.select(
+        id_col,
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9]+"), F.lit(0))).alias(
+            "n_word_tokens"
+        ),
+        F.length(text_col).alias("n_chars_measured"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality score from length / stopword / word-shape ratios.
+
+    All features derive from integer counts, so the score doubles are
+    bit-deterministic across engines.
+    """
+    t = F.col(text_col)
+    wc = token_count(t)
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    stop = _stop_count(t, "en")
+    awl = nonspace.cast("double") / wc
+    stop_ratio = stop.cast("double") / wc
+    # raw doubles, fixed evaluation order — no round(): cross-engine round
+    # implementations differ in last-ulp cases; integer-derived ratios are
+    # already bit-deterministic
+    score = (
+        0.4 * F.least(wc.cast("double") / 100.0, F.lit(1.0))
+        + 0.4 * stop_ratio
+        + 0.2 * F.least(awl / 10.0, F.lit(1.0))
+    )
+    return docs.select(
+        id_col,
+        wc.alias("word_count"),
+        awl.alias("avg_word_len"),
+        stop.alias("stopword_count"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID with deterministic priority tie-break."""
+    t = F.lower(F.col(text_col))
+    scores = {lang: _stop_count(t, lang) for lang in LANG_PRIORITY}
+    best = F.greatest(*[scores[lg] for lg in LANG_PRIORITY])
+    pred = F.lit("unknown")
+    # build reversed so earlier languages win ties (last when evaluated first)
+    for lang in reversed(LANG_PRIORITY):
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return docs.select(
+        id_col,
+        *[scores[lg].alias(f"score_{lg}") for lg in LANG_PRIORITY],
+        pred.alias("predicted_lang"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content fingerprints: md5 of normalized text + min-shingle hash.
+
+    The min-shingle hash (min over 3-gram shingle hashes) is a 1-permutation
+    MinHash — winnowing-lite; equal fingerprints ⇒ near-identical content.
+    """
+    from .dedup import shingles  # local import to avoid cycle
+
+    norm_md5 = docs.select(
+        id_col, F.md5(normalized_text(F.col(text_col))).alias("content_md5")
+    )
+    min_sh = (
+        shingles(docs, id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.min(md5_int60(F.col("shingle"))).alias("min_shingle_hash"))
+    )
+    return norm_md5.join(min_sh, id_col, "left").orderBy(id_col)

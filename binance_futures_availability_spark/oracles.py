@@ -1,0 +1,297 @@
+"""DuckDB oracle SQL generators for the extension operators.
+
+Each function returns ANSI-ish SQL that DuckDB runs over the pre-registered
+parquet views, reproducing the matching Spark operator EXACTLY (same
+md5-based integer hashes, same integer quantization, same tie-breaks) so the
+driver's value-hash comparison passes. Keeping the generators next to the
+constants (MINHASH_A/B, LSH_BANDS, PLANES) guarantees Spark and SQL never
+drift.
+
+DuckDB dialect notes discovered empirically (kept here so they're not
+re-learned):
+- ``('0x' || substr(md5(x),1,15))::BIGINT`` == Spark
+  ``conv(substr(md5(x),1,15),16,10)``.
+- SUM(BIGINT) returns HUGEINT → always CAST back to BIGINT.
+- double→decimal CAST rounds (matches Spark); decimal→decimal truncates —
+  never reduce decimal scale.
+- regexp_replace needs the 'g' flag (Spark replaces all by default).
+- generate_subscripts is 1-based (Spark posexplode is 0-based).
+"""
+
+from __future__ import annotations
+
+from .operators.dedup import LSH_BANDS, MINHASH_A, MINHASH_B, SIMHASH_BITS
+from .operators.similarity import PLANES
+from .functions import EMB_SCALE, MINHASH_P
+
+MD5_INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+#: tokenization + distinct 3-gram shingles over documents
+SHINGLE_CTES = r"""
+tok AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+           generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+    FROM documents
+),
+sh0 AS (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)
+""".strip()
+
+JACCARD_CTES = f"""
+{SHINGLE_CTES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+)
+""".strip()
+
+QUANT = (
+    "list_transform(embedding, e -> "
+    f"CAST(round(CAST(e AS DOUBLE) * {EMB_SCALE}) AS BIGINT))"
+)
+
+EMB_BASE_CTE = f"""
+base AS (
+    SELECT vec_id, label, {QUANT} AS q FROM embeddings
+),
+normed AS (
+    SELECT vec_id, label, q, list_dot_product(q, q) AS nrm FROM base
+)
+""".strip()
+
+
+def minhash_sig_cte() -> str:
+    x = MD5_INT.format(x="shingle")
+    mins = ",\n           ".join(
+        f"CAST(MIN(({a} * ({x} % {MINHASH_P}) + {b}) % {MINHASH_P}) AS BIGINT) AS h{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    return f"""sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM sh GROUP BY doc_id
+)"""
+
+
+def sql_minhash_signatures() -> str:
+    return f"WITH {SHINGLE_CTES},\n{minhash_sig_cte()}\nSELECT * FROM sig"
+
+
+def sql_minhash_lsh_pairs(threshold: float) -> str:
+    band_cond = " OR ".join(
+        "(" + " AND ".join(f"a.h{c} = b.h{c}" for c in cols) + ")"
+        for cols in LSH_BANDS
+    )
+    return f"""WITH {JACCARD_CTES},
+{minhash_sig_cte()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+)
+SELECT j.id_a, j.id_b, j.jaccard
+FROM cand JOIN jac j USING (id_a, id_b)
+WHERE j.jaccard >= {threshold}
+ORDER BY id_a, id_b"""
+
+
+def sql_ngram_jaccard_pairs(threshold: float) -> str:
+    return f"""WITH {JACCARD_CTES}
+SELECT id_a, id_b, jaccard FROM jac
+WHERE jaccard >= {threshold} ORDER BY id_a, id_b"""
+
+
+def sql_simhash() -> str:
+    x = MD5_INT.format(x="tok")
+    return f"""WITH {SHINGLE_CTES},
+tokc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+hashed AS (SELECT doc_id, cnt, {x} AS h FROM tokc),
+bits AS (
+    SELECT doc_id, b, SUM(cnt * (2 * ((h >> b) & 1) - 1)) AS v
+    FROM hashed, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS t(b)
+    GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+           AS simhash
+FROM bits GROUP BY doc_id"""
+
+
+def sql_simhash_pairs(max_hamming: int) -> str:
+    return f"""WITH s AS ({sql_simhash().replace('WITH ', '', 1)})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b"""
+
+
+def sql_exact_dup_groups() -> str:
+    return r"""
+WITH g AS (
+    SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_md5,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+    FROM documents GROUP BY 1
+)
+SELECT content_md5, CAST(n_docs AS BIGINT) AS n_docs, keeper_id
+FROM g WHERE n_docs > 1 ORDER BY content_md5""".strip()
+
+
+def sql_ann_topk(query_vec_id: int, k: int) -> str:
+    return f"""WITH {EMB_BASE_CTE},
+qv AS (SELECT q AS qq, nrm AS qn FROM normed WHERE vec_id = {query_vec_id})
+SELECT n.vec_id,
+       list_dot_product(n.q, qv.qq) / (sqrt(n.nrm) * sqrt(qv.qn)) AS cosine
+FROM normed n, qv
+WHERE n.vec_id <> {query_vec_id}
+ORDER BY cosine DESC, n.vec_id
+LIMIT {k}"""
+
+
+def sql_cosine_pairs(threshold: float) -> str:
+    return f"""WITH {EMB_BASE_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) >= {threshold}
+ORDER BY id_a, id_b"""
+
+
+def _bucket_sql() -> str:
+    terms = []
+    for i, plane in enumerate(PLANES):
+        lits = ", ".join(str(v) for v in plane)
+        terms.append(
+            f"CASE WHEN list_dot_product(q, [{lits}]::BIGINT[]) > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def sql_lsh_buckets() -> str:
+    return f"""WITH {EMB_BASE_CTE}
+SELECT vec_id, {_bucket_sql()} AS bucket FROM normed"""
+
+
+def sql_lsh_cosine_pairs(threshold: float) -> str:
+    return f"""WITH {EMB_BASE_CTE},
+bucketed AS (SELECT vec_id, q, nrm, {_bucket_sql()} AS bucket FROM normed)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) >= {threshold}
+ORDER BY id_a, id_b"""
+
+
+def sql_label_centroids() -> str:
+    return f"""WITH flat AS (
+    SELECT label,
+           generate_subscripts({QUANT}, 1) - 1 AS dim,
+           unnest({QUANT}) AS v
+    FROM embeddings
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_value
+FROM flat GROUP BY label, dim ORDER BY label, dim"""
+
+
+def sql_multimodal_features() -> str:
+    return """
+SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents""".strip()
+
+
+def sql_multimodal_frames(frame_size: int, max_frames: int) -> str:
+    return f"""WITH m AS (
+    SELECT doc_id AS asset_id, octet_length(encode(text)) AS n FROM documents
+)
+SELECT asset_id, CAST(i AS INT) AS frame_no,
+       CAST(LEAST({frame_size}, n - i * {frame_size}) AS BIGINT) AS frame_bytes
+FROM m, unnest(generate_series(0,
+        LEAST({max_frames}, CAST(CEIL(n / {frame_size}.0) AS INT)) - 1)) AS t(i)"""
+
+
+def sql_token_counts() -> str:
+    return r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS INT)
+           AS n_word_tokens,
+       CAST(length(text) AS INT) AS n_chars_measured
+FROM documents""".strip()
+
+
+STOPWORDS_SQL = {
+    "en": r"\b(the|and|of|to|in|is|a)\b",
+    "de": r"\b(der|die|und|das|ist|ein)\b",
+    "fr": r"\b(le|la|les|et|est|un)\b",
+    "es": r"\b(el|los|las|y|es|un)\b",
+    "zh": r"(的|是|了|在|和)",
+}
+
+
+def sql_quality_scores() -> str:
+    stop = f"len(regexp_extract_all(text, '{STOPWORDS_SQL['en']}', 0))"
+    return rf"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS word_count,
+       CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\s+')) AS avg_word_len,
+       CAST({stop} AS INT) AS stopword_count,
+       CAST({stop} AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+       0.4 * LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+                   / 100.0, 1.0)
+       + 0.4 * (CAST({stop} AS DOUBLE)
+                / len(regexp_split_to_array(trim(text), '\s+')))
+       + 0.2 * LEAST((CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                      / len(regexp_split_to_array(trim(text), '\s+'))) / 10.0, 1.0)
+           AS quality_score
+FROM documents""".strip()
+
+
+def sql_language_id() -> str:
+    langs = ["en", "de", "fr", "es", "zh"]
+    scores = {
+        lg: f"len(regexp_extract_all(lower(text), '{STOPWORDS_SQL[lg]}', 0))"
+        for lg in langs
+    }
+    best = "GREATEST(" + ", ".join(scores[lg] for lg in langs) + ")"
+    whens = "\n           ".join(
+        f"WHEN {scores[lg]} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs
+    )
+    cols = ",\n       ".join(
+        f"CAST({scores[lg]} AS INT) AS score_{lg}" for lg in langs
+    )
+    return f"""
+SELECT doc_id,
+       {cols},
+       CASE {whens} ELSE 'unknown' END AS predicted_lang
+FROM documents""".strip()
+
+
+def sql_fingerprints() -> str:
+    x = MD5_INT.format(x="shingle")
+    return rf"""WITH {SHINGLE_CTES},
+msh AS (SELECT doc_id, MIN({x}) AS min_shingle_hash FROM sh GROUP BY doc_id)
+SELECT d.doc_id,
+       md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))) AS content_md5,
+       msh.min_shingle_hash
+FROM documents d LEFT JOIN msh ON d.doc_id = msh.doc_id
+ORDER BY d.doc_id"""
