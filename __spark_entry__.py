@@ -29,6 +29,7 @@ from binance_futures_availability_spark.operators import (
     volume,
 )
 from binance_futures_availability_spark.operators.availability import (
+    availability_fact,
     availability_from_lineitem,
     with_da,
 )
@@ -56,7 +57,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _da(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return availability_from_lineitem(spark, sf_dir)
+    # materialized once per sf_dir (stored fact table, like the reference's
+    # daily_availability) — every query reads the catalog, not a re-derivation
+    return availability_fact(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -157,8 +160,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY symbol"""),
         "availability_stats": with_da("""
             SELECT COUNT(*) AS total_records,
-                   SUM(CASE WHEN available THEN 1 ELSE 0 END) AS available_records,
-                   SUM(CASE WHEN NOT available THEN 1 ELSE 0 END)
+                   CAST(SUM(CASE WHEN available THEN 1 ELSE 0 END) AS BIGINT)
+                       AS available_records,
+                   CAST(SUM(CASE WHEN NOT available THEN 1 ELSE 0 END) AS BIGINT)
                        AS unavailable_records,
                    COUNT(DISTINCT date) AS distinct_dates,
                    COUNT(DISTINCT symbol) AS distinct_symbols,
@@ -211,7 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "market_summary": with_da(f"""
             SELECT CAST(SUM(CAST(quote_volume_usdt AS DECIMAL(18,2))) AS DOUBLE)
                        AS total_volume_usdt,
-                   SUM(trade_count) AS total_trade_count,
+                   CAST(SUM(trade_count) AS BIGINT) AS total_trade_count,
                    COUNT(*) AS symbol_count,
                    CAST(SUM(CAST(quote_volume_usdt AS DECIMAL(18,2))) AS DOUBLE)
                        / COUNT(*) AS avg_volume_usdt
@@ -293,8 +297,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY date HAVING COUNT(*) < 5 ORDER BY date"""),
         "symbol_counts_matview": with_da("""
             SELECT date, COUNT(*) AS total_symbols,
-                   SUM(CASE WHEN available THEN 1 ELSE 0 END) AS available_count,
-                   SUM(CASE WHEN NOT available THEN 1 ELSE 0 END)
+                   CAST(SUM(CASE WHEN available THEN 1 ELSE 0 END) AS BIGINT)
+                       AS available_count,
+                   CAST(SUM(CASE WHEN NOT available THEN 1 ELSE 0 END) AS BIGINT)
                        AS unavailable_count
             FROM da GROUP BY date"""),
     }

@@ -28,6 +28,24 @@ EMB_SCALE = 1_000_000
 MINHASH_P = 1_000_000_007
 
 
+def gathered_sort(df, *cols):
+    """Total order for a bounded (presentation-size) result set.
+
+    ``repartition(1)`` gathers the already-filtered/aggregated result with a
+    single round-robin shuffle, then the sort runs locally in that one
+    partition (SinglePartition satisfies OrderedDistribution, so Catalyst
+    skips the range-exchange and its sampling pass — one fewer job than a
+    global ``orderBy``). Upstream stages keep full parallelism, unlike
+    ``coalesce(1)`` which would serialize the scan itself.
+
+    Use ONLY where the result is small by construction (per-date symbol
+    lists, per-symbol histories, per-date count series — all bounded by
+    #symbols or #dates, not by fact rows). Large outputs (e.g. the rankings
+    archive) must keep the distributed range sort.
+    """
+    return df.repartition(1).orderBy(*cols)
+
+
 def md5_int60(col: Column) -> Column:
     """60-bit integer from md5 hex prefix.
 

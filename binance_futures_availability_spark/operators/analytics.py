@@ -18,6 +18,8 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import gathered_sort
+
 
 def availability_trend(
     da: DataFrame,
@@ -36,8 +38,8 @@ def availability_trend(
         out = out.filter(F.col("date") >= F.lit(start))
     if end is not None:
         out = out.filter(F.col("date") <= F.lit(end))
-    return out.groupBy("date").agg(F.count(F.lit(1)).alias("available_count")).orderBy(
-        "date"
+    return gathered_sort(
+        out.groupBy("date").agg(F.count(F.lit(1)).alias("available_count")), "date"
     )
 
 
@@ -58,7 +60,7 @@ def new_listings(da: DataFrame, date: dt.date | str) -> DataFrame:
         .select("symbol")
         .distinct()
     )
-    return today.join(before, "symbol", "left_anti").orderBy("symbol")
+    return gathered_sort(today.join(before, "symbol", "left_anti"), "symbol")
 
 
 def delistings(da: DataFrame, date: dt.date | str) -> DataFrame:
@@ -78,7 +80,7 @@ def delistings(da: DataFrame, date: dt.date | str) -> DataFrame:
         .select("symbol")
         .distinct()
     )
-    return yesterday.join(today, "symbol", "left_anti").orderBy("symbol")
+    return gathered_sort(yesterday.join(today, "symbol", "left_anti"), "symbol")
 
 
 def availability_stats(da: DataFrame) -> DataFrame:

@@ -30,10 +30,15 @@ The same derivation exists as a SQL CTE (``DA_SQL``) for oracle queries.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+
+#: bump when the derivation changes — invalidates materialized caches
+DA_VERSION = "v2"
 
 
 def availability_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,13 +82,74 @@ def availability_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def materialize_fact(
+    da: DataFrame, path: str, partition_col: str | None = None
+) -> None:
+    """Persist the fact table once so queries read it through the catalog
+    instead of re-deriving it (the reference's ``daily_availability`` is a
+    *stored* table, not a view — database/schema.py:68-95).
+
+    Layout is a scale decision:
+    - ``partition_col="date"`` for production volumes (≥ tens of MB/date):
+      snapshot/anti-join queries prune to single partitions, and incremental
+      upserts rewrite only touched dates (writer.upsert_partitioned).
+    - ``partition_col=None`` for small tables: one file, sorted by
+      (date, symbol), so parquet row-group min/max stats serve both the
+      date-pruning (P1/J3/J4) and symbol-pruning (P3) paths without paying
+      a file-per-date tax. Partitioning 60k rows into 2.5k dirs would make
+      every full scan open 2.5k files — wrong below ~1 GB/date.
+    """
+    if partition_col:
+        da.repartition(partition_col).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(path)
+    else:
+        da.coalesce(1).sortWithinPartitions("date", "symbol").write.mode(
+            "overwrite"
+        ).parquet(path)
+
+
+#: session-lifetime handles to the materialized table, keyed by parquet path —
+#: ``.cache()``d so repeated catalog reads within one session scan the
+#: in-memory columnar form (the analogue of DuckDB's buffer pool).
+_FACT_HANDLES: dict[str, DataFrame] = {}
+
+
+def availability_fact(
+    spark: SparkSession, sf_dir: str, cache_root: str | None = None
+) -> DataFrame:
+    """Materialized ``daily_availability`` for a testdata dir.
+
+    Derives from lineitem exactly once per (sf_dir, DA_VERSION), stores it
+    under ``cache_root``, and thereafter returns a catalog read — so an
+    18-query session performs ONE derivation aggregation instead of 18 full
+    re-aggregations of the fact source (the round-1 scale-killer).
+    """
+    cache_root = cache_root or os.environ.get(
+        "SPARK_GRAFT_CACHE", "/root/repo/.cache"
+    )
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = os.path.join(cache_root, f"da_{DA_VERSION}", sf_name)
+    handle = _FACT_HANDLES.get(path)
+    if handle is not None:
+        return handle
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        materialize_fact(availability_from_lineitem(spark, sf_dir), path)
+    handle = spark.read.parquet(path).cache()
+    _FACT_HANDLES[path] = handle
+    return handle
+
+
 #: DuckDB CTE equivalent of :func:`availability_from_lineitem` — prepend to
 #: oracle SQL as ``WITH da AS ({DA_SQL}) SELECT ...``.
 DA_SQL = """
 SELECT date,
        symbol,
        trade_count >= 2 AS available,
-       file_size_bytes,
+       -- DuckDB SUM(BIGINT) yields HUGEINT (fetched as float64); cast back
+       -- so the oracle hash matches Spark's LongType (oracles.py dialect note)
+       CAST(file_size_bytes AS BIGINT) AS file_size_bytes,
        CAST(date + INTERVAL 1 DAY AS TIMESTAMP) AS last_modified,
        's3://data/' || symbol || '/' || CAST(date AS VARCHAR) AS url,
        CASE WHEN trade_count >= 2 THEN 200 ELSE 404 END AS status_code,

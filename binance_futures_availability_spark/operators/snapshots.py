@@ -14,18 +14,22 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import gathered_sort
+
 
 def available_symbols_on_date(da: DataFrame, date: dt.date | str) -> DataFrame:
     """P1 — symbols (with size/mtime) available on one date, sorted by symbol.
 
     Reference SQL: snapshots.py:56-63
     (SELECT symbol, file_size_bytes, last_modified WHERE date=? AND
-    available=true ORDER BY symbol).
+    available=true ORDER BY symbol). Result bounded by #symbols →
+    gathered_sort.
     """
-    return (
-        da.filter((F.col("date") == F.lit(date)) & F.col("available"))
-        .select("symbol", "file_size_bytes", "last_modified")
-        .orderBy("symbol")
+    return gathered_sort(
+        da.filter((F.col("date") == F.lit(date)) & F.col("available")).select(
+            "symbol", "file_size_bytes", "last_modified"
+        ),
+        "symbol",
     )
 
 
@@ -38,11 +42,11 @@ def symbols_available_in_range(
     at 100 TB the date-range filter prunes partitions first so the shuffle
     input is only the window, and partial aggregation dedups map-side.
     """
-    return (
+    return gathered_sort(
         da.filter(
             F.col("date").between(F.lit(start), F.lit(end)) & F.col("available")
         )
         .select("symbol")
-        .distinct()
-        .orderBy("symbol")
+        .distinct(),
+        "symbol",
     )

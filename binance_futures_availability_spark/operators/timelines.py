@@ -12,16 +12,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import gathered_sort
+
 
 def availability_timeline(da: DataFrame, symbol: str) -> DataFrame:
     """P3 — full probe history of one symbol, sorted by date.
 
-    Reference SQL: timelines.py:54-61.
+    Reference SQL: timelines.py:54-61. Result bounded by #dates per symbol →
+    gathered_sort.
     """
-    return (
-        da.filter(F.col("symbol") == symbol)
-        .select("date", "available", "file_size_bytes", "status_code")
-        .orderBy("date")
+    return gathered_sort(
+        da.filter(F.col("symbol") == symbol).select(
+            "date", "available", "file_size_bytes", "status_code"
+        ),
+        "date",
     )
 
 

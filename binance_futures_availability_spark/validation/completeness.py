@@ -13,6 +13,8 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import gathered_sort
+
 
 def incomplete_dates(
     da: DataFrame,
@@ -29,9 +31,9 @@ def incomplete_dates(
         cohort = cohort.filter(F.col("date") >= F.lit(start))
     if end is not None:
         cohort = cohort.filter(F.col("date") <= F.lit(end))
-    return (
+    return gathered_sort(
         cohort.groupBy("date")
         .agg(F.count(F.lit(1)).alias("symbol_count"))
-        .filter(F.col("symbol_count") < min_expected)
-        .orderBy("date")
+        .filter(F.col("symbol_count") < min_expected),
+        "date",
     )

@@ -15,6 +15,8 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import gathered_sort
+
 
 def expected_dates(da: DataFrame, start: dt.date | str, end: dt.date | str) -> DataFrame:
     """F2 — one row per calendar date in [start, end]."""
@@ -36,8 +38,9 @@ def find_gaps(da: DataFrame, start: dt.date | str, end: dt.date | str) -> DataFr
     Reference SQL: continuity.py:74-83.
     """
     observed = da.select("date").distinct()
-    return (
-        expected_dates(da, start, end)
-        .join(observed, F.col("expected_date") == F.col("date"), "left_anti")
-        .orderBy("expected_date")
+    return gathered_sort(
+        expected_dates(da, start, end).join(
+            observed, F.col("expected_date") == F.col("date"), "left_anti"
+        ),
+        "expected_date",
     )

@@ -56,6 +56,20 @@ def compare(name: str, spark_pd: pd.DataFrame, oracle_pd: pd.DataFrame) -> list[
         return problems
     if problems:
         return problems
+    # the driver hashes raw values: an int64 Spark column vs a float64 oracle
+    # column (DuckDB HUGEINT fetch) hash-mismatches even when values are
+    # numerically equal — flag dtype-kind drift instead of coercing it away
+    for c in spark_pd.columns:
+        sk = spark_pd[c].dtype.kind
+        ok_ = oracle_pd[c].dtype.kind
+        num = {"i", "u", "f"}
+        if sk in num and ok_ in num and (sk == "f") != (ok_ == "f"):
+            problems.append(
+                f"col {c}: dtype kind spark={spark_pd[c].dtype} "
+                f"oracle={oracle_pd[c].dtype} (would hash-mismatch)"
+            )
+    if problems:
+        return problems
     s, o = normalize(spark_pd.copy()), normalize(oracle_pd.copy())
     for c in s.columns:
         sv, ov = s[c], o[c]
