@@ -19,12 +19,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from binance_futures_availability_spark import oracles
 from binance_futures_availability_spark.catalog import load_table
 from binance_futures_availability_spark.operators import (
     analytics,
     availability,
+    dedup,
+    multimodal,
     rankings,
+    similarity,
     snapshots,
+    textops,
     timelines,
     volume,
 )
@@ -45,6 +50,16 @@ SYMBOL = "S0007"  # suppkey 7 exists at every scale factor
 PCTL_SYMBOL = "S0020"  # in the SNAP_DATE volume cohort at sf0.01
 GEN_TS = "2026-01-01 00:00:00"
 
+# --- extension-suite parameters (non-degenerate at the sf0.01 gate:
+# 25 jaccard pairs ≥ 0.8, 56 simhash pairs ≤ hamming 5, cosine max ≈ 0.51) ---
+NGRAM_THRESHOLD = 0.8
+LSH_JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 5
+COSINE_THRESHOLD = 0.4
+ANN_QUERY_ID = 1
+ANN_K = 10
+FRAME_SIZE, MAX_FRAMES = 64, 4
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full volume-rankings window pipeline at sf0.001."""
@@ -60,6 +75,14 @@ def _da(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized once per sf_dir (stored fact table, like the reference's
     # daily_availability) — every query reads the catalog, not a re-derivation
     return availability_fact(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -112,6 +135,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_counts_matview": lambda s, d: writer.refresh_symbol_counts(
             _da(s, d)
         ).select("date", "total_symbols", "available_count", "unavailable_count"),
+        # --- LLM-pipeline extension operators over documents/embeddings ---
+        "exact_duplicates": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
+        "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
+            _docs(s, d), NGRAM_THRESHOLD
+        ),
+        "minhash_signatures": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
+        "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(
+            _docs(s, d), LSH_JACCARD_THRESHOLD
+        ),
+        "simhash_fingerprints": lambda s, d: dedup.simhash(_docs(s, d)),
+        "simhash_pairs": lambda s, d: dedup.simhash_pairs(
+            _docs(s, d), SIMHASH_MAX_HAMMING
+        ),
+        "ann_topk": lambda s, d: similarity.ann_topk(
+            _emb(s, d), ANN_QUERY_ID, ANN_K
+        ),
+        "cosine_pairs": lambda s, d: similarity.cosine_pairs(
+            _emb(s, d), COSINE_THRESHOLD
+        ),
+        "lsh_buckets": lambda s, d: similarity.lsh_buckets(_emb(s, d)),
+        "lsh_cosine_pairs": lambda s, d: similarity.lsh_cosine_pairs(
+            _emb(s, d), COSINE_THRESHOLD
+        ),
+        "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
+        "token_counts": lambda s, d: textops.token_counts(_docs(s, d)),
+        "quality_scores": lambda s, d: textops.quality_scores(_docs(s, d)),
+        "language_id": lambda s, d: textops.language_id(_docs(s, d)),
+        "doc_fingerprints": lambda s, d: textops.fingerprints(_docs(s, d)),
+        "multimodal_features": lambda s, d: multimodal.extract_features(
+            multimodal.documents_as_media(_docs(s, d))
+        ),
+        "multimodal_frames": lambda s, d: multimodal.sample_frames(
+            multimodal.documents_as_media(_docs(s, d)), FRAME_SIZE, MAX_FRAMES
+        ),
     }
 
 
@@ -302,4 +359,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN NOT available THEN 1 ELSE 0 END) AS BIGINT)
                        AS unavailable_count
             FROM da GROUP BY date"""),
+        # --- extension-suite oracles (generators in oracles.py keep the
+        # md5/quantization constants in one place so Spark and SQL can't drift)
+        "exact_duplicates": oracles.sql_exact_dup_groups(),
+        "ngram_jaccard_pairs": oracles.sql_ngram_jaccard_pairs(
+            NGRAM_THRESHOLD, dedup.DEFAULT_MAX_SHINGLE_FREQ
+        ),
+        "minhash_signatures": oracles.sql_minhash_signatures(),
+        "minhash_lsh_pairs": oracles.sql_minhash_lsh_pairs(LSH_JACCARD_THRESHOLD),
+        "simhash_fingerprints": oracles.sql_simhash(),
+        "simhash_pairs": oracles.sql_simhash_pairs(SIMHASH_MAX_HAMMING),
+        "ann_topk": oracles.sql_ann_topk(ANN_QUERY_ID, ANN_K),
+        "cosine_pairs": oracles.sql_cosine_pairs(COSINE_THRESHOLD),
+        "lsh_buckets": oracles.sql_lsh_buckets(),
+        "lsh_cosine_pairs": oracles.sql_lsh_cosine_pairs(COSINE_THRESHOLD),
+        "label_centroids": oracles.sql_label_centroids(),
+        "token_counts": oracles.sql_token_counts(),
+        "quality_scores": oracles.sql_quality_scores(),
+        "language_id": oracles.sql_language_id(),
+        "doc_fingerprints": oracles.sql_fingerprints(),
+        "multimodal_features": oracles.sql_multimodal_features(),
+        "multimodal_frames": oracles.sql_multimodal_frames(FRAME_SIZE, MAX_FRAMES),
     }

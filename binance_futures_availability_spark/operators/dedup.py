@@ -14,9 +14,9 @@ step 9), designed Spark-first for a 100 TB training-data pipeline:
   then candidates are verified with true Jaccard. Bucket join shuffles on
   (band, signature) — bounded by band-bucket sizes, not n².
 - **SimHash**: 60-bit majority fingerprint over token hashes; near-dup =
-  hamming distance ≤ d via bit_count(xor). Pair generation here is
-  all-pairs within small blocks for the oracle path; the scale path blocks
-  on simhash prefix bands.
+  hamming distance ≤ d. Pairs come from a pigeonhole prefix-band equi-join
+  (d+1 chunks; any pair within d agrees on ≥1 chunk) verified with the
+  exact bit_count(xor) — lossless, never a cross join.
 
 Everything is built from deterministic md5-based integer hashes
 (functions.md5_int60) so the DuckDB oracle reproduces values exactly.
@@ -134,15 +134,30 @@ def _pair_jaccard(
     )
 
 
+#: default posting-list cap: shingles shared by more docs than this are
+#: stop-shingles that contribute O(df²) candidate pairs each — unbounded they
+#: make the self-join quadratic on any real corpus. 1000 keeps every
+#: discriminative shingle while bounding a single shingle's pair fan-out.
+DEFAULT_MAX_SHINGLE_FREQ = 1000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold."""
+    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
+
+    The posting cap is ON by default (scale safety); pass ``None`` for the
+    exact-everywhere oracle semantics. Note the cap only drops pairs whose
+    ENTIRE overlap is stop-shingles — true near-dups share discriminative
+    shingles and still surface; the capped Jaccard can only undercount the
+    intersection (never overcount), so precision of ``≥ threshold`` output
+    against capped postings is conservative.
+    """
     sh = shingles(docs, id_col, text_col, n)
     return (
         _pair_jaccard(sh, id_col, max_shingle_freq)
@@ -202,7 +217,18 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = shingles(docs, id_col, text_col, n)
+    # Verification must only pay for LSH survivors: semi-join the shingle
+    # postings down to docs that appear in ≥1 candidate pair BEFORE the pair
+    # aggregation. Without this the exact-Jaccard join runs over ALL
+    # shingle-sharing pairs and the banding prunes nothing (the round-1
+    # scale-killer). Near-dup docs are a small fraction of a 100 TB corpus,
+    # so the surviving posting list is a sliver of the full index.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = shingles(docs, id_col, text_col, n).join(cand_ids, id_col, "left_semi")
     jac = _pair_jaccard(sh, id_col)
     return (
         candidates.join(jac, ["id_a", "id_b"], "inner")
@@ -225,12 +251,20 @@ def simhash(
     hashed = counted.select(
         F.col(id_col), F.col("cnt"), md5_int60(F.col("tok")).alias("h")
     )
+    # shift amount is a column here (the exploded bit index), so the SQL
+    # expression form is required — the Python F.shiftright/shiftleft
+    # wrappers only accept a literal int for numBits
     bits = hashed.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "cnt",
+        "h",
+    ).select(
+        F.col(id_col),
+        F.col("b"),
         (
             F.col("cnt")
-            * (F.shiftright(F.col("h"), F.col("b")).bitwiseAND(F.lit(1)) * 2 - 1)
+            * (F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) * 2 - 1)
         ).alias("vote"),
     )
     return (
@@ -239,8 +273,7 @@ def simhash(
         .groupBy(id_col)
         .agg(
             F.sum(
-                F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b")))
-                .otherwise(0)
+                F.when(F.col("v") > 0, F.expr("shiftleft(1L, b)")).otherwise(0)
             ).alias("simhash")
         )
     )
@@ -254,20 +287,44 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs with simhash hamming distance ≤ max_hamming.
 
-    Oracle path: all-pairs (fine ≤ ~10⁴ docs). Scale path: band on simhash
-    prefix chunks first (pigeonhole: d ≤ 3 ⇒ one of 4 15-bit chunks equal),
-    which turns the cross join into an equi-join.
+    Pigeonhole banding (lossless): split the 60-bit fingerprint into
+    ``max_hamming + 1`` chunks — any pair within distance d must agree
+    EXACTLY on at least one chunk, so a self-equi-join on (chunk_id, chunk
+    value) produces every qualifying pair and the cross join disappears.
+    Collisions are then verified with the true bit_count(xor) distance, so
+    results equal brute force. Shuffle is bounded by chunk-bucket sizes
+    (16-bit-ish buckets over near-uniform hash bits ⇒ skew-free).
     """
     s = simhash(docs, id_col, text_col)
-    a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    n_chunks = max_hamming + 1
+    chunk_bits = -(-SIMHASH_BITS // n_chunks)  # ceil
+    mask = (1 << chunk_bits) - 1
+    banded = None
+    for i in range(n_chunks):
+        c = s.select(
+            F.col(id_col),
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * chunk_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("chunk"),
+            "simhash",
+        )
+        banded = c if banded is None else banded.unionByName(c)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band", "chunk", F.col("simhash").alias("sh_a")
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band", "chunk", F.col("simhash").alias("sh_b")
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may agree on several chunks
         .orderBy("id_a", "id_b")
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -32,6 +33,57 @@ from ..functions import (
     int_dot,
     quantize_embedding,
 )
+
+def _block_cosine_fn(threshold: float):
+    """Per-block-pair exact cosine kernel for applyInPandas.
+
+    Receives both blocks' vectors (tagged by ``side``), runs one dense GEMM,
+    and emits only the pairs above threshold. float64 GEMM is EXACT here:
+    every product of two quantized components and every ≤64-term partial sum
+    is an integer below 2^53, so BLAS reduction order cannot change the
+    result — it equals the JVM integer fold and the DuckDB oracle bit-wise.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        am = np.asarray(a["q"].tolist(), dtype=np.float64)
+        bm = np.asarray(b["q"].tolist(), dtype=np.float64)
+        cos = (am @ bm.T) / (
+            np.sqrt(a["nrm"].to_numpy(dtype=np.float64))[:, None]
+            * np.sqrt(b["nrm"].to_numpy(dtype=np.float64))[None, :]
+        )
+        ia = a["vid"].to_numpy()
+        ib = b["vid"].to_numpy()
+        if pdf["blk_a"].iat[0] == pdf["blk_b"].iat[0]:
+            mask = ia[:, None] < ib[None, :]  # diagonal block: dedupe mirror
+        else:
+            mask = np.ones_like(cos, dtype=bool)
+        mask &= cos >= threshold
+        r, c = np.nonzero(mask)
+        if len(r) == 0:
+            return empty
+        id1, id2 = ia[r], ib[c]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(id1, id2),
+                "id_b": np.maximum(id1, id2),
+                "cosine": cos[r, c],
+            }
+        )
+
+    return fn
 
 #: deterministic random hyperplanes (seed 42), 8 planes × 64 dims, ints in
 #: [-1000, 1000] — exact integer dot with quantized embeddings.
@@ -88,25 +140,55 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold (brute-force baseline)."""
-    base = _with_quantized(emb, vec_col)
-    a = base.select(
-        F.col(id_col).alias("id_a"), F.col("__q").alias("qa"), F.col("__norm").alias("na")
+    """Embedding near-dup pairs: cosine ≥ threshold (brute-force baseline).
+
+    Quadratic *work* by design (it exists to validate the LSH path's
+    recall), but NOT a quadratic row explosion: vectors are assigned to
+    ``n_blocks`` blocks and each unordered block pair becomes one
+    applyInPandas group that runs a dense GEMM over its two blocks.
+    Data shipped = O(n · n_blocks) vector copies (each vector appears in
+    n_blocks+1 groups), never the O(n²) pair rows — the earlier per-pair
+    join shipped every 64-dim array once per pair through Arrow (2 GB at
+    2 000 vectors) and evaluated an interpreted fold per row (~40 s);
+    the blocked GEMM does the same exact arithmetic in ~2 s. At cluster
+    scale, raise n_blocks so each block fits an executor's memory.
+    """
+    return cosine_pairs_blocked(emb, threshold, id_col, vec_col)
+
+
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Blocked-GEMM all-pairs cosine (see cosine_pairs docstring)."""
+    spark = emb.sparkSession
+    base = _with_quantized(emb, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.col("__q").alias("q"),
+        F.col("__norm").alias("nrm"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
     )
-    b = base.select(
-        F.col(id_col).alias("id_b"), F.col("__q").alias("qb"), F.col("__norm").alias("nb")
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "blk_a int, blk_b int",
     )
-    dot = int_dot(F.col("qa"), F.col("qb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine_from_quantized(dot, F.col("na"), F.col("nb")).alias("cosine"),
+    left = base.join(
+        F.broadcast(block_pairs), base["blk"] == block_pairs["blk_a"]
+    ).select("blk_a", "blk_b", F.lit(0).alias("side"), "vid", "q", "nrm")
+    right = base.join(
+        F.broadcast(block_pairs), base["blk"] == block_pairs["blk_b"]
+    ).select("blk_a", "blk_b", F.lit(1).alias("side"), "vid", "q", "nrm")
+    out = (
+        left.unionByName(right)
+        .groupBy("blk_a", "blk_b")
+        .applyInPandas(
+            _block_cosine_fn(threshold), "id_a long, id_b long, cosine double"
         )
-        .filter(F.col("cosine") >= threshold)
-        .orderBy("id_a", "id_b")
     )
+    return out.orderBy("id_a", "id_b")
 
 
 def _bucket_expr(q_col):

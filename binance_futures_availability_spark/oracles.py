@@ -42,12 +42,27 @@ sh0 AS (
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)
 """.strip()
 
-JACCARD_CTES = f"""
+def jaccard_ctes(max_shingle_freq: int | None = None) -> str:
+    """Jaccard CTEs; ``max_shingle_freq`` mirrors the Spark posting-list cap
+    (dedup.DEFAULT_MAX_SHINGLE_FREQ) — sizes stay uncapped, intersections use
+    capped postings, exactly like operators/dedup._pair_jaccard."""
+    postings = "sh"
+    cap_cte = ""
+    if max_shingle_freq is not None:
+        cap_cte = f"""
+capped AS (
+    SELECT doc_id, shingle FROM sh
+    WHERE shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {max_shingle_freq})
+),""".strip() + "\n"
+        postings = "capped"
+    return f"""
 {SHINGLE_CTES},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+{cap_cte}sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-    FROM sh a JOIN sh b USING (shingle)
+    FROM {postings} a JOIN {postings} b USING (shingle)
     WHERE a.doc_id < b.doc_id
     GROUP BY 1, 2
 ),
@@ -97,7 +112,7 @@ def sql_minhash_lsh_pairs(threshold: float) -> str:
         "(" + " AND ".join(f"a.h{c} = b.h{c}" for c in cols) + ")"
         for cols in LSH_BANDS
     )
-    return f"""WITH {JACCARD_CTES},
+    return f"""WITH {jaccard_ctes()},
 {minhash_sig_cte()},
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -109,30 +124,39 @@ WHERE j.jaccard >= {threshold}
 ORDER BY id_a, id_b"""
 
 
-def sql_ngram_jaccard_pairs(threshold: float) -> str:
-    return f"""WITH {JACCARD_CTES}
+def sql_ngram_jaccard_pairs(
+    threshold: float, max_shingle_freq: int | None = None
+) -> str:
+    return f"""WITH {jaccard_ctes(max_shingle_freq)}
 SELECT id_a, id_b, jaccard FROM jac
 WHERE jaccard >= {threshold} ORDER BY id_a, id_b"""
 
 
-def sql_simhash() -> str:
+def simhash_ctes() -> str:
+    """Shared CTE list ending in ``s(doc_id, simhash)``."""
     x = MD5_INT.format(x="tok")
-    return f"""WITH {SHINGLE_CTES},
+    return f"""{SHINGLE_CTES},
 tokc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
 hashed AS (SELECT doc_id, cnt, {x} AS h FROM tokc),
 bits AS (
     SELECT doc_id, b, SUM(cnt * (2 * ((h >> b) & 1) - 1)) AS v
     FROM hashed, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS t(b)
     GROUP BY 1, 2
-)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
-           AS simhash
-FROM bits GROUP BY doc_id"""
+),
+s AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM bits GROUP BY doc_id
+)"""
+
+
+def sql_simhash() -> str:
+    return f"WITH {simhash_ctes()}\nSELECT doc_id, simhash FROM s ORDER BY doc_id"
 
 
 def sql_simhash_pairs(max_hamming: int) -> str:
-    return f"""WITH s AS ({sql_simhash().replace('WITH ', '', 1)})
+    return f"""WITH {simhash_ctes()}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id

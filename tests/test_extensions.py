@@ -1,0 +1,272 @@
+"""Extension-suite unit tests — dedup, similarity, textops, multimodal.
+
+Mirrors the reference's fixture style (tiny deterministic worlds, literal
+expected outputs) for the operators that have no reference counterpart.
+Scale-shape assertions check the *plan* (no cartesian product in the banded
+paths), not just values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from binance_futures_availability_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """6 docs: 0/1 exact dups (differ only in whitespace — shingling is
+    case-sensitive by design), 2/3 heavy-overlap near-dups, 4/5 unrelated."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "  the quick  brown fox jumps over the lazy dog "),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),
+        (4, "completely different content about spark engines"),
+        (5, "der schnelle braune fuchs und der faule hund ist"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """4 vectors: 0 and 1 identical, 2 orthogonal to 0, 3 = -v0."""
+    dim = 4
+    v0 = [1.0, 0.0, 0.5, 0.25]
+    v2 = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, v0, "a"),
+        (1, list(v0), "a"),
+        (2, v2, "b"),
+        (3, [-x for x in v0], "b"),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def test_exact_duplicates_groups(docs):
+    got = dedup.exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 2
+    assert got[0]["keeper_id"] == 0  # min id survives
+
+
+def test_dedup_exact_survivors(docs):
+    got = dedup.dedup_exact(docs)
+    ids = {r["doc_id"] for r in got.collect()}
+    assert ids == {0, 2, 3, 4, 5}  # doc 1 deduped into doc 0
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # identical shingle sets
+    assert (2, 3) in pairs  # 7-of-8 token overlap
+    assert all(a < b for a, b in pairs)
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_ngram_jaccard_value(docs):
+    # docs 2/3: 8 tokens, 6 shingles each, 5 shared → 5/7
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert math.isclose(pairs[(2, 3)], 5 / 7)
+
+
+def test_shingle_freq_cap_drops_stop_shingles(spark):
+    # same 3 tokens everywhere → every shingle has df 3 > cap 2 → no pairs
+    rows = [(i, "x y z") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert dedup.ngram_jaccard_pairs(df, 0.1, max_shingle_freq=2).count() == 0
+    assert dedup.ngram_jaccard_pairs(df, 0.1, max_shingle_freq=None).count() == 3
+
+
+def test_minhash_lsh_subset_of_exact(docs):
+    lsh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_freq=None
+        ).collect()
+    }
+    assert lsh <= exact
+    assert (0, 1, 1.0) in lsh  # identical docs always collide in every band
+
+
+def test_minhash_lsh_no_unbounded_pair_agg(docs):
+    # the exact-Jaccard verification must hang off the candidate semi-join:
+    # every shingle-postings scan in the plan flows through a LeftSemi join
+    plan = dedup.minhash_lsh_pairs(docs, 0.5)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_simhash_banded_equals_brute_force(docs):
+    s = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    brute = {
+        (a, b, bin(s[a] ^ s[b]).count("1"))
+        for a in s
+        for b in s
+        if a < b and bin(s[a] ^ s[b]).count("1") <= 20
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs(docs, max_hamming=20).collect()
+    }
+    assert banded == brute
+    # identical docs → identical fingerprints → hamming 0
+    assert (0, 1, 0) in banded
+
+
+def test_simhash_pairs_no_cartesian(docs):
+    plan = (
+        dedup.simhash_pairs(docs, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------------------- similarity
+
+
+def test_ann_topk_identical_vector_first(emb):
+    got = similarity.ann_topk(emb, query_vec_id=0, k=3).collect()
+    assert got[0]["vec_id"] == 1 and math.isclose(got[0]["cosine"], 1.0)
+    assert got[-1]["vec_id"] == 3 and math.isclose(got[-1]["cosine"], -1.0)
+
+
+def test_cosine_pairs_threshold(emb):
+    got = {
+        (r["id_a"], r["id_b"]) for r in similarity.cosine_pairs(emb, 0.99).collect()
+    }
+    assert got == {(0, 1)}
+
+
+def test_lsh_same_vector_same_bucket(emb):
+    b = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(emb).collect()}
+    assert b[0] == b[1]
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_cosine_pairs(emb, 0.99).collect()
+    }
+    assert lsh == {(0, 1)}  # identical vectors always share a bucket
+
+
+def test_lsh_cosine_pairs_no_cartesian(emb):
+    plan = (
+        similarity.lsh_cosine_pairs(emb, 0.9)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_label_centroids_exact_means(spark):
+    rows = [(0, [1.0, 3.0], "a"), (1, [3.0, 5.0], "a"), (2, [2.0, 2.0], "b")]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        (r["label"], r["dim"]): r["mean_value"]
+        for r in similarity.label_centroids(df).collect()
+    }
+    assert got == {
+        ("a", 0): 2_000_000.0,
+        ("a", 1): 4_000_000.0,
+        ("b", 0): 2_000_000.0,
+        ("b", 1): 2_000_000.0,
+    }
+
+
+# ---------------------------------------------------------------- textops
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "a bb  ccc"), (1, "one")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in textops.token_counts(df).collect()}
+    assert got[0]["n_tokens"] == 3
+    assert got[0]["n_word_tokens"] == 3
+    assert got[1]["n_tokens"] == 1
+
+
+def test_quality_scores_components(spark):
+    df = spark.createDataFrame([(0, "the cat sat")], ["doc_id", "text"])
+    r = textops.quality_scores(df).collect()[0]
+    assert r["word_count"] == 3
+    assert r["stopword_count"] == 1  # "the"
+    assert math.isclose(r["avg_word_len"], 9 / 3)
+    assert math.isclose(r["stopword_ratio"], 1 / 3)
+    expected = 0.4 * min(3 / 100.0, 1.0) + 0.4 * (1 / 3) + 0.2 * min(3.0 / 10.0, 1.0)
+    assert math.isclose(r["quality_score"], expected)
+
+
+def test_language_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is in a house"),
+            (1, "der hund und die katze ist ein tier"),
+            (2, "xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in textops.language_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "unknown"}
+
+
+def test_fingerprints_identical_for_normalized_dups(docs):
+    got = {r["doc_id"]: r for r in textops.fingerprints(docs).collect()}
+    assert got[0]["content_md5"] == got[1]["content_md5"]
+    assert got[0]["min_shingle_hash"] == got[1]["min_shingle_hash"]
+    assert got[0]["content_md5"] != got[2]["content_md5"]
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_multimodal_features_digest(spark):
+    df = spark.createDataFrame([(7, "hello", "s")], ["doc_id", "text", "source"])
+    r = multimodal.extract_features(multimodal.documents_as_media(df)).collect()[0]
+    assert r["asset_id"] == 7
+    assert r["n_bytes"] == 5
+    assert r["digest"] == hashlib.md5(b"hello").hexdigest()
+
+
+def test_multimodal_frames_shapes(spark):
+    text = "x" * 150  # 150 bytes → frames of 64: 64, 64, 22
+    df = spark.createDataFrame([(1, text, "s")], ["doc_id", "text", "source"])
+    got = multimodal.sample_frames(
+        multimodal.documents_as_media(df), frame_size=64, max_frames=4
+    ).collect()
+    sizes = {r["frame_no"]: r["frame_bytes"] for r in got}
+    assert sizes == {0: 64, 1: 64, 2: 22}
+
+
+def test_multimodal_frames_caps_at_max(spark):
+    df = spark.createDataFrame([(1, "y" * 1000, "s")], ["doc_id", "text", "source"])
+    got = multimodal.sample_frames(
+        multimodal.documents_as_media(df), frame_size=64, max_frames=4
+    ).collect()
+    assert len(got) == 4
+
+
+def test_decode_image_is_documented_stub(spark):
+    df = spark.createDataFrame([(1, "z", "s")], ["doc_id", "text", "source"])
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(multimodal.documents_as_media(df))
