@@ -21,9 +21,11 @@ from pyspark.sql import functions as F
 
 from binance_futures_availability_spark import oracles
 from binance_futures_availability_spark.catalog import load_table
+from binance_futures_availability_spark.functions import classify_symbol, gathered_sort
 from binance_futures_availability_spark.operators import (
     analytics,
     availability,
+    backfill,
     dedup,
     multimodal,
     rankings,
@@ -75,6 +77,50 @@ def _da(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized once per sf_dir (stored fact table, like the reference's
     # daily_availability) — every query reads the catalog, not a re-derivation
     return availability_fact(spark, sf_dir)
+
+
+def _backfill_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+P6+P7 end-to-end: work-list → deterministic 'fetched' metrics →
+    column-coalesce enrich → the filled rows."""
+    da = _da(spark, sf_dir)
+    work = backfill.missing_volume(da, YEAR_START, YEAR_END).select(
+        "date", "symbol"
+    )
+    metrics = da.join(work, ["date", "symbol"], "left_semi").select(
+        "date",
+        "symbol",
+        (F.col("volume_base") * 3.0).alias("quote_volume_usdt"),
+        (F.col("file_size_bytes") * 2).alias("trade_count"),
+    )
+    enriched = backfill.enrich_volume(da, metrics)
+    return gathered_sort(
+        enriched.join(work, ["date", "symbol"], "left_semi").select(
+            "date", "symbol", "quote_volume_usdt", "trade_count"
+        ),
+        "date",
+        "symbol",
+    )
+
+
+def _symbol_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 over real symbols plus synthetic delivery/invalid-date variants,
+    so both classifier branches (valid _YYMMDD → delivery, invalid → kept
+    perpetual) are exercised."""
+    syms = _da(spark, sf_dir).select("symbol").distinct()
+    variants = (
+        syms.unionByName(
+            syms.select(F.concat("symbol", F.lit("_240229")).alias("symbol"))
+        )
+        .unionByName(
+            syms.select(F.concat("symbol", F.lit("_991399")).alias("symbol"))
+        )
+    )
+    return gathered_sort(
+        variants.select(
+            "symbol", classify_symbol(F.col("symbol")).alias("symbol_type")
+        ),
+        "symbol",
+    )
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,6 +181,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_counts_matview": lambda s, d: writer.refresh_symbol_counts(
             _da(s, d)
         ).select("date", "total_symbols", "available_count", "unavailable_count"),
+        # P7/P6 — backfill work-list; S4 — enrich; F10 — classification
+        "missing_volume": lambda s, d: backfill.missing_volume(
+            _da(s, d), YEAR_START, YEAR_END
+        ),
+        "backfill_enrich": _backfill_enrich,
+        "symbol_classification": _symbol_classification,
         # --- LLM-pipeline extension operators over documents/embeddings ---
         "exact_duplicates": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -359,6 +411,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN NOT available THEN 1 ELSE 0 END) AS BIGINT)
                        AS unavailable_count
             FROM da GROUP BY date"""),
+        "missing_volume": with_da(f"""
+            SELECT date, symbol, url FROM da
+            WHERE available AND quote_volume_usdt IS NULL
+              AND date >= DATE '{YEAR_START}' AND date <= DATE '{YEAR_END}'
+            ORDER BY date, symbol"""),
+        "backfill_enrich": with_da(f"""
+            SELECT date, symbol,
+                   CAST(volume_base * 3.0 AS DOUBLE) AS quote_volume_usdt,
+                   CAST(file_size_bytes * 2 AS BIGINT) AS trade_count
+            FROM da
+            WHERE available AND quote_volume_usdt IS NULL
+              AND date >= DATE '{YEAR_START}' AND date <= DATE '{YEAR_END}'
+            ORDER BY date, symbol"""),
+        "symbol_classification": with_da(r"""WITH syms AS (
+                SELECT DISTINCT symbol FROM da
+            ),
+            u AS (
+                SELECT symbol FROM syms
+                UNION ALL SELECT symbol || '_240229' FROM syms
+                UNION ALL SELECT symbol || '_991399' FROM syms
+            )
+            SELECT symbol,
+                   CASE WHEN regexp_extract(symbol, '_(\d{6})$', 1) <> ''
+                         AND try_strptime(regexp_extract(symbol, '_(\d{6})$', 1),
+                                          '%y%m%d') IS NOT NULL
+                        THEN 'delivery' ELSE 'perpetual' END AS symbol_type
+            FROM u ORDER BY symbol"""),
         # --- extension-suite oracles (generators in oracles.py keep the
         # md5/quantization constants in one place so Spark and SQL can't drift)
         "exact_duplicates": oracles.sql_exact_dup_groups(),

@@ -75,6 +75,26 @@ def normalized_text(col: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+def classify_symbol(col: Column) -> Column:
+    """F10 — perpetual vs delivery contract by ``_YYMMDD`` suffix.
+
+    Reference: probing/s3_symbol_discovery.py:149-179 (rsplit('_') + strict
+    %y%m%d validation), re-expressed as a native regexp + try_to_date so it
+    runs in whole-stage codegen. try_to_date (not to_date) because Spark 4
+    defaults to ANSI mode where an invalid parse would throw; an invalid
+    date suffix must mean "perpetual", not an error.
+
+    DuckDB: ``CASE WHEN regexp_extract(s, '_(\\d{6})$', 1) <> '' AND
+    try_strptime(regexp_extract(s, '_(\\d{6})$', 1), '%y%m%d') IS NOT NULL
+    THEN 'delivery' ELSE 'perpetual' END``. (Century mapping differs between
+    the engines for yy ≥ 69, but 19yy and 20yy agree on leap years, so
+    validity — the only thing used — matches.)
+    """
+    suffix = F.regexp_extract(col, r"_(\d{6})$", 1)
+    valid = (suffix != "") & F.try_to_date(suffix, "yyMMdd").isNotNull()
+    return F.when(valid, F.lit("delivery")).otherwise(F.lit("perpetual"))
+
+
 def quantize_embedding(col: Column) -> Column:
     """float array → exact integer array (×1e6, rounded).
 

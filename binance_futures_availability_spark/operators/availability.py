@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 
 #: bump when the derivation changes — invalidates materialized caches
-DA_VERSION = "v2"
+DA_VERSION = "v3"
 
 
 def availability_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,11 +56,22 @@ def availability_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
         F.round("l_quantity").cast("long").alias("qty_int"),
+        (F.col("l_linenumber") % 2 == 0).alias("is_taker"),
     )
     agg = base.groupBy("date", "symbol").agg(
         F.count(F.lit(1)).alias("trade_count"),
         F.sum("price_dec").alias("vol_dec"),
         F.sum("qty_int").alias("file_size_bytes"),
+        F.sum(F.when(F.col("is_taker"), F.col("qty_int")).otherwise(F.lit(0))).alias(
+            "taker_qty"
+        ),
+        F.sum(
+            F.when(F.col("is_taker"), F.col("price_dec")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("taker_vol_dec"),
+        F.min("price_dec").alias("min_price_dec"),
+        F.max("price_dec").alias("max_price_dec"),
     )
     return agg.select(
         "date",
@@ -74,11 +85,25 @@ def availability_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("trade_count") >= 2, F.lit(200)).otherwise(F.lit(404)).alias(
             "status_code"
         ),
+        # probe_timestamp is the declared UPSERT version column (schema.py);
+        # pinned to noon-of-date so writer paths run on derived data
+        (F.col("date").cast("timestamp") + F.expr("INTERVAL 12 HOURS")).alias(
+            "probe_timestamp"
+        ),
         F.when(F.col("file_size_bytes") % 7 != 0, F.col("vol_dec").cast("double")).alias(
             "quote_volume_usdt"
         ),
         "trade_count",
         F.col("file_size_bytes").cast("double").alias("volume_base"),
+        F.col("taker_qty").cast("double").alias("taker_buy_volume_base"),
+        F.col("taker_vol_dec").cast("double").alias("taker_buy_quote_volume_usdt"),
+        # synthetic OHLC from exact decimal extremes (open=low, close=high —
+        # deterministic; avoids arg_min/arg_max whose tie-breaks differ
+        # between engines)
+        F.col("min_price_dec").cast("double").alias("open_price"),
+        F.col("max_price_dec").cast("double").alias("high_price"),
+        F.col("min_price_dec").cast("double").alias("low_price"),
+        F.col("max_price_dec").cast("double").alias("close_price"),
     )
 
 
@@ -153,16 +178,31 @@ SELECT date,
        CAST(date + INTERVAL 1 DAY AS TIMESTAMP) AS last_modified,
        's3://data/' || symbol || '/' || CAST(date AS VARCHAR) AS url,
        CASE WHEN trade_count >= 2 THEN 200 ELSE 404 END AS status_code,
+       CAST(date AS TIMESTAMP) + INTERVAL 12 HOUR AS probe_timestamp,
        CASE WHEN file_size_bytes % 7 <> 0 THEN CAST(vol_dec AS DOUBLE) END
            AS quote_volume_usdt,
        trade_count,
-       CAST(file_size_bytes AS DOUBLE) AS volume_base
+       CAST(file_size_bytes AS DOUBLE) AS volume_base,
+       CAST(taker_qty AS DOUBLE) AS taker_buy_volume_base,
+       CAST(taker_vol_dec AS DOUBLE) AS taker_buy_quote_volume_usdt,
+       CAST(min_price_dec AS DOUBLE) AS open_price,
+       CAST(max_price_dec AS DOUBLE) AS high_price,
+       CAST(min_price_dec AS DOUBLE) AS low_price,
+       CAST(max_price_dec AS DOUBLE) AS close_price
 FROM (
     SELECT CAST(l_shipdate AS DATE) AS date,
            'S' || lpad(CAST(l_suppkey AS VARCHAR), 4, '0') AS symbol,
            COUNT(*) AS trade_count,
            SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS vol_dec,
-           SUM(CAST(round(l_quantity) AS BIGINT)) AS file_size_bytes
+           SUM(CAST(round(l_quantity) AS BIGINT)) AS file_size_bytes,
+           SUM(CASE WHEN l_linenumber % 2 = 0
+                    THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+               AS taker_qty,
+           SUM(CASE WHEN l_linenumber % 2 = 0
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS taker_vol_dec,
+           MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price_dec,
+           MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price_dec
     FROM lineitem
     GROUP BY 1, 2
 )

@@ -69,10 +69,13 @@ RANKINGS = StructType(
         StructField("rank_change_7d", ShortType(), nullable=True),
         StructField("rank_change_14d", ShortType(), nullable=True),
         StructField("rank_change_30d", ShortType(), nullable=True),
-        StructField("volume_percentile", FloatType(), nullable=False),
+        # field names follow the reference parquet schema
+        # (generate_volume_rankings.py:38-52: percentile, days_available,
+        # generation_timestamp) and match operators/rankings.volume_rankings
+        StructField("percentile", FloatType(), nullable=False),
         StructField("market_share_pct", FloatType(), nullable=False),
-        StructField("days_available_30d", ByteType(), nullable=False),
-        StructField("generated_at", TimestampType(), nullable=False),
+        StructField("days_available", ByteType(), nullable=False),
+        StructField("generation_timestamp", TimestampType(), nullable=False),
     ]
 )
 

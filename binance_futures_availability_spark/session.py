@@ -20,6 +20,22 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _apply_driver_memory() -> None:
+    """Driver heap for local mode, from $SPARK_GRAFT_DRIVER_MEM.
+
+    ``spark.driver.memory`` set through SparkSession.builder is silently
+    ignored in local mode once the JVM gateway is up — the heap is fixed at
+    JVM launch. The only reliable local-mode channel is PYSPARK_SUBMIT_ARGS
+    before the first getOrCreate; on a real cluster pass --driver-memory to
+    spark-submit instead.
+    """
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem and "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {mem} pyspark-shell"
+        )
+
+
 def get_session(
     app_name: str = "bfa-spark",
     master: str | None = None,
@@ -31,6 +47,7 @@ def get_session(
     Local mode for tests/bench; on a cluster, master comes from spark-submit
     and everything here still applies.
     """
+    _apply_driver_memory()
     master = master or f"local[{DEFAULT_CPUS}]"
     shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
     builder = (
@@ -46,7 +63,6 @@ def get_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local-mode friendliness; harmless on a cluster
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -77,17 +77,42 @@ def upsert_partitioned(
     version_col: str,
     partition_col: str = "date",
 ) -> None:
-    """Upsert by rewriting only the date partitions present in ``incoming``
-    (dynamic partition overwrite). Cost ∝ touched dates, not table size."""
+    """Upsert by rewriting only the partitions present in ``incoming``.
+    Cost ∝ touched dates, not table size.
+
+    Spark cannot overwrite a path that is also an input of the running plan
+    (lazy read + overwrite of the same directory is an AnalysisException, or
+    silent data loss without that guard). So the merge is STAGED: write the
+    merged touched-partition rows to a sibling staging directory first, then
+    re-read them (fresh lineage, no dependency on the target) and commit via
+    dynamic partition overwrite, which replaces only the touched partition
+    directories of the target table.
+    """
     spark = incoming.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    staging = spark_existing_path.rstrip("/") + ".__staging__"
     existing = spark.read.parquet(spark_existing_path)
     touched = incoming.select(partition_col).distinct()
     relevant = existing.join(F.broadcast(touched), partition_col, "left_semi")
     merged = upsert(relevant, incoming, key, version_col)
-    merged.write.mode("overwrite").partitionBy(partition_col).parquet(
-        spark_existing_path
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
     )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(spark_existing_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        _rm_tree(staging)
+
+
+def _rm_tree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def refresh_symbol_counts(da: DataFrame) -> DataFrame:

@@ -48,6 +48,55 @@ def test_dedup_latest(spark):
     assert out[0]["quote_volume_usdt"] == 2.0
 
 
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    initial = make_da(
+        spark,
+        [
+            (D(2024, 1, 1), "BTCUSDT", True, 100.0),
+            (D(2024, 1, 1), "ETHUSDT", True, 50.0),
+            (D(2024, 1, 2), "BTCUSDT", True, 200.0),
+        ],
+    )
+    writer.write_partitioned(initial, path)
+    import os
+
+    d1_dir = os.path.join(path, "date=2024-01-01")
+    d1_mtime_before = max(
+        os.path.getmtime(os.path.join(d1_dir, f)) for f in os.listdir(d1_dir)
+    )
+
+    # incremental upsert touching only 2024-01-02 (replace) and -03 (new)
+    incoming = make_da(
+        spark,
+        [
+            (D(2024, 1, 2), "BTCUSDT", True, 999.0),
+            (D(2024, 1, 3), "BTCUSDT", True, 300.0),
+        ],
+    )
+    writer.upsert_partitioned(
+        path, incoming, ["date", "symbol"], "probe_timestamp"
+    )
+
+    got = {
+        (r["date"], r["symbol"]): r["quote_volume_usdt"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (D(2024, 1, 1), "BTCUSDT"): 100.0,
+        (D(2024, 1, 1), "ETHUSDT"): 50.0,
+        (D(2024, 1, 2), "BTCUSDT"): 999.0,  # replaced
+        (D(2024, 1, 3), "BTCUSDT"): 300.0,  # appended
+    }
+    # untouched partition's files were not rewritten
+    d1_mtime_after = max(
+        os.path.getmtime(os.path.join(d1_dir, f)) for f in os.listdir(d1_dir)
+    )
+    assert d1_mtime_after == d1_mtime_before
+    # staging directory cleaned up
+    assert not os.path.exists(path + ".__staging__")
+
+
 def test_matview_counts(spark, populated_da):
     mv = {r["date"]: r for r in writer.refresh_symbol_counts(populated_da).collect()}
     d3 = mv[D(2024, 1, 15)]
