@@ -1,0 +1,232 @@
+"""Public Python API — engine handle + context-managed query classes.
+
+Parity: the reference exposes query classes that open a DB handle, run
+parameterized SQL, and reshape rows to dicts at the boundary
+(queries/snapshots.py:116-122 context manager; snapshots.py:66-68 row
+shaping). Here the handle is an Engine (SparkSession + fact-table source)
+and each method is one DataFrame expression; ``collect``/dict shaping
+happens only at this edge.
+
+The Engine also carries the reference's source/sink surfaces:
+- S5  ``sql()``        — arbitrary SQL over the registered table
+  (availability_db.py:199-217).
+- S6  ``to_arrow()``   — Arrow result fetch (generate_volume_rankings.py:
+  177-190; Spark 4's native ``DataFrame.toArrow``).
+- S9  ``read_remote_parquet()`` — consume a published archive over HTTP
+  (docs/guides/using-volume-rankings.md:205-272); plain-HTTPS needs a
+  driver-side download, s3a:// URLs stream through Hadoop connectors.
+- S10 ``export()``     — CSV/Parquet export of any query result
+  (docs/guides/QUERY_EXAMPLES.md:258-271 COPY TO equivalents).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import analytics, availability, snapshots, timelines, volume
+from .session import get_session
+
+
+class Engine:
+    """SparkSession plus the fact-table source.
+
+    ``table_path`` points at a parquet daily_availability table; for the
+    synthetic testdata layout pass ``sf_dir`` instead and the table is the
+    materialized derivation (operators/availability.availability_fact).
+    """
+
+    TABLE_NAME = "daily_availability"
+
+    def __init__(
+        self,
+        table_path: str | None = None,
+        sf_dir: str | None = None,
+        spark: SparkSession | None = None,
+    ):
+        if (table_path is None) == (sf_dir is None):
+            raise ValueError("pass exactly one of table_path / sf_dir")
+        self.spark = spark or get_session("bfa-engine")
+        self._table_path = table_path
+        self._sf_dir = sf_dir
+
+    # ------------------------------------------------------------ table
+
+    def table(self) -> DataFrame:
+        if self._table_path is not None:
+            return self.spark.read.parquet(self._table_path)
+        return availability.availability_fact(self.spark, self._sf_dir)
+
+    # ------------------------------------------------------- S5: raw SQL
+
+    def sql(self, query: str) -> DataFrame:
+        """Arbitrary SQL with ``daily_availability`` registered as a view —
+        the engine's SQL passthrough surface (S5). Catalyst replaces
+        DuckDB as the executor; same declared semantics."""
+        self.table().createOrReplaceTempView(self.TABLE_NAME)
+        return self.spark.sql(query)
+
+    # --------------------------------------------------- S6: Arrow fetch
+
+    def to_arrow(self, df: DataFrame):
+        """Result set as a pyarrow Table (S6) — zero-copy columnar handoff
+        for downstream pandas/polars/duckdb consumers."""
+        return df.toArrow()
+
+    # ------------------------------------------------------- S10: export
+
+    def export(self, df: DataFrame, path: str, fmt: str = "parquet") -> None:
+        """COPY (SELECT ...) TO equivalent: write a result as one
+        CSV-with-header or parquet dataset (S10)."""
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", True).csv(path)
+        elif fmt == "parquet":
+            w.parquet(path)
+        else:
+            raise ValueError(f"unsupported export format: {fmt!r}")
+
+    # --------------------------------------- S9: remote parquet over HTTP
+
+    def read_remote_parquet(
+        self, url: str, fetch: Callable[[str], bytes] | None = None
+    ) -> DataFrame:
+        """Read a published parquet archive by URL (S9).
+
+        s3a:///hdfs:// URLs stream through the cluster's Hadoop
+        connectors (predicate/column pushdown intact). Plain http(s)
+        archives — the GitHub-Releases distribution path — are fetched
+        driver-side to a temp file first; they are single small files by
+        design (~20 MB rankings archive).
+        """
+        if url.startswith(("s3a://", "s3://", "hdfs://", "file://")):
+            return self.spark.read.parquet(url)
+        if fetch is None:
+            def fetch(u: str) -> bytes:
+                import urllib.request
+
+                with urllib.request.urlopen(u, timeout=30) as resp:
+                    return resp.read()
+        data = fetch(url)
+        fd, tmp = tempfile.mkstemp(suffix=".parquet")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return self.spark.read.parquet(tmp)
+
+    # ----------------------------------------------------------- cleanup
+
+    def close(self) -> None:
+        """No-op by design: the SparkSession is shared/process-wide, unlike
+        the reference's per-handle DuckDB connection."""
+
+    def __enter__(self) -> Engine:
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class _QueryBase:
+    def __init__(self, engine: Engine):
+        self.engine = engine
+
+    def close(self) -> None:
+        self.engine.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class SnapshotQueries(_QueryBase):
+    """P1/P2 (reference queries/snapshots.py)."""
+
+    def get_available_symbols_on_date(self, date: dt.date | str) -> list[dict]:
+        df = snapshots.available_symbols_on_date(self.engine.table(), date)
+        return [r.asDict() for r in df.collect()]
+
+    def get_symbols_in_date_range(
+        self, start: dt.date | str, end: dt.date | str
+    ) -> list[str]:
+        df = snapshots.symbols_available_in_range(self.engine.table(), start, end)
+        return [r["symbol"] for r in df.collect()]
+
+
+class TimelineQueries(_QueryBase):
+    """P3/A2 (reference queries/timelines.py)."""
+
+    def get_symbol_availability_timeline(self, symbol: str) -> list[dict]:
+        df = timelines.availability_timeline(self.engine.table(), symbol)
+        return [r.asDict() for r in df.collect()]
+
+    def get_symbol_first_listing_date(self, symbol: str) -> dt.date | None:
+        row = timelines.first_listing_date(self.engine.table(), symbol).collect()
+        return row[0]["first_date"] if row else None
+
+    def get_symbol_last_available_date(self, symbol: str) -> dt.date | None:
+        row = timelines.last_available_date(self.engine.table(), symbol).collect()
+        return row[0]["last_date"] if row else None
+
+
+class AnalyticsQueries(_QueryBase):
+    """A1/J3/J4/A5/A6 (reference queries/analytics.py + stats scripts)."""
+
+    def detect_new_listings(self, date: dt.date | str) -> list[str]:
+        df = analytics.new_listings(self.engine.table(), date)
+        return [r["symbol"] for r in df.collect()]
+
+    def detect_delistings(self, date: dt.date | str) -> list[str]:
+        df = analytics.delistings(self.engine.table(), date)
+        return [r["symbol"] for r in df.collect()]
+
+    def get_availability_trend(
+        self,
+        start: dt.date | str | None = None,
+        end: dt.date | str | None = None,
+    ) -> list[dict]:
+        df = analytics.availability_trend(self.engine.table(), start, end)
+        return [r.asDict() for r in df.collect()]
+
+    def get_stats(self) -> dict:
+        return analytics.availability_stats(self.engine.table()).collect()[0].asDict()
+
+
+class VolumeQueries(_QueryBase):
+    """W1-W3/O2/O3/A3/A4 (reference queries/volume.py)."""
+
+    def get_top_by_volume(
+        self,
+        date: dt.date | str,
+        limit: int = 10,
+        min_volume: float | None = None,
+    ) -> list[dict]:
+        df = volume.top_by_volume(self.engine.table(), date, limit, min_volume)
+        return [r.asDict() for r in df.collect()]
+
+    def get_volume_percentile(self, symbol: str, date: dt.date | str) -> dict | None:
+        rows = volume.volume_percentile(self.engine.table(), symbol, date).collect()
+        return rows[0].asDict() if rows else None
+
+    def get_average_volume(
+        self, symbol: str, start: dt.date | str, end: dt.date | str
+    ) -> dict:
+        return (
+            volume.average_volume(self.engine.table(), symbol, start, end)
+            .collect()[0]
+            .asDict()
+        )
+
+    def get_volume_trend(self, symbol: str, days: int = 30) -> list[dict]:
+        df = volume.volume_trend(self.engine.table(), symbol, days)
+        return [r.asDict() for r in df.collect()]
+
+    def get_market_summary(self, date: dt.date | str) -> dict:
+        return (
+            volume.market_summary(self.engine.table(), date).collect()[0].asDict()
+        )

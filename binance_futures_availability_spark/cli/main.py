@@ -1,0 +1,199 @@
+"""CLI entry point — mirrors the reference command tree.
+
+Parity: reference cli/main.py:31-72 (argparse root, --version/--verbose,
+help on no command, exit codes) and cli/query.py:21-238 (query
+snapshot/timeline/range/analytics {new-listings, delistings, summary},
+--json switches, first-10/first-20 display truncation = O5).
+
+The fact-table source comes from --table PATH (a parquet
+daily_availability table) or --sf-dir DIR (driver testdata layout),
+falling back to $BFA_TABLE_PATH / $SPARK_GRAFT_SF_DIR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from ..api import AnalyticsQueries, Engine, SnapshotQueries, TimelineQueries
+from ..sources import writer
+
+__version__ = "0.2.0"
+
+
+def _engine(args: argparse.Namespace) -> Engine:
+    table = args.table or os.environ.get("BFA_TABLE_PATH")
+    sf_dir = args.sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR")
+    if table:
+        return Engine(table_path=table)
+    if sf_dir:
+        return Engine(sf_dir=sf_dir)
+    raise SystemExit(
+        "no fact-table source: pass --table/--sf-dir or set "
+        "$BFA_TABLE_PATH / $SPARK_GRAFT_SF_DIR"
+    )
+
+
+def cmd_snapshot(args: argparse.Namespace) -> int:
+    with SnapshotQueries(_engine(args)) as q:
+        results = q.get_available_symbols_on_date(args.date)
+    if args.json:
+        print(json.dumps(results, indent=2, default=str))
+    else:
+        print(f"Available symbols on {args.date}: {len(results)}")
+        for r in results[:10]:
+            print(f"  - {r['symbol']} ({r['file_size_bytes']} bytes)")
+        if len(results) > 10:
+            print(f"  ... and {len(results) - 10} more")
+    return 0
+
+
+def cmd_timeline(args: argparse.Namespace) -> int:
+    with TimelineQueries(_engine(args)) as q:
+        timeline = q.get_symbol_availability_timeline(args.symbol)
+        if args.json:
+            print(json.dumps(timeline, indent=2, default=str))
+        else:
+            print(
+                f"Availability timeline for {args.symbol}: {len(timeline)} days"
+            )
+            print(f"  First available: {q.get_symbol_first_listing_date(args.symbol)}")
+            print(f"  Last available: {q.get_symbol_last_available_date(args.symbol)}")
+            print(f"  Total days: {len(timeline)}")
+    return 0
+
+
+def cmd_range(args: argparse.Namespace) -> int:
+    with SnapshotQueries(_engine(args)) as q:
+        symbols = q.get_symbols_in_date_range(args.start_date, args.end_date)
+    if args.json:
+        print(json.dumps(symbols, indent=2))
+    else:
+        print(
+            f"Symbols available {args.start_date} to {args.end_date}: "
+            f"{len(symbols)}"
+        )
+        for s in symbols[:20]:
+            print(f"  - {s}")
+        if len(symbols) > 20:
+            print(f"  ... and {len(symbols) - 20} more")
+    return 0
+
+
+def cmd_new_listings(args: argparse.Namespace) -> int:
+    with AnalyticsQueries(_engine(args)) as q:
+        syms = q.detect_new_listings(args.date)
+    print(f"New listings on {args.date}: {len(syms)}")
+    for s in syms:
+        print(f"  - {s}")
+    return 0
+
+
+def cmd_delistings(args: argparse.Namespace) -> int:
+    with AnalyticsQueries(_engine(args)) as q:
+        syms = q.detect_delistings(args.date)
+    print(f"Delistings on {args.date}: {len(syms)}")
+    for s in syms:
+        print(f"  - {s}")
+    return 0
+
+
+def cmd_summary(args: argparse.Namespace) -> int:
+    eng = _engine(args)
+    rows = [
+        r.asDict()
+        for r in writer.refresh_symbol_counts(eng.table())
+        .orderBy("date", ascending=False)
+        .limit(10)
+        .collect()
+    ]
+    if args.json:
+        print(json.dumps(rows, indent=2, default=str))
+    else:
+        print("Daily symbol counts (latest 10):")
+        for r in rows:
+            print(
+                f"  {r['date']}: {r['total_symbols']} total, "
+                f"{r['available_count']} available"
+            )
+    return 0
+
+
+def _add_source_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--table", help="parquet daily_availability table path")
+    p.add_argument("--sf-dir", help="testdata dir (derived fact table)")
+    p.add_argument("--json", action="store_true", help="Output as JSON")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="bfa-spark",
+        description=(
+            "Binance Futures Availability engine (PySpark) — query the "
+            "daily availability fact table"
+        ),
+    )
+    parser.add_argument(
+        "--version", action="version", version=f"bfa-spark {__version__}"
+    )
+    parser.add_argument("--verbose", "-v", action="store_true")
+    sub = parser.add_subparsers(dest="command")
+
+    query = sub.add_parser("query", help="Query availability database")
+    qsub = query.add_subparsers(dest="query_command")
+
+    p = qsub.add_parser("snapshot", help="Available symbols on a date")
+    p.add_argument("date")
+    _add_source_args(p)
+    p.set_defaults(func=cmd_snapshot)
+
+    p = qsub.add_parser("timeline", help="Availability timeline for a symbol")
+    p.add_argument("symbol")
+    _add_source_args(p)
+    p.set_defaults(func=cmd_timeline)
+
+    p = qsub.add_parser("range", help="Symbols available in a date range")
+    p.add_argument("start_date")
+    p.add_argument("end_date")
+    _add_source_args(p)
+    p.set_defaults(func=cmd_range)
+
+    analytics_p = qsub.add_parser("analytics", help="Analytics queries")
+    asub = analytics_p.add_subparsers(dest="analytics_command")
+
+    p = asub.add_parser("new-listings", help="New listings on a date")
+    p.add_argument("date")
+    _add_source_args(p)
+    p.set_defaults(func=cmd_new_listings)
+
+    p = asub.add_parser("delistings", help="Delistings on a date")
+    p.add_argument("date")
+    _add_source_args(p)
+    p.set_defaults(func=cmd_delistings)
+
+    p = asub.add_parser("summary", help="Daily symbol counts")
+    _add_source_args(p)
+    p.set_defaults(func=cmd_summary)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not getattr(args, "func", None):
+        parser.print_help()
+        return 1
+    try:
+        return args.func(args)
+    except SystemExit:
+        raise
+    except Exception as e:  # noqa: BLE001 — CLI boundary (reference main.py:72-77)
+        print(f"Command failed: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

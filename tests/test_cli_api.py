@@ -1,0 +1,157 @@
+"""CLI + Python API smoke tests (reference tests/test_cli/test_commands.py
+shape, run in-process against a parquet fixture so no per-test JVM spawn)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from binance_futures_availability_spark.api import (
+    AnalyticsQueries,
+    Engine,
+    SnapshotQueries,
+    TimelineQueries,
+    VolumeQueries,
+)
+from binance_futures_availability_spark.cli.main import main
+
+
+@pytest.fixture(scope="module")
+def table_path(spark, populated_da, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "fact")
+    populated_da.write.parquet(path)
+    return path
+
+
+@pytest.fixture()
+def engine(spark, table_path):
+    return Engine(table_path=table_path, spark=spark)
+
+
+# --------------------------------------------------------------- Python API
+
+
+def test_snapshot_api(engine):
+    with SnapshotQueries(engine) as q:
+        rows = q.get_available_symbols_on_date("2024-01-15")
+    assert [r["symbol"] for r in rows] == ["BTCUSDT", "NEWUSDT"]
+    assert rows[0]["file_size_bytes"] == 1024
+
+
+def test_timeline_api(engine):
+    with TimelineQueries(engine) as q:
+        tl = q.get_symbol_availability_timeline("ETHUSDT")
+        assert len(tl) == 3
+        assert q.get_symbol_first_listing_date("ETHUSDT").isoformat() == "2024-01-13"
+        assert q.get_symbol_last_available_date("ETHUSDT").isoformat() == "2024-01-14"
+
+
+def test_analytics_api(engine):
+    with AnalyticsQueries(engine) as q:
+        assert q.detect_new_listings("2024-01-15") == ["NEWUSDT"]
+        assert q.detect_delistings("2024-01-15") == ["ETHUSDT"]
+        stats = q.get_stats()
+        assert stats["total_records"] == 8
+        assert stats["distinct_symbols"] == 3
+
+
+def test_volume_api(engine):
+    with VolumeQueries(engine) as q:
+        top = q.get_top_by_volume("2024-01-13", limit=2)
+        assert [r["symbol"] for r in top] == ["BTCUSDT", "ETHUSDT"]
+        assert top[0]["market_share_pct"] == pytest.approx(90.91)
+
+
+def test_engine_sql_passthrough(engine):
+    df = engine.sql(
+        "SELECT COUNT(*) AS n FROM daily_availability WHERE available"
+    )
+    assert df.collect()[0]["n"] == 6
+
+
+def test_engine_arrow_fetch(engine):
+    tbl = engine.to_arrow(engine.table().select("symbol").distinct())
+    assert tbl.num_rows == 3
+    assert tbl.column_names == ["symbol"]
+
+
+def test_engine_export_csv_parquet(engine, tmp_path):
+    df = engine.table().select("date", "symbol")
+    engine.export(df, str(tmp_path / "out_csv"), fmt="csv")
+    engine.export(df, str(tmp_path / "out_pq"), fmt="parquet")
+    assert engine.spark.read.option("header", True).csv(
+        str(tmp_path / "out_csv")
+    ).count() == 8
+    assert engine.spark.read.parquet(str(tmp_path / "out_pq")).count() == 8
+    with pytest.raises(ValueError):
+        engine.export(df, str(tmp_path / "x"), fmt="xml")
+
+
+def test_engine_remote_parquet_mocked(engine, table_path, tmp_path):
+    # single-file archive served over "HTTP" via a mocked fetch
+    one = engine.table().coalesce(1)
+    archive_dir = tmp_path / "archive"
+    one.write.parquet(str(archive_dir))
+    part = next(archive_dir.glob("part-*.parquet"))
+    df = engine.read_remote_parquet(
+        "https://example.invalid/rankings.parquet",
+        fetch=lambda url: part.read_bytes(),
+    )
+    assert df.count() == 8
+
+
+# --------------------------------------------------------------------- CLI
+
+
+def test_cli_snapshot_text(table_path, capsys):
+    rc = main(["query", "snapshot", "2024-01-15", "--table", table_path])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Available symbols on 2024-01-15: 2" in out
+    assert "- BTCUSDT (1024 bytes)" in out
+
+
+def test_cli_snapshot_json(table_path, capsys):
+    rc = main(
+        ["query", "snapshot", "2024-01-15", "--table", table_path, "--json"]
+    )
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert [r["symbol"] for r in rows] == ["BTCUSDT", "NEWUSDT"]
+
+
+def test_cli_timeline_and_range(table_path, capsys):
+    assert main(["query", "timeline", "BTCUSDT", "--table", table_path]) == 0
+    out = capsys.readouterr().out
+    assert "3 days" in out and "First available: 2024-01-13" in out
+    assert main(
+        ["query", "range", "2024-01-13", "2024-01-15", "--table", table_path,
+         "--json"]
+    ) == 0
+    assert json.loads(capsys.readouterr().out) == ["BTCUSDT", "ETHUSDT", "NEWUSDT"]
+
+
+def test_cli_analytics(table_path, capsys):
+    assert main(
+        ["query", "analytics", "new-listings", "2024-01-15", "--table", table_path]
+    ) == 0
+    assert "NEWUSDT" in capsys.readouterr().out
+    assert main(
+        ["query", "analytics", "summary", "--table", table_path, "--json"]
+    ) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows[0]["date"] == "2024-01-15"
+    assert rows[0]["total_symbols"] == 3
+
+
+def test_cli_no_command_prints_help(capsys):
+    assert main([]) == 1
+    assert "usage:" in capsys.readouterr().out
+
+
+def test_cli_bad_source_fails(capsys, monkeypatch):
+    monkeypatch.delenv("BFA_TABLE_PATH", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    with pytest.raises(SystemExit):
+        main(["query", "snapshot", "2024-01-15"])
