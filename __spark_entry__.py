@@ -181,6 +181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_counts_matview": lambda s, d: writer.refresh_symbol_counts(
             _da(s, d)
         ).select("date", "total_symbols", "available_count", "unavailable_count"),
+        # W9 — rank-continuity validation over the rankings archive
+        "rank_gaps": lambda s, d: rankings.rank_gaps(
+            rankings.volume_rankings(_da(s, d), generated_at=GEN_TS)
+        ),
         # P7/P6 — backfill work-list; S4 — enrich; F10 — classification
         "missing_volume": lambda s, d: backfill.missing_volume(
             _da(s, d), YEAR_START, YEAR_END
@@ -411,6 +415,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN NOT available THEN 1 ELSE 0 END) AS BIGINT)
                        AS unavailable_count
             FROM da GROUP BY date"""),
+        "rank_gaps": with_da("""
+            WITH cohort AS (
+                SELECT date, quote_volume_usdt FROM da
+                WHERE available AND quote_volume_usdt IS NOT NULL
+            ),
+            dr AS (
+                SELECT DISTINCT date,
+                       CAST(DENSE_RANK() OVER (PARTITION BY date
+                           ORDER BY quote_volume_usdt DESC) AS SMALLINT) AS rank
+                FROM cohort
+            ),
+            g AS (
+                SELECT date, rank,
+                       LAG(rank) OVER (PARTITION BY date ORDER BY rank)
+                           AS prev_rank
+                FROM dr
+            )
+            SELECT date, prev_rank, rank FROM g
+            WHERE prev_rank IS NOT NULL AND rank - prev_rank > 1
+            ORDER BY date, rank"""),
         "missing_volume": with_da(f"""
             SELECT date, symbol, url FROM da
             WHERE available AND quote_volume_usdt IS NULL

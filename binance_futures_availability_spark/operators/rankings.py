@@ -134,6 +134,32 @@ def incremental_append(
     return existing.unionByName(new_rows)
 
 
+def rank_gaps(rankings_df: DataFrame) -> DataFrame:
+    """W9 — per-date rank-continuity validation.
+
+    Reference: docs/guides/using-volume-rankings.md:508-518 — a gap is a
+    consecutive pair of rank values (ordered within a date) differing by
+    more than 1. Valid DENSE_RANK output has no gaps, so on a healthy
+    archive this returns 0 rows; corruption (lost rows, ties mis-ranked)
+    surfaces here. One window shuffle on date; validation cost is the same
+    per-date bound as ranking itself.
+    """
+    w = Window.partitionBy("date").orderBy("rank")
+    return (
+        rankings_df.select("date", "rank")
+        .distinct()  # ties legitimately repeat a rank; gaps are between distinct values
+        .select(
+            "date", "rank", F.lag("rank").over(w).alias("prev_rank")
+        )
+        .filter(
+            F.col("prev_rank").isNotNull()
+            & ((F.col("rank") - F.col("prev_rank")) > 1)
+        )
+        .select("date", "prev_rank", "rank")
+        .orderBy("date", "rank")
+    )
+
+
 def validate_rankings(df: DataFrame) -> dict:
     """Output validators — assertions, not rewrites (SURVEY.md §4).
 

@@ -128,3 +128,21 @@ def refresh_symbol_counts(da: DataFrame) -> DataFrame:
         F.sum(F.when(~F.col("available"), 1).otherwise(0)).alias("unavailable_count"),
         F.current_timestamp().alias("last_updated"),
     )
+
+
+def refresh_symbol_counts_incremental(
+    existing_counts: DataFrame, da: DataFrame, touched_dates: list
+) -> DataFrame:
+    """A8 incremental — refresh summary rows ONLY for ``touched_dates``.
+
+    The daily pipeline upserts a bounded set of dates (the 20-day lookback
+    window); recomputing the whole summary scans the entire fact table for
+    no reason. The literal date list makes the fact-table filter a static
+    partition-pruning predicate on a date-partitioned table, so refresh
+    cost is ∝ touched dates, not history length (the incremental promise
+    of availability_db.py:219-244's post-batch refresh).
+    """
+    touched = [F.lit(d).cast("date") for d in touched_dates]
+    recomputed = refresh_symbol_counts(da.filter(F.col("date").isin(touched)))
+    untouched = existing_counts.filter(~F.col("date").isin(touched))
+    return untouched.unionByName(recomputed)

@@ -16,19 +16,26 @@ def compare_symbol_sets(db_symbols: DataFrame, api_symbols: DataFrame) -> dict:
     """J6 — intersection / only-in-db / only-in-api + match percentage.
 
     Reference: cross_check.py:116-148. Inputs are one-column ('symbol')
-    DataFrames. Returns counts (small scalars — the only collect is the agg).
+    DataFrames. One full-outer join + one aggregation = a single Spark job
+    (an intersect + two anti-joins would scan both inputs three times).
     """
-    db = db_symbols.select("symbol").distinct()
-    api = api_symbols.select("symbol").distinct()
-    matched = db.intersect(api).count()
-    only_db = db.join(api, "symbol", "left_anti").count()
-    only_api = api.join(db, "symbol", "left_anti").count()
-    total_api = matched + only_api
+    db = db_symbols.select("symbol").distinct().withColumn("__db", F.lit(1))
+    api = api_symbols.select("symbol").distinct().withColumn("__api", F.lit(1))
+    counts = (
+        db.join(api, "symbol", "full_outer")
+        .agg(
+            F.count(F.when(F.col("__db").isNotNull() & F.col("__api").isNotNull(), 1)).alias("matched"),
+            F.count(F.when(F.col("__api").isNull(), 1)).alias("only_db"),
+            F.count(F.when(F.col("__db").isNull(), 1)).alias("only_api"),
+        )
+        .collect()[0]
+    )
+    total_api = counts["matched"] + counts["only_api"]
     return {
-        "matched": matched,
-        "only_in_db": only_db,
-        "only_in_api": only_api,
-        "match_pct": (100.0 * matched / total_api) if total_api else 0.0,
+        "matched": counts["matched"],
+        "only_in_db": counts["only_db"],
+        "only_in_api": counts["only_api"],
+        "match_pct": (100.0 * counts["matched"] / total_api) if total_api else 0.0,
     }
 
 

@@ -163,3 +163,37 @@ def test_rankings_schema_narrowing(spark):
     assert types["market_share_pct"] == "float"
     assert types["days_available"] == "tinyint"
     assert types["generation_timestamp"] == "timestamp"
+
+
+def test_rank_gaps_clean_archive_is_empty(spark):
+    da = make_da(
+        spark,
+        [
+            (D(2024, 1, 1), "A", True, 100.0),
+            (D(2024, 1, 1), "B", True, 100.0),
+            (D(2024, 1, 1), "C", True, 50.0),
+            (D(2024, 1, 2), "A", True, 10.0),
+        ],
+    )
+    archive = rankings.volume_rankings(da, generated_at=GEN)
+    assert rankings.rank_gaps(archive).count() == 0
+
+
+def test_rank_gaps_detects_corruption(spark):
+    # hand-built archive rows with ranks 1, 2, 4 on one date (gap 2→4)
+    corrupted = spark.createDataFrame(
+        [
+            (D(2024, 1, 1), 1),
+            (D(2024, 1, 1), 2),
+            (D(2024, 1, 1), 4),
+            (D(2024, 1, 2), 1),
+        ],
+        "date date, rank int",
+    )
+    got = rankings.rank_gaps(corrupted).collect()
+    assert len(got) == 1
+    assert (got[0]["date"], got[0]["prev_rank"], got[0]["rank"]) == (
+        D(2024, 1, 1),
+        2,
+        4,
+    )

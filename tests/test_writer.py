@@ -135,3 +135,36 @@ def test_cross_check_sets(spark):
     assert r["only_in_api"] == 1
     missing = cross_check.symbols_missing_from_db(api, db).collect()
     assert [r["symbol"] for r in missing] == ["D"]
+
+
+def test_incremental_matview_refresh_matches_full(spark):
+    da = make_da(
+        spark,
+        [
+            (D(2024, 1, 1), "BTCUSDT", True, 1.0),
+            (D(2024, 1, 1), "ETHUSDT", False, None),
+            (D(2024, 1, 2), "BTCUSDT", True, 2.0),
+        ],
+    )
+    stale_full = writer.refresh_symbol_counts(da)
+    # day 2 gains a symbol; day 1 untouched
+    da2 = make_da(
+        spark,
+        [
+            (D(2024, 1, 1), "BTCUSDT", True, 1.0),
+            (D(2024, 1, 1), "ETHUSDT", False, None),
+            (D(2024, 1, 2), "BTCUSDT", True, 2.0),
+            (D(2024, 1, 2), "ETHUSDT", True, 3.0),
+        ],
+    )
+    incr = writer.refresh_symbol_counts_incremental(
+        stale_full, da2, [D(2024, 1, 2)]
+    )
+    full = writer.refresh_symbol_counts(da2)
+    key = lambda r: r["date"]  # noqa: E731
+    got = {r["date"]: (r["total_symbols"], r["available_count"]) for r in incr.collect()}
+    want = {r["date"]: (r["total_symbols"], r["available_count"]) for r in full.collect()}
+    assert got == want
+    # the incremental plan only scans the touched-date slice of the fact table
+    plan = incr._jdf.queryExecution().optimizedPlan().toString()
+    assert "2024-01-02" in plan
