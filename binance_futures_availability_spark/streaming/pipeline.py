@@ -1,0 +1,140 @@
+"""Streaming probe-ingestion pipeline.
+
+Mapping from the reference's batch-incremental behaviors (SURVEY.md §2.9):
+
+| reference mechanism                      | streaming analogue here          |
+|------------------------------------------|----------------------------------|
+| 20-day lookback re-probe + idempotent    | watermarked dropDuplicates +     |
+| UPSERT (run_daily_update.py:41-69)       | foreachBatch upsert sink         |
+| T+3 publishing-delay buffer              | event-time watermark on          |
+| (validation/completeness.py:71-76)       | probe_timestamp                  |
+| matview refresh after each batch         | incremental refresh inside the   |
+| (availability_db.py:192-195)             | same foreachBatch                |
+
+Scale notes: the file source scans only NEW files per micro-batch; state for
+dropDuplicates is bounded by the watermark horizon × symbol count; the sink
+rewrites only the date partitions present in each micro-batch
+(writer.upsert_partitioned), so per-batch cost tracks batch size, not table
+size. foreachBatch + idempotent partition overwrite gives effectively-once
+output on top of the checkpoint's exactly-once source tracking.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import DAILY_AVAILABILITY_KEY, DAILY_AVAILABILITY_VERSION, PROBE_RESULT
+from ..sources import writer
+
+
+def probe_stream_source(spark: SparkSession, incoming_dir: str) -> DataFrame:
+    """readStream over a drop-directory of probe-result parquet batches.
+
+    Each probe wave (ingest/probe.results_to_df written as parquet) becomes
+    one micro-batch; maxFilesPerTrigger bounds batch size under backlog.
+    """
+    return (
+        spark.readStream.schema(PROBE_RESULT)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(incoming_dir)
+    )
+
+
+def dedup_probe_stream(stream: DataFrame, late_horizon: str = "3 days") -> DataFrame:
+    """Drop duplicate probes of the same (date, symbol) within the horizon.
+
+    The reference re-probes a rolling window, so the same key arrives many
+    times; the watermark bounds dedup state exactly like the T+3 buffer
+    bounds how late a correction is accepted. Latest probe_timestamp still
+    wins at the sink (writer.upsert), so dedup here is purely a state/IO
+    reducer, not a correctness requirement.
+    """
+    return stream.withWatermark("probe_timestamp", late_horizon).dropDuplicates(
+        ["date", "symbol", "probe_timestamp"]
+    )
+
+
+def streaming_symbol_counts(stream: DataFrame, late_horizon: str = "3 days") -> DataFrame:
+    """Watermarked probe-count monitoring stream.
+
+    Counts per (1-day probe_timestamp window, data date); a row finalizes —
+    append-mode emits it — once the watermark passes the probe window, i.e.
+    probes later than the horizon are dropped exactly like the reference's
+    T+3 buffer stops trusting older days. Note the semantics: this is a
+    finalized *increment* stream (what arrived per probe-day), good for
+    monitoring/alerting; the authoritative table-state matview is maintained
+    transactionally by the foreachBatch sink (start_upsert_sink), because
+    "current state of an upserted table" is a changelog, which append-mode
+    streaming aggregation cannot express.
+    """
+    return (
+        stream.withWatermark("probe_timestamp", late_horizon)
+        .groupBy(F.window("probe_timestamp", "1 day").alias("probe_window"), "date")
+        .agg(
+            F.count(F.lit(1)).alias("total_symbols"),
+            F.sum(F.when(F.col("available"), 1).otherwise(0)).alias(
+                "available_count"
+            ),
+            F.sum(F.when(~F.col("available"), 1).otherwise(0)).alias(
+                "unavailable_count"
+            ),
+        )
+    )
+
+
+def start_upsert_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    counts_path: str | None = None,
+):
+    """writeStream → foreachBatch(upsert + incremental matview refresh).
+
+    Each micro-batch is UPSERTed into the date-partitioned fact table
+    (touched partitions only); when ``counts_path`` is given, the summary
+    table is refreshed for exactly the touched dates — the streaming form
+    of the reference's refresh-after-insert. Restart-safe: the checkpoint
+    replays unacknowledged batches and the upsert is idempotent.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.take(1):
+            return
+        if os.path.exists(os.path.join(table_path, "_SUCCESS")):
+            writer.upsert_partitioned(
+                table_path,
+                batch_df,
+                DAILY_AVAILABILITY_KEY,
+                DAILY_AVAILABILITY_VERSION,
+            )
+        else:
+            batch_df.write.mode("overwrite").partitionBy("date").parquet(
+                table_path
+            )
+        if counts_path is not None:
+            table = spark.read.parquet(table_path)
+            touched = [
+                r["date"] for r in batch_df.select("date").distinct().collect()
+            ]
+            if os.path.exists(os.path.join(counts_path, "_SUCCESS")):
+                existing = spark.read.parquet(counts_path)
+                refreshed = writer.refresh_symbol_counts_incremental(
+                    existing, table, touched
+                )
+            else:
+                refreshed = writer.refresh_symbol_counts(table)
+            # summary is tiny; localCheckpoint cuts the lineage back to the
+            # files being overwritten (same read-overwrite hazard as upsert)
+            refreshed.localCheckpoint(eager=True).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(counts_path)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -1,0 +1,147 @@
+"""Structured Streaming pipeline tests — file source → dedup/agg → sinks.
+
+availableNow triggers so each test drains the backlog and stops (bounded
+runtime, no async flakiness).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from binance_futures_availability_spark.ingest import probe
+from binance_futures_availability_spark.operators import snapshots
+from binance_futures_availability_spark.streaming import (
+    dedup_probe_stream,
+    probe_stream_source,
+    start_upsert_sink,
+    streaming_symbol_counts,
+)
+
+D = dt.date
+TS = dt.datetime
+
+
+def _recs(day, symbols, available=True, ts=None):
+    ts = ts or TS(2024, 1, 16, 3, 0, 0)
+    return [
+        {
+            "date": day,
+            "symbol": s,
+            "available": available,
+            "file_size_bytes": 1024 if available else None,
+            "last_modified": ts if available else None,
+            "url": probe.kline_url(s, day),
+            "status_code": 200 if available else 404,
+            "probe_timestamp": ts,
+        }
+        for s in symbols
+    ]
+
+
+def _drop(spark, incoming, recs):
+    probe.results_to_df(spark, recs).write.mode("append").parquet(str(incoming))
+
+
+def test_stream_upsert_end_to_end(spark, tmp_path):
+    incoming = tmp_path / "incoming"
+    table = tmp_path / "fact"
+    counts = tmp_path / "counts"
+    ckpt = tmp_path / "ckpt"
+
+    # wave 1: two symbols on day 1
+    _drop(spark, incoming, _recs(D(2024, 1, 15), ["BTCUSDT", "ETHUSDT"]))
+    stream = dedup_probe_stream(probe_stream_source(spark, str(incoming)))
+    q = start_upsert_sink(stream, str(table), str(ckpt), str(counts)).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(table))
+    assert got.count() == 2
+
+    # wave 2: re-probe flips ETHUSDT to 404 (later probe_timestamp wins)
+    # and adds day 2 — only touched partitions rewritten, matview follows
+    _drop(
+        spark,
+        incoming,
+        _recs(
+            D(2024, 1, 15), ["ETHUSDT"], available=False, ts=TS(2024, 1, 17)
+        )
+        + _recs(D(2024, 1, 16), ["BTCUSDT"], ts=TS(2024, 1, 17)),
+    )
+    q = start_upsert_sink(
+        dedup_probe_stream(probe_stream_source(spark, str(incoming))),
+        str(table),
+        str(ckpt),
+        str(counts),
+    ).start()
+    q.awaitTermination(120)
+
+    table_df = spark.read.parquet(str(table))
+    assert table_df.count() == 3
+    snap = snapshots.available_symbols_on_date(table_df, D(2024, 1, 15)).collect()
+    assert [r["symbol"] for r in snap] == ["BTCUSDT"]  # ETHUSDT now 404
+
+    mv = {r["date"]: r for r in spark.read.parquet(str(counts)).collect()}
+    assert mv[D(2024, 1, 15)]["total_symbols"] == 2
+    assert mv[D(2024, 1, 15)]["available_count"] == 1
+    assert mv[D(2024, 1, 16)]["available_count"] == 1
+
+
+def test_stream_checkpoint_no_reprocess(spark, tmp_path):
+    incoming = tmp_path / "incoming"
+    table = tmp_path / "fact"
+    ckpt = tmp_path / "ckpt"
+    _drop(spark, incoming, _recs(D(2024, 1, 15), ["BTCUSDT"]))
+    for _ in range(2):  # second run: checkpoint says nothing new → no-op
+        q = start_upsert_sink(
+            probe_stream_source(spark, str(incoming)), str(table), str(ckpt)
+        ).start()
+        q.awaitTermination(120)
+    assert spark.read.parquet(str(table)).count() == 1
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    incoming = tmp_path / "incoming"
+    recs = _recs(D(2024, 1, 15), ["BTCUSDT"])
+    _drop(spark, incoming, recs)
+    _drop(spark, incoming, recs)  # identical replay (same probe_timestamp)
+    out = (
+        dedup_probe_stream(probe_stream_source(spark, str(incoming)))
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    assert spark.sql("SELECT COUNT(*) n FROM dedup_out").collect()[0]["n"] == 1
+
+
+def test_streaming_symbol_counts_watermarked(spark, tmp_path):
+    incoming = tmp_path / "incoming"
+    _drop(
+        spark,
+        incoming,
+        _recs(D(2024, 1, 15), ["BTCUSDT", "ETHUSDT"], ts=TS(2024, 1, 16, 1))
+        + _recs(D(2024, 1, 15), ["XRPUSDT"], available=False, ts=TS(2024, 1, 16, 2))
+        # a much later probe advances the watermark past day-15's horizon
+        + _recs(D(2024, 1, 20), ["BTCUSDT"], ts=TS(2024, 1, 21)),
+    )
+    counts = streaming_symbol_counts(
+        probe_stream_source(spark, str(incoming)), late_horizon="3 days"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("counts_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["date"]: r
+        for r in spark.sql("SELECT * FROM counts_out").collect()
+    }
+    # day 15 finalized (watermark passed): 3 probes, 2 available
+    assert rows[D(2024, 1, 15)]["total_symbols"] == 3
+    assert rows[D(2024, 1, 15)]["available_count"] == 2
