@@ -41,7 +41,12 @@ from binance_futures_availability_spark.operators.availability import (
     with_da,
 )
 from binance_futures_availability_spark.sources import writer
-from binance_futures_availability_spark.validation import completeness, continuity
+from binance_futures_availability_spark.validation import (
+    completeness,
+    continuity,
+    cross_check,
+    differ,
+)
 
 # --- stable parameters (data spans 1995-01-02 .. 2001-11-04 at all SFs) ---
 SNAP_DATE = "1998-09-24"  # largest cohort date at sf0.01 (the t2 gate SF)
@@ -54,6 +59,10 @@ GEN_TS = "2026-01-01 00:00:00"
 
 # --- extension-suite parameters (non-degenerate at the sf0.01 gate:
 # 25 jaccard pairs ≥ 0.8, 56 simhash pairs ≤ hamming 5, cosine max ≈ 0.51) ---
+MIN_VOLUME = 80000.0  # inside the SNAP_DATE cohort's range → filter bites
+UPSERT_START, UPSERT_END = "1998-08-01", "1998-09-30"  # overlaps RANGE window
+SETB_START, SETB_END = "1995-01-01", "1995-03-31"
+
 NGRAM_THRESHOLD = 0.8
 LSH_JACCARD_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 5
@@ -77,6 +86,53 @@ def _da(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized once per sf_dir (stored fact table, like the reference's
     # daily_availability) — every query reads the catalog, not a re-derivation
     return availability_fact(spark, sf_dir)
+
+
+def _upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 — INSERT OR REPLACE semantics through the driver gate:
+    incoming (volume doubled, overlapping window) beats existing on key
+    collision; disjoint keys union through."""
+    da = _da(spark, sf_dir)
+    existing = da.filter(
+        F.col("date").between(F.lit(RANGE_START), F.lit(RANGE_END))
+    ).select("date", "symbol", "quote_volume_usdt", "probe_timestamp")
+    incoming = da.filter(
+        F.col("date").between(F.lit(UPSERT_START), F.lit(UPSERT_END))
+    ).select(
+        "date",
+        "symbol",
+        (F.col("volume_base") * 2.0).alias("quote_volume_usdt"),
+        "probe_timestamp",
+    )
+    merged = writer.upsert(existing, incoming, ["date", "symbol"], "probe_timestamp")
+    return gathered_sort(
+        merged.select("date", "symbol", "quote_volume_usdt"), "date", "symbol"
+    )
+
+
+def _symbol_set_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/U3 — membership classification of two symbol universes."""
+    da = _da(spark, sf_dir)
+    a = da.filter(
+        F.col("date").between(F.lit(RANGE_START), F.lit(RANGE_END))
+        & F.col("available")
+    )
+    b = da.filter(
+        F.col("date").between(F.lit(SETB_START), F.lit(SETB_END))
+        & F.col("available")
+    )
+    return cross_check.symbol_set_diff(a, b)
+
+
+def _dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — keyed row diff of two daily snapshots (the consistency differ)."""
+    da = _da(spark, sf_dir)
+    cols = ["symbol", "available", "file_size_bytes"]
+    left = da.filter(F.col("date") == F.lit(SNAP_DATE)).select(*cols)
+    right = da.filter(F.col("date") == F.date_sub(F.lit(SNAP_DATE), 1)).select(
+        *cols
+    )
+    return gathered_sort(differ.diff_datasets(left, right, ["symbol"]), "symbol")
 
 
 def _backfill_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,10 +223,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "volume_trend": lambda s, d: volume.volume_trend(_da(s, d), SYMBOL, 30),
         "market_summary": lambda s, d: volume.market_summary(_da(s, d), SNAP_DATE),
+        # P5 — optional min-volume predicate on the top-N query
+        "top_by_volume_filtered": lambda s, d: volume.top_by_volume(
+            _da(s, d), SNAP_DATE, 10, min_volume=MIN_VOLUME
+        ),
         # W4-W8/J1/J2/F5-F7 — rankings pipeline (flagship)
         "volume_rankings": lambda s, d: rankings.volume_rankings(
             _da(s, d), generated_at=GEN_TS
         ),
+        # U2 — incremental append: only dates past the archive watermark
+        "rankings_incremental": lambda s, d: rankings.volume_rankings(
+            _da(s, d), start_date=RANGE_END, generated_at=GEN_TS
+        ),
+        # S2/S3 — upsert; J6/U3 — set compare; J8 — dataset differ
+        "upsert_semantics": _upsert_semantics,
+        "symbol_set_compare": _symbol_set_compare,
+        "dataset_diff": _dataset_diff,
         # J5/F2 — continuity; A7 — completeness; A8 — matview
         "continuity_gaps": lambda s, d: continuity.find_gaps(
             _da(s, d), YEAR_START, YEAR_END
@@ -231,6 +299,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracles (DuckDB SQL over the same parquet views)
 # --------------------------------------------------------------------------
+
+def _rankings_oracle(cohort_extra: str = "") -> str:
+    """The W4-W8 rankings pipeline oracle; ``cohort_extra`` appends the
+    incremental watermark predicate (U2: ``AND date > start_date``)."""
+    return with_da(f"""
+            WITH cohort AS (
+                SELECT date, symbol, quote_volume_usdt, trade_count FROM da
+                WHERE available AND quote_volume_usdt IS NOT NULL{cohort_extra}
+            ),
+            daily_ranks AS (
+                SELECT date, symbol, quote_volume_usdt, trade_count,
+                       DENSE_RANK() OVER (PARTITION BY date
+                           ORDER BY quote_volume_usdt DESC) AS rank,
+                       PERCENT_RANK() OVER (PARTITION BY date
+                           ORDER BY quote_volume_usdt DESC) * 100 AS percentile,
+                       CASE WHEN CAST(SUM(CAST(quote_volume_usdt AS DECIMAL(18,2)))
+                                 OVER (PARTITION BY date) AS DOUBLE) <> 0.0
+                            THEN quote_volume_usdt /
+                                 CAST(SUM(CAST(quote_volume_usdt AS DECIMAL(18,2)))
+                                      OVER (PARTITION BY date) AS DOUBLE) * 100
+                       END AS market_share_pct
+                FROM cohort
+            ),
+            trailing_availability AS (
+                SELECT symbol, date,
+                       COUNT(*) OVER (PARTITION BY symbol ORDER BY date
+                           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+                           AS days_available_30d
+                FROM cohort
+            ),
+            rank_changes AS (
+                SELECT date, symbol, rank AS current_rank,
+                       LAG(rank, 1) OVER (PARTITION BY symbol ORDER BY date)
+                           AS rank_1d_ago,
+                       LAG(rank, 7) OVER (PARTITION BY symbol ORDER BY date)
+                           AS rank_7d_ago,
+                       LAG(rank, 14) OVER (PARTITION BY symbol ORDER BY date)
+                           AS rank_14d_ago,
+                       LAG(rank, 30) OVER (PARTITION BY symbol ORDER BY date)
+                           AS rank_30d_ago
+                FROM daily_ranks
+            )
+            SELECT dr.date, dr.symbol,
+                   CAST(dr.rank AS SMALLINT) AS rank,
+                   dr.quote_volume_usdt, dr.trade_count,
+                   CAST(rc.current_rank - rc.rank_1d_ago AS SMALLINT)
+                       AS rank_change_1d,
+                   CAST(rc.current_rank - rc.rank_7d_ago AS SMALLINT)
+                       AS rank_change_7d,
+                   CAST(rc.current_rank - rc.rank_14d_ago AS SMALLINT)
+                       AS rank_change_14d,
+                   CAST(rc.current_rank - rc.rank_30d_ago AS SMALLINT)
+                       AS rank_change_30d,
+                   CAST(dr.percentile AS FLOAT) AS percentile,
+                   CAST(dr.market_share_pct AS FLOAT) AS market_share_pct,
+                   CAST(COALESCE(ta.days_available_30d, 0) AS TINYINT)
+                       AS days_available,
+                   CAST(TIMESTAMP '{GEN_TS}' AS TIMESTAMP) AS generation_timestamp
+            FROM daily_ranks dr
+            JOIN rank_changes rc ON dr.date = rc.date AND dr.symbol = rc.symbol
+            LEFT JOIN trailing_availability ta
+                 ON dr.date = ta.date AND dr.symbol = ta.symbol
+            ORDER BY dr.date, dr.rank, dr.symbol""")
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -335,65 +467,78 @@ def oracle_sql() -> dict[str, str]:
             FROM da
             WHERE date = DATE '{SNAP_DATE}' AND available
               AND quote_volume_usdt IS NOT NULL"""),
-        "volume_rankings": with_da(f"""
-            WITH cohort AS (
-                SELECT date, symbol, quote_volume_usdt, trade_count FROM da
-                WHERE available AND quote_volume_usdt IS NOT NULL
-            ),
-            daily_ranks AS (
-                SELECT date, symbol, quote_volume_usdt, trade_count,
-                       DENSE_RANK() OVER (PARTITION BY date
-                           ORDER BY quote_volume_usdt DESC) AS rank,
-                       PERCENT_RANK() OVER (PARTITION BY date
-                           ORDER BY quote_volume_usdt DESC) * 100 AS percentile,
-                       CASE WHEN CAST(SUM(CAST(quote_volume_usdt AS DECIMAL(18,2)))
-                                 OVER (PARTITION BY date) AS DOUBLE) <> 0.0
-                            THEN quote_volume_usdt /
-                                 CAST(SUM(CAST(quote_volume_usdt AS DECIMAL(18,2)))
-                                      OVER (PARTITION BY date) AS DOUBLE) * 100
-                       END AS market_share_pct
-                FROM cohort
-            ),
-            trailing_availability AS (
-                SELECT symbol, date,
-                       COUNT(*) OVER (PARTITION BY symbol ORDER BY date
-                           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
-                           AS days_available_30d
-                FROM cohort
-            ),
-            rank_changes AS (
-                SELECT date, symbol, rank AS current_rank,
-                       LAG(rank, 1) OVER (PARTITION BY symbol ORDER BY date)
-                           AS rank_1d_ago,
-                       LAG(rank, 7) OVER (PARTITION BY symbol ORDER BY date)
-                           AS rank_7d_ago,
-                       LAG(rank, 14) OVER (PARTITION BY symbol ORDER BY date)
-                           AS rank_14d_ago,
-                       LAG(rank, 30) OVER (PARTITION BY symbol ORDER BY date)
-                           AS rank_30d_ago
-                FROM daily_ranks
+        "top_by_volume_filtered": with_da(f"""
+            WITH ranked AS (
+                SELECT symbol, quote_volume_usdt, trade_count,
+                       RANK() OVER (ORDER BY quote_volume_usdt DESC) AS volume_rank,
+                       CAST(SUM(CAST(quote_volume_usdt AS DECIMAL(18,2))) OVER ()
+                            AS DOUBLE) AS total_market_volume
+                FROM da
+                WHERE date = DATE '{SNAP_DATE}' AND available
+                  AND quote_volume_usdt IS NOT NULL
+                  AND quote_volume_usdt >= {MIN_VOLUME}
             )
-            SELECT dr.date, dr.symbol,
-                   CAST(dr.rank AS SMALLINT) AS rank,
-                   dr.quote_volume_usdt, dr.trade_count,
-                   CAST(rc.current_rank - rc.rank_1d_ago AS SMALLINT)
-                       AS rank_change_1d,
-                   CAST(rc.current_rank - rc.rank_7d_ago AS SMALLINT)
-                       AS rank_change_7d,
-                   CAST(rc.current_rank - rc.rank_14d_ago AS SMALLINT)
-                       AS rank_change_14d,
-                   CAST(rc.current_rank - rc.rank_30d_ago AS SMALLINT)
-                       AS rank_change_30d,
-                   CAST(dr.percentile AS FLOAT) AS percentile,
-                   CAST(dr.market_share_pct AS FLOAT) AS market_share_pct,
-                   CAST(COALESCE(ta.days_available_30d, 0) AS TINYINT)
-                       AS days_available,
-                   CAST(TIMESTAMP '{GEN_TS}' AS TIMESTAMP) AS generation_timestamp
-            FROM daily_ranks dr
-            JOIN rank_changes rc ON dr.date = rc.date AND dr.symbol = rc.symbol
-            LEFT JOIN trailing_availability ta
-                 ON dr.date = ta.date AND dr.symbol = ta.symbol
-            ORDER BY dr.date, dr.rank, dr.symbol"""),
+            SELECT symbol, quote_volume_usdt, trade_count, volume_rank,
+                   ROUND(100.0 * quote_volume_usdt / total_market_volume, 2)
+                       AS market_share_pct
+            FROM ranked ORDER BY quote_volume_usdt DESC LIMIT 10"""),
+        "volume_rankings": _rankings_oracle(),
+        "rankings_incremental": _rankings_oracle(
+            f" AND date > DATE '{RANGE_END}'"
+        ),
+        "upsert_semantics": with_da(f"""
+            WITH existing AS (
+                SELECT date, symbol, quote_volume_usdt FROM da
+                WHERE date BETWEEN DATE '{RANGE_START}' AND DATE '{RANGE_END}'
+            ),
+            incoming AS (
+                SELECT date, symbol,
+                       CAST(volume_base * 2.0 AS DOUBLE) AS quote_volume_usdt
+                FROM da
+                WHERE date BETWEEN DATE '{UPSERT_START}' AND DATE '{UPSERT_END}'
+            )
+            SELECT date, symbol, quote_volume_usdt FROM incoming
+            UNION ALL
+            SELECT e.date, e.symbol, e.quote_volume_usdt FROM existing e
+            WHERE NOT EXISTS (SELECT 1 FROM incoming i
+                              WHERE i.date = e.date AND i.symbol = e.symbol)
+            ORDER BY date, symbol"""),
+        "symbol_set_compare": with_da(f"""
+            WITH a AS (
+                SELECT DISTINCT symbol FROM da
+                WHERE available
+                  AND date BETWEEN DATE '{RANGE_START}' AND DATE '{RANGE_END}'
+            ),
+            b AS (
+                SELECT DISTINCT symbol FROM da
+                WHERE available
+                  AND date BETWEEN DATE '{SETB_START}' AND DATE '{SETB_END}'
+            )
+            SELECT COALESCE(a.symbol, b.symbol) AS symbol,
+                   CASE WHEN a.symbol IS NOT NULL AND b.symbol IS NOT NULL
+                            THEN 'both'
+                        WHEN b.symbol IS NULL THEN 'only_a'
+                        ELSE 'only_b' END AS membership
+            FROM a FULL OUTER JOIN b ON a.symbol = b.symbol
+            ORDER BY symbol"""),
+        "dataset_diff": with_da(f"""
+            WITH l AS (
+                SELECT symbol, available, file_size_bytes FROM da
+                WHERE date = DATE '{SNAP_DATE}'
+            ),
+            r AS (
+                SELECT symbol, available, file_size_bytes FROM da
+                WHERE date = DATE '{SNAP_DATE}' - INTERVAL 1 DAY
+            )
+            SELECT COALESCE(l.symbol, r.symbol) AS symbol,
+                   CASE WHEN r.symbol IS NULL THEN 'only_left'
+                        WHEN l.symbol IS NULL THEN 'only_right'
+                        WHEN l.available IS NOT DISTINCT FROM r.available
+                         AND l.file_size_bytes IS NOT DISTINCT FROM
+                             r.file_size_bytes THEN 'equal'
+                        ELSE 'mismatch' END AS status
+            FROM l FULL OUTER JOIN r ON l.symbol = r.symbol
+            ORDER BY symbol"""),
         "continuity_gaps": with_da(f"""
             SELECT expected_date FROM (
                 SELECT unnest(generate_series(DATE '{YEAR_START}',

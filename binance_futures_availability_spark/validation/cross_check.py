@@ -39,6 +39,30 @@ def compare_symbol_sets(db_symbols: DataFrame, api_symbols: DataFrame) -> dict:
     }
 
 
+def symbol_set_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """J6/U3 as a row stream: (symbol, membership ∈ both/only_a/only_b).
+
+    The DataFrame form of compare_symbol_sets — same single full-outer
+    join, but returning the classified universe instead of counts (what a
+    reconciliation report joins against).
+    """
+    da_ = a.select("symbol").distinct().withColumn("__a", F.lit(1))
+    db_ = b.select("symbol").distinct().withColumn("__b", F.lit(1))
+    return (
+        da_.join(db_, "symbol", "full_outer")
+        .select(
+            "symbol",
+            F.when(
+                F.col("__a").isNotNull() & F.col("__b").isNotNull(), "both"
+            )
+            .when(F.col("__b").isNull(), "only_a")
+            .otherwise("only_b")
+            .alias("membership"),
+        )
+        .orderBy("symbol")
+    )
+
+
 def symbols_missing_from_db(discovered: DataFrame, db_symbols: DataFrame) -> DataFrame:
     """J7 — gap detection: discovered symbols not yet in the fact table.
 
