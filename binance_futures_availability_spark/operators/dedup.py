@@ -205,16 +205,22 @@ def minhash_lsh_pairs(
     # persisted so the three consumers don't re-tokenize the corpus
     sh_all = shingles(docs, id_col, text_col, n).persist()
     sigs = _signatures_from_shingles(sh_all, id_col)
-    bands = None
-    for band_id, cols in enumerate(LSH_BANDS):
-        b = sigs.select(
-            F.col(id_col),
-            F.lit(band_id).alias("band"),
-            F.concat_ws(
-                "_", *[F.col(f"h{c}").cast("string") for c in cols]
-            ).alias("bucket"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # one row per (doc, band) via a single explode — a union of per-band
+    # selects would re-run the signature aggregation once per band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band_id).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"h{c}").cast("string") for c in cols]
+                ).alias("bucket"),
+            )
+            for band_id, cols in enumerate(LSH_BANDS)
+        ]
+    )
+    bands = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     left = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
     candidates = (
