@@ -161,9 +161,14 @@ def cosine_pairs_blocked(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 16,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Blocked-GEMM all-pairs cosine (see cosine_pairs docstring)."""
+    """Blocked-GEMM all-pairs cosine (see cosine_pairs docstring).
+
+    Size ``n_blocks`` so one block (n/n_blocks vectors × dim × 8 B) fits an
+    executor comfortably; group count grows as n_blocks²/2, so prefer the
+    smallest block count whose blocks fit memory.
+    """
     spark = emb.sparkSession
     base = _with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vid"),
