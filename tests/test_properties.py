@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) — invariants no example table pins.
+
+A dimension the reference's suite lacks entirely (SURVEY.md §5 "not
+present: property-based/randomized testing"). Examples are kept small and
+capped: each property drives a real Spark job.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from binance_futures_availability_spark.operators import dedup
+from binance_futures_availability_spark.schema import DAILY_AVAILABILITY
+from binance_futures_availability_spark.sources import writer
+
+from conftest import _row
+
+D = dt.date
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# strategy: small availability tables — up to 3 symbols × 3 days, random
+# availability and volume (volume None ⇔ unavailable kept legal too)
+_row_strategy = st.tuples(
+    st.sampled_from([D(2024, 1, 1), D(2024, 1, 2), D(2024, 1, 3)]),
+    st.sampled_from(["AUSDT", "BUSDT", "CUSDT"]),
+    st.booleans(),
+    st.one_of(st.none(), st.floats(1.0, 1000.0, allow_nan=False)),
+)
+_tables = st.lists(_row_strategy, min_size=1, max_size=9, unique_by=lambda r: (r[0], r[1]))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [_row(d, s, a, (v if a else None)) for d, s, a, v in rows],
+        DAILY_AVAILABILITY,
+    )
+
+
+@SETTINGS
+@given(a=_tables, b=_tables)
+def test_upsert_idempotent_and_key_unique(spark, a, b):
+    """upsert(upsert(A,B),B) == upsert(A,B); result has unique keys and
+    exactly the union of key sets (INSERT OR REPLACE semantics)."""
+    da, db = _df(spark, a), _df(spark, b)
+    once = writer.upsert(da, db, ["date", "symbol"], "probe_timestamp")
+    twice = writer.upsert(once, db, ["date", "symbol"], "probe_timestamp")
+    r1 = {(r["date"], r["symbol"]): r for r in once.collect()}
+    r2 = {(r["date"], r["symbol"]): r for r in twice.collect()}
+    assert set(r1) == {(r[0], r[1]) for r in a} | {(r[0], r[1]) for r in b}
+    assert len(r1) == once.count()  # keys unique
+    assert {k: v["quote_volume_usdt"] for k, v in r1.items()} == {
+        k: v["quote_volume_usdt"] for k, v in r2.items()
+    }
+    # incoming rows always win on collision
+    for d, s, avail, v in b:
+        got = r1[(d, s)]["quote_volume_usdt"]
+        assert got == (v if avail else None)
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # tiny alphabet → heavy overlap
+        min_size=0,
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@SETTINGS
+@given(texts=_texts)
+def test_jaccard_pairs_bounds_and_orientation(spark, texts):
+    """0 < jaccard ≤ 1, id_a < id_b, and identical texts score 1.0."""
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.0, n=2, max_shingle_freq=None
+    ).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 < r["jaccard"] <= 1.0
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    shingle_sets = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        shingle_sets[i] = {
+            " ".join(toks[j : j + 2]) for j in range(len(toks) - 1)
+        }
+    for i, t1 in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            s1, s2 = shingle_sets[i], shingle_sets[j]
+            if s1 and s1 == s2:
+                assert by_pair.get((i, j)) == 1.0
+
+
+@SETTINGS
+@given(texts=_texts, max_hamming=st.integers(0, 8))
+def test_simhash_banding_equals_brute_force(spark, texts, max_hamming):
+    """Pigeonhole banding is lossless for any max_hamming."""
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    s = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    brute = {
+        (a, b)
+        for a in s
+        for b in s
+        if a < b and bin(s[a] ^ s[b]).count("1") <= max_hamming
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_pairs(docs, max_hamming).collect()
+    }
+    assert banded == brute
