@@ -102,15 +102,22 @@ def _pair_jaccard(
 
     ``max_shingle_freq`` prunes posting lists (scale path): shingles
     appearing in more docs than the cap are dropped before the join.
+
+    Shuffle budget: the df cap is a WINDOW count over shingle (one shuffle,
+    and it leaves the postings hash-partitioned by shingle, so the
+    self-join that follows needs no further exchange) instead of a
+    groupBy + join-back (three). The per-doc size table is linear in docs —
+    small enough for AQE to broadcast at test scale, a real distributed
+    join at corpus scale; the planner decides, not the code.
     """
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     postings = sh
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        postings = sh.join(
-            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
-            "shingle",
-            "inner",
+        w_df = Window.partitionBy("shingle")
+        postings = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("__df") <= max_shingle_freq)
+            .drop("__df")
         )
     a = postings.select(F.col(id_col).alias("id_a"), "shingle")
     b = postings.select(F.col(id_col).alias("id_b"), "shingle")
@@ -298,24 +305,32 @@ def simhash_pairs(
     results equal brute force. Shuffle is bounded by chunk-bucket sizes
     (16-bit-ish buckets over near-uniform hash bits ⇒ skew-free).
     """
-    # one fingerprint per doc, persisted: every band branch of the union
-    # below scans it, and without materialization each branch re-runs the
-    # full token aggregation
+    # one fingerprint per doc, persisted: both self-join sides scan it, and
+    # without materialization each side re-runs the full token aggregation
     s = simhash(docs, id_col, text_col).persist()
     n_chunks = max_hamming + 1
     chunk_bits = -(-SIMHASH_BITS // n_chunks)  # ceil
     mask = (1 << chunk_bits) - 1
-    banded = None
-    for i in range(n_chunks):
-        c = s.select(
-            F.col(id_col),
-            F.lit(i).alias("band"),
-            F.shiftright(F.col("simhash"), i * chunk_bits)
-            .bitwiseAND(F.lit(mask))
-            .alias("chunk"),
-            "simhash",
-        )
-        banded = c if banded is None else banded.unionByName(c)
+    # one row per (doc, chunk) via a single explode — no per-band union
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    banded = s.select(
+        F.col(id_col), "simhash", F.explode(chunk_structs).alias("bc")
+    ).select(
+        F.col(id_col),
+        F.col("bc.band").alias("band"),
+        F.col("bc.chunk").alias("chunk"),
+        "simhash",
+    )
     a = banded.select(
         F.col(id_col).alias("id_a"), "band", "chunk", F.col("simhash").alias("sh_a")
     )
