@@ -38,25 +38,47 @@ LSH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
 SIMHASH_BITS = 60
 
 
+def shingle_array(text_col, n: int = 3):
+    """Column expression: distinct word n-gram shingles of a text column.
+
+    Entirely array-native so shingling is a NARROW per-row projection: a
+    ``zip_with`` fold concatenates the token array against its own
+    i-shifted slices, the ragged tail falls out as nulls (``zip_with`` pads
+    the shorter side, ``concat`` propagates), ``array_compact`` drops them,
+    ``array_distinct`` gives set semantics.
+
+    Two shapes rejected by measurement: ``transform`` over an index
+    ``sequence`` with ``slice(toks, i, n)`` in the lambda re-evaluates the
+    *tokenizer expression* once per element (lambdas capture unresolved
+    child expressions, not materialized values — 7× slower); the original
+    posexplode + lead-window + DISTINCT paid two corpus-wide shuffles.
+    Here every lambda touches only its bound arguments, and the whole
+    expression costs O(tokens · n) with zero exchanges.
+    """
+    toks = tokens(text_col)
+    cur = toks
+    for i in range(2, n + 1):
+        shifted = F.slice(toks, i, F.size(toks))
+        cur = F.zip_with(cur, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.array_compact(cur))
+
+
 def shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Built with posexplode + lead windows (identical SQL exists in DuckDB);
-    null-propagating concat drops the ragged tail.
+    Zero shuffles: the per-doc shingle SET is built inside the row
+    (``shingle_array``) and exploded. The earlier posexplode + lead-window +
+    DISTINCT shape paid two corpus-wide exchanges (window sort by doc,
+    then distinct) for the same output — at 100 TB those were the dominant
+    cost of every near-dup pipeline built on shingles. Higher-order lambdas
+    are interpreted, not codegen'd, but the work is O(tokens) per row and
+    buys back two wide shuffles.
     """
-    base = docs.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")]
-    for i in range(1, n):
-        parts += [F.lit(" "), F.lead("tok", i).over(w)]
-    return (
-        base.select(F.col(id_col), F.concat(*parts).alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
+    return docs.select(
+        F.col(id_col),
+        F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
     )
 
 
@@ -96,7 +118,10 @@ def dedup_exact(
 
 
 def _pair_jaccard(
-    sh: DataFrame, id_col: str, max_shingle_freq: int | None = None
+    sh: DataFrame,
+    id_col: str,
+    max_shingle_freq: int | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """All candidate pairs sharing ≥1 shingle, with exact Jaccard.
 
@@ -106,11 +131,15 @@ def _pair_jaccard(
     Shuffle budget: the df cap is a WINDOW count over shingle (one shuffle,
     and it leaves the postings hash-partitioned by shingle, so the
     self-join that follows needs no further exchange) instead of a
-    groupBy + join-back (three). The per-doc size table is linear in docs —
-    small enough for AQE to broadcast at test scale, a real distributed
-    join at corpus scale; the planner decides, not the code.
+    groupBy + join-back (three). ``sizes`` (id, sz = |shingle set|) should
+    be the narrow ``size(shingle_array(...))`` projection when the caller
+    has the source docs — it joins against the (small) pair aggregate, so
+    AQE broadcasts the pair side and the size scan stays shuffle-free;
+    without it the sizes are recovered from the postings with one
+    partial-agg groupBy.
     """
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     postings = sh
     if max_shingle_freq is not None:
         w_df = Window.partitionBy("shingle")
@@ -166,8 +195,11 @@ def ngram_jaccard_pairs(
     against capped postings is conservative.
     """
     sh = shingles(docs, id_col, text_col, n)
+    sizes = docs.select(
+        F.col(id_col), F.size(shingle_array(F.col(text_col), n)).alias("sz")
+    )
     return (
-        _pair_jaccard(sh, id_col, max_shingle_freq)
+        _pair_jaccard(sh, id_col, max_shingle_freq, sizes=sizes)
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -248,7 +280,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh = sh_all.join(cand_ids, id_col, "left_semi")
-    jac = _pair_jaccard(sh, id_col)
+    sizes = docs.select(
+        F.col(id_col), F.size(shingle_array(F.col(text_col), n)).alias("sz")
+    )
+    jac = _pair_jaccard(sh, id_col, sizes=sizes)
     return (
         candidates.join(jac, ["id_a", "id_b"], "inner")
         .filter(F.col("jaccard") >= threshold)
