@@ -278,6 +278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": lambda s, d: similarity.cosine_pairs(
             _emb(s, d), COSINE_THRESHOLD
         ),
+        "ivf_cells": lambda s, d: similarity.ivf_cells(_emb(s, d)),
+        "ivf_topk": lambda s, d: similarity.ivf_topk(
+            _emb(s, d), ANN_QUERY_ID, ANN_K
+        ),
         "lsh_buckets": lambda s, d: similarity.lsh_buckets(_emb(s, d)),
         "lsh_cosine_pairs": lambda s, d: similarity.lsh_cosine_pairs(
             _emb(s, d), COSINE_THRESHOLD
@@ -619,6 +623,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": oracles.sql_simhash_pairs(SIMHASH_MAX_HAMMING),
         "ann_topk": oracles.sql_ann_topk(ANN_QUERY_ID, ANN_K),
         "cosine_pairs": oracles.sql_cosine_pairs(COSINE_THRESHOLD),
+        "ivf_cells": oracles.sql_ivf_cells(similarity.IVF_N_CELLS),
+        "ivf_topk": oracles.sql_ivf_topk(
+            ANN_QUERY_ID, ANN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
+        ),
         "lsh_buckets": oracles.sql_lsh_buckets(),
         "lsh_cosine_pairs": oracles.sql_lsh_cosine_pairs(COSINE_THRESHOLD),
         "label_centroids": oracles.sql_label_centroids(),

@@ -288,6 +288,127 @@ def lsh_cosine_pairs(
     )
 
 
+#: IVF coarse-quantizer defaults: 16 cells, probe the 4 nearest.
+IVF_N_CELLS = 16
+IVF_NPROBE = 4
+
+
+def _collect_seeds(base: DataFrame, id_col: str, n_cells: int):
+    """The IVF coarse quantizer: the ``n_cells`` lowest-id vectors.
+
+    Deterministic seed selection (no k-means RNG) keeps the index
+    reproducible and lets the DuckDB oracle rebuild it with ``ORDER BY id
+    LIMIT n``. Collecting the seeds to the driver is the IVF pattern, not a
+    scale smell: the centroid table is a bounded dimension (n_cells × dim
+    ints) that every IVF implementation ships to all workers.
+    """
+    rows = (
+        base.orderBy(id_col)
+        .limit(n_cells)
+        .select("__q", "__norm")
+        .collect()
+    )
+    import numpy as np
+
+    sq = np.asarray([r["__q"] for r in rows], dtype=np.float64)
+    snrm = np.asarray([r["__norm"] for r in rows], dtype=np.float64)
+    return sq, snrm
+
+
+def _cell_kernel(sq, snrm):
+    """Arrow-batched nearest-seed assignment: one GEMM per batch, argmax
+    over exact-integer cosines (ties → lowest cell, matching the oracle's
+    ``ORDER BY cos DESC, cell``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def cell_of(q: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(q) == 0:
+            return pd.Series([], dtype="int32")
+        qm = np.asarray(q.tolist(), dtype=np.float64)
+        cos = (qm @ sq.T) / (
+            np.sqrt((qm * qm).sum(axis=1))[:, None] * np.sqrt(snrm)[None, :]
+        )
+        return pd.Series(np.argmax(cos, axis=1).astype(np.int32))
+
+    return cell_of
+
+
+def ivf_cells(
+    emb: DataFrame,
+    n_cells: int = IVF_N_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) — IVF inverted-list assignment, a narrow projection.
+
+    At corpus scale this column is the partition key of the vector table:
+    writes cluster by cell, and ``ivf_topk`` prunes to ``nprobe``
+    partitions — the Spark-native analogue of a FAISS IVF index.
+    """
+    base = _with_quantized(emb, vec_col)
+    sq, snrm = _collect_seeds(base, id_col, n_cells)
+    return base.select(
+        F.col(id_col), _cell_kernel(sq, snrm)(F.col("__q")).alias("cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = IVF_N_CELLS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k, IVF scale path: scan only the ``nprobe`` cells nearest
+    the query instead of the whole corpus.
+
+    Plan shape: seed matrix and probe-cell choice are driver-side over the
+    bounded centroid table; the corpus side is a narrow project (cell
+    assignment) → filter (cell pruning, ~nprobe/n_cells of the data) →
+    broadcast query row → TakeOrderedAndProject. Zero corpus shuffles.
+    Recall is approximate by construction (a true neighbor assigned to an
+    unprobed cell is missed) — ``ann_topk`` is the exact baseline; raise
+    ``nprobe`` to trade scan fraction for recall.
+    """
+    import numpy as np
+
+    base = _with_quantized(emb, vec_col)
+    sq, snrm = _collect_seeds(base, id_col, n_cells)
+    qrow = base.filter(F.col(id_col) == query_vec_id).select("__q", "__norm").first()
+    qv = np.asarray(qrow["__q"], dtype=np.float64)
+    qn = float(qrow["__norm"])
+    # same expression order as the oracle: dot / (sqrt(ns) * sqrt(qn));
+    # ties broken toward the lower cell id by stable argsort
+    cos_seeds = (sq @ qv) / (np.sqrt(snrm) * np.sqrt(qn))
+    probe = [int(c) for c in np.argsort(-cos_seeds, kind="stable")[:nprobe]]
+    qsel = (
+        base.filter(F.col(id_col) == query_vec_id)
+        .select(F.col("__q").alias("__qq"), F.col("__norm").alias("__qnorm"))
+    )
+    cands = (
+        base.filter(F.col(id_col) != query_vec_id)
+        .withColumn("cell", _cell_kernel(sq, snrm)(F.col("__q")))
+        .filter(F.col("cell").isin(probe))
+        .crossJoin(F.broadcast(qsel))
+    )
+    dot = int_dot(F.col("__q"), F.col("__qq"))
+    return (
+        cands.select(
+            F.col(id_col),
+            cosine_from_quantized(dot, F.col("__norm"), F.col("__qnorm")).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def label_centroids(
     emb: DataFrame,
     id_col: str = "vec_id",

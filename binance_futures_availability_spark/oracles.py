@@ -221,6 +221,55 @@ WHERE list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) >= {threshold}
 ORDER BY id_a, id_b"""
 
 
+def _ivf_ctes(n_cells: int) -> str:
+    """Seeds (n_cells lowest-id vectors, 0-based cell ids) + nearest-seed
+    assignment with the ties-to-lowest-cell rule the Spark argmax uses."""
+    return f"""
+seeds AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, q AS sq, nrm AS snrm
+    FROM (SELECT vec_id, q, nrm FROM normed ORDER BY vec_id LIMIT {n_cells})
+),
+scored AS (
+    SELECT n.vec_id, s.cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY list_dot_product(n.q, s.sq) / (sqrt(n.nrm) * sqrt(s.snrm)) DESC,
+                        s.cell
+           ) AS rn
+    FROM normed n CROSS JOIN seeds s
+),
+assign AS (SELECT vec_id, cell FROM scored WHERE rn = 1)
+""".strip()
+
+
+def sql_ivf_cells(n_cells: int) -> str:
+    return f"""WITH {EMB_BASE_CTE},
+{_ivf_ctes(n_cells)}
+SELECT vec_id, CAST(cell AS INT) AS cell FROM assign"""
+
+
+def sql_ivf_topk(query_vec_id: int, k: int, n_cells: int, nprobe: int) -> str:
+    return f"""WITH {EMB_BASE_CTE},
+{_ivf_ctes(n_cells)},
+qv AS (SELECT q AS qq, nrm AS qn FROM normed WHERE vec_id = {query_vec_id}),
+probe AS (
+    SELECT cell FROM (
+        SELECT s.cell,
+               list_dot_product(s.sq, qv.qq) / (sqrt(s.snrm) * sqrt(qv.qn)) AS cs
+        FROM seeds s, qv
+    ) ORDER BY cs DESC, cell LIMIT {nprobe}
+)
+SELECT n.vec_id,
+       list_dot_product(n.q, qv.qq) / (sqrt(n.nrm) * sqrt(qv.qn)) AS cosine
+FROM normed n
+JOIN assign a ON n.vec_id = a.vec_id
+JOIN probe p ON a.cell = p.cell
+CROSS JOIN qv
+WHERE n.vec_id <> {query_vec_id}
+ORDER BY cosine DESC, n.vec_id
+LIMIT {k}"""
+
+
 def sql_label_centroids() -> str:
     return f"""WITH flat AS (
     SELECT label,

@@ -170,6 +170,35 @@ def test_lsh_same_vector_same_bucket(emb):
     assert lsh == {(0, 1)}  # identical vectors always share a bucket
 
 
+def test_ivf_cells_assigns_every_vector(emb):
+    got = {r["vec_id"]: r["cell"] for r in similarity.ivf_cells(emb, n_cells=2).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # seeds are vectors 0 and 1 (identical) → ties break to cell 0; the
+    # anti-parallel vector 3 is furthest from seed 0, orthogonal 2 ties
+    assert got[0] == 0 and got[1] == 0
+
+
+def test_ivf_topk_matches_brute_force_in_probed_cells(emb):
+    # nprobe == n_cells ⇒ no pruning ⇒ IVF equals the exact baseline
+    exact = [r["vec_id"] for r in similarity.ann_topk(emb, 0, k=3).collect()]
+    ivf = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(emb, 0, k=3, n_cells=2, nprobe=2).collect()
+    ]
+    assert ivf == exact
+
+
+def test_ivf_topk_prunes_unprobed_cells(emb):
+    # seeds = v0, v0, v2: the orthogonal vector 2 and anti-parallel 3 land
+    # in cell 2; nprobe=1 probes the query's cell (0), so only the
+    # identical vector 1 survives the cell pruning
+    got = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(emb, 0, k=4, n_cells=3, nprobe=1).collect()
+    ]
+    assert got == [1]
+
+
 def test_lsh_cosine_pairs_no_cartesian(emb):
     plan = (
         similarity.lsh_cosine_pairs(emb, 0.9)
