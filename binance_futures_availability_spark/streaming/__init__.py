@@ -6,6 +6,7 @@ deployment where probe results arrive continuously.
 """
 
 from .pipeline import (
+    availability_transitions,
     dedup_probe_stream,
     probe_stream_source,
     start_upsert_sink,
@@ -13,6 +14,7 @@ from .pipeline import (
 )
 
 __all__ = [
+    "availability_transitions",
     "dedup_probe_stream",
     "probe_stream_source",
     "start_upsert_sink",

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -82,6 +83,65 @@ def streaming_symbol_counts(stream: DataFrame, late_horizon: str = "3 days") -> 
                 "unavailable_count"
             ),
         )
+    )
+
+
+#: output schema of availability_transitions
+TRANSITIONS_SCHEMA = "symbol string, event string, event_date date, prev_date date"
+#: per-symbol state: where the symbol's history left off
+_TRANSITIONS_STATE = "last_date date, last_available boolean"
+
+
+def availability_transitions(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: online listing/delisting/gap detection.
+
+    The streaming form of the reference's anti-join analytics (J3 new
+    listings, J4 delistings, J5 continuity gaps — SURVEY.md §2.3): instead
+    of re-scanning history per question, a per-symbol state machine built
+    on ``applyInPandasWithState`` carries (last_date, last_available)
+    across micro-batches and emits transition events as probes arrive:
+
+    - ``listing``    first available sighting of a symbol
+    - ``delisting``  available → unavailable
+    - ``relisting``  unavailable → available again
+    - ``gap``        consecutive available probes more than 1 day apart
+
+    Scale: state is 2 small fields × #symbols (bounded by the universe,
+    not by throughput); each micro-batch shuffles only its own rows by
+    symbol. Arrow-batched — the pandas kernel sees one symbol's batch rows
+    at a time, sorted here by (date, probe_timestamp) since micro-batch
+    arrival order is arbitrary.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        (symbol,) = key
+        last_date, last_available = state.get if state.exists else (None, None)
+        events: list[tuple] = []
+        for pdf in pdf_iter:
+            for r in pdf.sort_values(["date", "probe_timestamp"]).itertuples():
+                d, avail = r.date, bool(r.available)
+                if last_available is None:
+                    if avail:
+                        events.append((symbol, "listing", d, None))
+                elif avail and not last_available:
+                    events.append((symbol, "relisting", d, last_date))
+                elif not avail and last_available:
+                    events.append((symbol, "delisting", d, last_date))
+                elif avail and last_available and (d - last_date).days > 1:
+                    events.append((symbol, "gap", d, last_date))
+                last_date, last_available = d, avail
+        state.update((last_date, last_available))
+        yield pd.DataFrame(
+            events, columns=["symbol", "event", "event_date", "prev_date"]
+        )
+
+    return stream.groupBy("symbol").applyInPandasWithState(
+        fn,
+        TRANSITIONS_SCHEMA,
+        _TRANSITIONS_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
     )
 
 

@@ -13,6 +13,7 @@ import pytest
 from binance_futures_availability_spark.ingest import probe
 from binance_futures_availability_spark.operators import snapshots
 from binance_futures_availability_spark.streaming import (
+    availability_transitions,
     dedup_probe_stream,
     probe_stream_source,
     start_upsert_sink,
@@ -115,6 +116,58 @@ def test_streaming_dedup_drops_replays(spark, tmp_path):
     )
     out.awaitTermination(120)
     assert spark.sql("SELECT COUNT(*) n FROM dedup_out").collect()[0]["n"] == 1
+
+
+def test_stateful_transitions_and_restart(spark, tmp_path):
+    incoming = tmp_path / "incoming"
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "events"
+
+    def drain(_name):
+        # file sink (memory sink cannot recover from a checkpoint); events
+        # accumulate across runs
+        q = (
+            availability_transitions(probe_stream_source(spark, str(incoming)))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            tuple(r)
+            for r in spark.read.parquet(str(out))
+            .select("symbol", "event", "event_date", "prev_date")
+            .collect()
+        ]
+
+    # wave 1: BTC listed d15, seen d16, then d18 (gap over d17);
+    # ETH listed d15, delisted d16, relisted d17
+    _drop(
+        spark,
+        incoming,
+        _recs(D(2024, 1, 15), ["BTCUSDT", "ETHUSDT"])
+        + _recs(D(2024, 1, 16), ["BTCUSDT"])
+        + _recs(D(2024, 1, 18), ["BTCUSDT"])
+        + _recs(D(2024, 1, 16), ["ETHUSDT"], available=False)
+        + _recs(D(2024, 1, 17), ["ETHUSDT"]),
+    )
+    got = set(drain("transitions_1"))
+    assert got == {
+        ("BTCUSDT", "listing", D(2024, 1, 15), None),
+        ("BTCUSDT", "gap", D(2024, 1, 18), D(2024, 1, 16)),
+        ("ETHUSDT", "listing", D(2024, 1, 15), None),
+        ("ETHUSDT", "delisting", D(2024, 1, 16), D(2024, 1, 15)),
+        ("ETHUSDT", "relisting", D(2024, 1, 17), D(2024, 1, 16)),
+    }
+
+    # wave 2, NEW run on the same checkpoint: state must remember BTC was
+    # available on d18 → a d19 404 is a delisting, not a fresh listing
+    _drop(spark, incoming, _recs(D(2024, 1, 19), ["BTCUSDT"], available=False))
+    got2 = set(drain("transitions_2"))
+    assert got2 - got == {("BTCUSDT", "delisting", D(2024, 1, 19), D(2024, 1, 18))}
 
 
 def test_streaming_symbol_counts_watermarked(spark, tmp_path):
