@@ -286,6 +286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_pairs": lambda s, d: similarity.lsh_cosine_pairs(
             _emb(s, d), COSINE_THRESHOLD
         ),
+        "embedding_dedup": lambda s, d: similarity.embedding_dedup_survivors(
+            _emb(s, d), COSINE_THRESHOLD
+        ),
         "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         "token_counts": lambda s, d: textops.token_counts(_docs(s, d)),
         "quality_scores": lambda s, d: textops.quality_scores(_docs(s, d)),
@@ -629,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lsh_buckets": oracles.sql_lsh_buckets(),
         "lsh_cosine_pairs": oracles.sql_lsh_cosine_pairs(COSINE_THRESHOLD),
+        "embedding_dedup": oracles.sql_embedding_dedup_survivors(COSINE_THRESHOLD),
         "label_centroids": oracles.sql_label_centroids(),
         "token_counts": oracles.sql_token_counts(),
         "quality_scores": oracles.sql_quality_scores(),

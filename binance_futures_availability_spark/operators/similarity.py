@@ -409,6 +409,28 @@ def ivf_topk(
     )
 
 
+def embedding_dedup_survivors(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP: ids surviving greedy lowest-id-wins.
+
+    Completes the dedup family (exact / Jaccard / MinHash / SimHash /
+    embedding-cosine): any vector whose embedding matches a lower id at
+    cosine ≥ threshold is dropped. Greedy pairwise survivorship (standard
+    LSH-dedup policy), not connected components — B dropped for A and C
+    dropped for B can both happen even if cos(A,C) < threshold. Candidates
+    come from the hyperplane-LSH bucket join, so the scale shape is the
+    ``lsh_cosine_pairs`` one plus a broadcast-able anti-join on the (small)
+    duplicate-id set.
+    """
+    pairs = lsh_cosine_pairs(emb, threshold, id_col, vec_col)
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(dups, id_col, "left_anti").select(id_col).orderBy(id_col)
+
+
 def label_centroids(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -270,6 +270,19 @@ ORDER BY cosine DESC, n.vec_id
 LIMIT {k}"""
 
 
+def sql_embedding_dedup_survivors(threshold: float) -> str:
+    return f"""WITH {EMB_BASE_CTE},
+bucketed AS (SELECT vec_id, q, nrm, {_bucket_sql()} AS bucket FROM normed),
+dup_ids AS (
+    SELECT DISTINCT b.vec_id AS vid
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) >= {threshold}
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vid FROM dup_ids)
+ORDER BY vec_id"""
+
+
 def sql_label_centroids() -> str:
     return f"""WITH flat AS (
     SELECT label,

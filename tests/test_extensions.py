@@ -170,6 +170,15 @@ def test_lsh_same_vector_same_bucket(emb):
     assert lsh == {(0, 1)}  # identical vectors always share a bucket
 
 
+def test_embedding_dedup_drops_higher_id_near_dup(emb):
+    # vectors 0 and 1 are identical → 1 (the higher id) is dropped
+    got = [
+        r["vec_id"]
+        for r in similarity.embedding_dedup_survivors(emb, 0.99).collect()
+    ]
+    assert got == [0, 2, 3]
+
+
 def test_ivf_cells_assigns_every_vector(emb):
     got = {r["vec_id"]: r["cell"] for r in similarity.ivf_cells(emb, n_cells=2).collect()}
     assert set(got) == {0, 1, 2, 3}
