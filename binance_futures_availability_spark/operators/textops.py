@@ -102,17 +102,22 @@ def fingerprints(
     The min-shingle hash (min over 3-gram shingle hashes) is a 1-permutation
     MinHash — winnowing-lite; equal fingerprints ⇒ near-identical content.
 
-    Fully narrow: the shingle set is built in-row (``shingle_array``) and
-    the min hash folds over it with ``array_min`` — no shuffle, no join;
-    short docs yield NULL (``array_min`` of an empty array), matching the
-    left-join-miss semantics of the aggregated formulation.
+    Two narrow branches joined on id: content md5 straight off the doc,
+    min-shingle hash as a partial-agg groupBy over the (shuffle-free)
+    shingle explode; the join side is per-doc and broadcast-able. Two
+    rejected shapes, both measured slower: ``array_min(transform(...))``
+    runs md5 interpreted per element (2.6×); carrying content_md5 through
+    the groupBy as a key makes the collapsed projection recompute the
+    normalize+md5 once per exploded shingle row (6×).
     """
-    from .dedup import shingle_array  # local import to avoid cycle
+    from .dedup import shingles  # local import to avoid cycle
 
-    return docs.select(
-        id_col,
-        F.md5(normalized_text(F.col(text_col))).alias("content_md5"),
-        F.array_min(
-            F.transform(shingle_array(F.col(text_col)), lambda s: md5_int60(s))
-        ).alias("min_shingle_hash"),
-    ).orderBy(id_col)
+    norm_md5 = docs.select(
+        id_col, F.md5(normalized_text(F.col(text_col))).alias("content_md5")
+    )
+    min_sh = (
+        shingles(docs, id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.min(md5_int60(F.col("shingle"))).alias("min_shingle_hash"))
+    )
+    return norm_md5.join(min_sh, id_col, "left").orderBy(id_col)
