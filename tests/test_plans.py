@@ -87,6 +87,45 @@ def test_rankings_shuffle_budget(partitioned_table):
     assert n_exchanges <= 3, plan
 
 
+def test_shingles_plan_is_shuffle_free(spark):
+    from binance_futures_availability_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e")], ["doc_id", "text"]
+    )
+    plan = _plan(dedup.shingles(docs))
+    # the shingle SET is built in-row: no window sort, no distinct exchange
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan
+
+
+def test_ivf_topk_corpus_side_has_no_shuffle(spark, tmp_path_factory):
+    from binance_futures_availability_spark.operators import similarity
+
+    path = str(tmp_path_factory.mktemp("plansivf") / "emb")
+    rows = [(i, [float(i % 7), 1.0, 0.5, 0.25], "a") for i in range(40)]
+    spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).write.parquet(path)
+    emb = spark.read.parquet(path)
+    plan = _plan(similarity.ivf_topk(emb, 1, k=5, n_cells=4, nprobe=2))
+    # cell filter + broadcast query row + TakeOrdered: the only acceptable
+    # exchange is the single-partition gather inside TakeOrdered's final step
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_embedding_dedup_anti_join_is_broadcast(spark):
+    from binance_futures_availability_spark.operators import similarity
+
+    rows = [(i, [float(i), 1.0, 0.5, 0.25], "a") for i in range(8)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    df = similarity.embedding_dedup_survivors(emb, 0.99)
+    df.collect()  # AQE decides broadcast at runtime; read the final plan
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_gathered_sort_has_no_range_exchange(partitioned_table):
     plan = _plan(
         snapshots.available_symbols_on_date(partitioned_table, D(2024, 1, 2))
