@@ -18,6 +18,7 @@ import os
 import sys
 
 from ..api import AnalyticsQueries, Engine, SnapshotQueries, TimelineQueries
+from ..session import get_session
 from ..sources import writer
 
 __version__ = "0.2.0"
@@ -121,6 +122,67 @@ def cmd_summary(args: argparse.Namespace) -> int:
     return 0
 
 
+def _print_rows(df, args, label: str, limit: int = 10) -> int:
+    rows = [r.asDict() for r in df.limit(limit + 1).collect()]
+    more = len(rows) > limit
+    rows = rows[:limit]
+    if args.json:
+        print(json.dumps(rows, indent=2, default=str))
+    else:
+        print(label)
+        for r in rows:
+            print("  " + ", ".join(f"{k}={v}" for k, v in r.items()))
+        if more:
+            print(f"  ... (showing first {limit})")
+    return 0
+
+
+def cmd_dedup(args: argparse.Namespace) -> int:
+    from ..operators import dedup
+
+    spark = get_session("bfa-cli")
+    docs = spark.read.parquet(args.docs)
+    if args.method == "exact":
+        df = dedup.exact_duplicates(docs)
+    elif args.method == "jaccard":
+        df = dedup.ngram_jaccard_pairs(docs, args.threshold)
+    elif args.method == "minhash":
+        df = dedup.minhash_lsh_pairs(docs, args.threshold)
+    else:  # simhash
+        df = dedup.simhash_pairs(docs, args.max_hamming)
+    return _print_rows(df, args, f"{args.method} duplicates:")
+
+
+def cmd_text(args: argparse.Namespace) -> int:
+    from ..operators import textops
+
+    spark = get_session("bfa-cli")
+    docs = spark.read.parquet(args.docs)
+    op = {
+        "tokens": textops.token_counts,
+        "quality": textops.quality_scores,
+        "language": textops.language_id,
+        "fingerprints": textops.fingerprints,
+    }[args.op]
+    return _print_rows(op(docs), args, f"{args.op}:")
+
+
+def cmd_similarity(args: argparse.Namespace) -> int:
+    from ..operators import similarity
+
+    spark = get_session("bfa-cli")
+    emb = spark.read.parquet(args.embeddings)
+    if args.op == "topk":
+        df = similarity.ann_topk(emb, args.query_id, args.k)
+    elif args.op == "ivf-topk":
+        df = similarity.ivf_topk(emb, args.query_id, args.k)
+    elif args.op == "pairs":
+        df = similarity.lsh_cosine_pairs(emb, args.threshold)
+    else:  # dedup
+        df = similarity.embedding_dedup_survivors(emb, args.threshold)
+    return _print_rows(df, args, f"{args.op}:")
+
+
 def _add_source_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--table", help="parquet daily_availability table path")
     p.add_argument("--sf-dir", help="testdata dir (derived fact table)")
@@ -176,6 +238,44 @@ def build_parser() -> argparse.ArgumentParser:
     p = asub.add_parser("summary", help="Daily symbol counts")
     _add_source_args(p)
     p.set_defaults(func=cmd_summary)
+
+    pipe = sub.add_parser(
+        "pipeline", help="LLM-data-pipeline operators (documents/embeddings)"
+    )
+    psub = pipe.add_subparsers(dest="pipeline_command")
+
+    p = psub.add_parser("dedup", help="Near/exact duplicate detection")
+    p.add_argument("docs", help="documents parquet path")
+    p.add_argument(
+        "--method",
+        choices=["exact", "jaccard", "minhash", "simhash"],
+        default="exact",
+    )
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--max-hamming", type=int, default=3)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_dedup)
+
+    p = psub.add_parser("text", help="Text analysis")
+    p.add_argument("docs", help="documents parquet path")
+    p.add_argument(
+        "--op",
+        choices=["tokens", "quality", "language", "fingerprints"],
+        default="tokens",
+    )
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_text)
+
+    p = psub.add_parser("similarity", help="Embedding similarity search")
+    p.add_argument("embeddings", help="embeddings parquet path")
+    p.add_argument(
+        "--op", choices=["topk", "ivf-topk", "pairs", "dedup"], default="topk"
+    )
+    p.add_argument("--query-id", type=int, default=0)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--threshold", type=float, default=0.95)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_similarity)
 
     return parser
 

@@ -145,6 +145,59 @@ def test_cli_analytics(table_path, capsys):
     assert rows[0]["total_symbols"] == 3
 
 
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("clidocs") / "docs")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text about spark engines"),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def emb_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cliemb") / "emb")
+    v = [1.0, 0.0, 0.5, 0.25]
+    spark.createDataFrame(
+        [(0, v, "a"), (1, list(v), "a"), (2, [0.0, 1.0, 0.0, 0.0], "b")],
+        ["vec_id", "embedding", "label"],
+    ).write.parquet(p)
+    return p
+
+
+def test_cli_pipeline_dedup(docs_path, capsys):
+    assert main(["pipeline", "dedup", docs_path, "--method", "exact", "--json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 1 and rows[0]["n_docs"] == 2
+
+
+def test_cli_pipeline_text(docs_path, capsys):
+    assert main(["pipeline", "text", docs_path, "--op", "language", "--json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    langs = {r["doc_id"]: r["predicted_lang"] for r in rows}
+    assert langs[1] == "en" and langs[2] == "en"
+    assert langs[3] == "unknown"  # no stopword hits in the distinct doc
+
+
+def test_cli_pipeline_similarity(emb_path, capsys):
+    assert (
+        main(
+            [
+                "pipeline", "similarity", emb_path,
+                "--op", "dedup", "--threshold", "0.99", "--json",
+            ]
+        )
+        == 0
+    )
+    rows = json.loads(capsys.readouterr().out)
+    assert [r["vec_id"] for r in rows] == [0, 2]
+
+
 def test_cli_no_command_prints_help(capsys):
     assert main([]) == 1
     assert "usage:" in capsys.readouterr().out
