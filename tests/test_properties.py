@@ -101,6 +101,26 @@ def test_jaccard_pairs_bounds_and_orientation(spark, texts):
 
 
 @SETTINGS
+@given(texts=_texts, n=st.integers(1, 4))
+def test_shingle_array_matches_python_reference(spark, texts, n):
+    """The zip_with shingle fold equals the obvious Python definition:
+    distinct n-grams of whitespace tokens, for any n and any text shape
+    (empty, whitespace-only, shorter than n, repeated tokens)."""
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got: dict[int, set] = {i: set() for i in range(len(texts))}
+    for r in dedup.shingles(docs, n=n).collect():
+        got[r["doc_id"]].add(r["shingle"])
+    import re as _re
+
+    for i, t in enumerate(texts):
+        toks = _re.split(r"\s+", t.strip())
+        expected = {
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        }
+        assert got[i] == expected, (t, n)
+
+
+@SETTINGS
 @given(texts=_texts, max_hamming=st.integers(0, 8))
 def test_simhash_banding_equals_brute_force(spark, texts, max_hamming):
     """Pigeonhole banding is lossless for any max_hamming."""
