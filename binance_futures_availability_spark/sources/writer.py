@@ -70,6 +70,35 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str = "date") -> 
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "symbol",
+    n_buckets: int = 64,
+    sort_cols: tuple[str, ...] = ("symbol", "date"),
+    path: str | None = None,
+) -> None:
+    """Bucketed + sorted table — the Spark-native form of the reference's
+    ``idx_symbol_date`` secondary index (schema.py:101-116).
+
+    Rows are hash-clustered into ``n_buckets`` files by ``bucket_col`` and
+    sorted within each bucket, so every per-symbol operation downstream —
+    timeline scans, the rankings window cluster, self-joins on symbol —
+    reads data already hash-distributed and sorted: Catalyst plans them
+    with NO exchange on the bucket column. Pick ``n_buckets`` so one
+    bucket ≈ one task's worth of data at table scale; date partitioning
+    (write_partitioned) and bucketing compose for the two access paths.
+    """
+    w = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(*sort_cols)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def upsert_partitioned(
     spark_existing_path: str,
     incoming: DataFrame,

@@ -126,6 +126,31 @@ def test_embedding_dedup_anti_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_bucketed_table_symbol_ops_have_no_exchange(spark, tmp_path_factory):
+    """write_bucketed replaces idx_symbol_date: grouping and windowing by
+    the bucket column read pre-hashed buckets with zero exchanges."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        _row(D(2024, 1, d), s, True, 100.0 * d)
+        for d in (1, 2, 3)
+        for s in ("BTCUSDT", "ETHUSDT")
+    ]
+    da = spark.createDataFrame(rows, DAILY_AVAILABILITY)
+    path = str(tmp_path_factory.mktemp("bucketed") / "fact")
+    writer.write_bucketed(da, "bkt_fact_test", n_buckets=4, path=path)
+    try:
+        t = spark.table("bkt_fact_test")
+        agg_plan = _plan(t.groupBy("symbol").agg(F.count(F.lit(1))))
+        assert "Exchange" not in agg_plan, agg_plan
+        w = Window.partitionBy("symbol").orderBy("date")
+        win_plan = _plan(t.select("symbol", "date", F.lag("date", 1).over(w)))
+        assert "Exchange" not in win_plan, win_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_fact_test")
+
+
 def test_gathered_sort_has_no_range_exchange(partitioned_table):
     plan = _plan(
         snapshots.available_symbols_on_date(partitioned_table, D(2024, 1, 2))
