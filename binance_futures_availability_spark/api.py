@@ -22,8 +22,6 @@ The Engine also carries the reference's source/sink surfaces:
 from __future__ import annotations
 
 import datetime as dt
-import os
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -100,8 +98,11 @@ class Engine:
         s3a:///hdfs:// URLs stream through the cluster's Hadoop
         connectors (predicate/column pushdown intact). Plain http(s)
         archives — the GitHub-Releases distribution path — are fetched
-        driver-side to a temp file first; they are single small files by
-        design (~20 MB rankings archive).
+        driver-side and materialized through Arrow into a DataFrame: the
+        bytes never touch a path executors would have to share (a lazy
+        read of a driver-local temp file breaks on any non-local master),
+        and nothing is leaked on disk. Single small files by design
+        (~20 MB rankings archive); bigger archives belong on s3a.
         """
         if url.startswith(("s3a://", "s3://", "hdfs://", "file://")):
             return self.spark.read.parquet(url)
@@ -111,11 +112,12 @@ class Engine:
 
                 with urllib.request.urlopen(u, timeout=30) as resp:
                     return resp.read()
-        data = fetch(url)
-        fd, tmp = tempfile.mkstemp(suffix=".parquet")
-        with os.fdopen(fd, "wb") as f:
-            f.write(data)
-        return self.spark.read.parquet(tmp)
+        import io
+
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(io.BytesIO(fetch(url)))
+        return self.spark.createDataFrame(table.to_pandas())
 
     # ----------------------------------------------------------- cleanup
 

@@ -67,14 +67,16 @@ def discover_symbols(
     (S3 omits it with a delimiter) falls back to last-symbol-as-marker
     (s3_symbol_discovery.py:130-137).
     """
+    from urllib.parse import quote
+
     fetch = fetch or _default_fetch
     prefix = f"data/futures/{market_type}/{granularity}/klines/"
     all_symbols: list[str] = []
     marker: str | None = None
     for _ in range(max_pages):
-        params = f"prefix={prefix}&delimiter=/"
+        params = f"prefix={quote(prefix)}&delimiter=/"
         if marker:
-            params += f"&marker={marker}"
+            params += f"&marker={quote(marker)}"
         try:
             xml_data = fetch(f"{S3_BASE}?{params}")
         except Exception as e:
@@ -82,14 +84,20 @@ def discover_symbols(
         batch, is_truncated, next_marker = parse_listing_page(xml_data)
         all_symbols.extend(batch)
         if not is_truncated:
-            break
+            return all_symbols
         if next_marker:
             marker = next_marker
         elif batch:
             marker = f"{prefix}{batch[-1]}/"
         else:
             break
-    return all_symbols
+    # strict-error policy (ADR-0003 / batch_prober collect-then-raise): a
+    # truncated universe must never be mistaken for the complete one —
+    # downstream gap detection would misreport every missing symbol
+    raise RuntimeError(
+        f"S3 listing still truncated after {max_pages} pages "
+        f"({len(all_symbols)} symbols so far); raise max_pages"
+    )
 
 
 def classify_symbols_df(spark: SparkSession, symbols: list[str]) -> DataFrame:

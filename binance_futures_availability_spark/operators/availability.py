@@ -30,6 +30,7 @@ The same derivation exists as a SQL CTE (``DA_SQL``) for oracle queries.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -153,8 +154,12 @@ def availability_fact(
     cache_root = cache_root or os.environ.get(
         "SPARK_GRAFT_CACHE", "/root/repo/.cache"
     )
-    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    path = os.path.join(cache_root, f"da_{DA_VERSION}", sf_name)
+    # key on the FULL resolved path (basename alone would silently share a
+    # cache between /a/sf0.1 and /b/sf0.1); basename kept for readability
+    real = os.path.realpath(sf_dir)
+    sf_name = os.path.basename(real) or "default"
+    digest = hashlib.md5(real.encode()).hexdigest()[:8]
+    path = os.path.join(cache_root, f"da_{DA_VERSION}", f"{sf_name}-{digest}")
     handle = _FACT_HANDLES.get(path)
     if handle is not None:
         return handle

@@ -23,7 +23,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import gathered_sort
 
 #: the 9 columns the reference's UPDATE statement sets
 #: (backfill_volume.py:109-160)
@@ -66,11 +65,14 @@ def missing_volume(
     """P7 — the backfill work-list: available rows with no volume metrics.
 
     Reference SQL: backfill_volume.py:77-82 (``available = TRUE AND
-    quote_volume_usdt IS NULL``), ordered for stable batching.
+    quote_volume_usdt IS NULL``), ordered for stable batching. Distributed
+    range sort, not ``gathered_sort``: after an outage or on first
+    backfill the work-list is a large fraction of the fact table, so it is
+    NOT bounded by #symbols/#dates and must never gather to one task.
     """
     base = da.filter(F.col("available") & F.col("quote_volume_usdt").isNull())
     base = apply_backfill_filters(base, start, end, symbols)
-    return gathered_sort(base.select("date", "symbol", "url"), "date", "symbol")
+    return base.select("date", "symbol", "url").orderBy("date", "symbol")
 
 
 def enrich_volume(da: DataFrame, metrics: DataFrame) -> DataFrame:

@@ -21,6 +21,11 @@ step 9), designed Spark-first for a 100 TB training-data pipeline:
 Everything is built from deterministic md5-based integer hashes
 (functions.md5_int60) so the DuckDB oracle reproduces values exactly.
 No Python UDFs anywhere — pure Catalyst expressions.
+
+Persisted intermediates (shingle index, fingerprints) stay cached only as
+long as the returned DataFrame is referenced: Spark's ContextCleaner
+reclaims them once results are garbage-collected. Long-lived sessions that
+keep many results alive can force release with spark.catalog.clearCache().
 """
 
 from __future__ import annotations

@@ -308,6 +308,8 @@ def _collect_seeds(base: DataFrame, id_col: str, n_cells: int):
         .select("__q", "__norm")
         .collect()
     )
+    if not rows:
+        raise ValueError("IVF index over an empty embeddings table")
     import numpy as np
 
     sq = np.asarray([r["__q"] for r in rows], dtype=np.float64)
@@ -380,6 +382,8 @@ def ivf_topk(
     base = _with_quantized(emb, vec_col)
     sq, snrm = _collect_seeds(base, id_col, n_cells)
     qrow = base.filter(F.col(id_col) == query_vec_id).select("__q", "__norm").first()
+    if qrow is None:
+        raise ValueError(f"query {id_col}={query_vec_id} not found in embeddings")
     qv = np.asarray(qrow["__q"], dtype=np.float64)
     qn = float(qrow["__norm"])
     # same expression order as the oracle: dot / (sqrt(ns) * sqrt(qn));

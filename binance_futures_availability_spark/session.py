@@ -27,10 +27,12 @@ def _apply_driver_memory() -> None:
     ignored in local mode once the JVM gateway is up — the heap is fixed at
     JVM launch. The only reliable local-mode channel is PYSPARK_SUBMIT_ARGS
     before the first getOrCreate; on a real cluster pass --driver-memory to
-    spark-submit instead.
+    spark-submit instead. Defaults to 8g (Spark's 1g default is too small
+    for the cached fact table + persisted dedup indexes in one process);
+    an already-set PYSPARK_SUBMIT_ARGS always wins.
     """
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
-    if mem and "PYSPARK_SUBMIT_ARGS" not in os.environ:
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
         os.environ["PYSPARK_SUBMIT_ARGS"] = (
             f"--driver-memory {mem} pyspark-shell"
         )

@@ -50,10 +50,13 @@ def upsert(
 
     Incoming always beats existing on key collision regardless of version
     (matching INSERT OR REPLACE), via a precedence column that sorts after
-    the version.
+    the version. A narrower incoming frame (e.g. 8-column probe results
+    into the 17-column fact table) is legal and NULLs the unsupplied
+    columns on replace — exactly what INSERT OR REPLACE with a column list
+    does in the reference (availability_db.py:97-124).
     """
     tagged = existing.withColumn("__src", F.lit(0)).unionByName(
-        incoming.withColumn("__src", F.lit(1))
+        incoming.withColumn("__src", F.lit(1)), allowMissingColumns=True
     )
     w = Window.partitionBy(*key).orderBy(F.col("__src").desc(), F.col(version_col).desc())
     return (
@@ -135,13 +138,17 @@ def upsert_partitioned(
         ).parquet(spark_existing_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-        _rm_tree(staging)
+        _rm_tree(spark, staging)
 
 
-def _rm_tree(path: str) -> None:
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)
+def _rm_tree(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — works for any
+    scheme the table lives on (local, hdfs://, s3a://); a shutil.rmtree
+    would silently leak the staging copy on object stores."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def refresh_symbol_counts(da: DataFrame) -> DataFrame:

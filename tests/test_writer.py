@@ -36,6 +36,25 @@ def test_upsert_keeps_disjoint_keys(spark):
     assert out.count() == 2
 
 
+def test_upsert_accepts_narrower_incoming_frame(spark):
+    """An 8-column probe batch upserts into the 17-column table: replaced
+    rows NULL the unsupplied columns (INSERT OR REPLACE with a column
+    list), disjoint keys pass through."""
+    from pyspark.sql import functions as F
+
+    from binance_futures_availability_spark.schema import PROBE_RESULT
+
+    existing = make_da(spark, [(D(2024, 1, 1), "BTCUSDT", True, 100.0)])
+    probe_cols = [f.name for f in PROBE_RESULT.fields]
+    incoming = existing.select(probe_cols).withColumn(
+        "probe_timestamp", F.col("probe_timestamp") + F.expr("INTERVAL 1 DAY")
+    )
+    out = writer.upsert(existing, incoming, ["date", "symbol"], "probe_timestamp")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["quote_volume_usdt"] is None  # replaced, not carried over
+
+
 def test_dedup_latest(spark):
     import datetime
 
