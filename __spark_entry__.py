@@ -70,6 +70,7 @@ COSINE_THRESHOLD = 0.4
 ANN_QUERY_ID = 1
 ANN_K = 10
 FRAME_SIZE, MAX_FRAMES = 64, 4
+RESIZE_TARGET = 256
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -299,6 +300,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "multimodal_frames": lambda s, d: multimodal.sample_frames(
             multimodal.documents_as_media(_docs(s, d)), FRAME_SIZE, MAX_FRAMES
+        ),
+        "multimodal_resize": lambda s, d: (
+            multimodal.resize_media(
+                multimodal.documents_as_media(_docs(s, d)), RESIZE_TARGET
+            )
+            .select("asset_id", "n_bytes_in", "n_bytes_out")
+            .orderBy("asset_id")
         ),
     }
 
@@ -640,4 +648,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": oracles.sql_fingerprints(),
         "multimodal_features": oracles.sql_multimodal_features(),
         "multimodal_frames": oracles.sql_multimodal_frames(FRAME_SIZE, MAX_FRAMES),
+        "multimodal_resize": oracles.sql_multimodal_resize(RESIZE_TARGET),
     }

@@ -127,6 +127,50 @@ def sample_frames(assets: DataFrame, frame_size: int = 64, max_frames: int = 4) 
     return assets.select("asset_id", "media").mapInPandas(batch_fn, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), nullable=False),
+        StructField("media", BinaryType(), nullable=True),
+        StructField("n_bytes_in", LongType(), nullable=False),
+        StructField("n_bytes_out", LongType(), nullable=False),
+    ]
+)
+
+
+def resize_media(assets: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Resize plumbing: binary in → smaller binary out, Arrow-batched.
+
+    Deterministic stand-in for pixel resampling: an even byte stride
+    ``k = ceil(len/target)`` subsamples each asset to ≤ ``target_bytes``
+    (a real implementation swaps the stride slice for PIL's resize; the
+    binary→binary mapInPandas contract, output schema, and size
+    accounting are exactly what it needs). Output sizes are pure
+    arithmetic over input length, so the operator is oracle-checkable
+    without codecs.
+    """
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, n_in, n_out = [], [], []
+            for media in pdf["media"]:
+                b = bytes(media)
+                k = -(-len(b) // target_bytes) if b else 1
+                r = b[::k]
+                outs.append(r)
+                n_in.append(len(b))
+                n_out.append(len(r))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media": outs,
+                    "n_bytes_in": pd.Series(n_in, dtype="int64"),
+                    "n_bytes_out": pd.Series(n_out, dtype="int64"),
+                }
+            )
+
+    return assets.select("asset_id", "media").mapInPandas(batch_fn, RESIZE_SCHEMA)
+
+
 def decode_image(assets: DataFrame) -> DataFrame:
     """Image decode — STUB: codec libraries are not available here.
 

@@ -313,6 +313,18 @@ FROM m, unnest(generate_series(0,
         LEAST({max_frames}, CAST(CEIL(n / {frame_size}.0) AS INT)) - 1)) AS t(i)"""
 
 
+def sql_multimodal_resize(target_bytes: int) -> str:
+    # stride k = ceil(len/target); sampled count = ceil(len/k) — pure
+    # arithmetic mirror of the byte-stride subsample in resize_media
+    ln = "octet_length(encode(text))"
+    return f"""SELECT doc_id AS asset_id,
+       CAST({ln} AS BIGINT) AS n_bytes_in,
+       CAST(CASE WHEN {ln} = 0 THEN 0
+            ELSE CEIL({ln} / CEIL({ln} / {float(target_bytes)})) END AS BIGINT)
+           AS n_bytes_out
+FROM documents ORDER BY asset_id"""
+
+
 def sql_token_counts() -> str:
     return r"""
 SELECT doc_id,

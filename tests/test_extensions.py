@@ -304,6 +304,26 @@ def test_multimodal_frames_caps_at_max(spark):
     assert len(got) == 4
 
 
+def test_resize_media_bounds_and_roundtrip(spark):
+    from binance_futures_availability_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 1000, "s"), (2, "y" * 10, "s"), (3, "", "s")],
+        ["doc_id", "text", "source"],
+    )
+    assets = multimodal.documents_as_media(docs)
+    got = {
+        r["asset_id"]: r
+        for r in multimodal.resize_media(assets, target_bytes=256).collect()
+    }
+    assert got[1]["n_bytes_in"] == 1000
+    assert got[1]["n_bytes_out"] == 250  # stride 4 over 1000 bytes
+    assert got[1]["n_bytes_out"] <= 256
+    assert bytes(got[1]["media"]) == b"x" * 250
+    assert got[2]["n_bytes_out"] == 10  # already under target: unchanged
+    assert got[3]["n_bytes_out"] == 0
+
+
 def test_decode_image_is_documented_stub(spark):
     df = spark.createDataFrame([(1, "z", "s")], ["doc_id", "text", "source"])
     with pytest.raises(NotImplementedError):
