@@ -255,6 +255,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rankings.volume_rankings(_da(s, d), generated_at=GEN_TS)
         ),
         # P7/P6 — backfill work-list; S4 — enrich; F10 — classification
+        # prev_date → string for the gate: a NULLable DATE fetches from
+        # DuckDB as datetime64 (vs object dates when non-null), which would
+        # hash-mismatch Spark's DateType; the operator itself keeps DATE
+        "transition_events": lambda s, d: analytics.transition_events(
+            _da(s, d)
+        ).withColumn("prev_date", F.date_format("prev_date", "yyyy-MM-dd")),
         "missing_volume": lambda s, d: backfill.missing_volume(
             _da(s, d), YEAR_START, YEAR_END
         ),
@@ -595,6 +601,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT date, prev_rank, rank FROM g
             WHERE prev_rank IS NOT NULL AND rank - prev_rank > 1
             ORDER BY date, rank"""),
+        "transition_events": with_da("""
+WITH lagged AS (
+    SELECT symbol, date, available,
+           LAG(available) OVER (PARTITION BY symbol ORDER BY date) AS prev_avail,
+           LAG(date) OVER (PARTITION BY symbol ORDER BY date) AS prev_lag_date
+    FROM da
+)
+SELECT symbol, event, event_date, prev_date FROM (
+    SELECT symbol,
+           CASE WHEN prev_avail IS NULL AND available THEN 'listing'
+                WHEN available AND NOT prev_avail THEN 'relisting'
+                WHEN NOT available AND prev_avail THEN 'delisting'
+                WHEN available AND prev_avail AND date - prev_lag_date > 1
+                    THEN 'gap'
+           END AS event,
+           date AS event_date,
+           CASE WHEN prev_avail IS NOT NULL
+                THEN CAST(prev_lag_date AS VARCHAR) END AS prev_date
+    FROM lagged
+) WHERE event IS NOT NULL
+ORDER BY symbol, event_date"""),
         "missing_volume": with_da(f"""
             SELECT date, symbol, url FROM da
             WHERE available AND quote_volume_usdt IS NULL

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import gathered_sort
@@ -100,4 +100,45 @@ def availability_stats(da: DataFrame) -> DataFrame:
         F.countDistinct("symbol").alias("distinct_symbols"),
         F.min("date").alias("min_date"),
         F.max("date").alias("max_date"),
+    )
+
+
+def transition_events(da: DataFrame) -> DataFrame:
+    """Whole-history listing/delisting/relisting/gap events, batch form.
+
+    The batch twin of streaming.availability_transitions (identical event
+    semantics, proven equal by test_streaming): one LAG window per symbol
+    over the fact table instead of carried state —
+
+    - ``listing``    first row for a symbol, available
+    - ``relisting``  unavailable → available
+    - ``delisting``  available → unavailable
+    - ``gap``        consecutive available rows more than 1 day apart
+
+    One shuffle by symbol (the same partitioning the rankings window
+    cluster uses); generalizes J3/J4/J5 from per-date questions to the
+    full history in a single pass.
+    """
+    w = Window.partitionBy("symbol").orderBy("date")
+    prev_avail = F.lag("available").over(w)
+    prev_date = F.lag("date").over(w)
+    avail = F.col("available")
+    event = (
+        F.when(prev_avail.isNull() & avail, F.lit("listing"))
+        .when(avail & ~prev_avail, F.lit("relisting"))
+        .when(~avail & prev_avail, F.lit("delisting"))
+        .when(
+            avail & prev_avail & (F.datediff(F.col("date"), prev_date) > 1),
+            F.lit("gap"),
+        )
+    )
+    return (
+        da.select(
+            "symbol",
+            event.alias("event"),
+            F.col("date").alias("event_date"),
+            F.when(prev_avail.isNotNull(), prev_date).alias("prev_date"),
+        )
+        .filter(F.col("event").isNotNull())
+        .orderBy("symbol", "event_date")
     )

@@ -170,6 +170,50 @@ def test_stateful_transitions_and_restart(spark, tmp_path):
     assert got2 - got == {("BTCUSDT", "delisting", D(2024, 1, 19), D(2024, 1, 18))}
 
 
+def test_transitions_stream_equals_batch(spark, tmp_path):
+    """The stateful streaming operator and the batch LAG-window operator
+    (analytics.transition_events) implement the same event semantics —
+    one history, two engines, identical events."""
+    from binance_futures_availability_spark.operators import analytics
+
+    recs = (
+        _recs(D(2024, 1, 15), ["BTCUSDT", "ETHUSDT"])
+        + _recs(D(2024, 1, 16), ["BTCUSDT"])
+        + _recs(D(2024, 1, 18), ["BTCUSDT"])
+        + _recs(D(2024, 1, 16), ["ETHUSDT"], available=False)
+        + _recs(D(2024, 1, 17), ["ETHUSDT"])
+        + _recs(D(2024, 1, 19), ["BTCUSDT"], available=False)
+    )
+    incoming = tmp_path / "incoming"
+    out = tmp_path / "events"
+    _drop(spark, incoming, recs)
+    q = (
+        availability_transitions(probe_stream_source(spark, str(incoming)))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        tuple(r)
+        for r in spark.read.parquet(str(out))
+        .select("symbol", "event", "event_date", "prev_date")
+        .collect()
+    }
+    batch = {
+        tuple(r)
+        for r in analytics.transition_events(
+            probe.results_to_df(spark, recs)
+        ).collect()
+    }
+    # BTC: listing(15), gap(18), delisting(19); ETH: listing(15),
+    # delisting(16), relisting(17)
+    assert streamed == batch and len(batch) == 6
+
+
 def test_streaming_symbol_counts_watermarked(spark, tmp_path):
     incoming = tmp_path / "incoming"
     _drop(
