@@ -46,6 +46,43 @@ def gathered_sort(df, *cols):
     return df.repartition(1).orderBy(*cols)
 
 
+def salted_join(
+    big,
+    small,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+):
+    """Hot-key mitigation for large⋈large equi-joins.
+
+    When both sides are too big to broadcast and the key distribution has
+    hot values (one symbol dominating a feed, one shingle dominating a
+    posting list), a plain shuffle join lands every hot-key row in ONE
+    task. Salting splits each hot key across ``n_salts`` tasks: the big
+    side gets a deterministic per-row salt, the small side is replicated
+    once per salt value, and the join key becomes (key, salt) — skew is
+    bounded by ``1/n_salts`` at the cost of an ``n_salts``× blow-up of the
+    SMALL side only.
+
+    First resort is AQE's skew-join split (on in session.py), which
+    handles this at runtime without replication; use explicit salting when
+    the skew is known ahead of time or AQE is unavailable. The salt is
+    ``pmod(xxhash64(all big columns), n)`` — deterministic, so retried
+    tasks re-produce identical output (rand() salts break recompute
+    idempotency under task retry).
+    """
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+    ).cast("int")
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, [on, "__salt"], how).drop("__salt")
+
+
 def md5_int60(col: Column) -> Column:
     """60-bit integer from md5 hex prefix.
 

@@ -151,6 +151,37 @@ def test_bucketed_table_symbol_ops_have_no_exchange(spark, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS bkt_fact_test")
 
 
+def test_salted_join_correct_and_spreads_hot_key(spark):
+    """salted_join returns exactly the plain-join rows while splitting the
+    hot key across n_salts distinct salt partitions."""
+    from pyspark.sql import functions as F
+
+    from binance_futures_availability_spark.functions import salted_join
+
+    big = spark.createDataFrame(
+        [("HOT", i) for i in range(400)] + [("COLD", i) for i in range(5)],
+        ["symbol", "v"],
+    )
+    small = spark.createDataFrame(
+        [("HOT", "a"), ("COLD", "b")], ["symbol", "tag"]
+    )
+    got = salted_join(big, small, "symbol", n_salts=8)
+    plain = big.join(small, "symbol")
+    assert got.exceptAll(plain).isEmpty() and plain.exceptAll(got).isEmpty()
+    # the hot key really lands in multiple salt buckets
+    n_buckets = (
+        big.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8)),
+        )
+        .filter(F.col("symbol") == "HOT")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
+
+
 def test_gathered_sort_has_no_range_exchange(partitioned_table):
     plan = _plan(
         snapshots.available_symbols_on_date(partitioned_table, D(2024, 1, 2))
