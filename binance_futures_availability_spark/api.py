@@ -30,6 +30,19 @@ from .operators import analytics, availability, snapshots, timelines, volume
 from .session import get_session
 
 
+def parse_iso_date(d: dt.date | str | None) -> dt.date | None:
+    """F9 — strict ISO-8601 date validation at the API boundary.
+
+    The reference parses string params with ``date.fromisoformat`` and
+    lets the ValueError surface (snapshots.py:53-54, analytics.py:91-92);
+    same contract here — a malformed date fails fast with a clear error
+    instead of an ANSI cast failure deep inside a Spark job.
+    """
+    if d is None or isinstance(d, dt.date):
+        return d
+    return dt.date.fromisoformat(d)
+
+
 class Engine:
     """SparkSession plus the fact-table source.
 
@@ -150,13 +163,15 @@ class SnapshotQueries(_QueryBase):
     """P1/P2 (reference queries/snapshots.py)."""
 
     def get_available_symbols_on_date(self, date: dt.date | str) -> list[dict]:
-        df = snapshots.available_symbols_on_date(self.engine.table(), date)
+        df = snapshots.available_symbols_on_date(self.engine.table(), parse_iso_date(date))
         return [r.asDict() for r in df.collect()]
 
     def get_symbols_in_date_range(
         self, start: dt.date | str, end: dt.date | str
     ) -> list[str]:
-        df = snapshots.symbols_available_in_range(self.engine.table(), start, end)
+        df = snapshots.symbols_available_in_range(
+            self.engine.table(), parse_iso_date(start), parse_iso_date(end)
+        )
         return [r["symbol"] for r in df.collect()]
 
 
@@ -180,11 +195,11 @@ class AnalyticsQueries(_QueryBase):
     """A1/J3/J4/A5/A6 (reference queries/analytics.py + stats scripts)."""
 
     def detect_new_listings(self, date: dt.date | str) -> list[str]:
-        df = analytics.new_listings(self.engine.table(), date)
+        df = analytics.new_listings(self.engine.table(), parse_iso_date(date))
         return [r["symbol"] for r in df.collect()]
 
     def detect_delistings(self, date: dt.date | str) -> list[str]:
-        df = analytics.delistings(self.engine.table(), date)
+        df = analytics.delistings(self.engine.table(), parse_iso_date(date))
         return [r["symbol"] for r in df.collect()]
 
     def get_availability_trend(
@@ -192,7 +207,9 @@ class AnalyticsQueries(_QueryBase):
         start: dt.date | str | None = None,
         end: dt.date | str | None = None,
     ) -> list[dict]:
-        df = analytics.availability_trend(self.engine.table(), start, end)
+        df = analytics.availability_trend(
+            self.engine.table(), parse_iso_date(start), parse_iso_date(end)
+        )
         return [r.asDict() for r in df.collect()]
 
     def get_stats(self) -> dict:

@@ -198,6 +198,18 @@ def test_cli_pipeline_similarity(emb_path, capsys):
     assert [r["vec_id"] for r in rows] == [0, 2]
 
 
+def test_api_rejects_malformed_date(engine):
+    import pytest as _pytest
+
+    from binance_futures_availability_spark.api import SnapshotQueries
+
+    with SnapshotQueries(engine) as q:
+        with _pytest.raises(ValueError):
+            q.get_available_symbols_on_date("2024-13-45")
+        with _pytest.raises(ValueError):
+            q.get_available_symbols_on_date("not-a-date")
+
+
 def test_cli_no_command_prints_help(capsys):
     assert main([]) == 1
     assert "usage:" in capsys.readouterr().out
