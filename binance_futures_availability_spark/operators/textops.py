@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import md5_int60, normalized_text, token_count, tokens
+from ..functions import md5_int60, normalized_text, token_count
 
 #: language → stopword regex (word-boundary alternation, full-match group 0)
 LANG_STOPWORDS = {
