@@ -33,7 +33,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import MINHASH_P, md5_int60, normalized_text, tokens
+from ..functions import (
+    MINHASH_P,
+    gathered_sort,
+    md5_int60,
+    normalized_text,
+    tokens,
+)
 
 #: MinHash permutation constants (deterministic, coprime-ish with P).
 MINHASH_A = [173, 499, 871, 1283, 1693, 2111, 2539, 2963]
@@ -93,8 +99,10 @@ def exact_duplicates(
     """Exact dedup groups: normalized-content md5 → (hash, n_docs, keeper).
 
     Keeper = min id (deterministic survivor). Only groups with >1 doc.
+    Duplicate groups are a sparse subset of the corpus by construction, so
+    the presentation sort is gathered (see functions.gathered_sort).
     """
-    return (
+    return gathered_sort(
         docs.select(
             F.md5(normalized_text(F.col(text_col))).alias("content_md5"),
             F.col(id_col),
@@ -104,8 +112,8 @@ def exact_duplicates(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(id_col).alias("keeper_id"),
         )
-        .filter(F.col("n_docs") > 1)
-        .orderBy("content_md5")
+        .filter(F.col("n_docs") > 1),
+        "content_md5",
     )
 
 
@@ -203,22 +211,33 @@ def ngram_jaccard_pairs(
     sizes = docs.select(
         F.col(id_col), F.size(shingle_array(F.col(text_col), n)).alias("sz")
     )
-    return (
-        _pair_jaccard(sh, id_col, max_shingle_freq, sizes=sizes)
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
+    # pairs over a high threshold are sparse by construction → gathered
+    # presentation sort (a range orderBy would pay a sampling job that
+    # partially re-executes the pair pipeline)
+    return gathered_sort(
+        _pair_jaccard(sh, id_col, max_shingle_freq, sizes=sizes).filter(
+            F.col("jaccard") >= threshold
+        ),
+        "id_a",
+        "id_b",
     )
 
 
 def _signatures_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
-    x = md5_int60(F.col("shingle")) % MINHASH_P
+    # Expression strings, not Column-object loops: every pyspark Column
+    # operation is a py4j round-trip, and the k-permutation agg built
+    # operator-by-operator cost ~0.2 s of pure driver time per call. One
+    # select + k expr() strings hand the whole tree to the SQL parser in a
+    # handful of JVM calls; the resulting plan is identical.
+    base = sh.select(
+        F.col(id_col),
+        (md5_int60(F.col("shingle")) % MINHASH_P).alias("__x"),
+    )
     aggs = [
-        F.min((F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
-            f"h{i}"
-        )
+        F.expr(f"min(({MINHASH_A[i]} * __x + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}")
         for i in range(len(MINHASH_A))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def minhash_signatures(
@@ -250,17 +269,18 @@ def minhash_lsh_pairs(
     sh_all = shingles(docs, id_col, text_col, n).persist()
     sigs = _signatures_from_shingles(sh_all, id_col)
     # one row per (doc, band) via a single explode — a union of per-band
-    # selects would re-run the signature aggregation once per band
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band_id).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col(f"h{c}").cast("string") for c in cols]
-                ).alias("bucket"),
-            )
+    # selects would re-run the signature aggregation once per band. The
+    # band array is one parsed expression string (see the note in
+    # _signatures_from_shingles on why strings beat Column loops here).
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({band_id} AS band, concat_ws('_', "
+            + ", ".join(f"CAST(h{c} AS STRING)" for c in cols)
+            + ") AS bucket)"
             for band_id, cols in enumerate(LSH_BANDS)
-        ]
+        )
+        + ")"
     )
     bands = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -289,10 +309,12 @@ def minhash_lsh_pairs(
         F.col(id_col), F.size(shingle_array(F.col(text_col), n)).alias("sz")
     )
     jac = _pair_jaccard(sh, id_col, sizes=sizes)
-    return (
-        candidates.join(jac, ["id_a", "id_b"], "inner")
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
+    return gathered_sort(
+        candidates.join(jac, ["id_a", "id_b"], "inner").filter(
+            F.col("jaccard") >= threshold
+        ),
+        "id_a",
+        "id_b",
     )
 
 
@@ -313,20 +335,22 @@ def simhash(
     hashed = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).select(F.col(id_col), md5_int60(F.col("tok")).alias("h"))
+    # The 60 vote sums and the 60-term sign fold are built as SQL strings:
+    # assembled as Column objects (one py4j round-trip per operator, ~360
+    # calls) this plan cost ~1 s of driver time per invocation — more than
+    # its own execution. One parse of two wide strings produces the same
+    # tree for ~0.1 s, and wide-but-flat expressions keep Catalyst analysis
+    # linear (the chained `+` fold was a depth-60 left-nested tree).
     votes = [
-        F.sum(
-            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"v{b}")
+        F.expr(f"sum((shiftright(h, {b}) & 1) * 2 - 1) AS v{b}")
         for b in range(SIMHASH_BITS)
     ]
     per_doc = hashed.groupBy(id_col).agg(*votes)
-    fp = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = bit if fp is None else fp + bit
-    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+    fp = " + ".join(
+        f"IF(v{b} > 0, CAST({1 << b} AS BIGINT), CAST(0 AS BIGINT))"
+        for b in range(SIMHASH_BITS)
+    )
+    return per_doc.selectExpr(f"`{id_col}`", f"({fp}) AS simhash")
 
 
 def simhash_pairs(
@@ -351,17 +375,16 @@ def simhash_pairs(
     n_chunks = max_hamming + 1
     chunk_bits = -(-SIMHASH_BITS // n_chunks)  # ceil
     mask = (1 << chunk_bits) - 1
-    # one row per (doc, chunk) via a single explode — no per-band union
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftright(F.col("simhash"), i * chunk_bits)
-                .bitwiseAND(F.lit(mask))
-                .alias("chunk"),
-            )
+    # one row per (doc, chunk) via a single explode — no per-band union;
+    # one parsed expression string (see _signatures_from_shingles)
+    chunk_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({i} AS band, "
+            f"shiftright(simhash, {i * chunk_bits}) & {mask} AS chunk)"
             for i in range(n_chunks)
-        ]
+        )
+        + ")"
     )
     banded = s.select(
         F.col(id_col), "simhash", F.explode(chunk_structs).alias("bc")
@@ -377,7 +400,7 @@ def simhash_pairs(
     b = banded.select(
         F.col(id_col).alias("id_b"), "band", "chunk", F.col("simhash").alias("sh_b")
     )
-    return (
+    return gathered_sort(
         a.join(b, ["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -386,6 +409,7 @@ def simhash_pairs(
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()  # a pair may agree on several chunks
-        .orderBy("id_a", "id_b")
+        .distinct(),  # a pair may agree on several chunks
+        "id_a",
+        "id_b",
     )
