@@ -121,6 +121,27 @@ def test_shingle_array_matches_python_reference(spark, texts, n):
 
 
 @SETTINGS
+@given(texts=_texts)
+def test_lsh_verification_jaccard_is_exact(spark, texts):
+    """The array_intersect verification inside minhash_lsh_pairs yields
+    EXACTLY the postings-based Jaccard for every emitted pair — LSH may
+    drop pairs (banding is probabilistic) but never reports a wrong value,
+    for any corpus shape (empty docs, duplicates, heavy overlap)."""
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.0, n=2, max_shingle_freq=None
+        ).collect()
+    }
+    for r in dedup.minhash_lsh_pairs(docs, threshold=0.0, n=2).collect():
+        assert exact[(r["id_a"], r["id_b"])] == r["jaccard"], (
+            r["id_a"],
+            r["id_b"],
+        )
+
+
+@SETTINGS
 @given(texts=_texts, max_hamming=st.integers(0, 8))
 def test_simhash_banding_equals_brute_force(spark, texts, max_hamming):
     """Pigeonhole banding is lossless for any max_hamming."""
