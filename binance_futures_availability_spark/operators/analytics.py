@@ -132,13 +132,19 @@ def transition_events(da: DataFrame) -> DataFrame:
             F.lit("gap"),
         )
     )
-    return (
+    # the event stream is a small fraction of fact rows (~7% even on the
+    # adversarially flappy synthetic data; real availability regimes change
+    # orders of magnitude less often), so the presentation sort is gathered
+    # (functions.gathered_sort). If a corpus ever produced more events than
+    # one partition should hold (~10^7), swap back to the distributed
+    # range sort — the semantics are identical.
+    return gathered_sort(
         da.select(
             "symbol",
             event.alias("event"),
             F.col("date").alias("event_date"),
             F.when(prev_avail.isNotNull(), prev_date).alias("prev_date"),
-        )
-        .filter(F.col("event").isNotNull())
-        .orderBy("symbol", "event_date")
+        ).filter(F.col("event").isNotNull()),
+        "symbol",
+        "event_date",
     )

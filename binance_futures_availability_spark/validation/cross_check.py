@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import gathered_sort
+
 
 def compare_symbol_sets(db_symbols: DataFrame, api_symbols: DataFrame) -> dict:
     """J6 — intersection / only-in-db / only-in-api + match percentage.
@@ -48,9 +50,9 @@ def symbol_set_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     """
     da_ = a.select("symbol").distinct().withColumn("__a", F.lit(1))
     db_ = b.select("symbol").distinct().withColumn("__b", F.lit(1))
-    return (
-        da_.join(db_, "symbol", "full_outer")
-        .select(
+    # bounded by the symbol universe → gathered presentation sort
+    return gathered_sort(
+        da_.join(db_, "symbol", "full_outer").select(
             "symbol",
             F.when(
                 F.col("__a").isNotNull() & F.col("__b").isNotNull(), "both"
@@ -58,8 +60,8 @@ def symbol_set_diff(a: DataFrame, b: DataFrame) -> DataFrame:
             .when(F.col("__b").isNull(), "only_a")
             .otherwise("only_b")
             .alias("membership"),
-        )
-        .orderBy("symbol")
+        ),
+        "symbol",
     )
 
 
@@ -68,9 +70,9 @@ def symbols_missing_from_db(discovered: DataFrame, db_symbols: DataFrame) -> Dat
 
     Reference: scripts/operations/detect_symbol_gaps.py:89-125.
     """
-    return (
+    return gathered_sort(
         discovered.select("symbol")
         .distinct()
-        .join(db_symbols.select("symbol").distinct(), "symbol", "left_anti")
-        .orderBy("symbol")
+        .join(db_symbols.select("symbol").distinct(), "symbol", "left_anti"),
+        "symbol",
     )
