@@ -164,7 +164,9 @@ def cmd_text(args: argparse.Namespace) -> int:
         "language": textops.language_id,
         "fingerprints": textops.fingerprints,
     }[args.op]
-    return _print_rows(op(docs), args, f"{args.op}:")
+    # display ordering belongs to the presentation surface: with the
+    # _print_rows limit this collapses to TakeOrdered (no corpus-wide sort)
+    return _print_rows(op(docs).orderBy("doc_id"), args, f"{args.op}:")
 
 
 def cmd_similarity(args: argparse.Namespace) -> int:
@@ -179,7 +181,9 @@ def cmd_similarity(args: argparse.Namespace) -> int:
     elif args.op == "pairs":
         df = similarity.lsh_cosine_pairs(emb, args.threshold)
     else:  # dedup
-        df = similarity.embedding_dedup_survivors(emb, args.threshold)
+        df = similarity.embedding_dedup_survivors(emb, args.threshold).orderBy(
+            "vec_id"
+        )
     return _print_rows(df, args, f"{args.op}:")
 
 

@@ -460,7 +460,10 @@ def embedding_dedup_survivors(
     """
     pairs = lsh_cosine_pairs(emb, threshold, id_col, vec_col)
     dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return emb.join(dups, id_col, "left_anti").select(id_col).orderBy(id_col)
+    # no output sort: survivors are corpus-sized (most of the table) — a
+    # global orderBy's sampling pass would re-run the LSH pipeline;
+    # presentation surfaces order the bounded slice they show
+    return emb.join(dups, id_col, "left_anti").select(id_col)
 
 
 def label_centroids(

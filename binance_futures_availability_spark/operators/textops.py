@@ -120,4 +120,8 @@ def fingerprints(
         .groupBy(id_col)
         .agg(F.min(md5_int60(F.col("shingle"))).alias("min_shingle_hash"))
     )
-    return norm_md5.join(min_sh, id_col, "left").orderBy(id_col)
+    # no output sort: the result is a corpus-sized derived table (one row
+    # per doc, like the other text ops) — a global orderBy would pay a
+    # range-sampling pass that re-executes the join (measured 2.3 → 1.25 s
+    # at sf0.1). Presentation surfaces order the bounded slice they show.
+    return norm_md5.join(min_sh, id_col, "left")
