@@ -12,7 +12,7 @@ import datetime as dt
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from binance_futures_availability_spark.operators import dedup
+from binance_futures_availability_spark.operators import dedup, textops
 from binance_futures_availability_spark.schema import DAILY_AVAILABILITY
 from binance_futures_availability_spark.sources import writer
 
@@ -139,6 +139,113 @@ def test_lsh_verification_jaccard_is_exact(spark, texts):
             r["id_a"],
             r["id_b"],
         )
+
+
+@SETTINGS
+@given(texts=_texts)
+def test_exact_dedup_partitions_corpus(spark, texts):
+    """exact_duplicates + dedup_exact form a consistent partition: every
+    group's keeper is the min id of its normalized-text class, group sizes
+    are the class sizes (>1 only), and survivors are exactly one min-id doc
+    per distinct normalized text."""
+    import re as _re
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    norm = {
+        i: _re.sub(r"\s+", " ", t).strip().lower() for i, t in enumerate(texts)
+    }
+    classes: dict[str, list] = {}
+    for i, nt in norm.items():
+        classes.setdefault(nt, []).append(i)
+    groups = {
+        r["content_md5"]: (r["n_docs"], r["keeper_id"])
+        for r in dedup.exact_duplicates(docs).collect()
+    }
+    expected_groups = {
+        (len(ids), min(ids)) for ids in classes.values() if len(ids) > 1
+    }
+    assert set(groups.values()) == expected_groups
+    survivors = {r["doc_id"] for r in dedup.dedup_exact(docs).collect()}
+    assert survivors == {min(ids) for ids in classes.values()}
+
+
+# word pool mixing stopwords of several languages, junk, and digits
+_lang_texts = st.lists(
+    st.lists(
+        st.sampled_from(
+            "the and of is der die und le la el los y 的 是 xyzzy qq 42".split()
+        ),
+        min_size=0,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@SETTINGS
+@given(texts=_lang_texts)
+def test_language_id_matches_python_reference(spark, texts):
+    """Stopword-vote language ID equals the obvious Python model: per-lang
+    regex match count on lowered text, argmax with LANG_PRIORITY tie-break,
+    'unknown' when every score is zero."""
+    import re as _re
+
+    from binance_futures_availability_spark.operators.textops import (
+        LANG_PRIORITY,
+        LANG_STOPWORDS,
+    )
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in textops.language_id(docs).collect()}
+    for i, t in enumerate(texts):
+        low = t.lower()
+        scores = {
+            lg: sum(1 for _ in _re.finditer(LANG_STOPWORDS[lg], low))
+            for lg in LANG_PRIORITY
+        }
+        for lg in LANG_PRIORITY:
+            assert got[i][f"score_{lg}"] == scores[lg], (t, lg)
+        best = max(scores.values())
+        expected = (
+            next(lg for lg in LANG_PRIORITY if scores[lg] == best)
+            if best > 0
+            else "unknown"
+        )
+        assert got[i]["predicted_lang"] == expected, t
+
+
+@SETTINGS
+@given(texts=_lang_texts)
+def test_quality_and_token_counts_match_python_reference(spark, texts):
+    """Integer features equal the Python model exactly; the score doubles
+    are bit-identical (same IEEE-754 ops in the same order — the engine's
+    cross-engine determinism claim, asserted with ==, no tolerance)."""
+    import re as _re
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    tok = {r["doc_id"]: r for r in textops.token_counts(docs).collect()}
+    q = {r["doc_id"]: r for r in textops.quality_scores(docs).collect()}
+    for i, t in enumerate(texts):
+        wc = len(_re.split(r"\s+", t.strip()))  # tokens() semantics
+        assert tok[i]["n_tokens"] == wc, t
+        assert tok[i]["n_word_tokens"] == len(
+            _re.findall(r"[A-Za-z0-9]+", t)
+        ), t
+        assert tok[i]["n_chars_measured"] == len(t), t
+        stop = sum(1 for _ in _re.finditer(r"\b(the|and|of|to|in|is|a)\b", t))
+        nonspace = len(_re.sub(r"\s", "", t))
+        assert q[i]["word_count"] == wc
+        assert q[i]["stopword_count"] == stop, t
+        awl = nonspace / wc
+        assert q[i]["avg_word_len"] == awl
+        assert q[i]["stopword_ratio"] == stop / wc
+        score = (
+            0.4 * min(wc / 100.0, 1.0)
+            + 0.4 * (stop / wc)
+            + 0.2 * min(awl / 10.0, 1.0)
+        )
+        assert q[i]["quality_score"] == score, t
 
 
 @SETTINGS
