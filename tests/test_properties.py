@@ -12,6 +12,8 @@ import datetime as dt
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from binance_futures_availability_spark.operators import dedup, textops
 from binance_futures_availability_spark.schema import DAILY_AVAILABILITY
 from binance_futures_availability_spark.sources import writer
@@ -246,6 +248,52 @@ def test_quality_and_token_counts_match_python_reference(spark, texts):
             + 0.2 * min(awl / 10.0, 1.0)
         )
         assert q[i]["quality_score"] == score, t
+
+
+# symbol fragments that compose into realistic and adversarial names:
+# valid/invalid date suffixes, short digit runs, multiple underscores
+_symbols = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["BTCUSDT", "ETH", "_241227", "_991332", "_000230", "_240230",
+             "_12345", "_1234567", "_", "241227", "_ABC123"]
+        ),
+        min_size=1,
+        max_size=3,
+    ).map("".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@SETTINGS
+@given(symbols=_symbols)
+def test_classify_symbol_matches_python_reference(spark, symbols):
+    """classify_symbol equals the reference model: 'delivery' iff the name
+    ends in _YYMMDD where YYMMDD is a real calendar date under strict
+    %y%m%d parsing (leap days, month 13, day 0 all rejected)."""
+    import datetime as _dt
+    import re as _re
+
+    from binance_futures_availability_spark.functions import classify_symbol
+
+    df = spark.createDataFrame([(s,) for s in symbols], ["symbol"])
+    got = {
+        r["symbol"]: r["cls"]
+        for r in df.select(
+            "symbol", classify_symbol(F.col("symbol")).alias("cls")
+        ).collect()
+    }
+    for s in set(symbols):
+        m = _re.search(r"_(\d{6})$", s)
+        expected = "perpetual"
+        if m:
+            try:
+                _dt.datetime.strptime(m.group(1), "%y%m%d")
+                expected = "delivery"
+            except ValueError:
+                pass
+        assert got[s] == expected, s
 
 
 @SETTINGS
