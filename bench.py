@@ -35,7 +35,12 @@ def main() -> None:
     spark = get_session(
         "bench",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            # keep stdout clean: the driver captures only the tail of the
+            # combined output and must find the one JSON line intact
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
@@ -75,6 +80,15 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(t for t in times.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Cold-pass diagnostics go to stderr: the driver captures only the tail
+    # of combined output and parses the single stdout JSON line below —
+    # r02's line with both passes inline overflowed that buffer.
+    print(
+        json.dumps({"cold_value": cold_total, "queries_cold": cold, "sf": sf_val}),
+        file=sys.stderr,
+    )
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -82,9 +96,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "queries_cold": cold,
-                "cold_value": cold_total,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
