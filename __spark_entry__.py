@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 from binance_futures_availability_spark import oracles
 from binance_futures_availability_spark.catalog import load_table
-from binance_futures_availability_spark.functions import classify_symbol, gathered_sort
+from binance_futures_availability_spark.functions import (
+    CONTRACT_SUFFIX_RE,
+    classify_symbol,
+    gathered_sort,
+)
 from binance_futures_availability_spark.operators import (
     analytics,
     availability,
@@ -161,8 +165,9 @@ def _backfill_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _symbol_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10 over real symbols plus synthetic delivery/invalid-date variants,
-    so both classifier branches (valid _YYMMDD → delivery, invalid → kept
-    perpetual) are exercised."""
+    so all classifier branches are exercised: valid 6-digit suffix →
+    delivery, valid SHORT suffix ('_2312' = 2023-01-02 under %y%m%d's
+    1-digit month/day acceptance) → delivery, invalid date → perpetual."""
     syms = _da(spark, sf_dir).select("symbol").distinct()
     variants = (
         syms.unionByName(
@@ -170,6 +175,12 @@ def _symbol_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             syms.select(F.concat("symbol", F.lit("_991399")).alias("symbol"))
+        )
+        .unionByName(
+            syms.select(F.concat("symbol", F.lit("_2312")).alias("symbol"))
+        )
+        .unionByName(
+            syms.select(F.concat("symbol", F.lit("_231131")).alias("symbol"))
         )
     )
     return gathered_sort(
@@ -635,20 +646,28 @@ ORDER BY symbol, event_date"""),
             WHERE available AND quote_volume_usdt IS NULL
               AND date >= DATE '{YEAR_START}' AND date <= DATE '{YEAR_END}'
             ORDER BY date, symbol"""),
-        "symbol_classification": with_da(r"""WITH syms AS (
+        "symbol_classification": with_da(
+            r"""WITH syms AS (
                 SELECT DISTINCT symbol FROM da
             ),
             u AS (
                 SELECT symbol FROM syms
                 UNION ALL SELECT symbol || '_240229' FROM syms
                 UNION ALL SELECT symbol || '_991399' FROM syms
+                UNION ALL SELECT symbol || '_2312' FROM syms
+                UNION ALL SELECT symbol || '_231131' FROM syms
             )
             SELECT symbol,
-                   CASE WHEN regexp_extract(symbol, '_(\d{6})$', 1) <> ''
-                         AND try_strptime(regexp_extract(symbol, '_(\d{6})$', 1),
-                                          '%y%m%d') IS NOT NULL
+                   CASE WHEN regexp_extract(symbol, '{P}', 2) <> ''
+                         AND try_strptime(
+                               regexp_extract(symbol, '{P}', 2)
+                               || lpad(regexp_extract(symbol, '{P}', 3), 2, '0')
+                               || lpad(ltrim(regexp_extract(symbol, '{P}', 4)),
+                                       2, '0'),
+                               '%y%m%d') IS NOT NULL
                         THEN 'delivery' ELSE 'perpetual' END AS symbol_type
-            FROM u ORDER BY symbol"""),
+            FROM u ORDER BY symbol""".replace("{P}", CONTRACT_SUFFIX_RE)
+        ),
         # --- extension-suite oracles (generators in oracles.py keep the
         # md5/quantization constants in one place so Spark and SQL can't drift)
         "exact_duplicates": oracles.sql_exact_dup_groups(),

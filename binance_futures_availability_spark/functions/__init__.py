@@ -112,23 +112,51 @@ def normalized_text(col: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+#: The exact alternations CPython's ``_strptime`` uses for %y / %m / %d —
+#: same ordered alternation, so ambiguous short suffixes split into the same
+#: (month, day) the reference's strptime picks ('2312' → m=1, d=2; '23121'
+#: → m=12, d=1). Anchored at the last underscore and end-of-string: the
+#: group cannot contain '_', so the match starts at the final underscore,
+#: mirroring rsplit('_', 1); the '$' anchor mirrors strptime's
+#: "unconverted data remains" rejection (with identical alternation order
+#: the anchored backtracking match full-consumes exactly when strptime's
+#: leftmost-first parse does — no extra acceptances).
+CONTRACT_SUFFIX_RE = (
+    r"_((\d\d)(1[0-2]|0[1-9]|[1-9])(3[0-1]|[1-2]\d|0[1-9]|[1-9]| [1-9]))$"
+)
+
+
 def classify_symbol(col: Column) -> Column:
-    """F10 — perpetual vs delivery contract by ``_YYMMDD`` suffix.
+    """F10 — perpetual vs delivery contract by ``_yymmdd`` suffix.
 
-    Reference: probing/s3_symbol_discovery.py:149-179 (rsplit('_') + strict
-    %y%m%d validation), re-expressed as a native regexp + try_to_date so it
-    runs in whole-stage codegen. try_to_date (not to_date) because Spark 4
-    defaults to ANSI mode where an invalid parse would throw; an invalid
-    date suffix must mean "perpetual", not an error.
+    Reference: probing/s3_symbol_discovery.py:149-179 — rsplit('_', 1), then
+    ``strptime(suffix, '%y%m%d')``; any parse failure means "perpetual".
+    Python's %m/%d accept 1-digit months and days (and a space-padded day),
+    so 4-6 char suffixes like '2312' are valid dates in the reference.
+    Re-expressed as a native regexp + try_to_date so it runs in whole-stage
+    codegen: extract (yy, m, d) with the same ordered alternations strptime
+    compiles, zero-pad to the canonical 6-digit form, and calendar-validate
+    with try_to_date (not to_date — Spark 4's ANSI mode would throw on
+    invalid dates like Feb 30, which must mean "perpetual", not an error).
 
-    DuckDB: ``CASE WHEN regexp_extract(s, '_(\\d{6})$', 1) <> '' AND
-    try_strptime(regexp_extract(s, '_(\\d{6})$', 1), '%y%m%d') IS NOT NULL
-    THEN 'delivery' ELSE 'perpetual' END``. (Century mapping differs between
-    the engines for yy ≥ 69, but 19yy and 20yy agree on leap years, so
-    validity — the only thing used — matches.)
+    DuckDB (same regex ``P`` = CONTRACT_SUFFIX_RE; RE2 shares Java's
+    leftmost-first alternation semantics)::
+
+        CASE WHEN regexp_extract(s, P, 2) <> ''
+              AND try_strptime(regexp_extract(s, P, 2)
+                               || lpad(regexp_extract(s, P, 3), 2, '0')
+                               || lpad(ltrim(regexp_extract(s, P, 4)), 2, '0'),
+                               '%y%m%d') IS NOT NULL
+             THEN 'delivery' ELSE 'perpetual' END
+
+    (Century mapping differs between the engines for yy ≥ 69, but 19yy and
+    20yy agree on leap years, so validity — the only thing used — matches.)
     """
-    suffix = F.regexp_extract(col, r"_(\d{6})$", 1)
-    valid = (suffix != "") & F.try_to_date(suffix, "yyMMdd").isNotNull()
+    y = F.regexp_extract(col, CONTRACT_SUFFIX_RE, 2)
+    m = F.regexp_extract(col, CONTRACT_SUFFIX_RE, 3)
+    d = F.ltrim(F.regexp_extract(col, CONTRACT_SUFFIX_RE, 4))
+    canonical = F.concat(y, F.lpad(m, 2, "0"), F.lpad(d, 2, "0"))
+    valid = (y != "") & F.try_to_date(canonical, "yyMMdd").isNotNull()
     return F.when(valid, F.lit("delivery")).otherwise(F.lit("perpetual"))
 
 

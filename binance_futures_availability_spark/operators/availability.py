@@ -141,31 +141,72 @@ def materialize_fact(
 _FACT_HANDLES: dict[str, DataFrame] = {}
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Digest of the derivation input's file identities (relative name,
+    size, mtime_ns) for every file under ``lineitem.parquet``.
+
+    Folding this into the cache key means regenerating the testdata in
+    place yields a NEW cache entry instead of silently serving stale rows
+    (the _SUCCESS marker and the in-memory .cache() handle both survive an
+    in-place rewrite and would otherwise mask it)."""
+    src = os.path.join(os.path.realpath(sf_dir), "lineitem.parquet")
+    entries: list[str] = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for name in sorted(files):
+                st = os.stat(os.path.join(root, name))
+                rel = os.path.relpath(os.path.join(root, name), src)
+                entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        entries.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(entries).encode()).hexdigest()[:8]
+
+
 def availability_fact(
     spark: SparkSession, sf_dir: str, cache_root: str | None = None
 ) -> DataFrame:
     """Materialized ``daily_availability`` for a testdata dir.
 
-    Derives from lineitem exactly once per (sf_dir, DA_VERSION), stores it
-    under ``cache_root``, and thereafter returns a catalog read — so an
-    18-query session performs ONE derivation aggregation instead of 18 full
-    re-aggregations of the fact source (the round-1 scale-killer).
+    Derives from lineitem exactly once per (sf_dir, source fingerprint,
+    DA_VERSION), stores it under ``cache_root``, and thereafter returns a
+    catalog read — so an 18-query session performs ONE derivation
+    aggregation instead of 18 full re-aggregations of the fact source (the
+    round-1 scale-killer).
+
+    Concurrency: materialization is staged into a process-private temp dir
+    and committed with an atomic rename, so two processes racing on a cold
+    cache both produce correct results and exactly one commit wins — no
+    partially-written cache dir is ever readable under ``path``.
     """
     cache_root = cache_root or os.environ.get(
         "SPARK_GRAFT_CACHE", "/root/repo/.cache"
     )
     # key on the FULL resolved path (basename alone would silently share a
-    # cache between /a/sf0.1 and /b/sf0.1); basename kept for readability
+    # cache between /a/sf0.1 and /b/sf0.1) plus the input fingerprint
+    # (detects in-place regeneration); basename kept for readability
     real = os.path.realpath(sf_dir)
     sf_name = os.path.basename(real) or "default"
     digest = hashlib.md5(real.encode()).hexdigest()[:8]
-    path = os.path.join(cache_root, f"da_{DA_VERSION}", f"{sf_name}-{digest}")
+    fp = _source_fingerprint(sf_dir)
+    path = os.path.join(
+        cache_root, f"da_{DA_VERSION}", f"{sf_name}-{digest}-{fp}"
+    )
     handle = _FACT_HANDLES.get(path)
     if handle is not None:
         return handle
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        materialize_fact(availability_from_lineitem(spark, sf_dir), path)
+        staging = f"{path}.tmp-{os.getpid()}"
+        materialize_fact(availability_from_lineitem(spark, sf_dir), staging)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # lost the race — another process committed first; its content
+            # is byte-equivalent (same deterministic derivation), use it
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
     handle = spark.read.parquet(path).cache()
     _FACT_HANDLES[path] = handle
     return handle

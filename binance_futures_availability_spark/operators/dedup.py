@@ -384,6 +384,13 @@ def simhash_pairs(
     Collisions are then verified with the true bit_count(xor) distance, so
     results equal brute force. Shuffle is bounded by chunk-bucket sizes
     (16-bit-ish buckets over near-uniform hash bits ⇒ skew-free).
+
+    Cache lifecycle: the fingerprint table stays ``.persist()``-ed as long
+    as the returned (lazy) DataFrame is referenced — it backs both join
+    sides, so it cannot be unpersisted here. Blocks are released by the
+    ContextCleaner when the result is garbage-collected; long-lived
+    sessions holding many results can force release with
+    ``spark.catalog.clearCache()``.
     """
     # one fingerprint per doc, persisted: both self-join sides scan it, and
     # without materialization each side re-runs the full token aggregation

@@ -259,6 +259,13 @@ def lsh_cosine_pairs(
     The bucket equi-join replaces the O(n²) cross join; candidates are then
     exactly verified, so precision is 1 and recall is the LSH collision
     probability (cos ≥ 0.95 pairs rarely split across all 8 planes).
+
+    Cache lifecycle: the quantized+bucketed table stays ``.persist()``-ed
+    as long as the returned (lazy) DataFrame is referenced — it backs both
+    join sides, so it cannot be unpersisted here. Blocks are released by
+    the ContextCleaner when the result is garbage-collected; long-lived
+    sessions holding many results can force release with
+    ``spark.catalog.clearCache()``.
     """
     # persisted: both sides of the self-join scan this; without
     # materialization each branch re-runs quantization + bucketing

@@ -151,6 +151,18 @@ def _rm_tree(spark, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def table_exists(spark, path: str) -> bool:
+    """True when ``path`` holds a committed table (its ``_SUCCESS`` marker).
+
+    Same Hadoop FileSystem routing as _rm_tree: an ``os.path.exists`` check
+    is always False for hdfs:// / s3a:// paths, which would make callers
+    treat every write as the first one and overwrite committed data."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_SUCCESS")
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def refresh_symbol_counts(da: DataFrame) -> DataFrame:
     """A8 — recompute the ``daily_symbol_counts`` summary (matview).
 

@@ -21,8 +21,6 @@ output on top of the checkpoint's exactly-once source tracking.
 
 from __future__ import annotations
 
-import os
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -164,7 +162,7 @@ def start_upsert_sink(
         spark = batch_df.sparkSession
         if not batch_df.take(1):
             return
-        if os.path.exists(os.path.join(table_path, "_SUCCESS")):
+        if writer.table_exists(spark, table_path):
             writer.upsert_partitioned(
                 table_path,
                 batch_df,
@@ -180,7 +178,7 @@ def start_upsert_sink(
             touched = [
                 r["date"] for r in batch_df.select("date").distinct().collect()
             ]
-            if os.path.exists(os.path.join(counts_path, "_SUCCESS")):
+            if writer.table_exists(spark, counts_path):
                 existing = spark.read.parquet(counts_path)
                 refreshed = writer.refresh_symbol_counts_incremental(
                     existing, table, touched

@@ -251,11 +251,14 @@ def test_quality_and_token_counts_match_python_reference(spark, texts):
 
 
 # symbol fragments that compose into realistic and adversarial names:
-# valid/invalid date suffixes, short digit runs, multiple underscores
+# valid/invalid date suffixes, SHORT suffixes (%y%m%d accepts 1-digit
+# month/day: '_2312' = 2023-01-02), space-padded day ('_231 2'), short
+# digit runs, multiple underscores
 _symbols = st.lists(
     st.lists(
         st.sampled_from(
             ["BTCUSDT", "ETH", "_241227", "_991332", "_000230", "_240230",
+             "_2312", "_23121", "_231 2", "_120", "_231131", "_99",
              "_12345", "_1234567", "_", "241227", "_ABC123"]
         ),
         min_size=1,
@@ -269,11 +272,11 @@ _symbols = st.lists(
 @SETTINGS
 @given(symbols=_symbols)
 def test_classify_symbol_matches_python_reference(spark, symbols):
-    """classify_symbol equals the reference model: 'delivery' iff the name
-    ends in _YYMMDD where YYMMDD is a real calendar date under strict
-    %y%m%d parsing (leap days, month 13, day 0 all rejected)."""
+    """classify_symbol equals the reference VERBATIM (rsplit('_', 1) +
+    strptime '%y%m%d' — s3_symbol_discovery.py:149-179): 1-digit months
+    and days and space-padded days are valid dates; leap days, month 13,
+    day 0, and trailing unconverted digits are all rejected."""
     import datetime as _dt
-    import re as _re
 
     from binance_futures_availability_spark.functions import classify_symbol
 
@@ -285,11 +288,10 @@ def test_classify_symbol_matches_python_reference(spark, symbols):
         ).collect()
     }
     for s in set(symbols):
-        m = _re.search(r"_(\d{6})$", s)
         expected = "perpetual"
-        if m:
+        if "_" in s:
             try:
-                _dt.datetime.strptime(m.group(1), "%y%m%d")
+                _dt.datetime.strptime(s.rsplit("_", 1)[1], "%y%m%d")
                 expected = "delivery"
             except ValueError:
                 pass
