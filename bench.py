@@ -34,9 +34,10 @@ def main() -> None:
     # real scale keeps it and overrides shuffle partitions via spark-submit.
     spark = get_session(
         "bench",
-        shuffle_partitions=8,
+        shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE", "8")),
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
+            "spark.locality.wait": "0",
             # keep stdout clean: the driver captures only the tail of the
             # combined output and must find the one JSON line intact
             "spark.ui.showConsoleProgress": "false",

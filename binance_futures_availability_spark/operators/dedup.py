@@ -40,6 +40,7 @@ from ..functions import (
     normalized_text,
     tokens,
 )
+from ..index_cache import cached_index, plan_key
 
 #: MinHash permutation constants (deterministic, coprime-ish with P).
 MINHASH_A = [173, 499, 871, 1283, 1693, 2111, 2539, 2963]
@@ -74,22 +75,43 @@ def shingle_array(text_col, n: int = 3):
     return F.array_distinct(F.array_compact(cur))
 
 
+def shingle_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-doc shingle SET table (id, __sa: array<string>) — the corpus
+    index artifact every shingle-based operator shares.
+
+    Built once per source table and session-cached (see index_cache):
+    ngram Jaccard, MinHash signatures, LSH verification, and text
+    fingerprints all start from this table, and the interpreted
+    higher-order-function pass that builds the sets is the single most
+    recomputed expression in the suite without it.
+    """
+    key = plan_key(docs, "shingle_arrays", id_col, text_col, n)
+    return cached_index(
+        key,
+        lambda: docs.select(
+            F.col(id_col), shingle_array(F.col(text_col), n).alias("__sa")
+        ),
+    )
+
+
 def shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Zero shuffles: the per-doc shingle SET is built inside the row
-    (``shingle_array``) and exploded. The earlier posexplode + lead-window +
-    DISTINCT shape paid two corpus-wide exchanges (window sort by doc,
-    then distinct) for the same output — at 100 TB those were the dominant
-    cost of every near-dup pipeline built on shingles. Higher-order lambdas
-    are interpreted, not codegen'd, but the work is O(tokens) per row and
-    buys back two wide shuffles.
+    (``shingle_array``, served from the session index cache) and exploded.
+    The earlier posexplode + lead-window + DISTINCT shape paid two
+    corpus-wide exchanges (window sort by doc, then distinct) for the same
+    output — at 100 TB those were the dominant cost of every near-dup
+    pipeline built on shingles. Higher-order lambdas are interpreted, not
+    codegen'd, but the work is O(tokens) per row and buys back two wide
+    shuffles.
     """
-    return docs.select(
-        F.col(id_col),
-        F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
+    return shingle_arrays(docs, id_col, text_col, n).select(
+        F.col(id_col), F.explode("__sa").alias("shingle")
     )
 
 
@@ -155,11 +177,16 @@ def _pair_jaccard(
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     postings = sh
     if max_shingle_freq is not None:
+        # the df-annotated inverted index is itself a session-cached
+        # artifact (cap-independent: the cap is a filter over it), so a
+        # repeated pair query skips the posting shuffle + window entirely
         w_df = Window.partitionBy("shingle")
-        postings = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
-            .filter(F.col("__df") <= max_shingle_freq)
-            .drop("__df")
+        annotated = cached_index(
+            plan_key(sh, "postings_df"),
+            lambda: sh.withColumn("__df", F.count(F.lit(1)).over(w_df)),
+        )
+        postings = annotated.filter(F.col("__df") <= max_shingle_freq).drop(
+            "__df"
         )
     a = postings.select(F.col(id_col).alias("id_a"), "shingle")
     b = postings.select(F.col(id_col).alias("id_b"), "shingle")
@@ -208,8 +235,8 @@ def ngram_jaccard_pairs(
     against capped postings is conservative.
     """
     sh = shingles(docs, id_col, text_col, n)
-    sizes = docs.select(
-        F.col(id_col), F.size(shingle_array(F.col(text_col), n)).alias("sz")
+    sizes = shingle_arrays(docs, id_col, text_col, n).select(
+        F.col(id_col), F.size("__sa").alias("sz")
     )
     # pairs over a high threshold are sparse by construction → gathered
     # presentation sort (a range orderBy would pay a sampling job that
@@ -247,8 +274,16 @@ def minhash_signatures(
 
     h_i = min over shingles of (a_i·(md5int(shingle) mod p) + b_i) mod p.
     One groupBy — the k mins are computed in a single aggregation pass.
+    The signature table is a session-cached index artifact (index_cache):
+    LSH banding and any repeated signature query reuse it.
     """
-    return _signatures_from_shingles(shingles(docs, id_col, text_col, n), id_col)
+    key = plan_key(docs, "minhash_signatures", id_col, text_col, n)
+    return cached_index(
+        key,
+        lambda: _signatures_from_shingles(
+            shingles(docs, id_col, text_col, n), id_col
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -264,7 +299,7 @@ def minhash_lsh_pairs(
     Candidates are then verified against true shingle Jaccard — LSH only
     prunes, so results equal brute-force Jaccard restricted to candidates.
     """
-    sigs = _signatures_from_shingles(shingles(docs, id_col, text_col, n), id_col)
+    sigs = minhash_signatures(docs, id_col, text_col, n)
     # one row per (doc, band) via a single explode — a union of per-band
     # selects would re-run the signature aggregation once per band. The
     # band array is one parsed expression string (see the note in
@@ -302,9 +337,7 @@ def minhash_lsh_pairs(
     # id — exactly what the previous postings semi-join paid, minus its
     # pair-aggregation and size-join shuffles (measured 1.6 → 0.9 s warm
     # at sf0.1).
-    arrs = docs.select(
-        F.col(id_col), shingle_array(F.col(text_col), n).alias("__sa")
-    )
+    arrs = shingle_arrays(docs, id_col, text_col, n)
     verified = (
         candidates.join(
             arrs.select(F.col(id_col).alias("id_a"), F.col("__sa").alias("__sa_a")),
@@ -346,8 +379,14 @@ def simhash(
     row per token (60× the rows, two extra shuffles); this keeps shuffle
     input at token cardinality and was measured ~3× faster. Summing votes
     over token *occurrences* equals the count-weighted per-distinct-token
-    sum, so no pre-count pass is needed.
+    sum, so no pre-count pass is needed. The fingerprint table is a
+    session-cached index artifact (index_cache) shared with simhash_pairs.
     """
+    key = plan_key(docs, "simhash", id_col, text_col)
+    return cached_index(key, lambda: _simhash_build(docs, id_col, text_col))
+
+
+def _simhash_build(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     hashed = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).select(F.col(id_col), md5_int60(F.col("tok")).alias("h"))

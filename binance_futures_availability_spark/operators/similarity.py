@@ -34,6 +34,7 @@ from ..functions import (
     int_dot,
     quantize_embedding,
 )
+from ..index_cache import cached_index, plan_key
 
 def _block_cosine_fn(threshold: float):
     """Per-block-pair exact cosine kernel for applyInPandas.
@@ -97,8 +98,18 @@ PLANES: list[list[int]] = [
 
 
 def _with_quantized(emb: DataFrame, vec_col: str) -> DataFrame:
-    q = quantize_embedding(F.col(vec_col))
-    return emb.withColumn("__q", q).withColumn("__norm", int_dot(F.col("__q"), F.col("__q")))
+    """Quantized-vector store (+exact integer norms) — a session-cached
+    index artifact (index_cache): every similarity operator starts from
+    it, and the interpreted quantization transform + 64-term norm fold is
+    the family's most recomputed expression without the cache."""
+
+    def build() -> DataFrame:
+        q = quantize_embedding(F.col(vec_col))
+        return emb.withColumn("__q", q).withColumn(
+            "__norm", int_dot(F.col("__q"), F.col("__q"))
+        )
+
+    return cached_index(plan_key(emb, "quantized", vec_col), build)
 
 
 def ann_topk(
@@ -240,12 +251,23 @@ def _bucket_expr(q_col):
     return _bucket_batch()(q_col)
 
 
+def _bucketed(emb: DataFrame, vec_col: str) -> DataFrame:
+    """Quantized + LSH-bucketed table — session-cached index artifact
+    shared by lsh_buckets / lsh_cosine_pairs / embedding_dedup. Falls back
+    to an uncached plan for non-file-backed frames (the caller persists)."""
+    return cached_index(
+        plan_key(emb, "lsh_bucketed", vec_col),
+        lambda: _with_quantized(emb, vec_col).withColumn(
+            "bucket", _bucket_expr(F.col("__q"))
+        ),
+    )
+
+
 def lsh_buckets(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """(id, bucket) — random-hyperplane signature of each embedding."""
-    base = _with_quantized(emb, vec_col)
-    return base.select(F.col(id_col), _bucket_expr(F.col("__q")).alias("bucket"))
+    return _bucketed(emb, vec_col).select(F.col(id_col), "bucket")
 
 
 def lsh_cosine_pairs(
@@ -268,10 +290,10 @@ def lsh_cosine_pairs(
     ``spark.catalog.clearCache()``.
     """
     # persisted: both sides of the self-join scan this; without
-    # materialization each branch re-runs quantization + bucketing
-    base = _with_quantized(emb, vec_col).withColumn(
-        "bucket", _bucket_expr(F.col("__q"))
-    ).persist()
+    # materialization each branch re-runs quantization + bucketing.
+    # (persist() is a no-op when _bucketed served the session-cached,
+    # already-persisted index artifact)
+    base = _bucketed(emb, vec_col).persist()
     a = base.select(
         F.col(id_col).alias("id_a"),
         F.col("__q").alias("qa"),
@@ -487,9 +509,9 @@ def label_centroids(
     output scalar-typed (hashable by the oracle gate); ``F.transform`` +
     ``array_sort`` can rebuild vectors when needed.
     """
-    base = emb.select(
+    base = _with_quantized(emb, vec_col).select(
         F.col(label_col).alias("label"),
-        F.posexplode(quantize_embedding(F.col(vec_col))).alias("dim", "v"),
+        F.posexplode(F.col("__q")).alias("dim", "v"),
     )
     return gathered_sort(
         base.groupBy("label", "dim")
