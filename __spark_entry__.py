@@ -199,6 +199,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_topk served from the ON-DISK cell-partitioned index: build the
+    index artifact once per corpus fingerprint (write_ivf_index), then
+    answer from it with partition pruning — no assignment kernel in the
+    query plan. Results are identical to ivf_topk (same seeds/assignment),
+    so it shares ivf_topk's oracle."""
+    import hashlib
+
+    emb = _emb(spark, sf_dir)
+    fp = hashlib.md5("|".join(sorted(emb.inputFiles())).encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_ivf_{fp}"
+    if not writer.table_exists(spark, path + "/vectors"):
+        similarity.write_ivf_index(emb, path)
+    return similarity.ivf_topk_indexed(spark, path, ANN_QUERY_ID, ANN_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # P1/P2 — snapshots
@@ -300,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": lambda s, d: similarity.ivf_topk(
             _emb(s, d), ANN_QUERY_ID, ANN_K
         ),
+        "ivf_topk_indexed": _ivf_indexed_topk,
         "lsh_buckets": lambda s, d: similarity.lsh_buckets(_emb(s, d)),
         "lsh_cosine_pairs": lambda s, d: similarity.lsh_cosine_pairs(
             _emb(s, d), COSINE_THRESHOLD
@@ -682,6 +699,10 @@ ORDER BY symbol, event_date"""),
         "cosine_pairs": oracles.sql_cosine_pairs(COSINE_THRESHOLD),
         "ivf_cells": oracles.sql_ivf_cells(similarity.IVF_N_CELLS),
         "ivf_topk": oracles.sql_ivf_topk(
+            ANN_QUERY_ID, ANN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
+        ),
+        # identical semantics served from the on-disk cell-partitioned index
+        "ivf_topk_indexed": oracles.sql_ivf_topk(
             ANN_QUERY_ID, ANN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
         ),
         "lsh_buckets": oracles.sql_lsh_buckets(),

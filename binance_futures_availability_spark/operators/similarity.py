@@ -391,6 +391,29 @@ def _cell_kernel(sq, snrm):
     return cell_of
 
 
+def _ivf_assigned(
+    emb: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> DataFrame:
+    """Session-cached IVF index artifact: quantized vectors + ``cell``.
+
+    The nearest-seed kernel runs ONCE per (table, n_cells); every later
+    ``ivf_cells`` / ``ivf_topk`` call serves from the persisted columnar
+    form, so the query path is a cell filter over an InMemoryTableScan —
+    never a per-query re-assignment of the corpus. The on-disk twin is
+    ``write_ivf_index`` (cell-partitioned parquet, pruned by partition
+    filters); this handle is its in-session analogue.
+    """
+
+    def build() -> DataFrame:
+        base = _with_quantized(emb, vec_col)
+        sq, snrm = _collect_seeds(
+            base, id_col, n_cells, _seed_cache_key(emb, id_col, vec_col, n_cells)
+        )
+        return base.withColumn("cell", _cell_kernel(sq, snrm)(F.col("__q")))
+
+    return cached_index(plan_key(emb, "ivf_assigned", vec_col, n_cells), build)
+
+
 def ivf_cells(
     emb: DataFrame,
     n_cells: int = IVF_N_CELLS,
@@ -400,16 +423,11 @@ def ivf_cells(
     """(id, cell) — IVF inverted-list assignment, a narrow projection.
 
     At corpus scale this column is the partition key of the vector table:
-    writes cluster by cell, and ``ivf_topk`` prunes to ``nprobe``
-    partitions — the Spark-native analogue of a FAISS IVF index.
+    ``write_ivf_index`` clusters writes by cell, and ``ivf_topk`` prunes to
+    ``nprobe`` partitions — the Spark-native analogue of a FAISS IVF index.
+    Served from the session-cached assignment artifact (``_ivf_assigned``).
     """
-    base = _with_quantized(emb, vec_col)
-    sq, snrm = _collect_seeds(
-        base, id_col, n_cells, _seed_cache_key(emb, id_col, vec_col, n_cells)
-    )
-    return base.select(
-        F.col(id_col), _cell_kernel(sq, snrm)(F.col("__q")).alias("cell")
-    )
+    return _ivf_assigned(emb, id_col, vec_col, n_cells).select(id_col, "cell")
 
 
 def ivf_topk(
@@ -425,15 +443,16 @@ def ivf_topk(
     the query instead of the whole corpus.
 
     Plan shape: seed matrix and probe-cell choice are driver-side over the
-    bounded centroid table; the corpus side is a narrow project (cell
-    assignment) → filter (cell pruning, ~nprobe/n_cells of the data) →
-    broadcast query row → TakeOrderedAndProject. Zero corpus shuffles.
-    Recall is approximate by construction (a true neighbor assigned to an
-    unprobed cell is missed) — ``ann_topk`` is the exact baseline; raise
-    ``nprobe`` to trade scan fraction for recall.
+    bounded centroid table; the corpus side reads the session-cached
+    assignment artifact (``_ivf_assigned`` — the cell kernel runs once per
+    table, not per query) → filter (cell pruning, ~nprobe/n_cells of the
+    data) → broadcast query row → TakeOrderedAndProject. Zero corpus
+    shuffles, zero per-query re-assignment. Recall is approximate by
+    construction (a true neighbor assigned to an unprobed cell is missed)
+    — ``ann_topk`` is the exact baseline; raise ``nprobe`` to trade scan
+    fraction for recall. For the on-disk form with partition-level pruning
+    see ``write_ivf_index`` / ``ivf_topk_indexed``.
     """
-    import numpy as np
-
     base = _with_quantized(emb, vec_col)
     sq, snrm = _collect_seeds(
         base, id_col, n_cells, _seed_cache_key(emb, id_col, vec_col, n_cells)
@@ -441,22 +460,36 @@ def ivf_topk(
     qrow = base.filter(F.col(id_col) == query_vec_id).select("__q", "__norm").first()
     if qrow is None:
         raise ValueError(f"query {id_col}={query_vec_id} not found in embeddings")
-    qv = np.asarray(qrow["__q"], dtype=np.float64)
-    qn = float(qrow["__norm"])
-    # same expression order as the oracle: dot / (sqrt(ns) * sqrt(qn));
-    # ties broken toward the lower cell id by stable argsort
-    cos_seeds = (sq @ qv) / (np.sqrt(snrm) * np.sqrt(qn))
-    probe = [int(c) for c in np.argsort(-cos_seeds, kind="stable")[:nprobe]]
+    probe = _probe_cells(sq, snrm, qrow["__q"], qrow["__norm"], nprobe)
+    assigned = _ivf_assigned(emb, id_col, vec_col, n_cells)
     qsel = (
-        base.filter(F.col(id_col) == query_vec_id)
+        assigned.filter(F.col(id_col) == query_vec_id)
         .select(F.col("__q").alias("__qq"), F.col("__norm").alias("__qnorm"))
     )
     cands = (
-        base.filter(F.col(id_col) != query_vec_id)
-        .withColumn("cell", _cell_kernel(sq, snrm)(F.col("__q")))
-        .filter(F.col("cell").isin(probe))
+        assigned.filter(F.col("cell").isin(probe))
+        .filter(F.col(id_col) != query_vec_id)
         .crossJoin(F.broadcast(qsel))
     )
+    return _topk_from_candidates(cands, k, id_col)
+
+
+def _probe_cells(sq, snrm, q_vec, q_norm, nprobe: int) -> list[int]:
+    """The ``nprobe`` cells nearest the query, driver-side over the bounded
+    centroid table. Same expression order as the oracle:
+    dot / (sqrt(ns) * sqrt(qn)); ties broken toward the lower cell id by
+    stable argsort."""
+    import numpy as np
+
+    qv = np.asarray(q_vec, dtype=np.float64)
+    qn = float(q_norm)
+    cos_seeds = (sq @ qv) / (np.sqrt(snrm) * np.sqrt(qn))
+    return [int(c) for c in np.argsort(-cos_seeds, kind="stable")[:nprobe]]
+
+
+def _topk_from_candidates(cands: DataFrame, k: int, id_col: str) -> DataFrame:
+    """ORDER BY (cos DESC, id) LIMIT k over the candidate set — plans as
+    TakeOrderedAndProject; the query row arrives as broadcast ``__qq``."""
     dot = int_dot(F.col("__q"), F.col("__qq"))
     return (
         cands.select(
@@ -468,6 +501,97 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = IVF_N_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index ON DISK as a cell-partitioned vector table.
+
+    Layout — the FAISS-IVF analogue in parquet:
+    - ``<path>/seeds``: the bounded centroid table (cell, __q, __norm) —
+      n_cells rows, read whole by every query to pick probe cells.
+    - ``<path>/vectors``: (id, __q, __norm) partitioned BY CELL, so an
+      ``ivf_topk_indexed`` probe reads only ``nprobe`` of the ``n_cells``
+      partition directories (PartitionFilters prune the rest at planning
+      time; scan cost ∝ nprobe/n_cells of the corpus, not the corpus).
+
+    Assignment is deterministic (lowest-id seeds, exact integer cosines),
+    so the index is reproducible and the DuckDB oracle can rebuild it.
+    """
+    base = _with_quantized(emb, vec_col)
+    sq, snrm = _collect_seeds(
+        base, id_col, n_cells, _seed_cache_key(emb, id_col, vec_col, n_cells)
+    )
+    spark = emb.sparkSession
+    seeds = spark.createDataFrame(
+        [
+            (i, [int(v) for v in sq[i]], int(snrm[i]))
+            for i in range(len(sq))
+        ],
+        "cell int, __q array<bigint>, __norm bigint",
+    )
+    seeds.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/seeds")
+    (
+        base.withColumn("cell", _cell_kernel(sq, snrm)(F.col("__q")))
+        .select(F.col(id_col), "__q", "__norm", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path.rstrip("/") + "/vectors")
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k against a ``write_ivf_index`` artifact — the true scale
+    path: partition pruning at the storage layer.
+
+    The centroid table (n_cells rows) is read whole; probe-cell choice is
+    driver-side; the vector scan carries ``cell IN (probe)`` as a
+    PartitionFilter, so only ~nprobe/n_cells of the partition directories
+    are listed and read. No assignment kernel anywhere in the query plan —
+    assignment happened once at index-build time. Results are identical to
+    ``ivf_topk`` over the same corpus (same seeds, same assignment).
+
+    The query-row lookup by id scans the index (needle-in-haystack, served
+    by parquet min/max stats on ``id``); at cluster scale pass the query
+    embedding itself via ``ivf_topk_indexed_vec``-style wrappers instead.
+    """
+    import numpy as np
+
+    root = index_path.rstrip("/")
+    seed_rows = spark.read.parquet(root + "/seeds").orderBy("cell").collect()
+    sq = np.asarray([r["__q"] for r in seed_rows], dtype=np.float64)
+    snrm = np.asarray([r["__norm"] for r in seed_rows], dtype=np.float64)
+    vectors = spark.read.parquet(root + "/vectors")
+    qrow = (
+        vectors.filter(F.col(id_col) == query_vec_id)
+        .select("__q", "__norm")
+        .first()
+    )
+    if qrow is None:
+        raise ValueError(f"query {id_col}={query_vec_id} not found in index")
+    probe = _probe_cells(sq, snrm, qrow["__q"], qrow["__norm"], nprobe)
+    qsel = (
+        vectors.filter(F.col(id_col) == query_vec_id)
+        .select(F.col("__q").alias("__qq"), F.col("__norm").alias("__qnorm"))
+    )
+    cands = (
+        vectors.filter(F.col("cell").isin(probe))
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qsel))
+    )
+    return _topk_from_candidates(cands, k, id_col)
 
 
 def embedding_dedup_survivors(

@@ -114,6 +114,51 @@ def test_ivf_topk_corpus_side_has_no_shuffle(spark, tmp_path_factory):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_ivf_topk_serves_from_cached_assignment(spark, tmp_path_factory):
+    """The cell kernel must NOT be on the query path: ivf_topk reads the
+    session-cached assignment artifact (InMemoryTableScan with the cell
+    filter pushed into it); ArrowEvalPython appears only inside the cached
+    relation's one-time build plan."""
+    from binance_futures_availability_spark.operators import similarity
+
+    path = str(tmp_path_factory.mktemp("ivfcache") / "emb")
+    rows = [(i, [float(i % 5), 2.0, 1.0, 0.5], "a") for i in range(30)]
+    spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).write.parquet(path)
+    emb = spark.read.parquet(path)
+    plan = _plan(similarity.ivf_topk(emb, 2, k=5, n_cells=4, nprobe=2))
+    live = plan.split("InMemoryRelation", 1)[0]  # everything above the cache
+    assert "InMemoryTableScan" in live, plan
+    assert "ArrowEvalPython" not in live, plan  # no per-query re-assignment
+    assert " IN (" in live, plan  # cell pruning pushed to the cached scan
+
+
+def test_ivf_indexed_prunes_cell_partitions(spark, tmp_path_factory):
+    """write_ivf_index + ivf_topk_indexed: the vector scan carries the
+    probe cells as PartitionFilters (storage-level pruning) and no
+    assignment kernel exists anywhere in the plan."""
+    import re
+
+    from binance_futures_availability_spark.operators import similarity
+
+    root = tmp_path_factory.mktemp("ivfdisk")
+    rows = [(i, [float(i % 7), 1.0, 0.5, 0.25], "a") for i in range(40)]
+    spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).write.parquet(
+        str(root / "emb")
+    )
+    emb = spark.read.parquet(str(root / "emb"))
+    similarity.write_ivf_index(emb, str(root / "ivf"), n_cells=4)
+    df = similarity.ivf_topk_indexed(spark, str(root / "ivf"), 1, k=5, nprobe=2)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan, plan
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan
+    got = [(r["vec_id"], r["cosine"]) for r in df.collect()]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk(emb, 1, k=5, n_cells=4, nprobe=2).collect()
+    ]
+    assert got == want
+
+
 def test_embedding_dedup_anti_join_is_broadcast(spark):
     from binance_futures_availability_spark.operators import similarity
 
