@@ -42,12 +42,52 @@ from ..functions import (
 )
 from ..index_cache import cached_index, plan_key
 
-#: MinHash permutation constants (deterministic, coprime-ish with P).
+#: MinHash permutation constants (deterministic, coprime-ish with P) for
+#: the default width k=8. ``minhash_params(k)`` extends the family
+#: prefix-stably for wider signatures.
 MINHASH_A = [173, 499, 871, 1283, 1693, 2111, 2539, 2963]
 MINHASH_B = [1009, 2003, 3001, 4001, 5003, 6007, 7001, 8009]
-#: LSH banding: 4 bands × 2 rows over the 8 signatures.
+#: LSH banding: 4 bands × 2 rows over the 8 signatures (the default
+#: ``band_partition(8, 4)``).
 LSH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
 SIMHASH_BITS = 60
+
+
+def minhash_params(num_perm: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) permutation constants for a ``num_perm``-wide signature.
+
+    Prefix-stable: the first 8 are the historical MINHASH_A/B constants,
+    further entries are deterministic draws (seed 777, odd a's — odd
+    multipliers are invertible mod 2^k and never collapse the hash) — so
+    the DuckDB oracle regenerates the identical family for any width
+    (oracles.minhash_sig_cte takes the same parameter).
+    """
+    import random
+
+    params = list(zip(MINHASH_A, MINHASH_B))[:num_perm]
+    if num_perm > len(MINHASH_A):
+        rng = random.Random(777)
+        while len(params) < num_perm:
+            a = rng.randrange(3, 1_000_000, 2)
+            b = rng.randrange(1, 1_000_000)
+            params.append((a, b))
+    return params
+
+
+def band_partition(num_perm: int, n_bands: int) -> list[tuple[int, ...]]:
+    """Split signature rows 0..num_perm-1 into ``n_bands`` contiguous
+    bands (num_perm must divide evenly).
+
+    SCALE RULE: the LSH threshold is ≈ (1/n_bands)^(rows/band); bucket
+    population grows with corpus size, so at larger n hold rows-per-band
+    and raise num_perm/n_bands together (more, narrower bands keeps recall
+    while adding independent tables), or raise rows-per-band to cut
+    candidate volume. ``band_partition(8, 4)`` is the default LSH_BANDS.
+    """
+    if num_perm % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide num_perm={num_perm}")
+    r = num_perm // n_bands
+    return [tuple(range(i * r, (i + 1) * r)) for i in range(n_bands)]
 
 
 def shingle_array(text_col, n: int = 3):
@@ -250,7 +290,9 @@ def ngram_jaccard_pairs(
     )
 
 
-def _signatures_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_perm: int
+) -> DataFrame:
     # Expression strings, not Column-object loops: every pyspark Column
     # operation is a py4j round-trip, and the k-permutation agg built
     # operator-by-operator cost ~0.2 s of pure driver time per call. One
@@ -261,27 +303,32 @@ def _signatures_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
         (md5_int60(F.col("shingle")) % MINHASH_P).alias("__x"),
     )
     aggs = [
-        F.expr(f"min(({MINHASH_A[i]} * __x + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}")
-        for i in range(len(MINHASH_A))
+        F.expr(f"min(({a} * __x + {b}) % {MINHASH_P}) AS h{i}")
+        for i, (a, b) in enumerate(minhash_params(num_perm))
     ]
     return base.groupBy(id_col).agg(*aggs)
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 8,
 ) -> DataFrame:
-    """k=8 MinHash signatures per doc: (id, h0..h7).
+    """k=``num_perm`` MinHash signatures per doc: (id, h0..h{k-1}).
 
     h_i = min over shingles of (a_i·(md5int(shingle) mod p) + b_i) mod p.
     One groupBy — the k mins are computed in a single aggregation pass.
-    The signature table is a session-cached index artifact (index_cache):
-    LSH banding and any repeated signature query reuse it.
+    The signature table is a session-cached index artifact (index_cache,
+    one entry per width): LSH banding and any repeated signature query
+    reuse it.
     """
-    key = plan_key(docs, "minhash_signatures", id_col, text_col, n)
+    key = plan_key(docs, "minhash_signatures", id_col, text_col, n, num_perm)
     return cached_index(
         key,
         lambda: _signatures_from_shingles(
-            shingles(docs, id_col, text_col, n), id_col
+            shingles(docs, id_col, text_col, n), id_col, num_perm
         ),
     )
 
@@ -292,14 +339,24 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    num_perm: int = 8,
+    n_bands: int = 4,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified with exact Jaccard ≥ threshold.
 
     Banding: a pair is a candidate iff it collides on ALL rows of ≥1 band.
     Candidates are then verified against true shingle Jaccard — LSH only
     prunes, so results equal brute-force Jaccard restricted to candidates.
+
+    ``num_perm``/``n_bands`` are the scale knobs (see band_partition's
+    rule): the default 8×(4 bands × 2 rows) targets sf-scale corpora; at
+    10⁹ docs hold rows-per-band and raise both so each band-bucket's
+    population stays one task's worth. The DuckDB oracle takes the same
+    parameters (oracles.sql_minhash_lsh_pairs) and regenerates the
+    identical prefix-stable permutation family.
     """
-    sigs = minhash_signatures(docs, id_col, text_col, n)
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_perm)
+    bands_spec = band_partition(num_perm, n_bands)
     # one row per (doc, band) via a single explode — a union of per-band
     # selects would re-run the signature aggregation once per band. The
     # band array is one parsed expression string (see the note in
@@ -310,7 +367,7 @@ def minhash_lsh_pairs(
             f"struct({band_id} AS band, concat_ws('_', "
             + ", ".join(f"CAST(h{c} AS STRING)" for c in cols)
             + ") AS bucket)"
-            for band_id, cols in enumerate(LSH_BANDS)
+            for band_id, cols in enumerate(bands_spec)
         )
         + ")"
     )

@@ -87,14 +87,33 @@ def _block_cosine_fn(threshold: float):
 
     return fn
 
-#: deterministic random hyperplanes (seed 42), 8 planes × 64 dims, ints in
-#: [-1000, 1000] — exact integer dot with quantized embeddings.
-_rng = random.Random(42)
+#: default hyperplane count. SCALE RULE: expected bucket population is
+#: n / 2^n_planes — pick n_planes ≈ log2(n / target_rows_per_bucket) so one
+#: bucket's within-bucket self-join stays one task's worth of work
+#: (8 planes = 256 buckets is sized for sf-scale corpora; 10⁹ vectors at
+#: ~4k rows/bucket wants ~18 planes). ``planes(n)`` is prefix-stable, so
+#: raising the width never perturbs the surviving low planes.
 N_PLANES = 8
 EMB_DIM = 64
-PLANES: list[list[int]] = [
-    [_rng.randint(-1000, 1000) for _ in range(EMB_DIM)] for _ in range(N_PLANES)
-]
+
+
+def planes(n_planes: int, dim: int = EMB_DIM) -> list[list[int]]:
+    """Deterministic random hyperplanes (seed 42): ``n_planes`` × ``dim``
+    ints in [-1000, 1000] — exact integer dots with quantized embeddings.
+
+    One fixed seed and sequential draws make the family PREFIX-STABLE:
+    ``planes(16)[:8] == planes(8)``, so the oracle regenerates the exact
+    same matrix for any width (oracles._bucket_sql takes the same
+    parameter).
+    """
+    rng = random.Random(42)
+    return [
+        [rng.randint(-1000, 1000) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+#: the default-width plane matrix (kept as a constant for the oracle gate).
+PLANES: list[list[int]] = planes(N_PLANES)
 
 
 def _with_quantized(emb: DataFrame, vec_col: str) -> DataFrame:
@@ -210,23 +229,24 @@ def cosine_pairs_blocked(
     return gathered_sort(out, "id_a", "id_b")
 
 
-_BUCKET_BATCH = None
+_BUCKET_BATCH: dict = {}
 
 
-def _bucket_batch():
-    """Arrow-batched LSH bucket id: sign bits of the 8 plane dot products.
+def _bucket_batch(n_planes: int = N_PLANES):
+    """Arrow-batched LSH bucket id: sign bits of ``n_planes`` plane dots.
 
-    The expression form (8 interpreted `aggregate(zip_with(...))` folds per
-    row = 512 lambda evaluations each) measured ~1 s per 2 000 rows; one
-    float64 GEMM against the 8×64 plane matrix does the same work in
+    The expression form (n interpreted `aggregate(zip_with(...))` folds per
+    row = 64·n lambda evaluations each) measured ~1 s per 2 000 rows; one
+    float64 GEMM against the n×64 plane matrix does the same work in
     microseconds and is exact (quantized components × plane ints: every
     product and 64-term sum is an integer < 2^53). Lazy: pandas_udf needs
-    an active session.
+    an active session. Cached per width.
     """
-    global _BUCKET_BATCH
-    if _BUCKET_BATCH is not None:
-        return _BUCKET_BATCH
+    if n_planes in _BUCKET_BATCH:
+        return _BUCKET_BATCH[n_planes]
     from pyspark.sql.functions import pandas_udf
+
+    plane_rows = planes(n_planes)
 
     @pandas_udf("long")
     def bucket_batch(q: pd.Series) -> pd.Series:
@@ -237,37 +257,41 @@ def _bucket_batch():
         qm = np.asarray(q.tolist(), dtype=np.float64)
         # planes are EMB_DIM-wide; lower-dim vectors project onto the
         # leading dims (missing dims contribute 0 to the dot product)
-        planes = np.asarray(PLANES, dtype=np.float64)[:, : qm.shape[1]]
-        dots = qm @ planes.T  # (n, 8), exact integers in float64
-        weights = 1 << np.arange(len(PLANES), dtype=np.int64)
+        pm = np.asarray(plane_rows, dtype=np.float64)[:, : qm.shape[1]]
+        dots = qm @ pm.T  # (n, n_planes), exact integers in float64
+        weights = 1 << np.arange(len(plane_rows), dtype=np.int64)
         return pd.Series(((dots > 0) * weights).sum(axis=1).astype(np.int64))
 
-    _BUCKET_BATCH = bucket_batch
-    return _BUCKET_BATCH
+    _BUCKET_BATCH[n_planes] = bucket_batch
+    return bucket_batch
 
 
-def _bucket_expr(q_col):
+def _bucket_expr(q_col, n_planes: int = N_PLANES):
     """LSH bucket id of a quantized vector column (Arrow-batched kernel)."""
-    return _bucket_batch()(q_col)
+    return _bucket_batch(n_planes)(q_col)
 
 
-def _bucketed(emb: DataFrame, vec_col: str) -> DataFrame:
+def _bucketed(emb: DataFrame, vec_col: str, n_planes: int = N_PLANES) -> DataFrame:
     """Quantized + LSH-bucketed table — session-cached index artifact
-    shared by lsh_buckets / lsh_cosine_pairs / embedding_dedup. Falls back
-    to an uncached plan for non-file-backed frames (the caller persists)."""
+    shared by lsh_buckets / lsh_cosine_pairs / embedding_dedup (one entry
+    per width). Falls back to an uncached plan for non-file-backed frames
+    (the caller persists)."""
     return cached_index(
-        plan_key(emb, "lsh_bucketed", vec_col),
+        plan_key(emb, "lsh_bucketed", vec_col, n_planes),
         lambda: _with_quantized(emb, vec_col).withColumn(
-            "bucket", _bucket_expr(F.col("__q"))
+            "bucket", _bucket_expr(F.col("__q"), n_planes)
         ),
     )
 
 
 def lsh_buckets(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """(id, bucket) — random-hyperplane signature of each embedding."""
-    return _bucketed(emb, vec_col).select(F.col(id_col), "bucket")
+    return _bucketed(emb, vec_col, n_planes).select(F.col(id_col), "bucket")
 
 
 def lsh_cosine_pairs(
@@ -275,12 +299,22 @@ def lsh_cosine_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Scale-path near-dup: same-bucket candidates verified by exact cosine.
 
     The bucket equi-join replaces the O(n²) cross join; candidates are then
     exactly verified, so precision is 1 and recall is the LSH collision
-    probability (cos ≥ 0.95 pairs rarely split across all 8 planes).
+    probability (cos ≥ threshold pairs rarely split across all planes).
+
+    ``n_planes`` is the scale knob: expected bucket population ≈
+    n / 2^n_planes, and the within-bucket self-join is quadratic in it —
+    size n_planes ≈ log2(n / target_rows_per_bucket) so one bucket stays
+    one task's worth of work (recall falls geometrically with extra
+    planes; compensate with multi-table OR-banding when both matter).
+    The DuckDB oracle takes the identical parameter
+    (oracles.sql_lsh_cosine_pairs) and regenerates the same prefix-stable
+    plane matrix.
 
     Cache lifecycle: the quantized+bucketed table stays ``.persist()``-ed
     as long as the returned (lazy) DataFrame is referenced — it backs both
@@ -293,7 +327,7 @@ def lsh_cosine_pairs(
     # materialization each branch re-runs quantization + bucketing.
     # (persist() is a no-op when _bucketed served the session-cached,
     # already-persisted index artifact)
-    base = _bucketed(emb, vec_col).persist()
+    base = _bucketed(emb, vec_col, n_planes).persist()
     a = base.select(
         F.col(id_col).alias("id_a"),
         F.col("__q").alias("qa"),
@@ -599,6 +633,7 @@ def embedding_dedup_survivors(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Embedding-cosine near-dup DEDUP: ids surviving greedy lowest-id-wins.
 
@@ -611,7 +646,7 @@ def embedding_dedup_survivors(
     ``lsh_cosine_pairs`` one plus a broadcast-able anti-join on the (small)
     duplicate-id set.
     """
-    pairs = lsh_cosine_pairs(emb, threshold, id_col, vec_col)
+    pairs = lsh_cosine_pairs(emb, threshold, id_col, vec_col, n_planes)
     dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
     # no output sort: survivors are corpus-sized (most of the table) — a
     # global orderBy's sampling pass would re-run the LSH pipeline;

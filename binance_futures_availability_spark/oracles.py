@@ -3,9 +3,10 @@
 Each function returns ANSI-ish SQL that DuckDB runs over the pre-registered
 parquet views, reproducing the matching Spark operator EXACTLY (same
 md5-based integer hashes, same integer quantization, same tie-breaks) so the
-driver's value-hash comparison passes. Keeping the generators next to the
-constants (MINHASH_A/B, LSH_BANDS, PLANES) guarantees Spark and SQL never
-drift.
+driver's value-hash comparison passes. The width-parameterized families
+(minhash_params / band_partition / planes) are imported from the operator
+modules, so Spark and SQL regenerate the SAME constants at ANY width and
+never drift.
 
 DuckDB dialect notes discovered empirically (kept here so they're not
 re-learned):
@@ -20,8 +21,12 @@ re-learned):
 
 from __future__ import annotations
 
-from .operators.dedup import LSH_BANDS, MINHASH_A, MINHASH_B, SIMHASH_BITS
-from .operators.similarity import PLANES
+from .operators.dedup import (
+    SIMHASH_BITS,
+    band_partition,
+    minhash_params,
+)
+from .operators.similarity import N_PLANES, planes
 from .functions import EMB_SCALE, MINHASH_P
 
 MD5_INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
@@ -90,11 +95,11 @@ normed AS (
 """.strip()
 
 
-def minhash_sig_cte() -> str:
+def minhash_sig_cte(num_perm: int = 8) -> str:
     x = MD5_INT.format(x="shingle")
     mins = ",\n           ".join(
         f"CAST(MIN(({a} * ({x} % {MINHASH_P}) + {b}) % {MINHASH_P}) AS BIGINT) AS h{i}"
-        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        for i, (a, b) in enumerate(minhash_params(num_perm))
     )
     return f"""sig AS (
     SELECT doc_id,
@@ -103,17 +108,19 @@ def minhash_sig_cte() -> str:
 )"""
 
 
-def sql_minhash_signatures() -> str:
-    return f"WITH {SHINGLE_CTES},\n{minhash_sig_cte()}\nSELECT * FROM sig"
+def sql_minhash_signatures(num_perm: int = 8) -> str:
+    return f"WITH {SHINGLE_CTES},\n{minhash_sig_cte(num_perm)}\nSELECT * FROM sig"
 
 
-def sql_minhash_lsh_pairs(threshold: float) -> str:
+def sql_minhash_lsh_pairs(
+    threshold: float, num_perm: int = 8, n_bands: int = 4
+) -> str:
     band_cond = " OR ".join(
         "(" + " AND ".join(f"a.h{c} = b.h{c}" for c in cols) + ")"
-        for cols in LSH_BANDS
+        for cols in band_partition(num_perm, n_bands)
     )
     return f"""WITH {jaccard_ctes()},
-{minhash_sig_cte()},
+{minhash_sig_cte(num_perm)},
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
@@ -195,9 +202,9 @@ WHERE list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) >= {threshold}
 ORDER BY id_a, id_b"""
 
 
-def _bucket_sql() -> str:
+def _bucket_sql(n_planes: int = N_PLANES) -> str:
     terms = []
-    for i, plane in enumerate(PLANES):
+    for i, plane in enumerate(planes(n_planes)):
         lits = ", ".join(str(v) for v in plane)
         terms.append(
             f"CASE WHEN list_dot_product(q, [{lits}]::BIGINT[]) > 0 "
@@ -206,14 +213,14 @@ def _bucket_sql() -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-def sql_lsh_buckets() -> str:
+def sql_lsh_buckets(n_planes: int = N_PLANES) -> str:
     return f"""WITH {EMB_BASE_CTE}
-SELECT vec_id, {_bucket_sql()} AS bucket FROM normed"""
+SELECT vec_id, {_bucket_sql(n_planes)} AS bucket FROM normed"""
 
 
-def sql_lsh_cosine_pairs(threshold: float) -> str:
+def sql_lsh_cosine_pairs(threshold: float, n_planes: int = N_PLANES) -> str:
     return f"""WITH {EMB_BASE_CTE},
-bucketed AS (SELECT vec_id, q, nrm, {_bucket_sql()} AS bucket FROM normed)
+bucketed AS (SELECT vec_id, q, nrm, {_bucket_sql(n_planes)} AS bucket FROM normed)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
 FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -270,9 +277,11 @@ ORDER BY cosine DESC, n.vec_id
 LIMIT {k}"""
 
 
-def sql_embedding_dedup_survivors(threshold: float) -> str:
+def sql_embedding_dedup_survivors(
+    threshold: float, n_planes: int = N_PLANES
+) -> str:
     return f"""WITH {EMB_BASE_CTE},
-bucketed AS (SELECT vec_id, q, nrm, {_bucket_sql()} AS bucket FROM normed),
+bucketed AS (SELECT vec_id, q, nrm, {_bucket_sql(n_planes)} AS bucket FROM normed),
 dup_ids AS (
     SELECT DISTINCT b.vec_id AS vid
     FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
