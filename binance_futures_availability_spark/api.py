@@ -26,6 +26,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from .functions import gathered_sort
 from .operators import analytics, availability, snapshots, timelines, volume
 from .session import get_session
 
@@ -64,6 +67,7 @@ class Engine:
         self.spark = spark or get_session("bfa-engine")
         self._table_path = table_path
         self._sf_dir = sf_dir
+        self._matview: DataFrame | None = None
 
     # ------------------------------------------------------------ table
 
@@ -71,6 +75,65 @@ class Engine:
         if self._table_path is not None:
             return self.spark.read.parquet(self._table_path)
         return availability.availability_fact(self.spark, self._sf_dir)
+
+    # -------------------------------------- A8 routing: matview analytics
+
+    def refresh_matview(self, path: str | None = None) -> DataFrame:
+        """Build/refresh the ``daily_symbol_counts`` summary and ROUTE
+        per-date count analytics through it (the reference's ADR-0019 50×
+        win: availability_db.py:219-244 refreshes after every batch insert
+        and serves trend queries from the summary, never the fact table).
+
+        With ``path`` the summary is written to parquet and served from
+        that file (survives the session); without, it is persisted
+        in-memory. Either way, ``trend()`` / ``daily_counts()`` stop
+        scanning the fact table until ``invalidate_matview()`` — which any
+        fact-table write must call, exactly like the reference's
+        refresh-after-insert contract.
+        """
+        from .sources.writer import refresh_symbol_counts
+
+        mv = refresh_symbol_counts(self.table())
+        if path is not None:
+            mv.write.mode("overwrite").parquet(path)
+            self._matview = self.spark.read.parquet(path)
+        else:
+            self._matview = mv.persist()
+        return self._matview
+
+    def invalidate_matview(self) -> None:
+        """Drop the routed summary (call after writing to the fact table)."""
+        if self._matview is not None:
+            try:
+                self._matview.unpersist()
+            except Exception:  # noqa: BLE001 — file-backed matview: no-op
+                pass
+        self._matview = None
+
+    def trend(
+        self,
+        start: dt.date | str | None = None,
+        end: dt.date | str | None = None,
+    ) -> DataFrame:
+        """A1 — per-date available counts, served from the matview when one
+        is fresh (cost ∝ #dates) and from the fact table otherwise."""
+        if self._matview is None:
+            return analytics.availability_trend(self.table(), start, end)
+        out = self._matview.select("date", "available_count")
+        if start is not None:
+            out = out.filter(F.col("date") >= F.lit(start))
+        if end is not None:
+            out = out.filter(F.col("date") <= F.lit(end))
+        return gathered_sort(out, "date")
+
+    def daily_counts(self) -> DataFrame:
+        """The ``daily_symbol_counts`` summary itself — matview when fresh,
+        recomputed from the fact table otherwise."""
+        from .sources.writer import refresh_symbol_counts
+
+        if self._matview is not None:
+            return self._matview
+        return refresh_symbol_counts(self.table())
 
     # ------------------------------------------------------- S5: raw SQL
 
@@ -207,9 +270,8 @@ class AnalyticsQueries(_QueryBase):
         start: dt.date | str | None = None,
         end: dt.date | str | None = None,
     ) -> list[dict]:
-        df = analytics.availability_trend(
-            self.engine.table(), parse_iso_date(start), parse_iso_date(end)
-        )
+        # routed: served from the daily_symbol_counts matview when fresh
+        df = self.engine.trend(parse_iso_date(start), parse_iso_date(end))
         return [r.asDict() for r in df.collect()]
 
     def get_stats(self) -> dict:

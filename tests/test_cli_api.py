@@ -220,3 +220,74 @@ def test_cli_bad_source_fails(capsys, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
     with pytest.raises(SystemExit):
         main(["query", "snapshot", "2024-01-15"])
+
+
+# ------------------------------------------------- matview query routing
+
+
+def test_trend_routing_matview_equivalence_and_no_fact_scan(
+    spark, engine, table_path, tmp_path_factory
+):
+    """ADR-0019 routing: after refresh_matview(), Engine.trend() serves
+    per-date counts from daily_symbol_counts — same values as the
+    fact-table plan, and the routed plan never scans the fact table."""
+    from_fact = [r.asDict() for r in engine.trend().collect()]
+
+    mv_path = str(tmp_path_factory.mktemp("mv") / "daily_symbol_counts")
+    engine.refresh_matview(mv_path)
+    routed = engine.trend()
+    assert [r.asDict() for r in routed.collect()] == from_fact
+
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert mv_path in plan, plan  # served from the summary parquet
+    assert table_path not in plan, plan  # fact table absent from the plan
+
+    # ranged variant routes too, with the range filter pushed to the scan
+    ranged = engine.trend(start="2024-01-14")
+    assert [r["date"].isoformat() for r in ranged.collect()] == [
+        "2024-01-14",
+        "2024-01-15",
+    ]
+    assert table_path not in ranged._jdf.queryExecution().executedPlan().toString()
+
+    # invalidation restores the fact-table path (reference contract:
+    # writes refresh/invalidate the summary)
+    engine.invalidate_matview()
+    back = engine.trend()
+    assert table_path in back._jdf.queryExecution().executedPlan().toString()
+    assert [r.asDict() for r in back.collect()] == from_fact
+
+
+def test_trend_routing_in_memory_matview(engine, table_path):
+    from_fact = [r.asDict() for r in engine.trend().collect()]
+    engine.refresh_matview()  # in-session persisted summary
+    routed = engine.trend()
+    assert [r.asDict() for r in routed.collect()] == from_fact
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    live = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in live, plan
+    assert table_path not in live, plan  # fact scan only in the build plan
+    engine.invalidate_matview()
+
+
+def test_daily_counts_served_from_matview(engine):
+    baseline = {
+        (r["date"], r["total_symbols"], r["available_count"])
+        for r in engine.daily_counts().collect()
+    }
+    engine.refresh_matview()
+    routed = {
+        (r["date"], r["total_symbols"], r["available_count"])
+        for r in engine.daily_counts().collect()
+    }
+    assert routed == baseline
+    engine.invalidate_matview()
+
+
+def test_analytics_api_trend_uses_routing(engine):
+    with AnalyticsQueries(engine) as q:
+        before = q.get_availability_trend()
+        engine.refresh_matview()
+        after = q.get_availability_trend()
+        engine.invalidate_matview()
+    assert after == before
