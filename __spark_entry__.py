@@ -41,6 +41,7 @@ from binance_futures_availability_spark.operators import (
 )
 from binance_futures_availability_spark.operators.availability import (
     availability_fact,
+    availability_fact_by_symbol,
     availability_from_lineitem,
     with_da,
 )
@@ -285,8 +286,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prev_date → string for the gate: a NULLable DATE fetches from
         # DuckDB as datetime64 (vs object dates when non-null), which would
         # hash-mismatch Spark's DateType; the operator itself keeps DATE
+        # symbol-clustered cached input: the lag window plans with no
+        # exchange and no sort (availability_fact_by_symbol docstring)
         "transition_events": lambda s, d: analytics.transition_events(
-            _da(s, d)
+            availability_fact_by_symbol(s, d)
         ).withColumn("prev_date", F.date_format("prev_date", "yyyy-MM-dd")),
         "missing_volume": lambda s, d: backfill.missing_volume(
             _da(s, d), YEAR_START, YEAR_END

@@ -119,16 +119,27 @@ def transition_events(da: DataFrame) -> DataFrame:
     cluster uses); generalizes J3/J4/J5 from per-date questions to the
     full history in a single pass.
     """
+    # Materialize each lag ONCE in a dedicated projection, then derive the
+    # event from the lag columns: inlining the lag expressions into the
+    # CASE/filter made WindowExec evaluate lag(available) five times and
+    # lag(date) twice per row (window expressions are not CSE'd — the plan
+    # showed _we0.._we6); this shape's Window node carries exactly two.
     w = Window.partitionBy("symbol").orderBy("date")
-    prev_avail = F.lag("available").over(w)
-    prev_date = F.lag("date").over(w)
+    lagged = da.select(
+        "symbol",
+        F.col("date").alias("event_date"),
+        "available",
+        F.lag("available").over(w).alias("__pa"),
+        F.lag("date").over(w).alias("__pd"),
+    )
     avail = F.col("available")
+    pa = F.col("__pa")
     event = (
-        F.when(prev_avail.isNull() & avail, F.lit("listing"))
-        .when(avail & ~prev_avail, F.lit("relisting"))
-        .when(~avail & prev_avail, F.lit("delisting"))
+        F.when(pa.isNull() & avail, F.lit("listing"))
+        .when(avail & ~pa, F.lit("relisting"))
+        .when(~avail & pa, F.lit("delisting"))
         .when(
-            avail & prev_avail & (F.datediff(F.col("date"), prev_date) > 1),
+            avail & pa & (F.datediff(F.col("event_date"), F.col("__pd")) > 1),
             F.lit("gap"),
         )
     )
@@ -139,11 +150,11 @@ def transition_events(da: DataFrame) -> DataFrame:
     # one partition should hold (~10^7), swap back to the distributed
     # range sort — the semantics are identical.
     return gathered_sort(
-        da.select(
+        lagged.select(
             "symbol",
             event.alias("event"),
-            F.col("date").alias("event_date"),
-            F.when(prev_avail.isNotNull(), prev_date).alias("prev_date"),
+            "event_date",
+            F.when(pa.isNotNull(), F.col("__pd")).alias("prev_date"),
         ).filter(F.col("event").isNotNull()),
         "symbol",
         "event_date",

@@ -212,6 +212,43 @@ def availability_fact(
     return handle
 
 
+#: symbol-clustered projections of the fact table, keyed by (sf_dir, cols).
+_CLUSTERED_HANDLES: dict = {}
+
+
+def availability_fact_by_symbol(
+    spark: SparkSession,
+    sf_dir: str,
+    cols: tuple[str, ...] = ("symbol", "date", "available"),
+) -> DataFrame:
+    """A narrow, symbol-clustered cached view of the fact table for
+    window-by-symbol operators (transition_events and kin).
+
+    InMemoryRelation preserves its child plan's outputPartitioning and
+    ordering, so a handle cached as ``repartition(symbol) →
+    sortWithinPartitions(symbol, date)`` satisfies a
+    ``Window.partitionBy(symbol).orderBy(date)`` directly: the window
+    plans with NO exchange and NO sort (measured 0.6 → 0.35 s at sf0.1).
+    This is the in-memory analogue of ``writer.write_bucketed``'s
+    idx_symbol_date layout — on a cluster, the bucketed table gives the
+    same property across sessions. One narrow-projection copy per column
+    set; built lazily on first use and shared for the session.
+    """
+    key = (os.path.realpath(sf_dir), tuple(cols))
+    handle = _CLUSTERED_HANDLES.get(key)
+    if handle is None:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        handle = (
+            availability_fact(spark, sf_dir)
+            .select(*cols)
+            .repartition(n, "symbol")
+            .sortWithinPartitions("symbol", "date")
+            .cache()
+        )
+        _CLUSTERED_HANDLES[key] = handle
+    return handle
+
+
 #: DuckDB CTE equivalent of :func:`availability_from_lineitem` — prepend to
 #: oracle SQL as ``WITH da AS ({DA_SQL}) SELECT ...``.
 DA_SQL = """

@@ -114,6 +114,34 @@ def test_ivf_topk_corpus_side_has_no_shuffle(spark, tmp_path_factory):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_transition_events_clustered_input_skips_window_shuffle(spark):
+    """availability_fact_by_symbol: the cached handle's hash-partitioning +
+    (symbol, date) ordering satisfies the lag window directly — no
+    Exchange, no Sort above the cache on the window path."""
+    from binance_futures_availability_spark.operators import analytics
+    from binance_futures_availability_spark.operators.availability import (
+        availability_fact_by_symbol,
+    )
+
+    clustered = availability_fact_by_symbol(spark, "/root/testdata/sf0.001")
+    df = analytics.transition_events(clustered)
+    got = [tuple(r) for r in df.collect()]  # AQE: read the FINAL plan
+    plan = _plan(df)
+    live = plan.split("InMemoryRelation", 1)[0]
+    window_side = live.split("Exchange SinglePartition", 1)[-1]
+    # the only exchange is the bounded gather; the window reads the cache
+    assert "Exchange hashpartitioning" not in window_side, plan
+    assert "Window" in live
+    # values match the un-clustered operator exactly
+    from binance_futures_availability_spark.operators.availability import (
+        availability_fact,
+    )
+
+    da = availability_fact(spark, "/root/testdata/sf0.001")
+    want = [tuple(r) for r in analytics.transition_events(da).collect()]
+    assert got == want
+
+
 def test_ivf_topk_serves_from_cached_assignment(spark, tmp_path_factory):
     """The cell kernel must NOT be on the query path: ivf_topk reads the
     session-cached assignment artifact (InMemoryTableScan with the cell
