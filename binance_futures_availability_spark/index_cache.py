@@ -55,11 +55,39 @@ def cached_index(key, factory: Callable[[], DataFrame]) -> DataFrame:
     return handle
 
 
+#: persists made OUTSIDE the keyed cache (self-join intermediates over
+#: non-file-backed inputs) — tracked so clear_indexes() releases them too
+#: instead of leaving them to the ContextCleaner's GC schedule.
+_SCOPED: list = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` with session-scoped release discipline.
+
+    Operators that materialize a self-join intermediate (simhash_pairs,
+    lsh_cosine_pairs) persist it for the duration of the returned lazy
+    result. When the input is file-backed the intermediate IS the keyed
+    index artifact (already tracked); otherwise the persist would be
+    invisible to ``clear_indexes()`` and linger until the ContextCleaner
+    notices the GC'd reference — on long-lived sessions that accumulates
+    storage blocks. Tracking every such handle makes ``clear_indexes()``
+    a deterministic return-to-baseline for storage memory.
+    """
+    _SCOPED.append(df.persist())
+    return df
+
+
 def clear_indexes() -> None:
-    """Unpersist and drop every cached index artifact."""
+    """Unpersist and drop every cached index artifact and every tracked
+    scoped persist — storage memory returns to its pre-index baseline."""
     while _HANDLES:
         _, handle = _HANDLES.popitem()
         try:
-            handle.unpersist()
+            handle.unpersist(blocking=True)
         except Exception:  # noqa: BLE001 — context may already be stopped
+            pass
+    while _SCOPED:
+        try:
+            _SCOPED.pop().unpersist(blocking=True)
+        except Exception:  # noqa: BLE001
             pass

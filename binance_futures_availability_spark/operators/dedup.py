@@ -22,10 +22,10 @@ Everything is built from deterministic md5-based integer hashes
 (functions.md5_int60) so the DuckDB oracle reproduces values exactly.
 No Python UDFs anywhere — pure Catalyst expressions.
 
-Persisted intermediates (shingle index, fingerprints) stay cached only as
-long as the returned DataFrame is referenced: Spark's ContextCleaner
-reclaims them once results are garbage-collected. Long-lived sessions that
-keep many results alive can force release with spark.catalog.clearCache().
+Persisted intermediates (shingle index, fingerprints) are tracked by the
+session index cache (index_cache.tracked_persist): long-lived sessions
+release every block deterministically with index_cache.clear_indexes()
+(the ContextCleaner also reclaims them on GC of the results).
 """
 
 from __future__ import annotations
@@ -40,7 +40,7 @@ from ..functions import (
     normalized_text,
     tokens,
 )
-from ..index_cache import cached_index, plan_key
+from ..index_cache import cached_index, plan_key, tracked_persist
 
 #: MinHash permutation constants (deterministic, coprime-ish with P) for
 #: the default width k=8. ``minhash_params(k)`` extends the family
@@ -481,16 +481,15 @@ def simhash_pairs(
     results equal brute force. Shuffle is bounded by chunk-bucket sizes
     (16-bit-ish buckets over near-uniform hash bits ⇒ skew-free).
 
-    Cache lifecycle: the fingerprint table stays ``.persist()``-ed as long
-    as the returned (lazy) DataFrame is referenced — it backs both join
-    sides, so it cannot be unpersisted here. Blocks are released by the
-    ContextCleaner when the result is garbage-collected; long-lived
-    sessions holding many results can force release with
-    ``spark.catalog.clearCache()``.
+    Cache lifecycle: the fingerprint table stays persisted as long as the
+    returned (lazy) DataFrame is referenced — it backs both join sides, so
+    it cannot be unpersisted here. The handle is TRACKED
+    (index_cache.tracked_persist): ``clear_indexes()`` releases it
+    deterministically; the ContextCleaner also reclaims it on GC.
     """
     # one fingerprint per doc, persisted: both self-join sides scan it, and
     # without materialization each side re-runs the full token aggregation
-    s = simhash(docs, id_col, text_col).persist()
+    s = tracked_persist(simhash(docs, id_col, text_col))
     n_chunks = max_hamming + 1
     chunk_bits = -(-SIMHASH_BITS // n_chunks)  # ceil
     mask = (1 << chunk_bits) - 1

@@ -34,7 +34,7 @@ from ..functions import (
     int_dot,
     quantize_embedding,
 )
-from ..index_cache import cached_index, plan_key
+from ..index_cache import cached_index, plan_key, tracked_persist
 
 def _block_cosine_fn(threshold: float):
     """Per-block-pair exact cosine kernel for applyInPandas.
@@ -316,18 +316,17 @@ def lsh_cosine_pairs(
     (oracles.sql_lsh_cosine_pairs) and regenerates the same prefix-stable
     plane matrix.
 
-    Cache lifecycle: the quantized+bucketed table stays ``.persist()``-ed
-    as long as the returned (lazy) DataFrame is referenced — it backs both
-    join sides, so it cannot be unpersisted here. Blocks are released by
-    the ContextCleaner when the result is garbage-collected; long-lived
-    sessions holding many results can force release with
-    ``spark.catalog.clearCache()``.
+    Cache lifecycle: the quantized+bucketed table stays persisted as long
+    as the returned (lazy) DataFrame is referenced — it backs both join
+    sides, so it cannot be unpersisted here. The handle is TRACKED
+    (index_cache.tracked_persist): ``clear_indexes()`` releases it
+    deterministically; the ContextCleaner also reclaims it on GC.
     """
     # persisted: both sides of the self-join scan this; without
     # materialization each branch re-runs quantization + bucketing.
     # (persist() is a no-op when _bucketed served the session-cached,
     # already-persisted index artifact)
-    base = _bucketed(emb, vec_col, n_planes).persist()
+    base = tracked_persist(_bucketed(emb, vec_col, n_planes))
     a = base.select(
         F.col(id_col).alias("id_a"),
         F.col("__q").alias("qa"),

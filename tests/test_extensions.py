@@ -344,3 +344,35 @@ def test_decode_image_is_documented_stub(spark):
     df = spark.createDataFrame([(1, "z", "s")], ["doc_id", "text", "source"])
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(multimodal.documents_as_media(df))
+
+
+def test_clear_indexes_returns_storage_to_baseline(spark, tmp_path_factory):
+    """Unpersist discipline: keyed index artifacts AND tracked scoped
+    persists (self-join intermediates over non-file-backed inputs) are all
+    released by clear_indexes() — storage returns to its prior baseline
+    instead of waiting on the ContextCleaner's GC schedule."""
+    from binance_futures_availability_spark import index_cache
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def cached_ids():
+        return {info.id() for info in jsc.getRDDStorageInfo()}
+
+    baseline = cached_ids()
+
+    # file-backed docs → keyed index artifacts (shingles, simhash table)
+    path = str(tmp_path_factory.mktemp("cleartest") / "docs")
+    rows = [(i, f"alpha beta gamma delta w{i} w{i+1} w{i+2}") for i in range(20)]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(path)
+    fdocs = spark.read.parquet(path)
+    dedup.simhash_pairs(fdocs, 3).collect()
+
+    # in-memory embeddings → tracked scoped persist (not keyable)
+    erows = [(i, [float(i % 3), 1.0, 0.5, 0.25], "a") for i in range(12)]
+    memb = spark.createDataFrame(erows, ["vec_id", "embedding", "label"])
+    similarity.lsh_cosine_pairs(memb, 0.5).collect()
+
+    assert cached_ids() - baseline  # the run added storage blocks
+
+    index_cache.clear_indexes()
+    assert cached_ids() - baseline == set()  # ...and all of them released

@@ -242,3 +242,63 @@ def test_streaming_symbol_counts_watermarked(spark, tmp_path):
     # day 15 finalized (watermark passed): 3 probes, 2 available
     assert rows[D(2024, 1, 15)]["total_symbols"] == 3
     assert rows[D(2024, 1, 15)]["available_count"] == 2
+
+
+def test_stream_upsert_sink_on_non_ospath_scheme(spark, tmp_path):
+    """FS-scheme routing proof (advisor item): with the fact/summary tables
+    on a Hadoop scheme that os.path cannot see (``viewfs://`` with a local
+    mount), table_exists still finds the committed _SUCCESS, so the second
+    wave takes the UPSERT branch — an os.path-based check would have
+    returned False and silently overwritten day 1."""
+    import os
+
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.sinktest.link./data", "file:" + str(tmp_path)
+    )
+    incoming = tmp_path / "incoming"
+    table_uri = "viewfs://sinktest/data/fact"
+    counts_uri = "viewfs://sinktest/data/counts"
+    ckpt = tmp_path / "ckpt"
+
+    _drop(spark, incoming, _recs(D(2024, 1, 15), ["BTCUSDT", "ETHUSDT"]))
+    q = start_upsert_sink(
+        dedup_probe_stream(probe_stream_source(spark, str(incoming))),
+        table_uri,
+        str(ckpt),
+        counts_uri,
+    ).start()
+    q.awaitTermination(120)
+
+    # the URI string is opaque to os.path — the exact failure mode the
+    # Hadoop-FS routing exists to prevent
+    assert not os.path.exists(table_uri + "/_SUCCESS")
+    assert os.path.exists(str(tmp_path / "fact" / "_SUCCESS"))
+    from binance_futures_availability_spark.sources import writer
+
+    assert writer.table_exists(spark, table_uri)
+    assert spark.read.parquet(table_uri).count() == 2
+
+    # wave 2 on the existing committed table: MUST merge, not overwrite
+    _drop(
+        spark,
+        incoming,
+        _recs(D(2024, 1, 15), ["ETHUSDT"], available=False, ts=TS(2024, 1, 17))
+        + _recs(D(2024, 1, 16), ["BTCUSDT"], ts=TS(2024, 1, 17)),
+    )
+    q = start_upsert_sink(
+        dedup_probe_stream(probe_stream_source(spark, str(incoming))),
+        table_uri,
+        str(ckpt),
+        counts_uri,
+    ).start()
+    q.awaitTermination(120)
+
+    table_df = spark.read.parquet(table_uri)
+    assert table_df.count() == 3  # day-1 BTC row survived the wave-2 merge
+    snap = snapshots.available_symbols_on_date(table_df, D(2024, 1, 15)).collect()
+    assert [r["symbol"] for r in snap] == ["BTCUSDT"]
+    # staging dir was cleaned through the same FS routing (the viewfs
+    # mount resolves to tmp_path, where os.path CAN check the cleanup)
+    assert not os.path.exists(str(tmp_path / "fact.__staging__"))
+    mv = {r["date"]: r for r in spark.read.parquet(counts_uri).collect()}
+    assert mv[D(2024, 1, 15)]["available_count"] == 1
