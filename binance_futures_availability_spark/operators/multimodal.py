@@ -2,10 +2,11 @@
 
 North-star extension: treat image/audio/video as ``binary`` columns with a
 metadata struct, and run decode / feature-extract / frame-sample as
-Arrow-batched Pandas functions over ``mapInPandas``. The image/audio codec
-libraries are not in this container, so the decode step is STUBBED
-(``NotImplementedError`` or a deterministic fake) — the Spark-side plumbing
-(schema, batch shape, partitioning, UDF signatures) is real and tested.
+Arrow-batched Pandas functions over ``mapInPandas``. The decode step is
+gated on an import probe: with PIL present it is a real mapInPandas decode
+(``decode_image``); without codecs it fails fast with NotImplementedError
+— either way the Spark-side plumbing (schema, batch shape, partitioning,
+UDF signatures) is real and tested.
 
 Scale design: media bytes never hit the driver; ``mapInPandas`` streams
 Arrow batches through Python workers partition-by-partition. Metadata-only
@@ -171,14 +172,71 @@ def resize_media(assets: DataFrame, target_bytes: int = 256) -> DataFrame:
     return assets.select("asset_id", "media").mapInPandas(batch_fn, RESIZE_SCHEMA)
 
 
-def decode_image(assets: DataFrame) -> DataFrame:
-    """Image decode — STUB: codec libraries are not available here.
+DECODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), nullable=False),
+        StructField("height", IntegerType(), nullable=True),
+        StructField("width", IntegerType(), nullable=True),
+        StructField("channels", IntegerType(), nullable=True),
+        StructField("mode", StringType(), nullable=True),
+    ]
+)
 
-    Real implementation: mapInPandas with PIL/libvips decoding
-    ``media`` → (height, width, channels, pixels). The plumbing contract is
-    identical to extract_features.
+
+def has_image_codec() -> bool:
+    """True when an image codec library (PIL) is importable."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def decode_image(assets: DataFrame) -> DataFrame:
+    """Image decode via PIL when available; NotImplementedError otherwise.
+
+    The decode is a ``mapInPandas`` with the same Arrow-batched plumbing
+    contract as ``extract_features`` (media bytes never hit the driver;
+    one PIL decode per asset per batch). Undecodable or null media yields
+    NULL dimension columns rather than failing the batch — at corpus scale
+    a sliver of corrupt assets must not kill the job. The import is probed
+    at PLAN-construction time so an environment without codecs fails fast
+    with a clear message instead of erroring mid-job on every executor.
     """
-    raise NotImplementedError(
-        "image decode requires PIL/libvips, not present in this environment; "
-        "use extract_features for the tested plumbing pattern"
-    )
+    if not has_image_codec():
+        raise NotImplementedError(
+            "image decode requires PIL/libvips, not present in this "
+            "environment; use extract_features for the tested plumbing "
+            "pattern"
+        )
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            heights, widths, channels, modes = [], [], [], []
+            for media in pdf["media"]:
+                try:
+                    img = Image.open(io.BytesIO(bytes(media)))
+                    heights.append(img.height)
+                    widths.append(img.width)
+                    channels.append(len(img.getbands()))
+                    modes.append(img.mode)
+                except Exception:  # noqa: BLE001 — corrupt/undecodable asset
+                    heights.append(None)
+                    widths.append(None)
+                    channels.append(None)
+                    modes.append(None)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "height": pd.Series(heights, dtype="Int32"),
+                    "width": pd.Series(widths, dtype="Int32"),
+                    "channels": pd.Series(channels, dtype="Int32"),
+                    "mode": pd.Series(modes, dtype="object"),
+                }
+            )
+
+    return assets.select("asset_id", "media").mapInPandas(batch_fn, DECODE_SCHEMA)

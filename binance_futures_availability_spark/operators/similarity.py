@@ -568,6 +568,7 @@ def write_ivf_index(
         ],
         "cell int, __q array<bigint>, __norm bigint",
     )
+    _SEED_CACHE.pop(path.rstrip("/"), None)  # rebuilt index: drop stale seeds
     seeds.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/seeds")
     (
         base.withColumn("cell", _cell_kernel(sq, snrm)(F.col("__q")))
@@ -599,13 +600,20 @@ def ivf_topk_indexed(
     The query-row lookup by id scans the index (needle-in-haystack, served
     by parquet min/max stats on ``id``); at cluster scale pass the query
     embedding itself via ``ivf_topk_indexed_vec``-style wrappers instead.
+    The (tiny) centroid table is cached per index path after the first
+    read — the standard resident-coarse-quantizer pattern.
     """
     import numpy as np
 
     root = index_path.rstrip("/")
-    seed_rows = spark.read.parquet(root + "/seeds").orderBy("cell").collect()
-    sq = np.asarray([r["__q"] for r in seed_rows], dtype=np.float64)
-    snrm = np.asarray([r["__norm"] for r in seed_rows], dtype=np.float64)
+    cached = _SEED_CACHE.get(root)
+    if cached is None:
+        seed_rows = spark.read.parquet(root + "/seeds").orderBy("cell").collect()
+        sq = np.asarray([r["__q"] for r in seed_rows], dtype=np.float64)
+        snrm = np.asarray([r["__norm"] for r in seed_rows], dtype=np.float64)
+        _SEED_CACHE[root] = (sq, snrm)
+    else:
+        sq, snrm = cached
     vectors = spark.read.parquet(root + "/vectors")
     qrow = (
         vectors.filter(F.col(id_col) == query_vec_id)

@@ -340,10 +340,36 @@ def test_resize_media_bounds_and_roundtrip(spark):
     assert got[3]["n_bytes_out"] == 0
 
 
-def test_decode_image_is_documented_stub(spark):
+@pytest.mark.skipif(
+    multimodal.has_image_codec(), reason="PIL present: real decode path active"
+)
+def test_decode_image_fails_fast_without_codec(spark):
     df = spark.createDataFrame([(1, "z", "s")], ["doc_id", "text", "source"])
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(multimodal.documents_as_media(df))
+
+
+@pytest.mark.skipif(
+    not multimodal.has_image_codec(), reason="no image codec in environment"
+)
+def test_decode_image_real_path(spark):
+    """With PIL available: real decode of a generated PNG, NULL row for
+    undecodable bytes (corrupt assets must not kill the batch)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 3)).save(buf, format="PNG")
+    assets = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "image/png", len(buf.getvalue()), "s"),
+         (2, bytearray(b"not an image"), "image/png", 12, "s")],
+        multimodal.MEDIA_ASSET,
+    )
+    got = {r["asset_id"]: r for r in multimodal.decode_image(assets).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (4, 3, 3)
+    assert got[1]["mode"] == "RGB"
+    assert got[2]["width"] is None and got[2]["mode"] is None
 
 
 def test_clear_indexes_returns_storage_to_baseline(spark, tmp_path_factory):
