@@ -324,6 +324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_pairs": lambda s, d: similarity.lsh_cosine_pairs(
             _emb(s, d), COSINE_THRESHOLD
         ),
+        "lsh_cosine_pairs_multi": lambda s, d: similarity.lsh_cosine_pairs_multi(
+            _emb(s, d), COSINE_THRESHOLD
+        ),
         "embedding_dedup": lambda s, d: similarity.embedding_dedup_survivors(
             _emb(s, d), COSINE_THRESHOLD
         ),
@@ -710,6 +713,9 @@ ORDER BY symbol, event_date"""),
         ),
         "lsh_buckets": oracles.sql_lsh_buckets(),
         "lsh_cosine_pairs": oracles.sql_lsh_cosine_pairs(COSINE_THRESHOLD),
+        "lsh_cosine_pairs_multi": oracles.sql_lsh_cosine_pairs_multi(
+            COSINE_THRESHOLD
+        ),
         "embedding_dedup": oracles.sql_embedding_dedup_survivors(COSINE_THRESHOLD),
         "label_centroids": oracles.sql_label_centroids(),
         "token_counts": oracles.sql_token_counts(),

@@ -354,6 +354,120 @@ def lsh_cosine_pairs(
     )
 
 
+def table_planes(table: int, n_planes: int, dim: int = EMB_DIM) -> list[list[int]]:
+    """Plane family for OR-banding table ``table``: the ``table``-th
+    consecutive ``n_planes``-row slice of the single seed-42 stream —
+    table 0 IS the single-table family, and every (table, n_planes) is
+    reproducible by the oracle from the same two integers."""
+    return planes((table + 1) * n_planes, dim)[table * n_planes :]
+
+
+_MULTI_BUCKET_BATCH: dict = {}
+
+
+def _multi_bucket_batch(n_planes: int, n_tables: int):
+    """Arrow-batched kernel: ALL tables' bucket ids in one GEMM against the
+    stacked (n_tables·n_planes) × dim plane matrix, returned as one
+    array<long> column (one explode downstream, not one kernel per table)."""
+    key = (n_planes, n_tables)
+    if key in _MULTI_BUCKET_BATCH:
+        return _MULTI_BUCKET_BATCH[key]
+    from pyspark.sql.functions import pandas_udf
+
+    stacked = [row for t in range(n_tables) for row in table_planes(t, n_planes)]
+
+    @pandas_udf("array<long>")
+    def multi_bucket(q: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(q) == 0:
+            return pd.Series([], dtype="object")
+        qm = np.asarray(q.tolist(), dtype=np.float64)
+        pm = np.asarray(stacked, dtype=np.float64)[:, : qm.shape[1]]
+        bits = (qm @ pm.T > 0).reshape(len(qm), n_tables, n_planes)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        buckets = (bits * weights).sum(axis=2).astype(np.int64)  # (n, T)
+        return pd.Series(list(buckets))
+
+    _MULTI_BUCKET_BATCH[key] = multi_bucket
+    return multi_bucket
+
+
+def lsh_cosine_pairs_multi(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    n_tables: int = 2,
+) -> DataFrame:
+    """OR-banding near-dup: candidates collide in ANY of ``n_tables``
+    independent plane families; exact-cosine verification keeps precision 1.
+
+    THE recall knob that composes with the width knob: raising ``n_planes``
+    narrows buckets (population ≈ n/2^planes — the 10⁹-corpus requirement)
+    but drops single-table recall ≈ p^planes; ``n_tables`` restores it as
+    1-(1-p^planes)^tables without widening any bucket. Cost is linear in
+    tables (one stacked-GEMM kernel pass, one posexplode, one equi-join on
+    (table, bucket)); per-pair dedup (min table) precedes verification so
+    a pair colliding in several tables is verified once. The DuckDB oracle
+    (oracles.sql_lsh_cosine_pairs_multi) regenerates the identical
+    families from the same (table, n_planes) slices.
+    """
+    key = plan_key(emb, "lsh_multi", vec_col, n_planes, n_tables)
+    base = tracked_persist(
+        cached_index(
+            key,
+            lambda: _with_quantized(emb, vec_col).withColumn(
+                "__buckets",
+                _multi_bucket_batch(n_planes, n_tables)(F.col("__q")),
+            ),
+        )
+    )
+    bands = base.select(
+        F.col(id_col),
+        "__q",
+        "__norm",
+        F.posexplode("__buckets").alias("table", "bucket"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__q").alias("qa"),
+        F.col("__norm").alias("na"),
+        "table",
+        "bucket",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__q").alias("qb"),
+        F.col("__norm").alias("nb"),
+        "table",
+        "bucket",
+    )
+    dot = int_dot(F.col("qa"), F.col("qb"))
+    candidates = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair may collide in several tables: verify each pair ONCE
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first("qa").alias("qa"),
+            F.first("na").alias("na"),
+            F.first("qb").alias("qb"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    return gathered_sort(
+        candidates.select(
+            "id_a",
+            "id_b",
+            cosine_from_quantized(dot, F.col("na"), F.col("nb")).alias("cosine"),
+        ).filter(F.col("cosine") >= threshold),
+        "id_a",
+        "id_b",
+    )
+
+
 #: IVF coarse-quantizer defaults: 16 cells, probe the 4 nearest.
 IVF_N_CELLS = 16
 IVF_NPROBE = 4

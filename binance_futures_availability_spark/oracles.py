@@ -218,6 +218,42 @@ def sql_lsh_buckets(n_planes: int = N_PLANES) -> str:
 SELECT vec_id, {_bucket_sql(n_planes)} AS bucket FROM normed"""
 
 
+def _table_bucket_sql(table: int, n_planes: int) -> str:
+    """Bucket expression for OR-banding table ``table`` — the same
+    consecutive slice of the seed-42 plane stream the Spark side uses
+    (similarity.table_planes)."""
+    from .operators.similarity import table_planes
+
+    terms = []
+    for i, plane in enumerate(table_planes(table, n_planes)):
+        lits = ", ".join(str(v) for v in plane)
+        terms.append(
+            f"CASE WHEN list_dot_product(q, [{lits}]::BIGINT[]) > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def sql_lsh_cosine_pairs_multi(
+    threshold: float, n_planes: int = N_PLANES, n_tables: int = 2
+) -> str:
+    bucket_cols = ",\n    ".join(
+        f"{_table_bucket_sql(t, n_planes)} AS b{t}" for t in range(n_tables)
+    )
+    any_table = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return f"""WITH {EMB_BASE_CTE},
+multi AS (
+    SELECT vec_id, q, nrm,
+    {bucket_cols}
+    FROM normed
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+FROM multi a JOIN multi b ON a.vec_id < b.vec_id AND ({any_table})
+WHERE list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) >= {threshold}
+ORDER BY id_a, id_b"""
+
+
 def sql_lsh_cosine_pairs(threshold: float, n_planes: int = N_PLANES) -> str:
     return f"""WITH {EMB_BASE_CTE},
 bucketed AS (SELECT vec_id, q, nrm, {_bucket_sql(n_planes)} AS bucket FROM normed)

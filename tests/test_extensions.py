@@ -234,6 +234,16 @@ def test_lsh_cosine_pairs_no_cartesian(emb):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_lsh_multi_no_cartesian(emb):
+    plan = (
+        similarity.lsh_cosine_pairs_multi(emb, 0.9, n_tables=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_label_centroids_exact_means(spark):
     rows = [(0, [1.0, 3.0], "a"), (1, [3.0, 5.0], "a"), (2, [2.0, 2.0], "b")]
     df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])

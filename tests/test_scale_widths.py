@@ -115,3 +115,40 @@ def test_minhash_signatures_match_oracle_at_width(duck, docs, num_perm):
         duck,
         oracles.sql_minhash_signatures(num_perm),
     )
+
+
+def test_table_planes_slices_are_disjoint_and_prefix_stable():
+    t0 = similarity.table_planes(0, 8)
+    assert t0 == similarity.planes(8)  # table 0 IS the single-table family
+    t1 = similarity.table_planes(1, 8)
+    assert t1 == similarity.planes(16)[8:]
+    assert t0 != t1
+
+
+@pytest.mark.parametrize("n_planes,n_tables", [(8, 2), (12, 3)])
+def test_lsh_multi_matches_oracle_at_width(duck, emb, n_planes, n_tables):
+    n = _match(
+        similarity.lsh_cosine_pairs_multi(
+            emb, 0.2, n_planes=n_planes, n_tables=n_tables
+        ),
+        duck,
+        oracles.sql_lsh_cosine_pairs_multi(0.2, n_planes, n_tables),
+    )
+    assert n > 0
+
+
+def test_lsh_multi_recall_superset_of_single_table(emb):
+    """OR-banding recovers recall: every single-table pair survives (table
+    0 is the same family), and extra tables can only ADD candidates."""
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_cosine_pairs(emb, 0.2, n_planes=12).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_cosine_pairs_multi(
+            emb, 0.2, n_planes=12, n_tables=3
+        ).collect()
+    }
+    assert single <= multi
+    assert len(multi) >= len(single)
