@@ -713,21 +713,12 @@ def ivf_topk_indexed(
 
     The query-row lookup by id scans the index (needle-in-haystack, served
     by parquet min/max stats on ``id``); at cluster scale pass the query
-    embedding itself via ``ivf_topk_indexed_vec``-style wrappers instead.
-    The (tiny) centroid table is cached per index path after the first
-    read — the standard resident-coarse-quantizer pattern.
+    embedding itself (``ivf_topk_indexed_vec``) — zero lookup jobs. The
+    (tiny) centroid table is cached per index path after the first read —
+    the standard resident-coarse-quantizer pattern.
     """
-    import numpy as np
-
     root = index_path.rstrip("/")
-    cached = _SEED_CACHE.get(root)
-    if cached is None:
-        seed_rows = spark.read.parquet(root + "/seeds").orderBy("cell").collect()
-        sq = np.asarray([r["__q"] for r in seed_rows], dtype=np.float64)
-        snrm = np.asarray([r["__norm"] for r in seed_rows], dtype=np.float64)
-        _SEED_CACHE[root] = (sq, snrm)
-    else:
-        sq, snrm = cached
+    sq, snrm = _read_seeds(spark, root)
     vectors = spark.read.parquet(root + "/vectors")
     qrow = (
         vectors.filter(F.col(id_col) == query_vec_id)
@@ -745,6 +736,59 @@ def ivf_topk_indexed(
         vectors.filter(F.col("cell").isin(probe))
         .filter(F.col(id_col) != query_vec_id)
         .crossJoin(F.broadcast(qsel))
+    )
+    return _topk_from_candidates(cands, k, id_col)
+
+
+def _read_seeds(spark, root: str):
+    """Centroid table of a write_ivf_index artifact, cached per path."""
+    import numpy as np
+
+    cached = _SEED_CACHE.get(root)
+    if cached is not None:
+        return cached
+    seed_rows = spark.read.parquet(root + "/seeds").orderBy("cell").collect()
+    sq = np.asarray([r["__q"] for r in seed_rows], dtype=np.float64)
+    snrm = np.asarray([r["__norm"] for r in seed_rows], dtype=np.float64)
+    _SEED_CACHE[root] = (sq, snrm)
+    return sq, snrm
+
+
+def ivf_topk_indexed_vec(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k against a ``write_ivf_index`` artifact for an EXTERNAL
+    query embedding (not a corpus row) — the serving path at cluster scale.
+
+    The raw float vector is quantized driver-side with the same transform
+    the index used (functions.quantize_embedding semantics: round(x·1e6)),
+    probe cells are chosen against the resident centroid table, and the
+    corpus side is the identical pruned scan as ``ivf_topk_indexed`` with
+    the query shipped as a broadcast literal — ZERO driver lookup jobs, one
+    pruned scan per query.
+    """
+    import numpy as np
+
+    from ..functions import EMB_SCALE
+
+    root = index_path.rstrip("/")
+    sq, snrm = _read_seeds(spark, root)
+    qq = [int(v) for v in np.round(np.asarray(query_vec, dtype=np.float64) * EMB_SCALE)]
+    qn = int(np.dot(qq, qq))
+    if qn == 0:
+        raise ValueError("query vector has zero norm")
+    probe = _probe_cells(sq, snrm, qq, qn, nprobe)
+    vectors = spark.read.parquet(root + "/vectors")
+    qsel = spark.createDataFrame(
+        [(qq, qn)], "__qq array<bigint>, __qnorm bigint"
+    )
+    cands = vectors.filter(F.col("cell").isin(probe)).crossJoin(
+        F.broadcast(qsel)
     )
     return _topk_from_candidates(cands, k, id_col)
 

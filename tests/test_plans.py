@@ -261,3 +261,41 @@ def test_gathered_sort_has_no_range_exchange(partitioned_table):
     )
     assert "rangepartitioning" not in plan.lower()
     assert "SinglePartition" in plan
+
+
+def test_ivf_indexed_external_vector_query(spark, tmp_path_factory):
+    """ivf_topk_indexed_vec: external embedding served from the same
+    partition-pruned index with zero driver lookup jobs — the corpus row
+    with that embedding ranks first at cosine 1.0, and the remaining
+    neighbors equal the by-id query's results."""
+    from binance_futures_availability_spark.operators import similarity
+
+    root = tmp_path_factory.mktemp("ivfvec")
+    rows = [(i, [float(i % 7), 1.0, 0.5, 0.25], "a") for i in range(40)]
+    spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).write.parquet(
+        str(root / "emb")
+    )
+    emb = spark.read.parquet(str(root / "emb"))
+    similarity.write_ivf_index(emb, str(root / "ivf"), n_cells=4)
+
+    df = similarity.ivf_topk_indexed_vec(
+        spark, str(root / "ivf"), [3.0, 1.0, 0.5, 0.25], k=5, nprobe=2
+    )
+    plan = _plan(df)
+    import re
+
+    assert "ArrowEvalPython" not in plan
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan
+    got = [(r["vec_id"], r["cosine"]) for r in df.collect()]
+    # the row itself ranks first (cosine 1 up to the sqrt(n)*sqrt(n)
+    # rounding of the shared formula — same on both engines)
+    assert got[0][0] == 3 and abs(got[0][1] - 1.0) < 1e-12
+    by_id = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk_indexed(
+            spark, str(root / "ivf"), 3, k=4, nprobe=2
+        ).collect()
+    ]
+    # external-vec includes every id-3-embedding twin at cosine 1.0 first;
+    # the by-id query excludes id 3 itself but keeps its twins
+    assert [g for g in got if g[0] != 3] == by_id
