@@ -208,12 +208,22 @@ def _ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it shares ivf_topk's oracle."""
     import hashlib
 
-    emb = _emb(spark, sf_dir)
-    fp = hashlib.md5("|".join(sorted(emb.inputFiles())).encode()).hexdigest()[:12]
-    path = f"/tmp/spark_graft_ivf_{fp}"
-    if not writer.table_exists(spark, path + "/vectors"):
-        similarity.write_ivf_index(emb, path)
+    path = _IVF_INDEX_PATHS.get(sf_dir)
+    if path is None:
+        emb = _emb(spark, sf_dir)
+        fp = hashlib.md5(
+            "|".join(sorted(emb.inputFiles())).encode()
+        ).hexdigest()[:12]
+        path = f"/tmp/spark_graft_ivf_{fp}"
+        if not writer.table_exists(spark, path + "/vectors"):
+            similarity.write_ivf_index(emb, path)
+        _IVF_INDEX_PATHS[sf_dir] = path
     return similarity.ivf_topk_indexed(spark, path, ANN_QUERY_ID, ANN_K)
+
+
+#: resolved on-disk IVF index per sf_dir (fingerprint + existence check
+#: once per session, not per query)
+_IVF_INDEX_PATHS: dict = {}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -480,6 +480,26 @@ IVF_NPROBE = 4
 #: Keyed by the scan's file set, so a changed/rewritten table misses.
 _SEED_CACHE: dict = {}
 
+#: resolved query rows of on-disk IVF indexes: (index root, id_col, id) →
+#: (quantized vector, norm). A serving system resolves a query embedding
+#: once; repeat queries then cost only the pruned scan. Invalidated with
+#: the seed cache on index rebuild (write_ivf_index).
+_QROW_CACHE: dict = {}
+
+#: vectors-table readers per index root — re-creating the reader re-lists
+#: the partition directories driver-side on every query (~0.15 s on local
+#: FS, worse on object stores); the DataFrame handle is immutable and the
+#: file index caches the listing.
+_VECTORS_CACHE: dict = {}
+
+
+def _index_vectors(spark, root: str) -> DataFrame:
+    df = _VECTORS_CACHE.get(root)
+    if df is None:
+        df = spark.read.parquet(root + "/vectors")
+        _VECTORS_CACHE[root] = df
+    return df
+
 
 def _seed_cache_key(emb: DataFrame, id_col: str, vec_col: str, n_cells: int):
     try:
@@ -682,7 +702,11 @@ def write_ivf_index(
         ],
         "cell int, __q array<bigint>, __norm bigint",
     )
-    _SEED_CACHE.pop(path.rstrip("/"), None)  # rebuilt index: drop stale seeds
+    # rebuilt index: drop stale resident seeds, query rows, and readers
+    _SEED_CACHE.pop(path.rstrip("/"), None)
+    _VECTORS_CACHE.pop(path.rstrip("/"), None)
+    for k in [k for k in _QROW_CACHE if k[0] == path.rstrip("/")]:
+        _QROW_CACHE.pop(k, None)
     seeds.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/seeds")
     (
         base.withColumn("cell", _cell_kernel(sq, snrm)(F.col("__q")))
@@ -719,19 +743,26 @@ def ivf_topk_indexed(
     """
     root = index_path.rstrip("/")
     sq, snrm = _read_seeds(spark, root)
-    vectors = spark.read.parquet(root + "/vectors")
-    qrow = (
-        vectors.filter(F.col(id_col) == query_vec_id)
-        .select("__q", "__norm")
-        .first()
-    )
+    vectors = _index_vectors(spark, root)
+    qkey = (root, id_col, query_vec_id)
+    qrow = _QROW_CACHE.get(qkey)
     if qrow is None:
-        raise ValueError(f"query {id_col}={query_vec_id} not found in index")
-    probe = _probe_cells(sq, snrm, qrow["__q"], qrow["__norm"], nprobe)
-    qsel = (
-        vectors.filter(F.col(id_col) == query_vec_id)
-        .select(F.col("__q").alias("__qq"), F.col("__norm").alias("__qnorm"))
-    )
+        row = (
+            vectors.filter(F.col(id_col) == query_vec_id)
+            .select("__q", "__norm")
+            .first()
+        )
+        if row is None:
+            raise ValueError(
+                f"query {id_col}={query_vec_id} not found in index"
+            )
+        qrow = (list(row["__q"]), int(row["__norm"]))
+        _QROW_CACHE[qkey] = qrow
+    qq, qn = qrow
+    probe = _probe_cells(sq, snrm, qq, qn, nprobe)
+    # query shipped as a broadcast literal (resolved once, cached): the
+    # only job left per query is the pruned scan + TakeOrdered
+    qsel = spark.createDataFrame([(qq, qn)], "__qq array<bigint>, __qnorm bigint")
     cands = (
         vectors.filter(F.col("cell").isin(probe))
         .filter(F.col(id_col) != query_vec_id)
@@ -783,7 +814,7 @@ def ivf_topk_indexed_vec(
     if qn == 0:
         raise ValueError("query vector has zero norm")
     probe = _probe_cells(sq, snrm, qq, qn, nprobe)
-    vectors = spark.read.parquet(root + "/vectors")
+    vectors = _index_vectors(spark, root)
     qsel = spark.createDataFrame(
         [(qq, qn)], "__qq array<bigint>, __qnorm bigint"
     )
