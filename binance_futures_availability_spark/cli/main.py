@@ -173,6 +173,20 @@ def cmd_similarity(args: argparse.Namespace) -> int:
     from ..operators import similarity
 
     spark = get_session("bfa-cli")
+    if args.op == "index-build":
+        if not args.index:
+            raise SystemExit("--index PATH is required for index-build")
+        emb = spark.read.parquet(args.embeddings)
+        similarity.write_ivf_index(emb, args.index)
+        print(f"IVF index written: {args.index}")
+        return 0
+    if args.op == "index-topk":
+        if not args.index:
+            raise SystemExit("--index PATH is required for index-topk")
+        df = similarity.ivf_topk_indexed(
+            spark, args.index, args.query_id, args.k
+        )
+        return _print_rows(df, args, f"{args.op}:")
     emb = spark.read.parquet(args.embeddings)
     if args.op == "topk":
         df = similarity.ann_topk(emb, args.query_id, args.k)
@@ -180,6 +194,8 @@ def cmd_similarity(args: argparse.Namespace) -> int:
         df = similarity.ivf_topk(emb, args.query_id, args.k)
     elif args.op == "pairs":
         df = similarity.lsh_cosine_pairs(emb, args.threshold)
+    elif args.op == "pairs-multi":
+        df = similarity.lsh_cosine_pairs_multi(emb, args.threshold)
     else:  # dedup
         df = similarity.embedding_dedup_survivors(emb, args.threshold).orderBy(
             "vec_id"
@@ -273,11 +289,24 @@ def build_parser() -> argparse.ArgumentParser:
     p = psub.add_parser("similarity", help="Embedding similarity search")
     p.add_argument("embeddings", help="embeddings parquet path")
     p.add_argument(
-        "--op", choices=["topk", "ivf-topk", "pairs", "dedup"], default="topk"
+        "--op",
+        choices=[
+            "topk",
+            "ivf-topk",
+            "pairs",
+            "pairs-multi",
+            "dedup",
+            "index-build",
+            "index-topk",
+        ],
+        default="topk",
     )
     p.add_argument("--query-id", type=int, default=0)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--threshold", type=float, default=0.95)
+    p.add_argument(
+        "--index", help="on-disk IVF index path (index-build / index-topk)"
+    )
     p.add_argument("--json", action="store_true")
     p.set_defaults(func=cmd_similarity)
 

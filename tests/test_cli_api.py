@@ -198,6 +198,21 @@ def test_cli_pipeline_similarity(emb_path, capsys):
     assert [r["vec_id"] for r in rows] == [0, 2]
 
 
+def test_cli_pipeline_similarity_index(emb_path, capsys, tmp_path):
+    idx = str(tmp_path / "ivf")
+    assert (
+        main(["pipeline", "similarity", emb_path, "--op", "index-build",
+              "--index", idx]) == 0
+    )
+    capsys.readouterr()
+    assert (
+        main(["pipeline", "similarity", emb_path, "--op", "index-topk",
+              "--index", idx, "--query-id", "0", "--k", "2", "--json"]) == 0
+    )
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 2 and rows[0]["cosine"] >= rows[1]["cosine"]
+
+
 def test_api_rejects_malformed_date(engine):
     import pytest as _pytest
 
