@@ -7,7 +7,9 @@ deployment where probe results arrive continuously.
 
 from .pipeline import (
     availability_transitions,
+    dedup_document_stream,
     dedup_probe_stream,
+    document_stream_source,
     probe_stream_source,
     start_upsert_sink,
     streaming_symbol_counts,
@@ -15,7 +17,9 @@ from .pipeline import (
 
 __all__ = [
     "availability_transitions",
+    "dedup_document_stream",
     "dedup_probe_stream",
+    "document_stream_source",
     "probe_stream_source",
     "start_upsert_sink",
     "streaming_symbol_counts",

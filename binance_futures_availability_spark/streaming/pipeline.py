@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import normalized_text
 from ..schema import DAILY_AVAILABILITY_KEY, DAILY_AVAILABILITY_VERSION, PROBE_RESULT
 from ..sources import writer
 
@@ -54,6 +55,47 @@ def dedup_probe_stream(stream: DataFrame, late_horizon: str = "3 days") -> DataF
     return stream.withWatermark("probe_timestamp", late_horizon).dropDuplicates(
         ["date", "symbol", "probe_timestamp"]
     )
+
+
+#: document ingest-stream schema (LLM-pipeline streaming twin)
+DOCUMENT_STREAM = "doc_id long, text string, ingest_ts timestamp"
+
+
+def document_stream_source(spark: SparkSession, incoming_dir: str) -> DataFrame:
+    """readStream over a drop-directory of document parquet batches —
+    the ingest half of an online training-data pipeline."""
+    return (
+        spark.readStream.schema(DOCUMENT_STREAM)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(incoming_dir)
+    )
+
+
+def dedup_document_stream(
+    stream: DataFrame, late_horizon: str = "1 hour"
+) -> DataFrame:
+    """Online EXACT dedup of a document stream — the streaming twin of
+    ``operators.dedup.exact_duplicates``: same content key (md5 of the
+    normalized text). Survivorship is first-batch-wins (within one
+    micro-batch the kept row is arbitrary; across batches earlier always
+    beats later — the only well-defined online policy).
+
+    ``dropDuplicatesWithinWatermark`` (not plain dropDuplicates) is what
+    bounds state when the dedup key is NOT the event-time column: a
+    content hash seen once is held only until the watermark passes its
+    arrival time + horizon, so state ∝ ingest rate × horizon, never corpus
+    size. The trade every online dedup makes: an exact duplicate arriving
+    AFTER the horizon is re-admitted — downstream batch dedup (the batch
+    twin) remains the corpus-wide guarantee; this stage strips the
+    short-range duplicate mass (retries, double-submits, crawl echoes)
+    before it ever lands.
+    """
+    keyed = stream.withColumn(
+        "content_md5", F.md5(normalized_text(F.col("text")))
+    )
+    return keyed.withWatermark(
+        "ingest_ts", late_horizon
+    ).dropDuplicatesWithinWatermark(["content_md5"])
 
 
 def streaming_symbol_counts(stream: DataFrame, late_horizon: str = "3 days") -> DataFrame:

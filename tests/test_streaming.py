@@ -302,3 +302,57 @@ def test_stream_upsert_sink_on_non_ospath_scheme(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "fact.__staging__"))
     mv = {r["date"]: r for r in spark.read.parquet(counts_uri).collect()}
     assert mv[D(2024, 1, 15)]["available_count"] == 1
+
+
+def test_streaming_document_dedup_drops_short_range_duplicates(spark, tmp_path):
+    """Online exact dedup (streaming twin of dedup.exact_duplicates):
+    duplicate content within the watermark horizon is dropped across
+    micro-batches with first-arrival-wins; distinct content passes."""
+    from binance_futures_availability_spark.streaming.pipeline import (
+        dedup_document_stream,
+        document_stream_source,
+    )
+
+    incoming = tmp_path / "docs_in"
+    out = tmp_path / "docs_out"
+    ckpt = tmp_path / "ckpt"
+    t0 = TS(2024, 1, 15, 12, 0, 0)
+
+    def drop(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ingest_ts timestamp"
+        ).write.mode("append").parquet(str(incoming))
+
+    def run_wave():
+        q = (
+            dedup_document_stream(
+                document_stream_source(spark, str(incoming)), "1 hour"
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # wave 1: doc 2 duplicates doc 1 (same content modulo whitespace/case)
+    drop(
+        [
+            (1, "The Quick Brown Fox", t0),
+            (2, "  the quick   brown fox ", t0),
+            (3, "something else entirely", t0),
+        ]
+    )
+    run_wave()
+    # wave 2: doc 4 re-submits doc 1's content inside the horizon
+    drop([(4, "the quick brown fox", TS(2024, 1, 15, 12, 30, 0)),
+          (5, "fresh new content", TS(2024, 1, 15, 12, 30, 0))])
+    run_wave()
+
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    # exactly one of the wave-1 twins survives (within-batch winner is
+    # arbitrary), the wave-2 re-submit (doc 4) is dropped by cross-batch
+    # state, and distinct content (3, 5) passes
+    assert len(got & {1, 2}) == 1 and 4 not in got
+    assert got - {1, 2} == {3, 5}
