@@ -116,6 +116,27 @@ def _upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE through the driver gate: matched keys updated
+    from the source (set-replace), unmatched source rows inserted,
+    unmatched target rows untouched (writer.merge, the DataFrame half of
+    merge_into)."""
+    da = _da(spark, sf_dir)
+    target = da.filter(
+        F.col("date").between(F.lit(RANGE_START), F.lit(RANGE_END))
+    ).select("date", "symbol", "quote_volume_usdt")
+    source = da.filter(
+        F.col("date").between(F.lit(UPSERT_START), F.lit(UPSERT_END))
+    ).select(
+        "date", "symbol", (F.col("volume_base") * 3.0).alias("quote_volume_usdt")
+    )
+    merged = writer.merge(
+        target, source, ["date", "symbol"],
+        when_matched="update", when_not_matched="insert",
+    )
+    return gathered_sort(merged, "date", "symbol")
+
+
 def _symbol_set_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6/U3 — membership classification of two symbol universes."""
     da = _da(spark, sf_dir)
@@ -276,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # S2/S3 — upsert; J6/U3 — set compare; J8 — dataset differ
         "upsert_semantics": _upsert_semantics,
+        "merge_semantics": _merge_semantics,
         "symbol_set_compare": _symbol_set_compare,
         "dataset_diff": _dataset_diff,
         # J5/F2 — continuity; A7 — completeness; A8 — matview
@@ -567,6 +589,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.date, e.symbol, e.quote_volume_usdt FROM existing e
             WHERE NOT EXISTS (SELECT 1 FROM incoming i
                               WHERE i.date = e.date AND i.symbol = e.symbol)
+            ORDER BY date, symbol"""),
+        "merge_semantics": with_da(f"""
+            WITH target AS (
+                SELECT date, symbol, quote_volume_usdt FROM da
+                WHERE date BETWEEN DATE '{RANGE_START}' AND DATE '{RANGE_END}'
+            ),
+            source AS (
+                SELECT date, symbol,
+                       CAST(volume_base * 3.0 AS DOUBLE) AS quote_volume_usdt
+                FROM da
+                WHERE date BETWEEN DATE '{UPSERT_START}' AND DATE '{UPSERT_END}'
+            )
+            SELECT t.date, t.symbol, t.quote_volume_usdt FROM target t
+            WHERE NOT EXISTS (SELECT 1 FROM source s
+                              WHERE s.date = t.date AND s.symbol = t.symbol)
+            UNION ALL
+            SELECT s.date, s.symbol, s.quote_volume_usdt FROM source s
+            WHERE EXISTS (SELECT 1 FROM target t
+                          WHERE t.date = s.date AND t.symbol = s.symbol)
+            UNION ALL
+            SELECT s.date, s.symbol, s.quote_volume_usdt FROM source s
+            WHERE NOT EXISTS (SELECT 1 FROM target t
+                              WHERE t.date = s.date AND t.symbol = s.symbol)
             ORDER BY date, symbol"""),
         "symbol_set_compare": with_da(f"""
             WITH a AS (

@@ -141,6 +141,115 @@ def upsert_partitioned(
         _rm_tree(spark, staging)
 
 
+def merge(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+) -> DataFrame:
+    """Pure MERGE combinator (the DataFrame half of ``merge_into``):
+    anti/semi joins + union, no I/O — oracle-expressible SQL shape.
+
+    See ``merge_into`` for clause semantics. The joins' right sides are
+    key-distinct projections, so at scale they broadcast (same shape as
+    the anti-join listings queries).
+    """
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched={when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched={when_not_matched!r}")
+    keys = source.select(*on).distinct()
+    target_keys = target.select(*on).distinct()
+    parts = [target.join(keys, on, "left_anti")]
+    if when_matched == "update":
+        parts.append(source.join(target_keys, on, "left_semi"))
+    elif when_matched is None:
+        parts.append(target.join(keys, on, "left_semi"))
+    # when_matched == "delete": matched target rows simply do not survive
+    if when_not_matched == "insert":
+        parts.append(source.join(target_keys, on, "left_anti"))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p, allowMissingColumns=True)
+    # align to the target schema (source-originated rows may be narrower)
+    return merged.select(*target.columns)
+
+
+def merge_into(
+    target_path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+    partition_col: str = "date",
+) -> None:
+    """Delta-style ``MERGE INTO`` for plain parquet (SURVEY §1.4's
+    alternative, minus the transaction log's ACID under concurrent
+    writers — single-writer pipelines get the same end state).
+
+    - ``when_matched="update"``: the matched target ROW SET is replaced by
+      the matching source rows — set-replace (INSERT OR REPLACE) semantics,
+      identical to Delta's row-wise UPDATE whenever ``on`` is a full key of
+      both sides; narrower sources NULL the unsupplied columns.
+      ``"delete"`` drops matched target rows; ``None`` keeps them.
+    - ``when_not_matched="insert"`` appends source rows with no target
+      match; ``None`` ignores them.
+
+    Cost model: when ``partition_col`` is one of the ``on`` keys, every
+    matched row lives in a partition the source also touches, so only the
+    source's partitions are staged and committed via dynamic partition
+    overwrite — cost ∝ source, exactly like ``upsert_partitioned``.
+    Otherwise the whole table must be rewritten (documented degradation:
+    file-level pruning of arbitrary-predicate merges is what a Delta log
+    buys; parquet alone cannot know which files hold matches without
+    reading them).
+    """
+    spark = source.sparkSession
+    target = spark.read.parquet(target_path)
+    pruned = partition_col in on
+    if pruned:
+        touched = source.select(partition_col).distinct()
+        scope = target.join(F.broadcast(touched), partition_col, "left_semi")
+    else:
+        scope = target
+    merged = merge(scope, source, on, when_matched, when_not_matched)
+
+    staging = target_path.rstrip("/") + ".__staging__"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "dynamic" if pruned else "static",
+    )
+    try:
+        # explicit schema: a merge that deletes every scoped row stages an
+        # EMPTY dataset (no part files), which schema inference rejects
+        staged = spark.read.schema(merged.schema).parquet(staging)
+        staged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_path
+        )
+        if pruned:
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # write: a touched partition whose rows were all deleted would
+            # keep its old directory and resurrect the rows — remove it.
+            touched_vals = {
+                r[0] for r in source.select(partition_col).distinct().collect()
+            }
+            surviving = {
+                r[0] for r in staged.select(partition_col).distinct().collect()
+            }
+            for v in sorted(touched_vals - surviving):
+                _rm_tree(
+                    spark, f"{target_path.rstrip('/')}/{partition_col}={v}"
+                )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        _rm_tree(spark, staging)
+
+
 def _rm_tree(spark, path: str) -> None:
     """Recursive delete through the Hadoop FileSystem API — works for any
     scheme the table lives on (local, hdfs://, s3a://); a shutil.rmtree

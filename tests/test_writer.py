@@ -187,3 +187,127 @@ def test_incremental_matview_refresh_matches_full(spark):
     # the incremental plan only scans the touched-date slice of the fact table
     plan = incr._jdf.queryExecution().optimizedPlan().toString()
     assert "2024-01-02" in plan
+
+
+# --------------------------------------------------- Delta-style MERGE INTO
+
+
+def _seed_merge_target(spark, tmp_path):
+    path = str(tmp_path / "merge_target")
+    writer.write_partitioned(
+        make_da(
+            spark,
+            [
+                (D(2024, 1, 1), "BTCUSDT", True, 100.0),
+                (D(2024, 1, 1), "ETHUSDT", True, 50.0),
+                (D(2024, 1, 2), "BTCUSDT", True, 200.0),
+            ],
+        ),
+        path,
+    )
+    return path
+
+
+def test_merge_into_update_and_insert(spark, tmp_path):
+    path = _seed_merge_target(spark, tmp_path)
+    source = make_da(
+        spark,
+        [
+            (D(2024, 1, 1), "ETHUSDT", True, 999.0),   # matched → update
+            (D(2024, 1, 2), "NEWUSDT", True, 300.0),   # not matched → insert
+        ],
+    )
+    writer.merge_into(path, source, ["date", "symbol"])
+    got = {
+        (r["date"], r["symbol"]): r["quote_volume_usdt"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (D(2024, 1, 1), "BTCUSDT"): 100.0,
+        (D(2024, 1, 1), "ETHUSDT"): 999.0,
+        (D(2024, 1, 2), "BTCUSDT"): 200.0,
+        (D(2024, 1, 2), "NEWUSDT"): 300.0,
+    }
+
+
+def test_merge_into_delete_matched(spark, tmp_path):
+    path = _seed_merge_target(spark, tmp_path)
+    source = make_da(spark, [(D(2024, 1, 1), "ETHUSDT", True, 0.0)])
+    writer.merge_into(
+        path, source, ["date", "symbol"],
+        when_matched="delete", when_not_matched=None,
+    )
+    got = {(r["date"], r["symbol"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(D(2024, 1, 1), "BTCUSDT"), (D(2024, 1, 2), "BTCUSDT")}
+
+
+def test_merge_into_delete_empties_whole_partition(spark, tmp_path):
+    """An emptied touched partition must disappear (dynamic overwrite
+    leaves absent partitions on disk — merge_into removes them)."""
+    path = _seed_merge_target(spark, tmp_path)
+    source = make_da(
+        spark,
+        [
+            (D(2024, 1, 1), "BTCUSDT", True, 0.0),
+            (D(2024, 1, 1), "ETHUSDT", True, 0.0),
+        ],
+    )
+    writer.merge_into(
+        path, source, ["date", "symbol"],
+        when_matched="delete", when_not_matched=None,
+    )
+    got = [(r["date"], r["symbol"]) for r in spark.read.parquet(path).collect()]
+    assert got == [(D(2024, 1, 2), "BTCUSDT")]
+    import os
+
+    assert not os.path.exists(os.path.join(path, "date=2024-01-01"))
+
+
+def test_merge_into_prunes_untouched_partitions(spark, tmp_path):
+    import os
+
+    path = _seed_merge_target(spark, tmp_path)
+    d1_dir = os.path.join(path, "date=2024-01-01")
+    before = {f: os.path.getmtime(os.path.join(d1_dir, f)) for f in os.listdir(d1_dir)}
+    source = make_da(spark, [(D(2024, 1, 2), "BTCUSDT", True, 777.0)])
+    writer.merge_into(path, source, ["date", "symbol"])
+    after = {f: os.path.getmtime(os.path.join(d1_dir, f)) for f in os.listdir(d1_dir)}
+    assert after == before  # untouched partition files not rewritten
+    got = {
+        (r["date"], r["symbol"]): r["quote_volume_usdt"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got[(D(2024, 1, 2), "BTCUSDT")] == 777.0
+    assert len(got) == 3
+
+
+def test_merge_into_without_partition_key_full_rewrite(spark, tmp_path):
+    """Merge on a key that does not include the partition column: matched
+    rows may live anywhere, so the whole table is rewritten — values still
+    correct."""
+    path = _seed_merge_target(spark, tmp_path)
+    source = make_da(spark, [(D(2024, 1, 3), "BTCUSDT", True, 1.0)])
+    # key = symbol only → the matched BTCUSDT target SET (both dates) is
+    # replaced by the matching source rows (set-replace update semantics)
+    writer.merge_into(path, source, ["symbol"], when_matched="update")
+    got = {(r["date"], r["symbol"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(D(2024, 1, 1), "ETHUSDT"), (D(2024, 1, 3), "BTCUSDT")}
+
+
+def test_merge_into_matched_none_keeps_target(spark, tmp_path):
+    path = _seed_merge_target(spark, tmp_path)
+    source = make_da(
+        spark,
+        [
+            (D(2024, 1, 1), "ETHUSDT", True, 999.0),  # matched → untouched
+            (D(2024, 1, 1), "XRPUSDT", True, 10.0),   # inserted
+        ],
+    )
+    writer.merge_into(path, source, ["date", "symbol"], when_matched=None)
+    got = {
+        (r["date"], r["symbol"]): r["quote_volume_usdt"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got[(D(2024, 1, 1), "ETHUSDT")] == 50.0  # NOT updated
+    assert got[(D(2024, 1, 1), "XRPUSDT")] == 10.0
+    assert len(got) == 4
