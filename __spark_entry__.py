@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         "token_counts": lambda s, d: textops.token_counts(_docs(s, d)),
+        "term_frequencies": lambda s, d: textops.term_frequencies(_docs(s, d)),
         "quality_scores": lambda s, d: textops.quality_scores(_docs(s, d)),
         "language_id": lambda s, d: textops.language_id(_docs(s, d)),
         "doc_fingerprints": lambda s, d: textops.fingerprints(_docs(s, d)),
@@ -774,6 +775,7 @@ ORDER BY symbol, event_date"""),
         "embedding_dedup": oracles.sql_embedding_dedup_survivors(COSINE_THRESHOLD),
         "label_centroids": oracles.sql_label_centroids(),
         "token_counts": oracles.sql_token_counts(),
+        "term_frequencies": oracles.sql_term_frequencies(),
         "quality_scores": oracles.sql_quality_scores(),
         "language_id": oracles.sql_language_id(),
         "doc_fingerprints": oracles.sql_fingerprints(),

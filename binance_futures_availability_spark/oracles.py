@@ -370,6 +370,24 @@ def sql_multimodal_resize(target_bytes: int) -> str:
 FROM documents ORDER BY asset_id"""
 
 
+def sql_term_frequencies() -> str:
+    """Integer TF/DF table — mirrors textops.term_frequencies exactly
+    (same whitespace tokenizer, empty tokens dropped)."""
+    return r"""
+WITH terms AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS INT) AS tf
+    FROM terms WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS INT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS INT) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs
+FROM tf JOIN df USING (term) CROSS JOIN n""".strip()
+
+
 def sql_token_counts() -> str:
     return r"""
 SELECT doc_id,

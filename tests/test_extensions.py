@@ -412,3 +412,29 @@ def test_clear_indexes_returns_storage_to_baseline(spark, tmp_path_factory):
 
     index_cache.clear_indexes()
     assert cached_ids() - baseline == set()  # ...and all of them released
+
+
+def test_term_frequencies_integer_exact(docs):
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["n_docs"])
+        for r in textops.term_frequencies(docs).collect()
+    }
+    # "the" appears twice in docs 0 and 1, nowhere else → tf=2, df=2
+    assert got[(0, "the")] == (2, 2, 6)
+    assert got[(1, "the")] == (2, 2, 6)
+    # "alpha" once in docs 2 and 3
+    assert got[(2, "alpha")] == (1, 2, 6)
+    assert (4, "the") not in got
+
+
+def test_tfidf_weights_match_reference_formula(docs):
+    import math
+
+    rows = textops.tfidf_weights(docs).collect()
+    assert rows
+    for r in rows:
+        want = r["tf"] * (math.log((6 + 1) / (r["df"] + 1)) + 1.0)
+        assert abs(r["tfidf"] - want) < 1e-12, (r, want)
+    # rarer terms weigh more at equal tf
+    by_term = {(r["doc_id"], r["term"]): r["tfidf"] for r in rows}
+    assert by_term[(4, "spark")] > by_term[(0, "the")] / 2  # df 1 vs 2
