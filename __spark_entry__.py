@@ -337,6 +337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(
             _docs(s, d), LSH_JACCARD_THRESHOLD
         ),
+        "duplicate_clusters": lambda s, d: dedup.duplicate_clusters(
+            _docs(s, d),
+            dedup.minhash_lsh_pairs(_docs(s, d), LSH_JACCARD_THRESHOLD),
+        ),
         "simhash_fingerprints": lambda s, d: dedup.simhash(_docs(s, d)),
         "simhash_pairs": lambda s, d: dedup.simhash_pairs(
             _docs(s, d), SIMHASH_MAX_HAMMING
@@ -755,6 +759,9 @@ ORDER BY symbol, event_date"""),
         ),
         "minhash_signatures": oracles.sql_minhash_signatures(),
         "minhash_lsh_pairs": oracles.sql_minhash_lsh_pairs(LSH_JACCARD_THRESHOLD),
+        "duplicate_clusters": oracles.sql_duplicate_clusters(
+            LSH_JACCARD_THRESHOLD
+        ),
         "simhash_fingerprints": oracles.sql_simhash(),
         "simhash_pairs": oracles.sql_simhash_pairs(SIMHASH_MAX_HAMMING),
         "ann_topk": oracles.sql_ann_topk(ANN_QUERY_ID, ANN_K),

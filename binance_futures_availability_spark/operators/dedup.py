@@ -531,3 +531,79 @@ def simhash_pairs(
         "id_a",
         "id_b",
     )
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair set: (id, cluster_id),
+    cluster_id = MIN doc id reachable through pairs (singletons map to
+    themselves). The transitive-closure complement to the greedy
+    survivorship operators: A~B and B~C land in ONE cluster even when
+    cos(A,C) misses the threshold.
+
+    Algorithm: min-label propagation — labels start as ids; each round
+    every node takes the min of its own label and its neighbors' labels
+    (one join + one agg per round); stop when a round changes nothing.
+    Rounds needed = component diameter, and near-dup components are tiny
+    (clusters of rewrites/boilerplate), so convergence is fast; at
+    graph-scale inputs swap the loop body for the large-star/small-star
+    rewrite (same per-round plan shape, provably O(log n) rounds). The
+    driver-side loop with a convergence count is the standard Spark
+    iterative-algorithm pattern (Pregel-without-GraphX); each round's
+    result is localCheckpoint()ed so the plan does not grow with rounds.
+
+    No SQL-expressible single query computes a fixpoint, but DuckDB's
+    recursive CTE reproduces the same semantics for the oracle gate
+    (oracles.sql_duplicate_clusters).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("src", "node")
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return gathered_sort(
+        labels.select(
+            F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+        ),
+        id_col,
+    )

@@ -131,6 +131,44 @@ WHERE j.jaccard >= {threshold}
 ORDER BY id_a, id_b"""
 
 
+def sql_duplicate_clusters(
+    threshold: float, num_perm: int = 8, n_bands: int = 4
+) -> str:
+    """Connected components over the minhash-LSH pair set via a recursive
+    CTE (transitive reachability → min reachable id), mirroring the Spark
+    min-label-propagation fixpoint exactly."""
+    band_cond = " OR ".join(
+        "(" + " AND ".join(f"a.h{c} = b.h{c}" for c in cols) + ")"
+        for cols in band_partition(num_perm, n_bands)
+    )
+    return f"""WITH RECURSIVE {jaccard_ctes()},
+{minhash_sig_cte(num_perm)},
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+),
+prs AS (
+    SELECT j.id_a, j.id_b FROM cand JOIN jac j USING (id_a, id_b)
+    WHERE j.jaccard >= {threshold}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM prs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM prs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id,
+       CAST(LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS BIGINT)
+           AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id"""
+
+
 def sql_ngram_jaccard_pairs(
     threshold: float, max_shingle_freq: int | None = None
 ) -> str:

@@ -438,3 +438,34 @@ def test_tfidf_weights_match_reference_formula(docs):
     # rarer terms weigh more at equal tf
     by_term = {(r["doc_id"], r["term"]): r["tfidf"] for r in rows}
     assert by_term[(4, "spark")] > by_term[(0, "the")] / 2  # df 1 vs 2
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    """A~B and B~C land in one cluster even with no direct A~C pair;
+    disjoint pairs form separate clusters; singletons self-label."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(7)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 2}
+
+
+def test_duplicate_clusters_chain_converges(spark):
+    # a 6-node path: diameter 5 → exercises multiple propagation rounds
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(docs, pairs).collect()
+    }
+    assert got == {i: 0 for i in range(6)}
