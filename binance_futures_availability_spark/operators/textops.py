@@ -127,6 +127,24 @@ def fingerprints(
     return norm_md5.join(min_sh, id_col, "left")
 
 
+#: corpus row counts keyed by source files — the n_docs literal is a
+#: corpus property, not a query property; one count job per table/session.
+_NDOCS_CACHE: dict = {}
+
+
+def _corpus_count(docs: DataFrame) -> int:
+    try:
+        key = tuple(sorted(docs.inputFiles())) or None
+    except Exception:  # noqa: BLE001 — non-file-backed frames: don't cache
+        key = None
+    if key is not None and key in _NDOCS_CACHE:
+        return _NDOCS_CACHE[key]
+    n = docs.count()
+    if key is not None:
+        _NDOCS_CACHE[key] = n
+    return n
+
+
 def term_frequencies(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -143,12 +161,16 @@ def term_frequencies(
     driver-side count folded in as a literal (one bounded job, the same
     pattern as the IVF seed collect).
     """
-    n_docs = docs.count()
+    n_docs = _corpus_count(docs)
     terms = docs.select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # the df side is vocabulary-sized (natural-language vocabularies are
+    # millions of terms at worst — broadcastable); without the hint the
+    # planner cannot estimate the aggregate's size and falls back to a
+    # sort-merge join that re-shuffles the whole TF table
+    df_tbl = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
     return tf.join(df_tbl, "term").select(
         F.col(id_col),
         "term",
