@@ -469,3 +469,52 @@ def test_duplicate_clusters_chain_converges(spark):
         for r in dedup.duplicate_clusters(docs, pairs).collect()
     }
     assert got == {i: 0 for i in range(6)}
+
+
+# ---------------------------------------------------- corpus management
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    from binance_futures_availability_spark.sources import corpus
+
+    p = tmp_path / "dump.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "source": "web"}\n'
+        '{"doc_id": 2, "text": "zweite zeile"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 3, "text": "third", "source": "book"}\n'
+    )
+    docs = corpus.read_jsonl(spark, str(p))
+    clean, bad = corpus.split_corrupt(docs)
+    got = {r["doc_id"]: (r["text"], r["source"]) for r in clean.collect()}
+    assert got == {
+        1: ("hello world", "web"),
+        2: ("zweite zeile", None),  # missing field → NULL, not corrupt
+        3: ("third", "book"),
+    }
+    assert [r["_corrupt"] for r in bad.collect()] == ["this is not json at all"]
+
+
+def test_write_corpus_partitions_by_language_and_prunes(spark, tmp_path):
+    from binance_futures_availability_spark.sources import corpus
+
+    rows = [
+        (1, "the quick brown fox is in the house", "web"),
+        (2, "der schnelle braune fuchs ist ein tier und der hund", "web"),
+        (3, "xyzzy plugh qwfp zxcv", "web"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    path = str(tmp_path / "corpus")
+    corpus.write_corpus(docs, path)
+
+    import os
+
+    langs = {d.split("=")[1] for d in os.listdir(path) if d.startswith("predicted_lang=")}
+    assert "en" in langs and "de" in langs and "unknown" in langs
+
+    en = corpus.read_corpus(spark, path, lang="en")
+    assert [r["doc_id"] for r in en.collect()] == [1]
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "predicted_lang" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
