@@ -199,3 +199,34 @@ def tfidf_weights(
     return base.select(
         F.col(id_col), "term", "tf", "df", (F.col("tf") * idf).alias("tfidf")
     )
+
+
+#: default split fractions: cumulative per-mille thresholds over the hash
+DEFAULT_SPLITS = (("train", 980), ("val", 990), ("test", 1000))
+
+
+def corpus_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple = DEFAULT_SPLITS,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: (id, split).
+
+    The assignment hashes (salt, id) into [0, 1000) per-mille buckets and
+    maps them through cumulative thresholds — so membership is a PURE
+    FUNCTION of the id: stable across runs, machines, and engines (the
+    DuckDB oracle reproduces it bit-for-bit), new documents never reshuffle
+    old ones between splits, and changing the salt draws a fresh
+    independent split. This is how large-corpus pipelines split — a
+    ``randomSplit`` re-randomizes on every run and every partitioning,
+    which silently leaks val into train across pipeline versions.
+
+    Narrow projection, zero shuffles — scan-speed at any corpus size.
+    """
+    bucket = md5_int60(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))) % 1000
+    expr = None
+    for name, upper in splits:
+        cond = bucket < F.lit(upper)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return docs.select(F.col(id_col), expr.alias("split"))

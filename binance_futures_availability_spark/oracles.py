@@ -408,6 +408,19 @@ def sql_multimodal_resize(target_bytes: int) -> str:
 FROM documents ORDER BY asset_id"""
 
 
+def sql_corpus_split(
+    splits: tuple = (("train", 980), ("val", 990), ("test", 1000)),
+    salt: str = "split-v1",
+) -> str:
+    """Deterministic hash split — same md5 per-mille bucketing as
+    textops.corpus_split."""
+    bucket = MD5_INT.format(x=f"'{salt}:' || CAST(doc_id AS VARCHAR)") + " % 1000"
+    cases = " ".join(
+        f"WHEN {bucket} < {upper} THEN '{name}'" for name, upper in splits
+    )
+    return f"""SELECT doc_id, CASE {cases} END AS split FROM documents"""
+
+
 def sql_term_frequencies() -> str:
     """Integer TF/DF table — mirrors textops.term_frequencies exactly
     (same whitespace tokenizer, empty tokens dropped)."""

@@ -518,3 +518,41 @@ def test_write_corpus_partitions_by_language_and_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "predicted_lang" in plan.split(
         "PartitionFilters"
     )[1][:120]
+
+
+def test_corpus_split_deterministic_and_stable(docs, spark):
+    got1 = {r["doc_id"]: r["split"] for r in textops.corpus_split(docs).collect()}
+    got2 = {r["doc_id"]: r["split"] for r in textops.corpus_split(docs).collect()}
+    assert got1 == got2  # pure function of (salt, id)
+    assert set(got1.values()) <= {"train", "val", "test"}
+    # adding documents never reshuffles existing assignments
+    more = spark.createDataFrame(
+        [(100 + i, f"new doc {i}") for i in range(10)], ["doc_id", "text"]
+    )
+    combined = docs.unionByName(more)
+    got3 = {r["doc_id"]: r["split"] for r in textops.corpus_split(combined).collect()}
+    assert all(got3[k] == v for k, v in got1.items())
+
+
+def test_corpus_split_fractions_roughly_hold(spark):
+    big = spark.createDataFrame(
+        [(i, "t") for i in range(5000)], ["doc_id", "text"]
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in textops.corpus_split(big)
+        .groupBy("split")
+        .agg(__import__("pyspark").sql.functions.count("*").alias("n"))
+        .collect()
+    }
+    assert counts["train"] / 5000 > 0.96
+    assert 0.002 < counts["val"] / 5000 < 0.03
+    assert 0.002 < counts["test"] / 5000 < 0.03
+    # a different salt draws an independent split: on 5 000 ids, ~2% of
+    # assignments must move
+    a = {r["doc_id"]: r["split"] for r in textops.corpus_split(big).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in textops.corpus_split(big, salt="split-v2").collect()
+    }
+    assert a != b
