@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": lambda s, d: textops.token_counts(_docs(s, d)),
         "term_frequencies": lambda s, d: textops.term_frequencies(_docs(s, d)),
         "corpus_split": lambda s, d: textops.corpus_split(_docs(s, d)),
+        "pack_sequences": lambda s, d: textops.pack_sequences(_docs(s, d)),
         "quality_scores": lambda s, d: textops.quality_scores(_docs(s, d)),
         "language_id": lambda s, d: textops.language_id(_docs(s, d)),
         "doc_fingerprints": lambda s, d: textops.fingerprints(_docs(s, d)),
@@ -785,6 +786,7 @@ ORDER BY symbol, event_date"""),
         "token_counts": oracles.sql_token_counts(),
         "term_frequencies": oracles.sql_term_frequencies(),
         "corpus_split": oracles.sql_corpus_split(),
+        "pack_sequences": oracles.sql_pack_sequences(),
         "quality_scores": oracles.sql_quality_scores(),
         "language_id": oracles.sql_language_id(),
         "doc_fingerprints": oracles.sql_fingerprints(),

@@ -230,3 +230,50 @@ def corpus_split(
         cond = bucket < F.lit(upper)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return docs.select(F.col(id_col), expr.alias("split"))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget packing for training-sequence assembly:
+    (doc_id, n_tokens, shard, pack_id).
+
+    Documents are sharded deterministically (hash mod ``n_shards``) and
+    each shard packs independently — the distributed packing strategy: the
+    per-shard window is the only sort, shards run in parallel, and raising
+    n_shards with the cluster keeps one shard ≈ one task. Within a shard,
+    documents are taken in id order and an EXCLUSIVE running token total
+    quantized by ``budget`` assigns the pack: a pack may overflow by at
+    most its last document (the standard greedy-quantized contract —
+    exact bin packing is NP-hard and order-destroying, and trainers pad or
+    chunk the overflow anyway). All-integer output: exact on any engine.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count(F.col(text_col))
+    shard = (
+        md5_int60(F.concat(F.lit("shard:"), F.col(id_col).cast("string")))
+        % n_shards
+    ).cast("int")
+    base = docs.select(
+        F.col(id_col),
+        n_tok.cast("int").alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    pack_in_shard = F.floor(excl.cast("double") / F.lit(float(budget))).cast("int")
+    return base.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        (F.col("shard").cast("long") * 1_000_000 + pack_in_shard).alias("pack_id"),
+    )

@@ -421,6 +421,29 @@ def sql_corpus_split(
     return f"""SELECT doc_id, CASE {cases} END AS split FROM documents"""
 
 
+def sql_pack_sequences(budget: int = 2048, n_shards: int = 32) -> str:
+    """Shard-parallel token-budget packing — mirrors textops.pack_sequences
+    (same hash shard, same exclusive running sum, same quantization)."""
+    shard = (
+        "CAST(" + MD5_INT.format(x="'shard:' || CAST(doc_id AS VARCHAR)")
+        + f" % {n_shards} AS INT)"
+    )
+    return f"""WITH base AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+               AS n_tokens,
+           {shard} AS shard
+    FROM documents
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(shard AS BIGINT) * 1000000 + CAST(FLOOR(
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           / {float(budget)}) AS INT) AS pack_id
+FROM base"""
+
+
 def sql_term_frequencies() -> str:
     """Integer TF/DF table — mirrors textops.term_frequencies exactly
     (same whitespace tokenizer, empty tokens dropped)."""

@@ -556,3 +556,36 @@ def test_corpus_split_fractions_roughly_hold(spark):
         for r in textops.corpus_split(big, salt="split-v2").collect()
     }
     assert a != b
+
+
+def test_pack_sequences_budget_quantization(spark):
+    # one shard (n_shards=1) → fully sequential: 4 docs × 3 tokens with
+    # budget 5: excl cumsums 0,3,6,9 → packs 0,0,1,1
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(4)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["pack_id"])
+        for r in textops.pack_sequences(docs, budget=5, n_shards=1).collect()
+    }
+    assert got == {0: (3, 0), 1: (3, 0), 2: (3, 1), 3: (3, 1)}
+
+
+def test_pack_sequences_packs_near_budget(spark):
+    import collections
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    rows = textops.pack_sequences(docs, budget=64, n_shards=4).collect()
+    packs = collections.defaultdict(int)
+    for r in rows:
+        packs[r["pack_id"]] += r["n_tokens"]
+    # every non-final pack per shard holds ≥ budget-minus-one-doc tokens
+    # and ≤ budget-plus-one-doc (greedy-quantized contract)
+    finals = {max(p for p in packs if p // 1_000_000 == s) for s in {r["shard"] for r in rows}}
+    for pid, tok in packs.items():
+        assert tok <= 64 + 11
+        if pid not in finals:
+            assert tok >= 64 - 11
