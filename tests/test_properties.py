@@ -315,3 +315,57 @@ def test_simhash_banding_equals_brute_force(spark, texts, max_hamming):
         for r in dedup.simhash_pairs(docs, max_hamming).collect()
     }
     assert banded == brute
+
+
+_doc_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 200),
+        st.text(
+            alphabet="ab cd",  # spaces included → multi-token docs
+            min_size=0,
+            max_size=40,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@SETTINGS
+@given(rows=_doc_strategy)
+def test_corpus_split_partitions_and_is_stable(spark, rows):
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textops.corpus_split(docs).collect()
+    # every doc assigned exactly once, only legal split names
+    assert sorted(r["doc_id"] for r in out) == sorted(r[0] for r in rows)
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    # pure function of id: a filtered sub-corpus keeps identical labels
+    sub = textops.corpus_split(docs.filter(F.col("doc_id") % 2 == 0)).collect()
+    full = {r["doc_id"]: r["split"] for r in out}
+    assert all(full[r["doc_id"]] == r["split"] for r in sub)
+
+
+@SETTINGS
+@given(rows=_doc_strategy, budget=st.integers(1, 20))
+def test_pack_sequences_invariants(spark, rows, budget):
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textops.pack_sequences(docs, budget=budget, n_shards=2).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r[0] for r in rows)
+    # within a shard, pack ids are non-decreasing in doc_id order and the
+    # exclusive-cumsum quantization bounds every pack's token total by
+    # budget + its largest member (greedy-quantized contract)
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard[r["shard"]].append(r)
+    for shard_rows in by_shard.values():
+        packs = collections.defaultdict(list)
+        last_pack = None
+        for r in shard_rows:
+            assert last_pack is None or r["pack_id"] >= last_pack
+            last_pack = r["pack_id"]
+            packs[r["pack_id"]].append(r["n_tokens"])
+        for toks in packs.values():
+            assert sum(toks) <= budget + max(toks)
