@@ -56,8 +56,12 @@ def cached_index(key, factory: Callable[[], DataFrame]) -> DataFrame:
 
 
 #: persists made OUTSIDE the keyed cache (self-join intermediates over
-#: non-file-backed inputs) — tracked so clear_indexes() releases them too
-#: instead of leaving them to the ContextCleaner's GC schedule.
+#: non-file-backed inputs) — tracked so clear_indexes() releases them.
+#: Strong references ON PURPOSE: DataFrame.persist registers the plan in
+#: the JVM CacheManager, which pins the storage blocks until an explicit
+#: unpersist — Python GC never frees them (the ContextCleaner's weak-ref
+#: reclamation applies to raw RDD caches only). A weakref registry would
+#: therefore turn every dropped handle into a permanently leaked block.
 _SCOPED: list = []
 
 
@@ -68,10 +72,10 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     lsh_cosine_pairs) persist it for the duration of the returned lazy
     result. When the input is file-backed the intermediate IS the keyed
     index artifact (already tracked); otherwise the persist would be
-    invisible to ``clear_indexes()`` and linger until the ContextCleaner
-    notices the GC'd reference — on long-lived sessions that accumulates
-    storage blocks. Tracking every such handle makes ``clear_indexes()``
-    a deterministic return-to-baseline for storage memory.
+    invisible to ``clear_indexes()``. Tracked intermediates live until
+    ``clear_indexes()`` is called — there is no GC fallback, because SQL
+    caches sit in the JVM CacheManager until explicitly unpersisted; call
+    ``clear_indexes()`` between corpus-scale phases on long-lived sessions.
     """
     _SCOPED.append(df.persist())
     return df

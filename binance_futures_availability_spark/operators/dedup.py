@@ -24,8 +24,9 @@ No Python UDFs anywhere — pure Catalyst expressions.
 
 Persisted intermediates (shingle index, fingerprints) are tracked by the
 session index cache (index_cache.tracked_persist): long-lived sessions
-release every block deterministically with index_cache.clear_indexes()
-(the ContextCleaner also reclaims them on GC of the results).
+release every block deterministically with index_cache.clear_indexes().
+Tracked blocks live until that call — SQL caches sit in the JVM
+CacheManager until explicitly unpersisted; there is no GC fallback.
 """
 
 from __future__ import annotations
@@ -484,8 +485,8 @@ def simhash_pairs(
     Cache lifecycle: the fingerprint table stays persisted as long as the
     returned (lazy) DataFrame is referenced — it backs both join sides, so
     it cannot be unpersisted here. The handle is TRACKED
-    (index_cache.tracked_persist): ``clear_indexes()`` releases it
-    deterministically; the ContextCleaner also reclaims it on GC.
+    (index_cache.tracked_persist) and lives until ``clear_indexes()``
+    releases it — there is no GC fallback for SQL caches.
     """
     # one fingerprint per doc, persisted: both self-join sides scan it, and
     # without materialization each side re-runs the full token aggregation
@@ -545,13 +546,17 @@ def duplicate_clusters(
     survivorship operators: A~B and B~C land in ONE cluster even when
     cos(A,C) misses the threshold.
 
-    Algorithm: min-label propagation — labels start as ids; each round
-    every node takes the min of its own label and its neighbors' labels
-    (one join + one agg per round); stop when a round changes nothing.
-    Rounds needed = component diameter, and near-dup components are tiny
-    (clusters of rewrites/boilerplate), so convergence is fast; at
-    graph-scale inputs swap the loop body for the large-star/small-star
-    rewrite (same per-round plan shape, provably O(log n) rounds). The
+    Algorithm: min-label propagation with pointer doubling — labels start
+    as ids; each round every node takes (1) the min of its own label and
+    its neighbors' labels (one join + one agg), then (2) its label's OWN
+    label (one self-join) — the star-contraction step that halves chain
+    length every round, so convergence is O(log diameter) rounds, not
+    O(diameter): ``max_iter=20`` covers components of diameter ~10⁶
+    (boilerplate families at web scale are thousands at worst). Labels are
+    monotone non-increasing node ids within the component, so the fixpoint
+    (a round that changes nothing) is exactly label == component min. If
+    the loop still exhausts ``max_iter`` unconverged the function RAISES —
+    partially-propagated labels are silently wrong answers. The
     driver-side loop with a convergence count is the standard Spark
     iterative-algorithm pattern (Pregel-without-GraphX); each round's
     result is localCheckpoint()ed so the plan does not grow with rounds.
@@ -573,6 +578,7 @@ def duplicate_clusters(
     labels = docs.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -582,12 +588,27 @@ def duplicate_clusters(
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("src", "node")
         )
-        updated = (
+        one_hop = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer doubling: jump to the label's own label. label values are
+        # node ids, so the self-join always hits; chains halve every round.
+        parent = one_hop.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        updated = (
+            one_hop.join(parent, one_hop["label"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -601,6 +622,12 @@ def duplicate_clusters(
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing) — returning partial "
+            f"labels would be a silent wrong answer; raise max_iter"
+        )
     return gathered_sort(
         labels.select(
             F.col("node").alias(id_col), F.col("label").alias("cluster_id")

@@ -319,8 +319,8 @@ def lsh_cosine_pairs(
     Cache lifecycle: the quantized+bucketed table stays persisted as long
     as the returned (lazy) DataFrame is referenced — it backs both join
     sides, so it cannot be unpersisted here. The handle is TRACKED
-    (index_cache.tracked_persist): ``clear_indexes()`` releases it
-    deterministically; the ContextCleaner also reclaims it on GC.
+    (index_cache.tracked_persist) and lives until ``clear_indexes()``
+    releases it — there is no GC fallback for SQL caches.
     """
     # persisted: both sides of the self-join scan this; without
     # materialization each branch re-runs quantization + bucketing.

@@ -127,16 +127,18 @@ def fingerprints(
     return norm_md5.join(min_sh, id_col, "left")
 
 
-#: corpus row counts keyed by source files — the n_docs literal is a
-#: corpus property, not a query property; one count job per table/session.
+#: corpus row counts keyed by (source files, plan md5) — the n_docs literal
+#: is a property of the exact frame, not just its files: ``docs`` and
+#: ``docs.filter(...)`` read the same files but have different counts, so
+#: the key MUST include the canonicalized plan (``index_cache.plan_key``),
+#: exactly like every other derived-artifact cache in this package.
 _NDOCS_CACHE: dict = {}
 
 
 def _corpus_count(docs: DataFrame) -> int:
-    try:
-        key = tuple(sorted(docs.inputFiles())) or None
-    except Exception:  # noqa: BLE001 — non-file-backed frames: don't cache
-        key = None
+    from ..index_cache import plan_key
+
+    key = plan_key(docs, "n_docs")
     if key is not None and key in _NDOCS_CACHE:
         return _NDOCS_CACHE[key]
     n = docs.count()
@@ -146,7 +148,10 @@ def _corpus_count(docs: DataFrame) -> int:
 
 
 def term_frequencies(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_df: bool = True,
 ) -> DataFrame:
     """TF/DF table: (doc_id, term, tf, df, n_docs) — the integer-exact
     core of TF-IDF, gate-checkable because every column is an integer
@@ -156,21 +161,26 @@ def term_frequencies(
 
     Scale shape: the classic inverted-index build — narrow token explode →
     one shuffle on (doc, term) for tf → term-level partial agg for df →
-    join df back on term (vocabulary-sized right side: broadcast-able for
-    natural-language vocabularies, shuffle join beyond). n_docs is a
-    driver-side count folded in as a literal (one bounded job, the same
-    pattern as the IVF seed collect).
+    join df back on term.
+
+    ``broadcast_df`` (default True) hints the vocabulary-sized df side for
+    the broadcast join — right for natural-language vocabularies (millions
+    of terms at worst), where the planner cannot estimate the aggregate's
+    size and would fall back to a sort-merge join re-shuffling the whole TF
+    table. For open vocabularies (web-crawl URLs / typos / code tokens can
+    reach 10⁹ distinct terms) pass ``broadcast_df=False``: the df aggregate
+    then reuses the TF table's hash partitioning on ``term`` — Catalyst
+    plans the join exchange-free on the df side, never materializing the
+    vocabulary on any single node.
     """
     n_docs = _corpus_count(docs)
     terms = docs.select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    # the df side is vocabulary-sized (natural-language vocabularies are
-    # millions of terms at worst — broadcastable); without the hint the
-    # planner cannot estimate the aggregate's size and falls back to a
-    # sort-merge join that re-shuffles the whole TF table
-    df_tbl = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if broadcast_df:
+        df_tbl = F.broadcast(df_tbl)
     return tf.join(df_tbl, "term").select(
         F.col(id_col),
         "term",
@@ -223,7 +233,18 @@ def corpus_split(
     which silently leaks val into train across pipeline versions.
 
     Narrow projection, zero shuffles — scan-speed at any corpus size.
+
+    ``splits`` must cover the full [0, 1000) hash range with strictly
+    increasing uppers ending at exactly 1000 — otherwise documents hashing
+    above the last bound would silently get a NULL split and leak out of
+    every partition.
     """
+    uppers = [upper for _, upper in splits]
+    if any(b <= a for a, b in zip(uppers, uppers[1:])) or uppers[-1] != 1000 or uppers[0] <= 0:
+        raise ValueError(
+            f"splits uppers must be strictly increasing in (0, 1000] and end at "
+            f"exactly 1000 to cover the hash range; got {uppers}"
+        )
     bucket = md5_int60(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))) % 1000
     expr = None
     for name, upper in splits:

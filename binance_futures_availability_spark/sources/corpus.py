@@ -57,8 +57,12 @@ def split_corrupt(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     source that reference ONLY the internal corrupt-record column
     (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — caching materializes the parse
     once, which is also what you want before fanning out to two branches.
+    The cache is registered with ``index_cache.tracked_persist`` so
+    ``clear_indexes()`` releases it like every other cached artifact.
     """
-    docs = docs.cache()
+    from ..index_cache import tracked_persist
+
+    docs = tracked_persist(docs)
     clean = docs.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     bad = docs.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
     return clean, bad

@@ -471,6 +471,34 @@ def test_duplicate_clusters_chain_converges(spark):
     assert got == {i: 0 for i in range(6)}
 
 
+def test_duplicate_clusters_long_chain_beyond_naive_diameter(spark):
+    """A 25-node path (diameter 24 > the old per-round reach of max_iter=20
+    one-hop rounds): pointer doubling must converge it well inside the
+    default budget — this is the exact shape that used to return silently
+    wrong partial labels."""
+    n = 25
+    docs = spark.createDataFrame([(i, "x") for i in range(n)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(docs, pairs, max_iter=8).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_duplicate_clusters_raises_instead_of_partial_labels(spark):
+    """Exhausting max_iter unconverged must RAISE, never return partial
+    cluster ids."""
+    docs = spark.createDataFrame([(i, "x") for i in range(9)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(docs, pairs, max_iter=1).collect()
+
+
 # ---------------------------------------------------- corpus management
 
 
@@ -556,6 +584,39 @@ def test_corpus_split_fractions_roughly_hold(spark):
         for r in textops.corpus_split(big, salt="split-v2").collect()
     }
     assert a != b
+
+
+def test_corpus_split_rejects_uncovering_splits(docs):
+    # not reaching 1000 → rows above the last bound would get NULL splits
+    with pytest.raises(ValueError, match="1000"):
+        textops.corpus_split(docs, splits=(("train", 980), ("val", 990)))
+    # unsorted uppers → earlier when() shadows later ones
+    with pytest.raises(ValueError, match="increasing"):
+        textops.corpus_split(
+            docs, splits=(("train", 990), ("val", 980), ("test", 1000))
+        )
+    # zero-width first bucket
+    with pytest.raises(ValueError):
+        textops.corpus_split(docs, splits=(("train", 0), ("test", 1000)))
+
+
+def test_corpus_count_keyed_by_plan_not_just_files(spark, tmp_path):
+    """Regression (round-4 ADVICE, high): a filtered frame and the full
+    table read the SAME files — the n_docs cache must still distinguish
+    them, or df/idf silently use the wrong corpus size."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "alpha beta") for i in range(10)], ["doc_id", "text"]
+    ).write.parquet(path)
+    fdocs = spark.read.parquet(path)
+    filtered = fdocs.filter(F.col("doc_id") < 4)
+    n_filtered = textops.term_frequencies(filtered).first()["n_docs"]
+    n_full = textops.term_frequencies(fdocs).first()["n_docs"]
+    assert (n_filtered, n_full) == (4, 10)
+    # and the cache path itself (second call, same frame) stays correct
+    assert textops.term_frequencies(filtered).first()["n_docs"] == 4
 
 
 def test_pack_sequences_budget_quantization(spark):

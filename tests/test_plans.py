@@ -255,6 +255,44 @@ def test_salted_join_correct_and_spreads_hot_key(spark):
     assert n_buckets > 1
 
 
+def test_term_frequencies_df_join_strategy_is_switchable(spark):
+    """broadcast_df=True (default) hints the vocabulary side into a
+    broadcast join; broadcast_df=False must NOT force a broadcast — the
+    open-vocabulary escape hatch for 10⁹-term crawl corpora, where the df
+    aggregate reuses the TF table's hash partitioning on term instead."""
+    from binance_futures_availability_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(30)], ["doc_id", "text"]
+    )
+    # simulate a vocabulary too big to broadcast: disable the size-based
+    # thresholds so only an explicit hint can produce a broadcast join
+    thresholds = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in thresholds}
+    try:
+        for k in thresholds:
+            spark.conf.set(k, "-1")
+        hinted = textops.term_frequencies(docs)
+        hinted.collect()
+        assert "BroadcastHashJoin" in _plan(hinted)
+
+        unhinted = textops.term_frequencies(docs, broadcast_df=False)
+        unhinted.collect()
+        plan = _plan(unhinted)
+        # the sort-merge/shuffled-hash join reuses the term partitioning:
+        # no broadcast exchange of the vocabulary anywhere in the plan
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_gathered_sort_has_no_range_exchange(partitioned_table):
     plan = _plan(
         snapshots.available_symbols_on_date(partitioned_table, D(2024, 1, 2))
