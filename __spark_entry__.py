@@ -311,8 +311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _da(s, d)
         ).select("date", "total_symbols", "available_count", "unavailable_count"),
         # W9 — rank-continuity validation over the rankings archive
+        # (sort=False: rank_gaps re-shuffles by date anyway; see rankings.py)
         "rank_gaps": lambda s, d: rankings.rank_gaps(
-            rankings.volume_rankings(_da(s, d), generated_at=GEN_TS)
+            rankings.volume_rankings(_da(s, d), generated_at=GEN_TS, sort=False)
         ),
         # P7/P6 — backfill work-list; S4 — enrich; F10 — classification
         # prev_date → string for the gate: a NULLable DATE fetches from
@@ -369,6 +370,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         "token_counts": lambda s, d: textops.token_counts(_docs(s, d)),
         "term_frequencies": lambda s, d: textops.term_frequencies(_docs(s, d)),
+        # gate-able TF-IDF: rounded to 9 decimals (raw ln differs between
+        # JVM and DuckDB libm in the last ulp — see textops.tfidf_weights)
+        "tfidf_weights": lambda s, d: textops.tfidf_weights(_docs(s, d)).withColumn(
+            "tfidf", F.round("tfidf", 9)
+        ),
         "corpus_split": lambda s, d: textops.corpus_split(_docs(s, d)),
         "pack_sequences": lambda s, d: textops.pack_sequences(_docs(s, d)),
         "quality_scores": lambda s, d: textops.quality_scores(_docs(s, d)),
@@ -785,6 +791,7 @@ ORDER BY symbol, event_date"""),
         "label_centroids": oracles.sql_label_centroids(),
         "token_counts": oracles.sql_token_counts(),
         "term_frequencies": oracles.sql_term_frequencies(),
+        "tfidf_weights": oracles.sql_tfidf_weights(),
         "corpus_split": oracles.sql_corpus_split(),
         "pack_sequences": oracles.sql_pack_sequences(),
         "quality_scores": oracles.sql_quality_scores(),

@@ -32,7 +32,14 @@ _HANDLES: dict = {}
 
 def plan_key(df: DataFrame, *extra):
     """Cache key for an index artifact derived from ``df``, or None when
-    ``df`` is not file-backed (then caching is disabled for safety)."""
+    ``df`` is not file-backed (then caching is disabled for safety).
+
+    PITFALL: call this on the RAW source frame, never on a frame derived
+    from another cached handle — ``inputFiles()`` is empty through an
+    InMemoryRelation (the optimized plan has no file scan), so the key
+    degenerates to None and silently disables caching. Operators that
+    build an index over another index thread the source-frame key down
+    (see dedup._pair_jaccard's ``postings_key``)."""
     try:
         files = tuple(sorted(df.inputFiles()))
         if not files:

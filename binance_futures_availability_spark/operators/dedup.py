@@ -198,6 +198,7 @@ def _pair_jaccard(
     id_col: str,
     max_shingle_freq: int | None = None,
     sizes: DataFrame | None = None,
+    postings_key=None,
 ) -> DataFrame:
     """All candidate pairs sharing ≥1 shingle, with exact Jaccard.
 
@@ -220,10 +221,15 @@ def _pair_jaccard(
     if max_shingle_freq is not None:
         # the df-annotated inverted index is itself a session-cached
         # artifact (cap-independent: the cap is a filter over it), so a
-        # repeated pair query skips the posting shuffle + window entirely
+        # repeated pair query skips the posting shuffle + window entirely.
+        # The key MUST come from the caller's raw source frame
+        # (``postings_key``): ``sh`` is derived from the cached
+        # shingle-array handle, and inputFiles() is EMPTY through an
+        # InMemoryRelation, so plan_key(sh, ...) is always None — keying
+        # here would silently disable the cache.
         w_df = Window.partitionBy("shingle")
         annotated = cached_index(
-            plan_key(sh, "postings_df"),
+            postings_key,
             lambda: sh.withColumn("__df", F.count(F.lit(1)).over(w_df)),
         )
         postings = annotated.filter(F.col("__df") <= max_shingle_freq).drop(
@@ -283,9 +289,13 @@ def ngram_jaccard_pairs(
     # presentation sort (a range orderBy would pay a sampling job that
     # partially re-executes the pair pipeline)
     return gathered_sort(
-        _pair_jaccard(sh, id_col, max_shingle_freq, sizes=sizes).filter(
-            F.col("jaccard") >= threshold
-        ),
+        _pair_jaccard(
+            sh,
+            id_col,
+            max_shingle_freq,
+            sizes=sizes,
+            postings_key=plan_key(docs, "postings_df", id_col, text_col, n),
+        ).filter(F.col("jaccard") >= threshold),
         "id_a",
         "id_b",
     )
@@ -534,11 +544,62 @@ def simhash_pairs(
     )
 
 
+def _clusters_from_collected(docs: DataFrame, rows, id_col: str) -> DataFrame:
+    """Exact connected components from a bounded collected pair list:
+    path-compressing union-find on the driver, min-id per component, then
+    one broadcast left join labels every doc (singletons self-label)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict = {}
+    for x in set(parent):
+        members.setdefault(find(x), []).append(x)
+    mapping = []
+    for root, xs in members.items():
+        cluster = min(xs + [root])
+        for x in xs + [root]:
+            mapping.append((x, cluster))
+    spark = docs.sparkSession
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if mapping:
+        import pandas as pd  # Arrow path: bounded map ships in batches
+
+        map_df = spark.createDataFrame(
+            pd.DataFrame(mapping, columns=["node", "__cluster"]),
+            f"node {id_type}, __cluster {id_type}",
+        )
+        labeled = (
+            docs.select(F.col(id_col).alias("node"))
+            .join(F.broadcast(map_df), "node", "left")
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce(F.col("__cluster"), F.col("node")).alias("cluster_id"),
+            )
+        )
+    else:
+        labeled = docs.select(
+            F.col(id_col), F.col(id_col).alias("cluster_id")
+        )
+    return gathered_sort(labeled, id_col)
+
+
 def duplicate_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    driver_pair_limit: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair set: (id, cluster_id),
     cluster_id = MIN doc id reachable through pairs (singletons map to
@@ -546,10 +607,20 @@ def duplicate_clusters(
     survivorship operators: A~B and B~C land in ONE cluster even when
     cos(A,C) misses the threshold.
 
-    Algorithm: min-label propagation with pointer doubling — labels start
-    as ids; each round every node takes (1) the min of its own label and
-    its neighbors' labels (one join + one agg), then (2) its label's OWN
-    label (one self-join) — the star-contraction step that halves chain
+    Two execution paths, picked by the observed pair count:
+
+    **Bounded path** (≤ ``driver_pair_limit`` pairs — the overwhelmingly
+    common case: near-dup pairs are a sliver of any corpus): one bounded
+    collect feeds a driver-side union-find, and the component map joins
+    back as a broadcast — exact, three jobs total, no iteration. This is
+    the same bounded-driver-artifact pattern as the IVF centroid table;
+    2 M pairs ≈ 32 MB on the driver. ``driver_pair_limit=0`` disables it.
+
+    **Distributed path** (bigger pair sets): min-label propagation with
+    pointer doubling — labels start as ids; each round every node takes
+    (1) the min of its own label and its neighbors' labels (one join +
+    one agg), then (2) the label of its NEW label in the previous round's
+    table (one lookup join) — the star-contraction step that halves chain
     length every round, so convergence is O(log diameter) rounds, not
     O(diameter): ``max_iter=20`` covers components of diameter ~10⁶
     (boilerplate families at web scale are thousands at worst). Labels are
@@ -565,6 +636,10 @@ def duplicate_clusters(
     recursive CTE reproduces the same semantics for the oracle gate
     (oracles.sql_duplicate_clusters).
     """
+    if driver_pair_limit:
+        probe = pairs.select("id_a", "id_b").limit(driver_pair_limit + 1).collect()
+        if len(probe) <= driver_pair_limit:
+            return _clusters_from_collected(docs, probe, id_col)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -578,7 +653,16 @@ def duplicate_clusters(
     labels = docs.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
-    changed = -1
+    def _label_sum(tbl) -> int:
+        # labels are monotone non-increasing node ids, so an unchanged SUM
+        # proves an unchanged table — convergence detection without a join.
+        # decimal(38,0): exact for any realistic (id range × corpus) size.
+        return tbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = None  # first round is never "converged" — skip the probe job
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -588,19 +672,18 @@ def duplicate_clusters(
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("src", "node")
         )
-        one_hop = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+        one_hop = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
         )
-        # pointer doubling: jump to the label's own label. label values are
-        # node ids, so the self-join always hits; chains halve every round.
-        parent = one_hop.select(
+        # pointer doubling against the PREVIOUS round's materialized table
+        # (p' = min(p', labels[p']) — label values are node ids, so the
+        # lookup always hits): chains halve every round, and the parent
+        # side reads already-checkpointed blocks, so each round stays one
+        # materialization job + one agg job.
+        parent = labels.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
         updated = (
@@ -613,20 +696,17 @@ def duplicate_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
+        new_sum = _label_sum(updated)
         labels = updated
-        if changed == 0:
+        if new_sum == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = new_sum
+    if not converged:
         raise RuntimeError(
             f"duplicate_clusters did not converge within max_iter={max_iter} "
-            f"rounds ({changed} labels still changing) — returning partial "
-            f"labels would be a silent wrong answer; raise max_iter"
+            f"rounds — returning partial labels would be a silent wrong "
+            f"answer; raise max_iter"
         )
     return gathered_sort(
         labels.select(

@@ -35,6 +35,7 @@ def volume_rankings(
     da: DataFrame,
     start_date: dt.date | str | None = None,
     generated_at: dt.datetime | str | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """Compute the 13-column rankings archive rows.
 
@@ -47,6 +48,14 @@ def volume_rankings(
 
     Market share uses the exact DECIMAL(18,2) per-date total (order-stable)
     instead of a DOUBLE window sum; see operators/volume.py for why.
+
+    ``sort=True`` (the reference's ORDER BY date, rank, symbol) is served
+    GATHERED: the archive is dimension-bounded (#dates × #symbols, never
+    fact-row-bounded), so one round-robin exchange + a local sort beats a
+    range exchange, whose sampling pass re-executes the window pipeline.
+    Consumers that re-shuffle anyway (rank_gaps, partitioned writes) pass
+    ``sort=False`` — a range sort below an exchange would be eliminated,
+    but a gather would not, so skipping it here keeps full parallelism.
     """
     cohort = da.filter(F.col("available") & F.col("quote_volume_usdt").isNotNull())
     if start_date is not None:
@@ -94,7 +103,7 @@ def volume_rankings(
         if generated_at is None
         else F.lit(generated_at).cast("timestamp")
     )
-    return lagged.select(
+    out = lagged.select(
         "date",
         "symbol",
         F.col("rank_i").cast("smallint").alias("rank"),
@@ -112,7 +121,12 @@ def volume_rankings(
         F.col("share_d").cast("float").alias("market_share_pct"),
         F.col("days_avail_30d").cast("tinyint").alias("days_available"),
         gen_ts.alias("generation_timestamp"),
-    ).orderBy("date", "rank", "symbol")
+    )
+    if not sort:
+        return out
+    from ..functions import gathered_sort
+
+    return gathered_sort(out, "date", "rank", "symbol")
 
 
 def incremental_append(
@@ -142,10 +156,14 @@ def rank_gaps(rankings_df: DataFrame) -> DataFrame:
     more than 1. Valid DENSE_RANK output has no gaps, so on a healthy
     archive this returns 0 rows; corruption (lost rows, ties mis-ranked)
     surfaces here. One window shuffle on date; validation cost is the same
-    per-date bound as ranking itself.
+    per-date bound as ranking itself. Gaps are empty-by-construction on a
+    healthy archive → gathered presentation sort (a range orderBy would
+    pay a sampling pass re-executing the distinct + window).
     """
+    from ..functions import gathered_sort
+
     w = Window.partitionBy("date").orderBy("rank")
-    return (
+    return gathered_sort(
         rankings_df.select("date", "rank")
         .distinct()  # ties legitimately repeat a rank; gaps are between distinct values
         .select(
@@ -155,8 +173,9 @@ def rank_gaps(rankings_df: DataFrame) -> DataFrame:
             F.col("prev_rank").isNotNull()
             & ((F.col("rank") - F.col("prev_rank")) > 1)
         )
-        .select("date", "prev_rank", "rank")
-        .orderBy("date", "rank")
+        .select("date", "prev_rank", "rank"),
+        "date",
+        "rank",
     )
 
 

@@ -172,12 +172,29 @@ def term_frequencies(
     then reuses the TF table's hash partitioning on ``term`` — Catalyst
     plans the join exchange-free on the df side, never materializing the
     vocabulary on any single node.
+
+    The (doc, term, tf) table is the corpus's INVERTED INDEX — a
+    session-cached artifact (index_cache, same discipline as
+    shingle_arrays / minhash signatures): both consumers here (the output
+    rows and the df aggregate) scan it, so without materialization the
+    explode + first shuffle run twice per query, and every repeated
+    TF/TF-IDF query pays a full rebuild. The df side stays a partial
+    aggregation over it (map-side combine — skew-safe on stop words,
+    unlike a window over ``term`` which would put one hot term's entire
+    posting list in a single task).
     """
+    from ..index_cache import cached_index, plan_key
+
     n_docs = _corpus_count(docs)
-    terms = docs.select(
-        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
-    ).filter(F.col("term") != "")
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    def _build_tf() -> DataFrame:
+        terms = docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        ).filter(F.col("term") != "")
+        return terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    tf = cached_index(plan_key(docs, "tf_index", id_col, text_col), _build_tf)
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if broadcast_df:
         df_tbl = F.broadcast(df_tbl)

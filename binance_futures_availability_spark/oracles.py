@@ -462,6 +462,29 @@ SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs
 FROM tf JOIN df USING (term) CROSS JOIN n""".strip()
 
 
+def sql_tfidf_weights(digits: int = 9) -> str:
+    """TF-IDF rounded to ``digits`` decimals — the gate-able wrapper over
+    the ln-based weight. Raw ln differs between JVM and DuckDB libm in the
+    last ulp (measured 27/528 rows at sf0.01); rounding to 9 decimals is
+    ~6 orders of magnitude coarser than the divergence, so the hashes
+    match while the weight stays fully usable."""
+    return rf"""
+WITH terms AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS INT) AS tf
+    FROM terms WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS INT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS INT) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), {digits})
+           AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n""".strip()
+
+
 def sql_token_counts() -> str:
     return r"""
 SELECT doc_id,

@@ -442,18 +442,24 @@ def test_tfidf_weights_match_reference_formula(docs):
 
 def test_duplicate_clusters_transitive_closure(spark):
     """A~B and B~C land in one cluster even with no direct A~C pair;
-    disjoint pairs form separate clusters; singletons self-label."""
+    disjoint pairs form separate clusters; singletons self-label.
+    Both execution paths (driver union-find / distributed propagation)
+    must agree exactly."""
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(7)], ["doc_id", "text"]
     )
     pairs = spark.createDataFrame(
         [(1, 3), (3, 5), (2, 6)], ["id_a", "id_b"]
     )
-    got = {
-        r["doc_id"]: r["cluster_id"]
-        for r in dedup.duplicate_clusters(docs, pairs).collect()
-    }
-    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 2}
+    want = {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 2}
+    for limit in (2_000_000, 0):  # bounded path, then distributed path
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(
+                docs, pairs, driver_pair_limit=limit
+            ).collect()
+        }
+        assert got == want, limit
 
 
 def test_duplicate_clusters_chain_converges(spark):
@@ -466,16 +472,18 @@ def test_duplicate_clusters_chain_converges(spark):
     )
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in dedup.duplicate_clusters(docs, pairs).collect()
+        for r in dedup.duplicate_clusters(
+            docs, pairs, driver_pair_limit=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(6)}
 
 
 def test_duplicate_clusters_long_chain_beyond_naive_diameter(spark):
     """A 25-node path (diameter 24 > the old per-round reach of max_iter=20
-    one-hop rounds): pointer doubling must converge it well inside the
-    default budget — this is the exact shape that used to return silently
-    wrong partial labels."""
+    one-hop rounds) on the DISTRIBUTED path: pointer doubling must converge
+    it well inside the default budget — this is the exact shape that used
+    to return silently wrong partial labels."""
     n = 25
     docs = spark.createDataFrame([(i, "x") for i in range(n)], ["doc_id", "text"])
     pairs = spark.createDataFrame(
@@ -483,20 +491,25 @@ def test_duplicate_clusters_long_chain_beyond_naive_diameter(spark):
     )
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in dedup.duplicate_clusters(docs, pairs, max_iter=8).collect()
+        for r in dedup.duplicate_clusters(
+            docs, pairs, max_iter=8, driver_pair_limit=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(n)}
 
 
 def test_duplicate_clusters_raises_instead_of_partial_labels(spark):
     """Exhausting max_iter unconverged must RAISE, never return partial
-    cluster ids."""
+    cluster ids (distributed path; the bounded path is exact by
+    construction and never iterates)."""
     docs = spark.createDataFrame([(i, "x") for i in range(9)], ["doc_id", "text"])
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.duplicate_clusters(docs, pairs, max_iter=1).collect()
+        dedup.duplicate_clusters(
+            docs, pairs, max_iter=1, driver_pair_limit=0
+        ).collect()
 
 
 # ---------------------------------------------------- corpus management

@@ -255,6 +255,49 @@ def test_salted_join_correct_and_spreads_hot_key(spark):
     assert n_buckets > 1
 
 
+def test_ngram_pair_self_join_reuses_shingle_exchange(spark, tmp_path):
+    """The df-cap window leaves postings hash-partitioned by shingle (a
+    cached index artifact on file-backed corpora — the serving path); the
+    candidate self-join must reuse that exchange (InMemoryTableScan /
+    ReusedExchange / a broadcast of one side), never pay a second
+    hashpartitioning(shingle)."""
+    from binance_futures_availability_spark.operators import dedup
+
+    path = str(tmp_path / "docs")
+    rows = [
+        (i, f"w{i} w{i+1} w{i+2} w{i+3} common tail text") for i in range(40)
+    ] + [(100, "near dup pair one two three"), (101, "near dup pair one two four")]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(path)
+    docs = spark.read.parquet(path)
+    q = dedup.ngram_jaccard_pairs(docs, 0.5)
+    assert len(q.collect()) > 0  # non-empty, so AQE can't collapse the plan
+    plan = _plan(q).split("== Initial Plan ==")[0]  # executed section only
+
+    def tree_indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-*()0-9"))
+
+    # the annotated (doc, shingle, __df) index is served from cache...
+    assert "InMemoryRelation [doc_id" in plan and "__df" in plan, plan
+    # ...and no shingle exchange executes OUTSIDE a cache's stored build
+    # plan (IMR bodies embed the window exchange paid once at build time)
+    executed, imr_indent = [], None
+    for line in plan.splitlines():
+        ind = tree_indent(line)
+        if imr_indent is not None and ind > imr_indent:
+            continue
+        imr_indent = None
+        if "InMemoryRelation" in line:
+            imr_indent = ind
+        executed.append(line)
+    shingle_exchanges = [
+        line
+        for line in executed
+        if "Exchange hashpartitioning(shingle" in line
+        and "ReusedExchange" not in line
+    ]
+    assert len(shingle_exchanges) <= 1, "\n".join(executed)
+
+
 def test_term_frequencies_df_join_strategy_is_switchable(spark):
     """broadcast_df=True (default) hints the vocabulary side into a
     broadcast join; broadcast_df=False must NOT force a broadcast — the
