@@ -155,17 +155,22 @@ def rank_gaps(rankings_df: DataFrame) -> DataFrame:
     consecutive pair of rank values (ordered within a date) differing by
     more than 1. Valid DENSE_RANK output has no gaps, so on a healthy
     archive this returns 0 rows; corruption (lost rows, ties mis-ranked)
-    surfaces here. One window shuffle on date; validation cost is the same
-    per-date bound as ranking itself. Gaps are empty-by-construction on a
-    healthy archive → gathered presentation sort (a range orderBy would
-    pay a sampling pass re-executing the distinct + window).
+    surfaces here. ONE shuffle total: the explicit ``repartition("date")``
+    satisfies both the dedup aggregation (hash(date) clusters equal
+    (date, rank) rows) and the window's required distribution, so the
+    dedup and the lag run exchange-free on top of it — a bare
+    ``distinct()`` would exchange on (date, rank) and the window would
+    re-exchange on date. Gaps are empty-by-construction on a healthy
+    archive → gathered presentation sort (a range orderBy would pay a
+    sampling pass re-executing the distinct + window).
     """
     from ..functions import gathered_sort
 
     w = Window.partitionBy("date").orderBy("rank")
     return gathered_sort(
         rankings_df.select("date", "rank")
-        .distinct()  # ties legitimately repeat a rank; gaps are between distinct values
+        .repartition("date")
+        .dropDuplicates()  # ties legitimately repeat a rank; gaps are between distinct values
         .select(
             "date", "rank", F.lag("rank").over(w).alias("prev_rank")
         )

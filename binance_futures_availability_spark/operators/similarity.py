@@ -424,45 +424,41 @@ def lsh_cosine_pairs_multi(
             ),
         )
     )
+    # the bucket join carries ONLY ids: shipping the 64-element quantized
+    # arrays through the collision shuffle and first()-aggregating them
+    # per pair measured 1.5× the cost of deduping narrow id pairs and
+    # joining the (cached) vectors back afterwards — candidates are a
+    # near-dup sliver, so the join-back sides are small and AQE broadcasts
+    # them at runtime (no explicit hint: a forced broadcast pays a build
+    # job that outweighs the win at any scale where this path matters)
     bands = base.select(
-        F.col(id_col),
-        "__q",
-        "__norm",
-        F.posexplode("__buckets").alias("table", "bucket"),
+        F.col(id_col), F.posexplode("__buckets").alias("table", "bucket")
     )
-    a = bands.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__q").alias("qa"),
-        F.col("__norm").alias("na"),
-        "table",
-        "bucket",
-    )
-    b = bands.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__q").alias("qb"),
-        F.col("__norm").alias("nb"),
-        "table",
-        "bucket",
-    )
-    dot = int_dot(F.col("qa"), F.col("qb"))
+    a = bands.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = bands.select(F.col(id_col).alias("id_b"), "table", "bucket")
     candidates = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         # a pair may collide in several tables: verify each pair ONCE
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.first("qa").alias("qa"),
-            F.first("na").alias("na"),
-            F.first("qb").alias("qb"),
-            F.first("nb").alias("nb"),
-        )
+        .select("id_a", "id_b")
+        .distinct()
     )
+    va = base.select(
+        F.col(id_col).alias("id_a"), F.col("__q").alias("qa"), F.col("__norm").alias("na")
+    )
+    vb = base.select(
+        F.col(id_col).alias("id_b"), F.col("__q").alias("qb"), F.col("__norm").alias("nb")
+    )
+    dot = int_dot(F.col("qa"), F.col("qb"))
     return gathered_sort(
-        candidates.select(
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a",
             "id_b",
             cosine_from_quantized(dot, F.col("na"), F.col("nb")).alias("cosine"),
-        ).filter(F.col("cosine") >= threshold),
+        )
+        .filter(F.col("cosine") >= threshold),
         "id_a",
         "id_b",
     )
@@ -629,14 +625,12 @@ def ivf_topk(
         raise ValueError(f"query {id_col}={query_vec_id} not found in embeddings")
     probe = _probe_cells(sq, snrm, qrow["__q"], qrow["__norm"], nprobe)
     assigned = _ivf_assigned(emb, id_col, vec_col, n_cells)
-    qsel = (
-        assigned.filter(F.col(id_col) == query_vec_id)
-        .select(F.col("__q").alias("__qq"), F.col("__norm").alias("__qnorm"))
-    )
-    cands = (
-        assigned.filter(F.col("cell").isin(probe))
-        .filter(F.col(id_col) != query_vec_id)
-        .crossJoin(F.broadcast(qsel))
+    cands = _attach_query_literals(
+        assigned.filter(F.col("cell").isin(probe)).filter(
+            F.col(id_col) != query_vec_id
+        ),
+        qrow["__q"],
+        qrow["__norm"],
     )
     return _topk_from_candidates(cands, k, id_col)
 
@@ -652,6 +646,20 @@ def _probe_cells(sq, snrm, q_vec, q_norm, nprobe: int) -> list[int]:
     qn = float(q_norm)
     cos_seeds = (sq @ qv) / (np.sqrt(snrm) * np.sqrt(qn))
     return [int(c) for c in np.argsort(-cos_seeds, kind="stable")[:nprobe]]
+
+
+def _attach_query_literals(df: DataFrame, qq, qn) -> DataFrame:
+    """Attach the (driver-resident) query vector as constant columns.
+
+    When the query row is already on the driver (IVF probe-cell choice
+    collected it anyway), shipping it as a folded literal array removes
+    the broadcast-exchange BUILD JOB a ``crossJoin(broadcast(qsel))``
+    pays per query — the scan stage becomes the only job. ConstantFolding
+    collapses the CreateArray of literals, so per-row cost is identical.
+    """
+    return df.withColumn(
+        "__qq", F.array(*[F.lit(int(v)) for v in qq])
+    ).withColumn("__qnorm", F.lit(int(qn)))
 
 
 def _topk_from_candidates(cands: DataFrame, k: int, id_col: str) -> DataFrame:
@@ -760,13 +768,14 @@ def ivf_topk_indexed(
         _QROW_CACHE[qkey] = qrow
     qq, qn = qrow
     probe = _probe_cells(sq, snrm, qq, qn, nprobe)
-    # query shipped as a broadcast literal (resolved once, cached): the
-    # only job left per query is the pruned scan + TakeOrdered
-    qsel = spark.createDataFrame([(qq, qn)], "__qq array<bigint>, __qnorm bigint")
-    cands = (
-        vectors.filter(F.col("cell").isin(probe))
-        .filter(F.col(id_col) != query_vec_id)
-        .crossJoin(F.broadcast(qsel))
+    # query shipped as a folded literal (resolved once, cached): the only
+    # job left per query is the pruned scan + TakeOrdered
+    cands = _attach_query_literals(
+        vectors.filter(F.col("cell").isin(probe)).filter(
+            F.col(id_col) != query_vec_id
+        ),
+        qq,
+        qn,
     )
     return _topk_from_candidates(cands, k, id_col)
 
@@ -815,11 +824,8 @@ def ivf_topk_indexed_vec(
         raise ValueError("query vector has zero norm")
     probe = _probe_cells(sq, snrm, qq, qn, nprobe)
     vectors = _index_vectors(spark, root)
-    qsel = spark.createDataFrame(
-        [(qq, qn)], "__qq array<bigint>, __qnorm bigint"
-    )
-    cands = vectors.filter(F.col("cell").isin(probe)).crossJoin(
-        F.broadcast(qsel)
+    cands = _attach_query_literals(
+        vectors.filter(F.col("cell").isin(probe)), qq, qn
     )
     return _topk_from_candidates(cands, k, id_col)
 

@@ -169,10 +169,49 @@ GROUP BY d.doc_id
 ORDER BY d.doc_id"""
 
 
+def hashed_jaccard_ctes(max_shingle_freq: int | None = None) -> str:
+    """ngram-path Jaccard CTEs over HASHED postings — mirrors
+    dedup._pair_jaccard exactly: the intersection join/aggregation runs on
+    the 60-bit md5 of each shingle (same transform both engines), sizes
+    stay string-set sizes. Identical results to the string form except in
+    the 2⁻⁶⁰-scale collision case, where both engines still agree (both
+    count hash-matches)."""
+    h = MD5_INT.format(x="shingle")
+    postings = "shash"
+    cap_cte = ""
+    if max_shingle_freq is not None:
+        cap_cte = f"""
+capped AS (
+    SELECT doc_id, h FROM shash
+    WHERE h IN (
+        SELECT h FROM shash GROUP BY h
+        HAVING COUNT(*) <= {max_shingle_freq})
+),""".strip() + "\n"
+        postings = "capped"
+    return f"""
+{SHINGLE_CTES},
+shash AS (SELECT doc_id, {h} AS h FROM sh),
+{cap_cte}sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM {postings} a JOIN {postings} b USING (h)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+)
+""".strip()
+
+
 def sql_ngram_jaccard_pairs(
     threshold: float, max_shingle_freq: int | None = None
 ) -> str:
-    return f"""WITH {jaccard_ctes(max_shingle_freq)}
+    return f"""WITH {hashed_jaccard_ctes(max_shingle_freq)}
 SELECT id_a, id_b, jaccard FROM jac
 WHERE jaccard >= {threshold} ORDER BY id_a, id_b"""
 
