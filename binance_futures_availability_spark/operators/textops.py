@@ -228,6 +228,92 @@ def tfidf_weights(
     )
 
 
+#: PII regexes — shared verbatim with the DuckDB oracle (oracles.py): only
+#: constructs Java regex and RE2 interpret identically (character classes,
+#: bounded repetition, \b on ASCII word chars; no lookaround/backrefs).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9().\s-]{6,}[0-9]",
+}
+#: redaction order: emails first (phone's digit-run pattern would eat the
+#: digits inside addresses), then IPs (also digit runs), then phones.
+PII_ORDER = ("email", "ip", "phone")
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction for training corpora: (id, text_clean, n_email,
+    n_ip, n_phone).
+
+    Each category is counted on the text as it stands BEFORE that
+    category's redaction (sequential: raw → emails out → IPs out →
+    phones out), so a digit run is attributed to exactly one category —
+    an IP never double-counts as a phone. Pure native ``regexp_replace``
+    / ``regexp_extract_all`` expressions: whole-stage codegen, zero
+    shuffles, scan-speed at any corpus size — the right shape for a
+    100 TB scrub pass. The DuckDB oracle applies the identical patterns
+    in the identical order.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for cat in PII_ORDER:
+        pat = PII_PATTERNS[cat]
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(
+                f"n_{cat}"
+            )
+        )
+        cur = F.regexp_replace(cur, pat, f"<{cat.upper()}>")
+    return docs.select(F.col(id_col), cur.alias("text_clean"), *counts)
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: (id, n_matched, contaminated) — how many
+    of a doc's word ``n``-grams appear anywhere in the ``benchmark``
+    (evaluation) corpus, and whether that reaches ``min_overlap``.
+
+    THE pretraining-data hygiene operator: training documents that share
+    long n-grams with an eval set leak the benchmark into the model.
+    Scale shape: the benchmark side is SMALL by construction (eval sets
+    are thousands of documents, not billions), so its distinct n-gram set
+    is built once and BROADCAST — the training-corpus scan stays
+    shuffle-free except the per-doc match count (partial-agg groupBy on
+    id). n-grams come from the same array-native ``shingle_array``
+    projection the dedup suite uses (distinct within doc, so n_matched
+    counts distinct matching grams).
+    """
+    from .dedup import shingle_array  # local import to avoid cycle
+
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingle_array(F.col(text_col), n)).alias("gram")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(shingle_array(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    matched = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return docs.select(F.col(id_col)).join(matched, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_matched"), F.lit(0)).cast("int").alias("n_matched"),
+        (F.coalesce(F.col("n_matched"), F.lit(0)) >= min_overlap).alias(
+            "contaminated"
+        ),
+    )
+
+
 #: default split fractions: cumulative per-mille thresholds over the hash
 DEFAULT_SPLITS = (("train", 980), ("val", 990), ("test", 1000))
 

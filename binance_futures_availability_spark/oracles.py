@@ -447,6 +447,80 @@ def sql_multimodal_resize(target_bytes: int) -> str:
 FROM documents ORDER BY asset_id"""
 
 
+def sql_pii_scrub() -> str:
+    """Sequential PII redaction — identical patterns and order to
+    textops.pii_scrub (each category counted on the text BEFORE its own
+    redaction)."""
+    from .operators.textops import PII_ORDER, PII_PATTERNS
+
+    prev = "text"
+    cols, ctes = [], []
+    for i, cat in enumerate(PII_ORDER):
+        pat = PII_PATTERNS[cat].replace("'", "''").replace("\\", "\\\\")
+        cur = f"s{i}"
+        ctes.append(
+            f"SELECT doc_id, regexp_replace({prev}, '{pat}', "
+            f"'<{cat.upper()}>', 'g') AS txt, "
+            f"CAST(len(regexp_extract_all({prev}, '{pat}')) AS INT) AS n_{cat}"
+        )
+        prev = "txt"
+        cols.append(f"n_{cat}")
+    # chain the three stages as nested CTEs
+    return f"""WITH t0 AS ({ctes[0]} FROM documents),
+t1 AS ({ctes[1]}, n_email FROM t0),
+t2 AS ({ctes[2]}, n_email, n_ip FROM t1)
+SELECT doc_id, txt AS text_clean, n_email, n_ip, n_phone FROM t2"""
+
+
+def ngram_cte(n: int, src: str, prefix: str) -> str:
+    """DISTINCT word ``n``-gram CTEs over ``src`` (a table/CTE with
+    doc_id, text): emits ``<prefix>sh(doc_id, gram)``."""
+    leads = " || ' ' || ".join(
+        f"lead(tok, {i}) OVER w" for i in range(1, n)
+    )
+    return f"""{prefix}tok AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+           generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+    FROM {src}
+),
+{prefix}sh0 AS (
+    SELECT doc_id, tok || ' ' || {leads} AS gram
+    FROM {prefix}tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+{prefix}sh AS (SELECT DISTINCT doc_id, gram FROM {prefix}sh0 WHERE gram IS NOT NULL)"""
+
+
+def sql_contamination_check(
+    n: int = 5,
+    min_overlap: int = 1,
+    salt: str = "split-v1",
+    train_upper: int = 980,
+    test_lower: int = 990,
+) -> str:
+    """Train-vs-test n-gram contamination — mirrors
+    textops.contamination_check over the corpus_split partitions."""
+    bucket = MD5_INT.format(x=f"'{salt}:' || CAST(doc_id AS VARCHAR)") + " % 1000"
+    return f"""WITH train AS (
+    SELECT doc_id, text FROM documents WHERE {bucket} < {train_upper}
+),
+test AS (
+    SELECT doc_id, text FROM documents WHERE {bucket} >= {test_lower}
+),
+{ngram_cte(n, "train", "tr")},
+{ngram_cte(n, "test", "te")},
+bench AS (SELECT DISTINCT gram FROM tesh),
+matched AS (
+    SELECT t.doc_id, CAST(COUNT(*) AS INT) AS n_matched
+    FROM trsh t JOIN bench USING (gram)
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(m.n_matched, 0) AS n_matched,
+       COALESCE(m.n_matched, 0) >= {min_overlap} AS contaminated
+FROM train d LEFT JOIN matched m USING (doc_id)"""
+
+
 def sql_corpus_split(
     splits: tuple = (("train", 980), ("val", 990), ("test", 1000)),
     salt: str = "split-v1",
