@@ -217,6 +217,48 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+#: synthetic PII planted into every 7th document before the scrub gate —
+#: the corpus itself is PII-free, so the gate would otherwise only prove
+#: the identity path. One specimen per redaction category, ordered so the
+#: sequential email → ip → phone attribution is exercised.
+PII_SUFFIX = (
+    " contact alice.smith+test@example-mail.com at 10.0.42.7 "
+    "or call +1 (415) 555-0134"
+)
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 PII redaction with deterministic injection (doc_id % 7 == 0
+    gets PII_SUFFIX appended) so all three scrub branches fire."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(PII_SUFFIX))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textops.pii_scrub(docs)
+
+
+def _contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the corpus_split partitions: the
+    'test' split (bucket ≥ 990) is the benchmark; every 'train' doc
+    (bucket < 980) is scored by distinct shared word 5-grams. The split
+    predicate is the same pure-hash projection corpus_split uses — a
+    filter, not a join."""
+    from binance_futures_availability_spark.functions import md5_int60
+
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        md5_int60(F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string")))
+        % 1000
+    )
+    train = docs.filter(bucket < 980)
+    bench = docs.filter(bucket >= 990)
+    return textops.contamination_check(train, bench)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -376,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tfidf", F.round("tfidf", 9)
         ),
         "corpus_split": lambda s, d: textops.corpus_split(_docs(s, d)),
+        "pii_scrub": _pii_scrub,
+        "contamination_check": _contamination_check,
         "pack_sequences": lambda s, d: textops.pack_sequences(_docs(s, d)),
         "quality_scores": lambda s, d: textops.quality_scores(_docs(s, d)),
         "language_id": lambda s, d: textops.language_id(_docs(s, d)),
@@ -793,6 +837,8 @@ ORDER BY symbol, event_date"""),
         "term_frequencies": oracles.sql_term_frequencies(),
         "tfidf_weights": oracles.sql_tfidf_weights(),
         "corpus_split": oracles.sql_corpus_split(),
+        "pii_scrub": oracles.sql_pii_scrub(PII_SUFFIX),
+        "contamination_check": oracles.sql_contamination_check(),
         "pack_sequences": oracles.sql_pack_sequences(),
         "quality_scores": oracles.sql_quality_scores(),
         "language_id": oracles.sql_language_id(),

@@ -447,17 +447,36 @@ def sql_multimodal_resize(target_bytes: int) -> str:
 FROM documents ORDER BY asset_id"""
 
 
-def sql_pii_scrub() -> str:
+def sql_pii_scrub(
+    inject_suffix: str | None = None, inject_mod: int = 7
+) -> str:
     """Sequential PII redaction — identical patterns and order to
     textops.pii_scrub (each category counted on the text BEFORE its own
-    redaction)."""
+    redaction).
+
+    ``inject_suffix`` (gate aid): appends a literal suffix to every doc
+    whose ``doc_id % inject_mod = 0`` BEFORE scrubbing — the synthetic
+    corpus carries no real PII, so the gate plants some deterministically
+    to exercise every redaction branch (mirrored in ``__spark_entry__``).
+    """
     from .operators.textops import PII_ORDER, PII_PATTERNS
 
+    src = "documents"
+    inject_cte = ""
+    if inject_suffix is not None:
+        lit = inject_suffix.replace("'", "''")
+        inject_cte = (
+            f"inj AS (SELECT doc_id, CASE WHEN doc_id % {inject_mod} = 0 "
+            f"THEN text || '{lit}' ELSE text END AS text FROM documents),\n"
+        )
+        src = "inj"
     prev = "text"
     cols, ctes = [], []
     for i, cat in enumerate(PII_ORDER):
-        pat = PII_PATTERNS[cat].replace("'", "''").replace("\\", "\\\\")
-        cur = f"s{i}"
+        # DuckDB single-quoted literals are standard-SQL: backslash is NOT
+        # an escape there, so the regex passes through verbatim — only
+        # quotes need doubling
+        pat = PII_PATTERNS[cat].replace("'", "''")
         ctes.append(
             f"SELECT doc_id, regexp_replace({prev}, '{pat}', "
             f"'<{cat.upper()}>', 'g') AS txt, "
@@ -466,7 +485,7 @@ def sql_pii_scrub() -> str:
         prev = "txt"
         cols.append(f"n_{cat}")
     # chain the three stages as nested CTEs
-    return f"""WITH t0 AS ({ctes[0]} FROM documents),
+    return f"""WITH {inject_cte}t0 AS ({ctes[0]} FROM {src}),
 t1 AS ({ctes[1]}, n_email FROM t0),
 t2 AS ({ctes[2]}, n_email, n_ip FROM t1)
 SELECT doc_id, txt AS text_clean, n_email, n_ip, n_phone FROM t2"""

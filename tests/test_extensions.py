@@ -663,3 +663,66 @@ def test_pack_sequences_packs_near_budget(spark):
         assert tok <= 64 + 11
         if pid not in finals:
             assert tok >= 64 - 11
+
+
+def test_pii_scrub_redacts_and_attributes_each_category_once(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob@example.com and carol.j+x@sub.example.org today"),
+            (1, "server at 192.168.1.1 and 10.0.0.255 responded"),
+            (2, "call +1 (555) 123-4567 or 020 7946 0958 now"),
+            (3, "clean document with no sensitive content at all"),
+            (4, "mixed: a@b.co then 8.8.8.8 then +44 20 7946 0958 end"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in textops.pii_scrub(docs).collect()}
+    assert (got[0]["n_email"], got[0]["n_ip"], got[0]["n_phone"]) == (2, 0, 0)
+    assert "<EMAIL>" in got[0]["text_clean"]
+    assert "@" not in got[0]["text_clean"]
+    # IPs are digit runs — counted as ip, never double-counted as phone
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (0, 2, 0)
+    assert "<IP>" in got[1]["text_clean"]
+    assert got[2]["n_phone"] >= 1 and got[2]["n_ip"] == 0
+    assert got[3]["text_clean"].startswith("clean document")
+    assert (got[3]["n_email"], got[3]["n_ip"], got[3]["n_phone"]) == (0, 0, 0)
+    assert got[4]["n_email"] == 1 and got[4]["n_ip"] == 1 and got[4]["n_phone"] == 1
+    assert "<EMAIL>" in got[4]["text_clean"]
+    assert "<IP>" in got[4]["text_clean"]
+    assert "<PHONE>" in got[4]["text_clean"]
+
+
+def test_contamination_check_counts_distinct_shared_ngrams(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the full 9-token benchmark doc → 5 distinct 5-grams
+            (0, "the quick brown fox jumps over the lazy dog"),
+            # shares exactly one 5-gram window
+            (1, "xx the quick brown fox jumps yy zz ww"),
+            # no 5-gram overlap
+            (2, "completely unrelated training text goes right here ok"),
+            # too short for any 5-gram
+            (3, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in textops.contamination_check(train, bench, n=5).collect()
+    }
+    assert got[0]["n_matched"] == 5 and got[0]["contaminated"]
+    assert got[1]["n_matched"] == 1 and got[1]["contaminated"]
+    assert got[2]["n_matched"] == 0 and not got[2]["contaminated"]
+    assert got[3]["n_matched"] == 0 and not got[3]["contaminated"]
+    # min_overlap raises the bar
+    strict = {
+        r["doc_id"]: r["contaminated"]
+        for r in textops.contamination_check(
+            train, bench, n=5, min_overlap=2
+        ).collect()
+    }
+    assert strict[0] and not strict[1]
