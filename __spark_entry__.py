@@ -33,6 +33,7 @@ from binance_futures_availability_spark.operators import (
     dedup,
     multimodal,
     rankings,
+    sampling,
     similarity,
     snapshots,
     textops,
@@ -67,6 +68,12 @@ GEN_TS = "2026-01-01 00:00:00"
 MIN_VOLUME = 80000.0  # inside the SNAP_DATE cohort's range → filter bites
 UPSERT_START, UPSERT_END = "1998-08-01", "1998-09-30"  # overlaps RANGE window
 SETB_START, SETB_END = "1995-01-01", "1995-03-31"
+
+#: sampling-gate parameters: named rates exercise the CASE arms, the
+#: default covers unlisted strata; cap k bites (20 sources × 25+ docs each)
+SAMPLE_RATES = {"en": 2500, "zh": 7500}
+SAMPLE_DEFAULT_RATE = 5000
+CAP_K = 10
 
 NGRAM_THRESHOLD = 0.8
 LSH_JACCARD_THRESHOLD = 0.5
@@ -420,6 +427,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": lambda s, d: textops.corpus_split(_docs(s, d)),
         "pii_scrub": _pii_scrub,
         "contamination_check": _contamination_check,
+        "stratified_sample": lambda s, d: sampling.stratified_sample(
+            _docs(s, d), SAMPLE_RATES, SAMPLE_DEFAULT_RATE
+        ),
+        "stratum_cap": lambda s, d: sampling.stratum_cap(_docs(s, d), CAP_K),
+        "mixture_weights": lambda s, d: sampling.mixture_weights(_docs(s, d)),
+        "length_stats": lambda s, d: sampling.length_stats(_docs(s, d)),
         "pack_sequences": lambda s, d: textops.pack_sequences(_docs(s, d)),
         "quality_scores": lambda s, d: textops.quality_scores(_docs(s, d)),
         "language_id": lambda s, d: textops.language_id(_docs(s, d)),
@@ -839,6 +852,12 @@ ORDER BY symbol, event_date"""),
         "corpus_split": oracles.sql_corpus_split(),
         "pii_scrub": oracles.sql_pii_scrub(PII_SUFFIX),
         "contamination_check": oracles.sql_contamination_check(),
+        "stratified_sample": oracles.sql_stratified_sample(
+            SAMPLE_RATES, SAMPLE_DEFAULT_RATE
+        ),
+        "stratum_cap": oracles.sql_stratum_cap(CAP_K),
+        "mixture_weights": oracles.sql_mixture_weights(),
+        "length_stats": oracles.sql_length_stats(),
         "pack_sequences": oracles.sql_pack_sequences(),
         "quality_scores": oracles.sql_quality_scores(),
         "language_id": oracles.sql_language_id(),

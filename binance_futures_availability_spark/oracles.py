@@ -685,3 +685,82 @@ SELECT d.doc_id,
        msh.min_shingle_hash
 FROM documents d LEFT JOIN msh ON d.doc_id = msh.doc_id
 ORDER BY d.doc_id"""
+
+
+# --- sampling / data-mixing operators (operators/sampling.py) ---
+
+NTOK_SQL = r"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)"
+
+
+def sql_stratified_sample(
+    rates: dict, default_rate: int, strata_col: str = "lang",
+    salt: str = "sample-v1",
+) -> str:
+    """Deterministic per-stratum downsampling — same (salt, id) per-10000
+    hash buckets as sampling.stratified_sample."""
+    bucket = MD5_INT.format(x=f"'{salt}:' || CAST(doc_id AS VARCHAR)") + " % 10000"
+    cases = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {r}" for s, r in sorted(rates.items())
+    )
+    return f"""SELECT doc_id, {strata_col} FROM documents
+WHERE {bucket} < CASE {cases} ELSE {default_rate} END"""
+
+
+def sql_stratum_cap(
+    k: int, strata_col: str = "source", salt: str = "cap-v1"
+) -> str:
+    """Per-stratum hash-order cap — mirrors sampling.stratum_cap."""
+    h = MD5_INT.format(x=f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return f"""WITH ranked AS (
+    SELECT doc_id, {strata_col},
+           CAST(ROW_NUMBER() OVER (PARTITION BY {strata_col}
+                ORDER BY {h}, doc_id) AS INT) AS sample_rank
+    FROM documents
+)
+SELECT doc_id, {strata_col}, sample_rank FROM ranked
+WHERE sample_rank <= {k}"""
+
+
+def sql_mixture_weights(strata_col: str = "source") -> str:
+    """τ=0.5 temperature mixture weights — integer sqrt + ppm integer
+    division, mirrors sampling.mixture_weights bit-for-bit."""
+    return f"""WITH base AS (
+    SELECT {strata_col},
+           COUNT(*) AS n_docs,
+           CAST(SUM({NTOK_SQL}) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY {strata_col}
+),
+scaled AS (
+    SELECT {strata_col}, n_docs, total_tokens,
+           CAST(FLOOR(SQRT(CAST(total_tokens AS DOUBLE))) AS BIGINT)
+               AS scaled_tokens
+    FROM base
+)
+SELECT {strata_col}, n_docs, total_tokens, scaled_tokens,
+       CAST((scaled_tokens * 1000000)
+            // CAST(SUM(scaled_tokens) OVER () AS BIGINT) AS BIGINT)
+           AS weight_ppm
+FROM scaled"""
+
+
+def sql_length_stats(strata_col: str = "lang") -> str:
+    """Exact per-stratum length stats with integer doubled median —
+    mirrors sampling.length_stats (same (n_tokens, doc_id) rank order)."""
+    return f"""WITH base AS (
+    SELECT doc_id, {strata_col}, {NTOK_SQL} AS n_tokens FROM documents
+),
+ranked AS (
+    SELECT {strata_col}, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY {strata_col}
+               ORDER BY n_tokens, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY {strata_col}) AS n
+    FROM base
+)
+SELECT {strata_col},
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens,
+       CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN n_tokens ELSE 0 END
+              + CASE WHEN rn = (n + 2) // 2 THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS median_tokens_x2
+FROM ranked GROUP BY {strata_col}"""

@@ -726,3 +726,118 @@ def test_contamination_check_counts_distinct_shared_ngrams(spark):
         ).collect()
     }
     assert strict[0] and not strict[1]
+
+
+# --- sampling / data-mixing (operators/sampling.py) ---
+
+
+@pytest.fixture(scope="module")
+def corpus200(spark):
+    langs = ["en", "de", "fr", "es"]
+    # en docs are 10× longer — a genuinely skewed mixture, so the
+    # temperature test has real signal (uniform strata would reduce the
+    # proportional-vs-sqrt comparison to floor-division noise)
+    rows = [
+        (
+            i,
+            " ".join(["tok"] * ((3 + i % 11) * (10 if i % 4 == 0 else 1))),
+            langs[i % 4],
+            f"src{i % 3}",
+        )
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_stratified_sample_deterministic_and_nested(corpus200):
+    from binance_futures_availability_spark.operators import sampling
+
+    half = sampling.stratified_sample(corpus200, {"en": 5000}, 10000)
+    again = sampling.stratified_sample(corpus200, {"en": 5000}, 10000)
+    ids = {r["doc_id"] for r in half.collect()}
+    assert ids == {r["doc_id"] for r in again.collect()}
+    # non-en strata kept whole; en roughly halved
+    non_en = corpus200.filter("lang <> 'en'").count()
+    assert half.filter("lang <> 'en'").count() == non_en
+    en_kept = len([i for i in ids if i % 4 == 0])
+    assert 10 <= en_kept <= 40  # 50 en docs at rate 1/2
+    # nested property: a lower rate yields a subset of a higher rate
+    quarter = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(corpus200, {"en": 2500}, 10000)
+        .filter("lang = 'en'")
+        .collect()
+    }
+    assert quarter <= {i for i in ids if i % 4 == 0}
+
+
+def test_stratified_sample_rejects_bad_rates(corpus200):
+    from binance_futures_availability_spark.operators import sampling
+
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(corpus200, {"en": 10001})
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(corpus200, {}, default_rate=-1)
+
+
+def test_stratum_cap_exact_k_and_stable(corpus200):
+    from binance_futures_availability_spark.operators import sampling
+
+    out = sampling.stratum_cap(corpus200, 7, strata_col="source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"src0", "src1", "src2"}
+    for rows in by_src.values():
+        assert len(rows) == 7
+        assert sorted(r["sample_rank"] for r in rows) == list(range(1, 8))
+    # determinism across invocations
+    out2 = sampling.stratum_cap(corpus200, 7, strata_col="source").collect()
+    assert {(r["doc_id"], r["sample_rank"]) for r in out} == {
+        (r["doc_id"], r["sample_rank"]) for r in out2
+    }
+    with pytest.raises(ValueError):
+        sampling.stratum_cap(corpus200, 0)
+
+
+def test_mixture_weights_sqrt_temperature(corpus200):
+    from binance_futures_availability_spark.operators import sampling
+
+    rows = sampling.mixture_weights(corpus200, strata_col="lang").collect()
+    assert len(rows) == 4
+    total_ppm = sum(r["weight_ppm"] for r in rows)
+    assert 999990 <= total_ppm <= 1000000  # floor-division shortfall only
+    for r in rows:
+        assert r["scaled_tokens"] == math.isqrt(r["total_tokens"])
+    # proportional (no temperature) weights differ and favor big strata more
+    prop = {
+        r["lang"]: r["weight_ppm"]
+        for r in sampling.mixture_weights(
+            corpus200, strata_col="lang", temperature_sqrt=False
+        ).collect()
+    }
+    sq = {r["lang"]: r["weight_ppm"] for r in rows}
+    big = max(prop, key=prop.get)
+    assert prop[big] >= sq[big]
+
+
+def test_length_stats_exact_median(spark):
+    from binance_futures_availability_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "x"),          # 1 token
+            (1, "a b", "x"),        # 2
+            (2, "a b c", "x"),      # 3  → odd stratum: median 2 → x2 = 4
+            (3, "a b", "y"),        # 2
+            (4, "a b c d", "y"),    # 4  → even stratum: median 3 → x2 = 6
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {
+        r["lang"]: r
+        for r in sampling.length_stats(docs, strata_col="lang").collect()
+    }
+    assert got["x"]["n_docs"] == 3 and got["x"]["median_tokens_x2"] == 4
+    assert got["x"]["min_tokens"] == 1 and got["x"]["max_tokens"] == 3
+    assert got["y"]["n_docs"] == 2 and got["y"]["median_tokens_x2"] == 6
