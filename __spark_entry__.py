@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_stats": lambda s, d: sampling.length_stats(_docs(s, d)),
         "pack_sequences": lambda s, d: textops.pack_sequences(_docs(s, d)),
         "quality_scores": lambda s, d: textops.quality_scores(_docs(s, d)),
+        "repetition_scores": lambda s, d: textops.repetition_scores(_docs(s, d)),
         "language_id": lambda s, d: textops.language_id(_docs(s, d)),
         "doc_fingerprints": lambda s, d: textops.fingerprints(_docs(s, d)),
         "multimodal_features": lambda s, d: multimodal.extract_features(
@@ -860,6 +861,7 @@ ORDER BY symbol, event_date"""),
         "length_stats": oracles.sql_length_stats(),
         "pack_sequences": oracles.sql_pack_sequences(),
         "quality_scores": oracles.sql_quality_scores(),
+        "repetition_scores": oracles.sql_repetition_scores(),
         "language_id": oracles.sql_language_id(),
         "doc_fingerprints": oracles.sql_fingerprints(),
         "multimodal_features": oracles.sql_multimodal_features(),

@@ -293,23 +293,105 @@ def contamination_check(
     """
     from .dedup import shingle_array  # local import to avoid cycle
 
+    # grams travel as 60-bit md5 longs, not strings: the broadcast table
+    # and the per-gram join rows carry 8 bytes instead of ~6·n chars, and
+    # the hash-join probes compare longs (same trick as the ngram postings
+    # path; 2⁻⁶⁰ collisions are counted identically by both engines since
+    # the oracle hashes the same way)
+    # explode_outer keeps gramless docs (fewer than n tokens) as a null-gram
+    # row, so zero-match documents fall out of the SAME aggregation —
+    # no second join to restore them (measured: removes the sort-merge
+    # join-back stage pair). Grams stay strings: the gram join is a
+    # BROADCAST probe (never shuffled), and the hash join already hashes
+    # the string key natively — pre-hashing with md5 was measured as pure
+    # added compute.
     doc_grams = docs.select(
-        F.col(id_col), F.explode(shingle_array(F.col(text_col), n)).alias("gram")
-    )
-    bench_grams = (
-        benchmark.select(F.explode(shingle_array(F.col(text_col), n)).alias("gram"))
-        .distinct()
-    )
-    matched = (
-        doc_grams.join(F.broadcast(bench_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-    )
-    return docs.select(F.col(id_col)).join(matched, id_col, "left").select(
         F.col(id_col),
-        F.coalesce(F.col("n_matched"), F.lit(0)).cast("int").alias("n_matched"),
-        (F.coalesce(F.col("n_matched"), F.lit(0)) >= min_overlap).alias(
-            "contaminated"
+        F.explode_outer(shingle_array(F.col(text_col), n)).alias("gram"),
+    )
+    bench_grams = benchmark.select(
+        F.explode(shingle_array(F.col(text_col), n)).alias("bgram")
+    ).distinct()
+    counted = (
+        doc_grams.join(
+            F.broadcast(bench_grams),
+            doc_grams["gram"] == bench_grams["bgram"],
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(F.count("bgram").cast("int").alias("n_matched"))
+    )
+    return counted.select(
+        F.col(id_col),
+        "n_matched",
+        (F.col("n_matched") >= min_overlap).alias("contaminated"),
+    )
+
+
+def repetition_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family):
+    (id, n_tokens, top_term_count, top_term_frac, n_2grams,
+    n_dup_2grams, dup_2gram_frac).
+
+    High single-term fraction or duplicated-2-gram fraction marks
+    boilerplate / keyword-stuffed / template text — the standard
+    repetition filters applied before pretraining. Both fractions are
+    integer ratios (one division each, fixed operand order), so the gate
+    hashes match across engines.
+
+    Two branches joined on id:
+    - top term count: ``MAX(tf)`` over the session-cached inverted index
+      (``term_frequencies``' (doc, term, tf) artifact) — reuses the index
+      build instead of an O(tokens²) per-row mode computation; per-doc
+      partial agg, broadcast-able join side.
+    - 2-gram duplication: the same ``zip_with`` self-shift trick as
+      ``shingle_array`` but WITHOUT the distinct, so duplicates are
+      countable — a narrow per-row projection, zero shuffles.
+    """
+    from ..functions import tokens
+    from ..index_cache import cached_index, plan_key
+
+    def _build_tf() -> DataFrame:
+        terms = docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        ).filter(F.col("term") != "")
+        return terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    tf = cached_index(plan_key(docs, "tf_index", id_col, text_col), _build_tf)
+    top = tf.groupBy(id_col).agg(F.max("tf").cast("int").alias("top_term_count"))
+
+    toks = tokens(F.col(text_col))
+    grams2 = F.array_compact(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    base = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("int").alias("n_tokens"),
+        F.size(grams2).cast("int").alias("n_2grams"),
+        (F.size(grams2) - F.size(F.array_distinct(grams2)))
+        .cast("int")
+        .alias("n_dup_2grams"),
+    )
+    joined = base.join(top, id_col, "left")
+    n_tok = F.col("n_tokens")
+    n2 = F.col("n_2grams")
+    topc = F.coalesce(F.col("top_term_count"), F.lit(0))
+    return joined.select(
+        F.col(id_col),
+        "n_tokens",
+        topc.alias("top_term_count"),
+        F.when(n_tok > 0, topc.cast("double") / n_tok).alias("top_term_frac"),
+        "n_2grams",
+        "n_dup_2grams",
+        F.when(n2 > 0, F.col("n_dup_2grams").cast("double") / n2).alias(
+            "dup_2gram_frac"
         ),
     )
 

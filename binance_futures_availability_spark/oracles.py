@@ -764,3 +764,38 @@ SELECT {strata_col},
               + CASE WHEN rn = (n + 2) // 2 THEN n_tokens ELSE 0 END)
             AS BIGINT) AS median_tokens_x2
 FROM ranked GROUP BY {strata_col}"""
+
+
+def sql_repetition_scores() -> str:
+    """Gopher-style repetition signals — mirrors textops.repetition_scores
+    (same tokenization, same integer-ratio fractions)."""
+    return rf"""WITH tok AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+           generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+    FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok WHERE tok <> '' GROUP BY 1, 2),
+top AS (SELECT doc_id, CAST(MAX(c) AS INT) AS top_term_count FROM tf GROUP BY 1),
+g2 AS (
+    SELECT doc_id,
+           tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM tok
+),
+g2s AS (
+    SELECT doc_id, CAST(COUNT(g) AS INT) AS n_2grams,
+           CAST(COUNT(DISTINCT g) AS INT) AS d2
+    FROM g2 WHERE g IS NOT NULL GROUP BY 1
+),
+base AS (SELECT doc_id, {NTOK_SQL} AS n_tokens FROM documents)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(t.top_term_count, 0) AS top_term_count,
+       CASE WHEN b.n_tokens > 0
+            THEN CAST(COALESCE(t.top_term_count, 0) AS DOUBLE) / b.n_tokens
+       END AS top_term_frac,
+       COALESCE(g.n_2grams, 0) AS n_2grams,
+       COALESCE(g.n_2grams - g.d2, 0) AS n_dup_2grams,
+       CASE WHEN g.n_2grams > 0
+            THEN CAST(g.n_2grams - g.d2 AS DOUBLE) / g.n_2grams
+       END AS dup_2gram_frac
+FROM base b LEFT JOIN top t USING (doc_id) LEFT JOIN g2s g USING (doc_id)"""

@@ -841,3 +841,26 @@ def test_length_stats_exact_median(spark):
     assert got["x"]["n_docs"] == 3 and got["x"]["median_tokens_x2"] == 4
     assert got["x"]["min_tokens"] == 1 and got["x"]["max_tokens"] == 3
     assert got["y"]["n_docs"] == 2 and got["y"]["median_tokens_x2"] == 6
+
+
+def test_repetition_scores_counts_dup_ngrams(spark):
+    docs = spark.createDataFrame(
+        [
+            # "spam spam spam spam": top term 4/4; 2-grams: 3 total, 1 distinct
+            (0, "spam spam spam spam"),
+            # all distinct tokens → no repetition
+            (1, "alpha beta gamma delta"),
+            # one token → no 2-grams, frac NULL
+            (2, "solo"),
+            # "a b a b a" → top 'a' 3/5; 2-grams: [a b, b a, a b, b a] → 2 dups
+            (3, "a b a b a"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in textops.repetition_scores(docs).collect()}
+    assert got[0]["top_term_count"] == 4 and got[0]["top_term_frac"] == 1.0
+    assert got[0]["n_2grams"] == 3 and got[0]["n_dup_2grams"] == 2
+    assert math.isclose(got[0]["dup_2gram_frac"], 2 / 3)
+    assert got[1]["n_dup_2grams"] == 0 and got[1]["dup_2gram_frac"] == 0.0
+    assert got[2]["n_2grams"] == 0 and got[2]["dup_2gram_frac"] is None
+    assert got[3]["top_term_count"] == 3 and got[3]["n_dup_2grams"] == 2
