@@ -81,6 +81,8 @@ SIMHASH_MAX_HAMMING = 5
 COSINE_THRESHOLD = 0.4
 ANN_QUERY_ID = 1
 ANN_K = 10
+KNN_QUERY_MOD = 100  # query set: every 100th vector (5 at sf0.01)
+KNN_K = 5
 FRAME_SIZE, MAX_FRAMES = 64, 4
 RESIZE_TARGET = 256
 
@@ -406,6 +408,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), ANN_QUERY_ID, ANN_K
         ),
         "ivf_topk_indexed": _ivf_indexed_topk,
+        "knn_join": lambda s, d: similarity.knn_join(
+            _emb(s, d).filter(F.col("vec_id") % KNN_QUERY_MOD == 0),
+            _emb(s, d),
+            KNN_K,
+        ),
         "lsh_buckets": lambda s, d: similarity.lsh_buckets(_emb(s, d)),
         "lsh_cosine_pairs": lambda s, d: similarity.lsh_cosine_pairs(
             _emb(s, d), COSINE_THRESHOLD
@@ -839,6 +846,9 @@ ORDER BY symbol, event_date"""),
         # identical semantics served from the on-disk cell-partitioned index
         "ivf_topk_indexed": oracles.sql_ivf_topk(
             ANN_QUERY_ID, ANN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
+        ),
+        "knn_join": oracles.sql_knn_join(
+            KNN_QUERY_MOD, KNN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
         ),
         "lsh_buckets": oracles.sql_lsh_buckets(),
         "lsh_cosine_pairs": oracles.sql_lsh_cosine_pairs(COSINE_THRESHOLD),

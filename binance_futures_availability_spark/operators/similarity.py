@@ -830,6 +830,92 @@ def ivf_topk_indexed_vec(
     return _topk_from_candidates(cands, k, id_col)
 
 
+def _probe_kernel(sq, snrm, nprobe: int):
+    """Arrow-batched probe-cell choice for a BATCH of queries: one GEMM
+    per batch, stable argsort over exact-integer cosines (ties → lowest
+    cell, same rule as ``_probe_cells``) → the ``nprobe`` nearest cells."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probes_of(q: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(q) == 0:
+            return pd.Series([], dtype=object)
+        qm = np.asarray(q.tolist(), dtype=np.float64)
+        cos = (qm @ sq.T) / (
+            np.sqrt((qm * qm).sum(axis=1))[:, None] * np.sqrt(snrm)[None, :]
+        )
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return probes_of
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = IVF_N_CELLS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ANN: top-``k`` corpus neighbors for EVERY query vector —
+    (query_id, vec_id, cosine, knn_rank). Self-matches (same id on both
+    sides) are excluded, mirroring ``ann_topk``.
+
+    This is the many-query shape a training pipeline actually runs
+    (cross-dataset dedup, retrieval labeling, eval-set mining) — point
+    lookups (``ivf_topk``) don't amortize; this joins the whole query set
+    against the IVF-pruned corpus in one plan.
+
+    Scale shape: the corpus side is the session-cached IVF assignment
+    artifact (cell kernel runs once per table, NOT per query batch). Each
+    query row picks its ``nprobe`` probe cells in one Arrow-batched GEMM
+    (``_probe_kernel``) and explodes to (query, cell) rows — the query
+    side stays ``|Q|·nprobe`` rows and is BROADCAST, so the corpus is
+    never shuffled by cell. Candidates are ``|Q| · nprobe/n_cells`` of
+    the corpus; the only data shuffle is the per-query top-k window
+    partitioned by query_id, which distributes across queries. Both
+    kernels and the cosine are exact-integer arithmetic → the DuckDB
+    oracle matches bit-for-bit.
+    """
+    assigned = _ivf_assigned(corpus, id_col, vec_col, n_cells)
+    base = _with_quantized(corpus, vec_col)
+    sq, snrm = _collect_seeds(
+        base, id_col, n_cells, _seed_cache_key(corpus, id_col, vec_col, n_cells)
+    )
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_embedding(F.col(vec_col)).alias("__qq"),
+    ).withColumn("__qnorm", int_dot(F.col("__qq"), F.col("__qq")))
+    probes = qbase.withColumn(
+        "__probe", _probe_kernel(sq, snrm, nprobe)(F.col("__qq"))
+    ).select(
+        "query_id", "__qq", "__qnorm", F.explode("__probe").alias("cell")
+    )
+    cands = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    dot = int_dot(F.col("__q"), F.col("__qq"))
+    scored = cands.select(
+        "query_id",
+        F.col(id_col),
+        cosine_from_quantized(dot, F.col("__norm"), F.col("__qnorm")).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return scored.withColumn(
+        "knn_rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("knn_rank") <= k)
+
+
 def embedding_dedup_survivors(
     emb: DataFrame,
     threshold: float = 0.95,

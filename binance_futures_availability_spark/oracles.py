@@ -799,3 +799,43 @@ SELECT b.doc_id, b.n_tokens,
             THEN CAST(g.n_2grams - g.d2 AS DOUBLE) / g.n_2grams
        END AS dup_2gram_frac
 FROM base b LEFT JOIN top t USING (doc_id) LEFT JOIN g2s g USING (doc_id)"""
+
+
+def sql_knn_join(query_mod: int, k: int, n_cells: int, nprobe: int) -> str:
+    """Batch ANN over the IVF index — mirrors similarity.knn_join: query
+    set = vec_id % query_mod == 0, per-query probe cells (ties → lowest
+    cell), per-query ROW_NUMBER top-k with id tie-break."""
+    return f"""WITH {EMB_BASE_CTE},
+{_ivf_ctes(n_cells)},
+qs AS (
+    SELECT vec_id AS qid, q AS qq, nrm AS qn FROM normed
+    WHERE vec_id % {query_mod} = 0
+),
+qprobe AS (
+    SELECT qid, cell FROM (
+        SELECT qs.qid, s.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qs.qid
+                   ORDER BY list_dot_product(s.sq, qs.qq)
+                            / (sqrt(s.snrm) * sqrt(qs.qn)) DESC,
+                            s.cell
+               ) AS rn
+        FROM qs CROSS JOIN seeds s
+    ) WHERE rn <= {nprobe}
+),
+cand AS (
+    SELECT qs.qid, n.vec_id,
+           list_dot_product(n.q, qs.qq) / (sqrt(n.nrm) * sqrt(qs.qn)) AS cosine
+    FROM qprobe p
+    JOIN qs ON qs.qid = p.qid
+    JOIN assign a ON a.cell = p.cell
+    JOIN normed n ON n.vec_id = a.vec_id
+    WHERE n.vec_id <> qs.qid
+)
+SELECT qid AS query_id, vec_id, cosine, CAST(rn AS INT) AS knn_rank FROM (
+    SELECT qid, vec_id, cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY cosine DESC, vec_id
+           ) AS rn
+    FROM cand
+) WHERE rn <= {k}"""

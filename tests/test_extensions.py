@@ -864,3 +864,54 @@ def test_repetition_scores_counts_dup_ngrams(spark):
     assert got[1]["n_dup_2grams"] == 0 and got[1]["dup_2gram_frac"] == 0.0
     assert got[2]["n_2grams"] == 0 and got[2]["dup_2gram_frac"] is None
     assert got[3]["top_term_count"] == 3 and got[3]["n_dup_2grams"] == 2
+
+
+def test_knn_join_matches_single_query_topk(emb):
+    # full probe (nprobe == n_cells) → per-query result equals ann_topk
+    from pyspark.sql import functions as F
+
+    out = similarity.knn_join(
+        emb, emb, k=3, n_cells=2, nprobe=2
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["knn_rank"])
+        expect = similarity.ann_topk(emb, qid, k=3).collect()
+        assert [r["vec_id"] for r in rows] == [e["vec_id"] for e in expect]
+        assert all(
+            math.isclose(r["cosine"], e["cosine"])
+            for r, e in zip(rows, expect)
+        )
+        assert [r["knn_rank"] for r in rows] == [1, 2, 3]
+    # no self matches anywhere
+    assert all(r["query_id"] != r["vec_id"] for r in out)
+
+
+def test_knn_join_prunes_to_probed_cells(emb):
+    # nprobe=1: each query sees only its own cell's candidates — the
+    # anti-parallel vector (cell 1 under 2 seeds v0,v0 → ties to cell 0;
+    # use 3 cells so orthogonal/antiparallel split off)
+    out = similarity.knn_join(emb, emb, k=3, n_cells=3, nprobe=1).collect()
+    full = similarity.knn_join(emb, emb, k=3, n_cells=3, nprobe=3).collect()
+    assert len(out) <= len(full)
+    # pruned results are a subset of the full candidate relation per query
+    fullset = {(r["query_id"], r["vec_id"]) for r in full}
+    assert {(r["query_id"], r["vec_id"]) for r in out} <= fullset
+
+
+def test_knn_join_broadcasts_queries_no_corpus_shuffle_by_cell(emb):
+    plan = (
+        similarity.knn_join(emb, emb, k=2, n_cells=2, nprobe=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only hash-partitioning exchange is the per-query top-k window
+    import re
+
+    parts = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all(p.startswith("query_id") for p in parts), parts

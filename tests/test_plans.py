@@ -380,3 +380,56 @@ def test_ivf_indexed_external_vector_query(spark, tmp_path_factory):
     # external-vec includes every id-3-embedding twin at cosine 1.0 first;
     # the by-id query excludes id 3 itself but keeps its twins
     assert [g for g in got if g[0] != 3] == by_id
+
+
+# --- sampling / decontamination plan shapes ---
+
+
+@pytest.fixture(scope="module")
+def plan_docs(spark):
+    rows = [
+        (i, " ".join(["w%d" % (i + j) for j in range(8)]), "en", f"s{i % 3}")
+        for i in range(30)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_stratified_sample_is_shuffle_free(plan_docs):
+    from binance_futures_availability_spark.operators import sampling
+
+    plan = _plan(sampling.stratified_sample(plan_docs, {"en": 5000}, 2500))
+    assert "Exchange" not in plan  # pure filter+project: scan-speed at 100 TB
+
+
+def test_pii_scrub_is_shuffle_free(plan_docs):
+    from binance_futures_availability_spark.operators import textops
+
+    plan = _plan(textops.pii_scrub(plan_docs))
+    assert "Exchange" not in plan
+
+
+def test_mixture_weights_single_data_shuffle(plan_docs):
+    from binance_futures_availability_spark.operators import sampling
+
+    plan = _plan(sampling.mixture_weights(plan_docs))
+    # one partial-agg exchange on the stratum key plus the single-partition
+    # window over the aggregate — no shuffle of raw rows beyond the agg
+    n_exchanges = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange SinglePartition"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert n_exchanges <= 2
+
+
+def test_contamination_check_broadcasts_benchmark_no_joinback(plan_docs):
+    from binance_futures_availability_spark.operators import textops
+
+    bench = plan_docs.limit(3)
+    df = textops.contamination_check(plan_docs, bench)
+    plan = _plan(df)
+    # benchmark gram set arrives via broadcast; the corpus side is never
+    # shuffled by gram, and there is no second join restoring zero-match
+    # docs (explode_outer keeps them in the aggregation)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Join") == plan.count("BroadcastHashJoin")
+    assert "SortMergeJoin" not in plan
