@@ -78,19 +78,32 @@ def quality_scores(
     )
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Stopword-vote language ID with deterministic priority tie-break."""
-    t = F.lower(F.col(text_col))
-    scores = {lang: _stop_count(t, lang) for lang in LANG_PRIORITY}
+def language_scores(t_lower) -> dict:
+    """Per-language stopword-vote score expressions over a LOWERED text
+    column (shared by the batch operator and the streaming quality gate)."""
+    return {lang: _stop_count(t_lower, lang) for lang in LANG_PRIORITY}
+
+
+def language_pred(t_lower):
+    """Predicted-language column expression with the deterministic
+    priority tie-break (earlier LANG_PRIORITY entries win ties)."""
+    scores = language_scores(t_lower)
     best = F.greatest(*[scores[lg] for lg in LANG_PRIORITY])
     pred = F.lit("unknown")
     # build reversed so earlier languages win ties (last when evaluated first)
     for lang in reversed(LANG_PRIORITY):
         pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID with deterministic priority tie-break."""
+    t = F.lower(F.col(text_col))
+    scores = language_scores(t)
     return docs.select(
         id_col,
         *[scores[lg].alias(f"score_{lg}") for lg in LANG_PRIORITY],
-        pred.alias("predicted_lang"),
+        language_pred(t).alias("predicted_lang"),
     )
 
 

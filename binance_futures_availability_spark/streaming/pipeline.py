@@ -238,3 +238,64 @@ def start_upsert_sink(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def quality_gate_stream(
+    stream: DataFrame,
+    min_words: int = 5,
+    max_words: int = 50_000,
+    max_dup_2gram_frac: float = 0.5,
+) -> DataFrame:
+    """Streaming ingest quality gate — the STATELESS subset of the batch
+    quality suite applied in-flight, before documents ever land: word-count
+    bounds, duplicated-2-gram fraction (the per-row Gopher repetition
+    rule), language ID, and sequential PII scrubbing. Emits
+    (doc_id, ingest_ts, text_clean, predicted_lang, n_tokens,
+    dup_2gram_frac, n_pii) for surviving rows.
+
+    Every expression here is a narrow per-row projection (same column
+    expressions as textops.pii_scrub / language_id / repetition_scores'
+    2-gram branch), so the stream runs in append mode with NO state store
+    at all — it scales with per-batch row count only. Corpus-relative
+    signals (TF/DF, top-term fraction, contamination, near-dup) need
+    corpus state by definition and stay in the batch twins; the online
+    split is exactly: row-local gates in-flight, corpus-global gates in
+    the nightly batch pass.
+    """
+    from ..functions import token_count, tokens
+    from ..operators.textops import PII_ORDER, PII_PATTERNS, language_pred
+
+    t = F.col("text")
+    cur = t
+    n_pii = F.lit(0)
+    for cat in PII_ORDER:
+        pat = PII_PATTERNS[cat]
+        n_pii = n_pii + F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, f"<{cat.upper()}>")
+    toks = tokens(t)
+    grams2 = F.array_compact(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    n2 = F.size(grams2)
+    dup_frac = F.when(
+        n2 > 0,
+        (n2 - F.size(F.array_distinct(grams2))).cast("double") / n2,
+    ).otherwise(F.lit(0.0))
+    gated = stream.select(
+        "doc_id",
+        "ingest_ts",
+        cur.alias("text_clean"),
+        language_pred(F.lower(t)).alias("predicted_lang"),
+        token_count(t).cast("int").alias("n_tokens"),
+        dup_frac.alias("dup_2gram_frac"),
+        n_pii.cast("int").alias("n_pii"),
+    )
+    return gated.filter(
+        (F.col("n_tokens") >= min_words)
+        & (F.col("n_tokens") <= max_words)
+        & (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+    )

@@ -356,3 +356,44 @@ def test_streaming_document_dedup_drops_short_range_duplicates(spark, tmp_path):
     # state, and distinct content (3, 5) passes
     assert len(got & {1, 2}) == 1 and 4 not in got
     assert got - {1, 2} == {3, 5}
+
+
+def test_streaming_quality_gate_filters_in_flight(spark, tmp_path):
+    """Stateless in-flight quality gate: length bounds and the repetition
+    rule drop rows; PII is scrubbed and counted; language is predicted —
+    all with no state store (append mode, availableNow drain)."""
+    from binance_futures_availability_spark.streaming.pipeline import (
+        document_stream_source,
+        quality_gate_stream,
+    )
+
+    incoming = tmp_path / "gate_in"
+    t0 = TS(2024, 1, 15, 12, 0, 0)
+    rows = [
+        (1, "the fine document and one of the good long examples here", t0),
+        (2, "tiny", t0),  # below min_words
+        (3, "spam spam spam spam spam spam spam spam", t0),  # repetition
+        (4, "der gute hund und die schnelle katze ist hier bob@example.com", t0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ingest_ts timestamp"
+    ).write.mode("append").parquet(str(incoming))
+
+    q = (
+        quality_gate_stream(
+            document_stream_source(spark, str(incoming)),
+            min_words=5,
+            max_dup_2gram_frac=0.5,
+        )
+        .writeStream.format("memory")
+        .queryName("quality_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM quality_gate").collect()}
+    assert set(got) == {1, 4}  # 2 too short, 3 all-duplicate 2-grams
+    assert got[1]["predicted_lang"] == "en" and got[1]["n_pii"] == 0
+    assert got[4]["predicted_lang"] == "de" and got[4]["n_pii"] == 1
+    assert "<EMAIL>" in got[4]["text_clean"]
+    assert "@" not in got[4]["text_clean"]
