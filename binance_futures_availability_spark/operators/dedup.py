@@ -722,3 +722,50 @@ def duplicate_clusters(
         ),
         id_col,
     )
+
+
+#: id offset for cross-corpus dedup — places corpus B's ids in a disjoint
+#: range (far above any real doc id) so one LSH pass covers both corpora
+CROSS_ID_OFFSET = 1 << 40
+
+
+def cross_dedup_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora: (id_a ∈ A, id_b ∈ B,
+    jaccard ≥ threshold) — the near-dup form of benchmark decontamination
+    (exact n-gram overlap is ``contamination_check``) and of
+    dataset-version diffing.
+
+    One LSH pass over the tagged union instead of two per-corpus indexes:
+    B's ids are offset into a disjoint range (``CROSS_ID_OFFSET``), the
+    union runs the standard MinHash banding + exact-Jaccard verify
+    (``minhash_lsh_pairs`` — every scale property carries over verbatim),
+    and only cross-corpus survivors are kept. Because every B id sorts
+    above every A id, the canonical ``id_a < id_b`` pair orientation makes
+    the cross filter a pure range predicate: ``id_a < OFFSET ≤ id_b`` —
+    within-A and within-B duplicate pairs drop without ever being
+    distinguished structurally.
+    """
+    bu = b.select(
+        (F.col(id_col) + F.lit(CROSS_ID_OFFSET)).alias(id_col),
+        F.col(text_col),
+    )
+    uni = a.select(F.col(id_col), F.col(text_col)).unionByName(bu)
+    pairs = minhash_lsh_pairs(
+        uni, threshold, id_col, text_col, n, num_perm, n_bands
+    )
+    return pairs.filter(
+        (F.col("id_a") < CROSS_ID_OFFSET) & (F.col("id_b") >= CROSS_ID_OFFSET)
+    ).select(
+        "id_a",
+        (F.col("id_b") - F.lit(CROSS_ID_OFFSET)).alias("id_b"),
+        "jaccard",
+    )

@@ -839,3 +839,52 @@ SELECT qid AS query_id, vec_id, cosine, CAST(rn AS INT) AS knn_rank FROM (
            ) AS rn
     FROM cand
 ) WHERE rn <= {k}"""
+
+
+def sql_cross_dedup_pairs(
+    threshold: float,
+    a_where: str = "doc_id % 2 = 0",
+    b_where: str = "doc_id % 2 = 1",
+    num_perm: int = 8,
+    n_bands: int = 4,
+    offset: int = 1 << 40,
+) -> str:
+    """Cross-corpus MinHash-LSH near-dup pairs — mirrors
+    dedup.cross_dedup_pairs: same offset-union, same banding, same
+    exact-Jaccard verify; the cross filter is the id_a < offset ≤ id_b
+    range predicate."""
+    band_cond = " OR ".join(
+        "(" + " AND ".join(f"a.h{c} = b.h{c}" for c in cols) + ")"
+        for cols in band_partition(num_perm, n_bands)
+    )
+    return f"""WITH uni AS (
+    SELECT doc_id, text FROM documents WHERE {a_where}
+    UNION ALL
+    SELECT doc_id + {offset} AS doc_id, text FROM documents WHERE {b_where}
+),
+{ngram_cte(3, "uni", "u")},
+sh AS (SELECT doc_id, gram AS shingle FROM ush),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+),
+{minhash_sig_cte(num_perm)},
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+)
+SELECT j.id_a, j.id_b - {offset} AS id_b, j.jaccard
+FROM cand JOIN jac j USING (id_a, id_b)
+WHERE j.jaccard >= {threshold}
+  AND j.id_a < {offset} AND j.id_b >= {offset}
+ORDER BY id_a, id_b"""

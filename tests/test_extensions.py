@@ -915,3 +915,36 @@ def test_knn_join_broadcasts_queries_no_corpus_shuffle_by_cell(emb):
 
     parts = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert all(p.startswith("query_id") for p in parts), parts
+
+
+def test_cross_dedup_pairs_only_cross_corpus(spark):
+    a = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # near-dup WITHIN A — must NOT be reported
+            (2, "the quick brown fox jumps over the lazy cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [
+            # exact content match of A/0 — cross pair (0, 7)
+            (7, "the quick brown fox jumps over the lazy dog"),
+            # unrelated
+            (8, "completely different content about spark engines"),
+            # near-dup WITHIN B of nothing in A
+            (9, "neunundneunzig luftballons auf ihrem weg zum horizont"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.cross_dedup_pairs(a, b, 0.5).collect()
+    }
+    assert (0, 7) in got and got[(0, 7)] == 1.0
+    # A-internal near-dup (0,2) and any B-internal pair are excluded
+    assert all(k == (0, 7) or k[0] in {0, 1, 2} and k[1] in {7, 8, 9} for k in got)
+    assert (0, 2) not in got and (2, 0) not in got
+    # ids come back in ORIGINAL ranges (offset removed)
+    assert all(x < (1 << 40) for k in got for x in k)
