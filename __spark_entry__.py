@@ -395,6 +395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # near-dup decontamination across two corpora: even-id docs as
         # corpus A, odd-id docs as corpus B (12 cross pairs at the gate SF)
+        "neardup_survivors": lambda s, d: dedup.neardup_survivors(
+            _docs(s, d),
+            dedup.minhash_lsh_pairs(_docs(s, d), LSH_JACCARD_THRESHOLD),
+        ),
         "cross_dedup_pairs": lambda s, d: dedup.cross_dedup_pairs(
             _docs(s, d).filter(F.col("doc_id") % 2 == 0),
             _docs(s, d).filter(F.col("doc_id") % 2 == 1),
@@ -840,6 +844,9 @@ ORDER BY symbol, event_date"""),
         "minhash_signatures": oracles.sql_minhash_signatures(),
         "minhash_lsh_pairs": oracles.sql_minhash_lsh_pairs(LSH_JACCARD_THRESHOLD),
         "duplicate_clusters": oracles.sql_duplicate_clusters(
+            LSH_JACCARD_THRESHOLD
+        ),
+        "neardup_survivors": oracles.sql_neardup_survivors(
             LSH_JACCARD_THRESHOLD
         ),
         "cross_dedup_pairs": oracles.sql_cross_dedup_pairs(

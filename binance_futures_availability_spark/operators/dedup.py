@@ -769,3 +769,27 @@ def cross_dedup_pairs(
         (F.col("id_b") - F.lit(CROSS_ID_OFFSET)).alias("id_b"),
         "jaccard",
     )
+
+
+def neardup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus after near-dup removal at CLUSTER granularity: the rows of
+    ``docs`` whose id is its cluster's minimum (one representative per
+    connected component of ``pairs``; singletons survive trivially).
+
+    Completes the dedup pipeline: pairs → components → survivors. The
+    cluster-level policy is stricter than pairwise survivorship
+    (``dedup_exact`` / ``embedding_dedup_survivors``): A~B and B~C kill
+    both B and C even when (A, C) never paired. Shape: the cluster map is
+    (id, cluster_id); survivors are ``id == cluster_id`` — a filter on the
+    map, then a semi-join back to ``docs`` on id. The filtered survivor-id
+    set is cluster-count-sized; the semi-join broadcasts it when small and
+    shuffles by id otherwise (AQE decides) — either way the corpus scans
+    once.
+    """
+    clusters = duplicate_clusters(docs, pairs, id_col)
+    keep = clusters.filter(F.col("cluster_id") == F.col(id_col)).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

@@ -888,3 +888,15 @@ FROM cand JOIN jac j USING (id_a, id_b)
 WHERE j.jaccard >= {threshold}
   AND j.id_a < {offset} AND j.id_b >= {offset}
 ORDER BY id_a, id_b"""
+
+
+def sql_neardup_survivors(
+    threshold: float, num_perm: int = 8, n_bands: int = 4
+) -> str:
+    """Cluster-representative survivors — documents whose id equals their
+    component's minimum under sql_duplicate_clusters' recursive closure."""
+    inner = sql_duplicate_clusters(threshold, num_perm, n_bands)
+    return f"""SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d JOIN ({inner}) c ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.cluster_id
+ORDER BY d.doc_id"""

@@ -948,3 +948,22 @@ def test_cross_dedup_pairs_only_cross_corpus(spark):
     assert (0, 2) not in got and (2, 0) not in got
     # ids come back in ORIGINAL ranges (offset removed)
     assert all(x < (1 << 40) for k in got for x in k)
+
+
+def test_neardup_survivors_cluster_level(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "a b c d e f g h",      # 0 — chain head, survives
+            "a b c d e f g x",      # 1 — pairs with 0
+            "a b c d e f x y",      # 2 — pairs with 1 (maybe not with 0)
+            "totally different words here now ok",  # 3 — singleton
+        ])],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_freq=None)
+    out = dedup.neardup_survivors(docs, pairs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # one representative (the min id) per component + the singleton
+    assert ids == [0, 3]
+    # full doc rows come back, not just ids
+    assert set(out.columns) == {"doc_id", "text"}
