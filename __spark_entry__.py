@@ -31,6 +31,7 @@ from binance_futures_availability_spark.operators import (
     availability,
     backfill,
     dedup,
+    events,
     multimodal,
     rankings,
     sampling,
@@ -380,6 +381,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "backfill_enrich": _backfill_enrich,
         "symbol_classification": _symbol_classification,
+        # --- event-stream analytics over the events table ---
+        "event_window_counts": lambda s, d: events.window_counts(
+            load_table(s, d, "events")
+        ),
+        "event_sliding_counts": lambda s, d: events.sliding_window_counts(
+            load_table(s, d, "events")
+        ),
+        "event_sessions": lambda s, d: events.sessionize(
+            load_table(s, d, "events")
+        ),
+        "event_asof_pairs": lambda s, d: events.asof_pairs(
+            load_table(s, d, "events")
+        ),
+        "event_json_rollup": lambda s, d: events.json_prop_rollup(
+            load_table(s, d, "events")
+        ),
         # --- LLM-pipeline extension operators over documents/embeddings ---
         "exact_duplicates": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -835,6 +852,11 @@ ORDER BY symbol, event_date"""),
                         THEN 'delivery' ELSE 'perpetual' END AS symbol_type
             FROM u ORDER BY symbol""".replace("{P}", CONTRACT_SUFFIX_RE)
         ),
+        "event_window_counts": oracles.sql_event_window_counts(),
+        "event_sliding_counts": oracles.sql_event_sliding_counts(),
+        "event_sessions": oracles.sql_event_sessions(),
+        "event_asof_pairs": oracles.sql_event_asof_pairs(),
+        "event_json_rollup": oracles.sql_event_json_rollup(),
         # --- extension-suite oracles (generators in oracles.py keep the
         # md5/quantization constants in one place so Spark and SQL can't drift)
         "exact_duplicates": oracles.sql_exact_dup_groups(),

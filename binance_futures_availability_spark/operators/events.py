@@ -1,0 +1,192 @@
+"""Event-stream analytics over the ``events`` table — the time-windowed
+operator family (tumbling/sliding windows, sessionization, as-of pairing,
+JSON property extraction).
+
+North-star extension operators (no reference counterpart — the reference's
+probe timeline is daily-grained; these are the sub-second event-time
+semantics a clickstream/telemetry pipeline needs, expressed through
+Spark's native event-time machinery: ``F.window`` for alignment, window
+functions for ordering semantics, ``get_json_object`` for schema-on-read
+props). Every emitted number is an integer, an exact DECIMAL(18,2)
+aggregate, or a timestamp — no float reduction anywhere, so the DuckDB
+oracles hash-match bit-for-bit.
+
+Scale notes per operator are in the docstrings; the common theme: window
+alignment is a PURE PROJECTION of the timestamp (zero shuffles until the
+partial agg), sessionization and as-of pairing shuffle once on the
+entity key — the minimum possible for order-dependent semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: exact-money discipline: event values sum as DECIMAL(18,2), never double
+_DEC = "decimal(18,2)"
+
+
+def window_counts(
+    events: DataFrame,
+    duration: str = "1 hour",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Tumbling-window rollup per event type: (window_start, event_type,
+    n_events, distinct_users, total_value).
+
+    ``F.window`` alignment is a narrow per-row projection (epoch-floor
+    arithmetic); the only shuffle is the partial agg on (window, type).
+    COUNT(DISTINCT) runs as Spark's two-phase distinct aggregate —
+    partials expand by the distinct key, then merge — the exact form;
+    at 100 TB swap in approx_count_distinct and give up the exact gate
+    (documented trade, same family as tfidf's ln).
+    """
+    w = F.window(F.col(ts_col), duration)
+    return (
+        events.groupBy(
+            w.alias("w"), F.col(type_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(user_col).alias("distinct_users"),
+            F.sum(F.col(value_col).cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            type_col,
+            "n_events",
+            "distinct_users",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window event counts: (window_start, n_events) — each event
+    lands in duration/slide overlapping windows (4 at the defaults).
+
+    Spark expands the per-row window list before the partial agg, so the
+    shuffle carries duration/slide × rows of (window, partial-count) —
+    the standard sliding-agg cost, amortized entirely map-side by the
+    partial aggregation.
+    """
+    w = F.window(F.col(ts_col), duration, slide)
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Inactivity-gap sessionization: (user_id, session_id, n_events,
+    session_start, session_end) — a new session starts when a user's gap
+    since their previous event exceeds ``gap_minutes``.
+
+    The classic two-window composition: LAG over (user ORDER BY ts, id)
+    marks session breaks; a running SUM of the break flags numbers the
+    sessions (1-based). ONE shuffle on the user key serves both windows
+    and the final (user, session) aggregate — Catalyst reuses the
+    partitioning across all three. Deterministic ordering: ties on ts
+    break by event_id. The streaming twin of this shape is
+    ``F.session_window``; this batch form is gate-exact.
+    """
+    gap = F.lit(gap_minutes * 60)
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp(ts_col) - F.unix_timestamp(prev_ts) > gap),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    numbered = events.withColumn(
+        "session_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    return numbered.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )
+
+
+def asof_pairs(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """AS-OF pairing within an event stream: every ``left_type`` event
+    joined to the LATEST preceding ``right_type`` event of the same user —
+    (event_id, user_id, click_ts, view_ts, gap_seconds).
+
+    The as-of join Spark famously lacks as a primitive, expressed as a
+    single window pass instead of a join: both event kinds flow through
+    one (user ORDER BY ts, id) window, ``last(view_ts) IGNORE NULLS``
+    carries the most recent right-side timestamp forward, and left rows
+    project it out. ONE shuffle on the user key, no join, no range
+    explosion — strictly better than the union-and-merge as-of recipes
+    that need a second pass. Unmatched lefts keep NULL (gap NULL).
+    """
+    tagged = events.filter(
+        F.col("event_type").isin(left_type, right_type)
+    ).select("event_id", user_col, ts_col, "event_type")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = F.last(
+        F.when(F.col("event_type") == right_type, F.col(ts_col)), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("view_ts", carried)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            "event_id",
+            user_col,
+            F.col(ts_col).alias("click_ts"),
+            "view_ts",
+            (F.unix_timestamp(ts_col) - F.unix_timestamp("view_ts"))
+            .cast("long")
+            .alias("gap_seconds"),
+        )
+    )
+
+
+def json_prop_rollup(
+    events: DataFrame,
+    prop: str = "k",
+    type_col: str = "event_type",
+    props_col: str = "props",
+) -> DataFrame:
+    """Schema-on-read JSON rollup: (event_type, n_events, n_with_prop,
+    sum_prop) — extracts an integer property from the JSON ``props``
+    column and aggregates per type.
+
+    ``get_json_object`` is a codegen'd per-row path lookup (no UDF, no
+    full JSON schema inference pass); the aggregate is one partial-agg
+    shuffle on the type key. All-integer output.
+    """
+    k = F.get_json_object(F.col(props_col), f"$.{prop}").cast("long")
+    return events.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(k).alias("n_with_prop"),
+        F.sum(k).cast("long").alias("sum_prop"),
+    )

@@ -900,3 +900,95 @@ def sql_neardup_survivors(
 FROM documents d JOIN ({inner}) c ON d.doc_id = c.doc_id
 WHERE c.doc_id = c.cluster_id
 ORDER BY d.doc_id"""
+
+
+# --- event-stream analytics (operators/events.py) ---
+# Timestamp-exactness discipline: second-granular comparisons go through
+# integer microseconds (epoch_us // 1000000), matching Spark's
+# unix_timestamp floor; epoch() returns DOUBLE seconds whose binary
+# rounding can flip a floor at microsecond boundaries.
+
+EPOCH_S = "(epoch_us({x}) // 1000000)"
+
+
+def sql_event_window_counts(duration_hours: int = 1) -> str:
+    """Tumbling rollup — time_bucket aligns to the epoch hour exactly like
+    F.window for hour-multiple durations."""
+    return f"""SELECT time_bucket(INTERVAL '{duration_hours} hour', ts)
+           AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2"""
+
+
+def sql_event_sliding_counts(
+    duration_min: int = 60, slide_min: int = 15
+) -> str:
+    """Sliding counts — each event expands to duration/slide windows,
+    exactly Spark's expansion rule (starts = slide-bucket minus j·slide)."""
+    n = duration_min // slide_min
+    return f"""SELECT ws AS window_start, COUNT(*) AS n_events FROM (
+    SELECT time_bucket(INTERVAL '{slide_min} minutes', ts)
+           - (i * INTERVAL '{slide_min} minutes') AS ws
+    FROM events, (SELECT unnest(range({n})) AS i)
+) GROUP BY ws"""
+
+
+def sql_event_sessions(gap_minutes: int = 30) -> str:
+    ts_s = EPOCH_S.format(x="ts")
+    prev_s = EPOCH_S.format(x="prev_ts")
+    return f"""WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN prev_ts IS NULL
+                  OR {ts_s} - {prev_s} > {gap_minutes * 60}
+                THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+numbered AS (
+    SELECT user_id, ts,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM numbered GROUP BY 1, 2"""
+
+
+def sql_event_asof_pairs(
+    left_type: str = "click", right_type: str = "view"
+) -> str:
+    ts_s = EPOCH_S.format(x="ts")
+    view_s = EPOCH_S.format(x="view_ts")
+    return f"""WITH tagged AS (
+    SELECT event_id, user_id, ts, event_type FROM events
+    WHERE event_type IN ('{left_type}', '{right_type}')
+),
+carried AS (
+    SELECT event_id, user_id, ts, event_type,
+           LAST_VALUE(CASE WHEN event_type = '{right_type}' THEN ts END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS view_ts
+    FROM tagged
+)
+SELECT event_id, user_id, ts AS click_ts, view_ts,
+       CAST({ts_s} - {view_s} AS BIGINT) AS gap_seconds
+FROM carried WHERE event_type = '{left_type}'"""
+
+
+def sql_event_json_rollup(prop: str = "k") -> str:
+    k = f"CAST(json_extract_string(props, '$.{prop}') AS BIGINT)"
+    return f"""SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT({k}) AS n_with_prop,
+       CAST(SUM({k}) AS BIGINT) AS sum_prop
+FROM events GROUP BY event_type"""

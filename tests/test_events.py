@@ -1,0 +1,118 @@
+"""Event-analytics unit tests — tumbling/sliding windows, sessionization,
+as-of pairing, JSON rollup (operators/events.py) over tiny literal worlds."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from binance_futures_availability_spark.operators import events as ev
+
+T = dt.datetime
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+def test_window_counts_tumbling(spark):
+    df = _events(
+        spark,
+        [
+            (1, T(2024, 1, 1, 10, 5), 1, "view", 1.25, '{"k": 1}'),
+            (2, T(2024, 1, 1, 10, 55), 2, "view", 2.25, '{"k": 2}'),
+            (3, T(2024, 1, 1, 11, 0), 1, "view", 4.00, '{"k": 3}'),
+            (4, T(2024, 1, 1, 10, 30), 1, "click", 0.50, '{"k": 4}'),
+        ],
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r
+        for r in ev.window_counts(df).collect()
+    }
+    k = (T(2024, 1, 1, 10), "view")
+    assert got[k]["n_events"] == 2 and got[k]["distinct_users"] == 2
+    assert got[k]["total_value"] == 3.5  # exact decimal sum
+    assert got[(T(2024, 1, 1, 11), "view")]["n_events"] == 1
+    assert got[(T(2024, 1, 1, 10), "click")]["n_events"] == 1
+
+
+def test_sliding_window_expands_each_event(spark):
+    df = _events(spark, [(1, T(2024, 1, 1, 10, 20), 1, "view", 1.0, "{}")])
+    got = {r["window_start"]: r["n_events"] for r in ev.sliding_window_counts(df).collect()}
+    # 1h window sliding 15min → the event appears in exactly 4 windows
+    assert set(got) == {
+        T(2024, 1, 1, 9, 30),
+        T(2024, 1, 1, 9, 45),
+        T(2024, 1, 1, 10, 0),
+        T(2024, 1, 1, 10, 15),
+    }
+    assert all(v == 1 for v in got.values())
+
+
+def test_sessionize_gap_splits(spark):
+    df = _events(
+        spark,
+        [
+            (1, T(2024, 1, 1, 10, 0), 1, "view", 0.0, "{}"),
+            (2, T(2024, 1, 1, 10, 20), 1, "view", 0.0, "{}"),   # same session
+            (3, T(2024, 1, 1, 11, 0), 1, "view", 0.0, "{}"),    # 40min gap → new
+            (4, T(2024, 1, 1, 10, 0), 2, "view", 0.0, "{}"),    # other user
+        ],
+    )
+    got = {
+        (r["user_id"], r["session_id"]): r
+        for r in ev.sessionize(df, gap_minutes=30).collect()
+    }
+    assert got[(1, 1)]["n_events"] == 2
+    assert got[(1, 1)]["session_start"] == T(2024, 1, 1, 10, 0)
+    assert got[(1, 1)]["session_end"] == T(2024, 1, 1, 10, 20)
+    assert got[(1, 2)]["n_events"] == 1
+    assert got[(2, 1)]["n_events"] == 1
+    # exactly-at-gap boundary does NOT split (strict >)
+    df2 = _events(
+        spark,
+        [
+            (1, T(2024, 1, 1, 10, 0), 1, "view", 0.0, "{}"),
+            (2, T(2024, 1, 1, 10, 30), 1, "view", 0.0, "{}"),
+        ],
+    )
+    assert len(ev.sessionize(df2, gap_minutes=30).collect()) == 1
+
+
+def test_asof_pairs_latest_preceding_view(spark):
+    df = _events(
+        spark,
+        [
+            (1, T(2024, 1, 1, 10, 0), 1, "view", 0.0, "{}"),
+            (2, T(2024, 1, 1, 10, 5), 1, "view", 0.0, "{}"),
+            (3, T(2024, 1, 1, 10, 10), 1, "click", 0.0, "{}"),  # pairs with 2
+            (4, T(2024, 1, 1, 10, 20), 1, "click", 0.0, "{}"),  # still view 2
+            (5, T(2024, 1, 1, 9, 0), 2, "click", 0.0, "{}"),    # no prior view
+            (6, T(2024, 1, 1, 9, 30), 2, "view", 0.0, "{}"),    # after the click
+        ],
+    )
+    got = {r["event_id"]: r for r in ev.asof_pairs(df).collect()}
+    assert set(got) == {3, 4, 5}
+    assert got[3]["view_ts"] == T(2024, 1, 1, 10, 5)
+    assert got[3]["gap_seconds"] == 300
+    assert got[4]["view_ts"] == T(2024, 1, 1, 10, 5)
+    assert got[4]["gap_seconds"] == 900
+    assert got[5]["view_ts"] is None and got[5]["gap_seconds"] is None
+
+
+def test_json_prop_rollup(spark):
+    df = _events(
+        spark,
+        [
+            (1, T(2024, 1, 1), 1, "view", 0.0, '{"k": 10}'),
+            (2, T(2024, 1, 1), 1, "view", 0.0, '{"k": 32}'),
+            (3, T(2024, 1, 1), 1, "view", 0.0, '{"other": 5}'),  # missing k
+            (4, T(2024, 1, 1), 1, "click", 0.0, '{"k": 7}'),
+        ],
+    )
+    got = {r["event_type"]: r for r in ev.json_prop_rollup(df).collect()}
+    assert got["view"]["n_events"] == 3
+    assert got["view"]["n_with_prop"] == 2
+    assert got["view"]["sum_prop"] == 42
+    assert got["click"]["sum_prop"] == 7
