@@ -397,6 +397,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_json_rollup": lambda s, d: events.json_prop_rollup(
             load_table(s, d, "events")
         ),
+        "event_funnel": lambda s, d: events.funnel(load_table(s, d, "events")),
+        "event_topk_users": lambda s, d: events.window_topk_users(
+            load_table(s, d, "events")
+        ),
+        "event_retention": lambda s, d: events.retention_cohorts(
+            load_table(s, d, "events")
+        ),
         # --- LLM-pipeline extension operators over documents/embeddings ---
         "exact_duplicates": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -857,6 +864,9 @@ ORDER BY symbol, event_date"""),
         "event_sessions": oracles.sql_event_sessions(),
         "event_asof_pairs": oracles.sql_event_asof_pairs(),
         "event_json_rollup": oracles.sql_event_json_rollup(),
+        "event_funnel": oracles.sql_event_funnel(),
+        "event_topk_users": oracles.sql_event_topk_users(),
+        "event_retention": oracles.sql_event_retention(),
         # --- extension-suite oracles (generators in oracles.py keep the
         # md5/quantization constants in one place so Spark and SQL can't drift)
         "exact_duplicates": oracles.sql_exact_dup_groups(),

@@ -190,3 +190,115 @@ def json_prop_rollup(
         F.count(k).alias("n_with_prop"),
         F.sum(k).cast("long").alias("sum_prop"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Ordered conversion funnel: per user, the earliest timestamp of each
+    step that occurs AT OR AFTER the previous step's timestamp —
+    (user_id, <step>_ts ..., stage_reached).
+
+    Order matters: a purchase BEFORE the first qualifying click does not
+    count (the strict-funnel semantics product analytics means by
+    "conversion"). Expressed as chained per-user window minima — one
+    select per step, all over the SAME user partitioning, so Catalyst
+    plans ONE shuffle for the whole chain and the final per-user collapse
+    reuses it. Users missing a step carry NULL from there on;
+    ``stage_reached`` counts completed steps.
+    """
+    df = events.select(F.col(user_col), F.col(ts_col), F.col("event_type"))
+    w = Window.partitionBy(user_col)
+    prev_col = None
+    for step in steps:
+        qualifies = F.col("event_type") == step
+        if prev_col is not None:
+            qualifies = qualifies & F.col(prev_col).isNotNull() & (
+                F.col(ts_col) >= F.col(prev_col)
+            )
+        col = f"{step}_ts"
+        df = df.withColumn(col, F.min(F.when(qualifies, F.col(ts_col))).over(w))
+        prev_col = col
+    stage = sum(
+        (F.col(f"{s}_ts").isNotNull()).cast("int") for s in steps
+    )
+    return (
+        df.groupBy(user_col)
+        .agg(
+            *[F.max(f"{s}_ts").alias(f"{s}_ts") for s in steps],
+        )
+        .select(
+            user_col,
+            *[f"{s}_ts" for s in steps],
+            stage.alias("stage_reached"),
+        )
+    )
+
+
+def window_topk_users(
+    events: DataFrame,
+    k: int = 3,
+    duration: str = "1 day",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-window heavy hitters: the ``k`` most active users per tumbling
+    window — (window_start, user_id, n_events, rnk), ties → lowest user id.
+
+    Two shuffles: the (window, user) partial-agg count, then the per-window
+    rank. The rank side is window-count-partitioned — at 100 TB the heavy
+    state is the first aggregate, which combines map-side; the exact top-k
+    per window never materializes more than the aggregate.
+    """
+    w = F.window(F.col(ts_col), duration)
+    counts = events.groupBy(w.alias("w"), F.col(user_col)).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    rw = Window.partitionBy("w").orderBy(
+        F.col("n_events").desc(), F.col(user_col)
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("w.start").alias("window_start"), user_col, "n_events", "rnk"
+        )
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-activity week
+    (cohort), counted distinct per week offset —
+    (cohort_week, week_offset, active_users).
+
+    Shape: one per-user MIN aggregate builds the cohort map (user-count
+    sized — broadcast), one join tags every event, one (cohort, offset)
+    aggregate rolls up. Weeks are Monday-truncated dates; the offset is
+    integer day-difference // 7 — all-integer, engine-exact.
+    """
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
+    )
+    tagged = events.join(F.broadcast(first), user_col).select(
+        F.col(user_col),
+        "cohort_week",
+        (
+            F.datediff(
+                F.date_trunc("week", F.col(ts_col)).cast("date"),
+                F.col("cohort_week"),
+            )
+            / 7
+        )
+        .cast("int")
+        .alias("week_offset"),
+    )
+    return tagged.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct(user_col).alias("active_users")
+    )

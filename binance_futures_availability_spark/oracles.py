@@ -992,3 +992,59 @@ def sql_event_json_rollup(prop: str = "k") -> str:
        COUNT({k}) AS n_with_prop,
        CAST(SUM({k}) AS BIGINT) AS sum_prop
 FROM events GROUP BY event_type"""
+
+
+def sql_event_funnel(steps: tuple = ("view", "click", "purchase")) -> str:
+    """Ordered funnel — CTE chain of conditional MINs; same strict
+    at-or-after semantics as events.funnel's window chain."""
+    ctes = ["u AS (SELECT DISTINCT user_id FROM events)"]
+    prev = None
+    for i, step in enumerate(steps):
+        cond = f"e.event_type = '{step}'"
+        src = "events e"
+        if prev is not None:
+            src = f"events e JOIN t{i - 1} USING (user_id)"
+            cond += f" AND e.ts >= t{i - 1}.{prev}"
+        ctes.append(
+            f"t{i} AS (SELECT e.user_id, MIN(e.ts) AS {step}_ts "
+            f"FROM {src} WHERE {cond} GROUP BY 1)"
+        )
+        prev = f"{step}_ts"
+    joins = " ".join(f"LEFT JOIN t{i} USING (user_id)" for i in range(len(steps)))
+    stage = " + ".join(
+        f"CAST(t{i}.{s}_ts IS NOT NULL AS INT)" for i, s in enumerate(steps)
+    )
+    cols = ", ".join(f"t{i}.{s}_ts" for i, s in enumerate(steps))
+    cte_block = ",\n".join(ctes)
+    return f"""WITH {cte_block}
+SELECT u.user_id, {cols}, CAST({stage} AS INT) AS stage_reached
+FROM u {joins}"""
+
+
+def sql_event_topk_users(k: int = 3, duration_days: int = 1) -> str:
+    return f"""WITH counts AS (
+    SELECT time_bucket(INTERVAL '{duration_days} day', ts) AS window_start,
+           user_id, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT window_start, user_id, n_events,
+           CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                ORDER BY n_events DESC, user_id) AS INT) AS rnk
+    FROM counts
+)
+SELECT window_start, user_id, n_events, rnk FROM ranked WHERE rnk <= {k}"""
+
+
+def sql_event_retention() -> str:
+    return """WITH cohorts AS (
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY 1
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week,
+                      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+           AS week_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN cohorts f USING (user_id)
+GROUP BY 1, 2"""

@@ -116,3 +116,61 @@ def test_json_prop_rollup(spark):
     assert got["view"]["n_with_prop"] == 2
     assert got["view"]["sum_prop"] == 42
     assert got["click"]["sum_prop"] == 7
+
+
+def test_funnel_strict_ordering(spark):
+    df = _events(
+        spark,
+        [
+            # user 1: full ordered funnel
+            (1, T(2024, 1, 1, 10, 0), 1, "view", 0.0, "{}"),
+            (2, T(2024, 1, 1, 10, 5), 1, "click", 0.0, "{}"),
+            (3, T(2024, 1, 1, 10, 9), 1, "purchase", 0.0, "{}"),
+            # user 2: purchase BEFORE the click — must not count
+            (4, T(2024, 1, 1, 10, 0), 2, "view", 0.0, "{}"),
+            (5, T(2024, 1, 1, 10, 2), 2, "purchase", 0.0, "{}"),
+            (6, T(2024, 1, 1, 10, 5), 2, "click", 0.0, "{}"),
+            # user 3: click with no prior view
+            (7, T(2024, 1, 1, 10, 0), 3, "click", 0.0, "{}"),
+        ],
+    )
+    got = {r["user_id"]: r for r in ev.funnel(df).collect()}
+    assert got[1]["stage_reached"] == 3
+    assert got[1]["purchase_ts"] == T(2024, 1, 1, 10, 9)
+    assert got[2]["stage_reached"] == 2  # view + click; early purchase ignored
+    assert got[2]["purchase_ts"] is None
+    assert got[3]["stage_reached"] == 0
+    assert got[3]["view_ts"] is None and got[3]["click_ts"] is None
+
+
+def test_window_topk_users_ties_to_lowest_id(spark):
+    rows = []
+    eid = 0
+    for u, n in [(5, 3), (1, 2), (2, 2), (3, 1)]:
+        for i in range(n):
+            rows.append((eid, T(2024, 1, 1, 10, i), u, "view", 0.0, "{}"))
+            eid += 1
+    got = ev.window_topk_users(_events(spark, rows), k=2).collect()
+    assert [(r["user_id"], r["n_events"], r["rnk"]) for r in
+            sorted(got, key=lambda r: r["rnk"])] == [(5, 3, 1), (1, 2, 2)]
+
+
+def test_retention_cohorts_week_offsets(spark):
+    df = _events(
+        spark,
+        [
+            # user 1 first active Mon Jan 1 week, returns 2 weeks later
+            (1, T(2024, 1, 2, 10, 0), 1, "view", 0.0, "{}"),
+            (2, T(2024, 1, 16, 10, 0), 1, "view", 0.0, "{}"),
+            # user 2 same cohort, active only week 0
+            (3, T(2024, 1, 3, 10, 0), 2, "view", 0.0, "{}"),
+        ],
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["active_users"]
+        for r in ev.retention_cohorts(df).collect()
+    }
+    w0 = dt.date(2024, 1, 1)  # Monday of the first week
+    assert got[(w0, 0)] == 2
+    assert got[(w0, 2)] == 1
+    assert (w0, 1) not in got
