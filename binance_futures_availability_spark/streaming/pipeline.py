@@ -299,3 +299,53 @@ def quality_gate_stream(
         & (F.col("n_tokens") <= max_words)
         & (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
     )
+
+
+EVENT_STREAM = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def event_stream_source(spark: SparkSession, incoming_dir: str) -> DataFrame:
+    """readStream over a drop-directory of event parquet batches."""
+    return (
+        spark.readStream.schema(EVENT_STREAM)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(incoming_dir)
+    )
+
+
+def event_counts_stream(
+    stream: DataFrame,
+    duration: str = "1 hour",
+    late_horizon: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling rollup — the streaming twin of
+    ``operators.events.window_counts`` (same window alignment, same exact
+    DECIMAL value sums): (window_start, event_type, n_events, total_value).
+
+    Append mode emits a (window, type) row exactly once, when the
+    watermark passes the window end — events later than ``late_horizon``
+    are dropped, bounding state to horizon/duration windows per type.
+    COUNT(DISTINCT) is not available in streaming aggregation (state
+    would be unbounded per group); the batch twin carries it, the stream
+    carries the counts a monitoring surface needs.
+    """
+    w = F.window(F.col("ts"), duration)
+    return (
+        stream.withWatermark("ts", late_horizon)
+        .groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

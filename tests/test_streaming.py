@@ -397,3 +397,54 @@ def test_streaming_quality_gate_filters_in_flight(spark, tmp_path):
     assert got[4]["predicted_lang"] == "de" and got[4]["n_pii"] == 1
     assert "<EMAIL>" in got[4]["text_clean"]
     assert "@" not in got[4]["text_clean"]
+
+
+def test_streaming_event_counts_watermarked(spark, tmp_path):
+    """Tumbling event rollup finalizes once the watermark passes the
+    window end; the emitted rows equal the batch twin over the same data."""
+    from binance_futures_availability_spark.operators import events as ev_ops
+    from binance_futures_availability_spark.streaming.pipeline import (
+        event_counts_stream,
+        event_stream_source,
+    )
+
+    incoming = tmp_path / "ev_in"
+    rows = [
+        (1, TS(2024, 1, 1, 10, 5), 1, "view", 1.25, "{}"),
+        (2, TS(2024, 1, 1, 10, 40), 2, "view", 2.25, "{}"),
+        (3, TS(2024, 1, 1, 11, 10), 1, "click", 4.00, "{}"),
+        # late-window closer: pushes the watermark past 11:00+horizon
+        (4, TS(2024, 1, 1, 14, 0), 3, "error", 0.50, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("append").parquet(str(incoming))
+
+    q = (
+        event_counts_stream(event_stream_source(spark, str(incoming)))
+        .writeStream.format("memory")
+        .queryName("ev_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r
+        for r in spark.sql("SELECT * FROM ev_counts").collect()
+    }
+    # finalized windows: 10:00 and 11:00 (watermark = 14:00 - 2h = 12:00)
+    k10 = (TS(2024, 1, 1, 10), "view")
+    assert got[k10]["n_events"] == 2 and got[k10]["total_value"] == 3.5
+    assert got[(TS(2024, 1, 1, 11), "click")]["n_events"] == 1
+    # the 14:00 window is NOT finalized yet
+    assert (TS(2024, 1, 1, 14), "error") not in got
+    # stream ≡ batch twin on the finalized windows
+    batch = {
+        (r["window_start"], r["event_type"]): r
+        for r in ev_ops.window_counts(spark.read.parquet(str(incoming))).collect()
+    }
+    for key, r in got.items():
+        assert batch[key]["n_events"] == r["n_events"]
+        assert batch[key]["total_value"] == r["total_value"]
