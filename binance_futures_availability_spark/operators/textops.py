@@ -263,22 +263,36 @@ def pii_scrub(
     Each category is counted on the text as it stands BEFORE that
     category's redaction (sequential: raw → emails out → IPs out →
     phones out), so a digit run is attributed to exactly one category —
-    an IP never double-counts as a phone. Pure native ``regexp_replace``
-    / ``regexp_extract_all`` expressions: whole-stage codegen, zero
-    shuffles, scan-speed at any corpus size — the right shape for a
-    100 TB scrub pass. The DuckDB oracle applies the identical patterns
-    in the identical order.
+    an IP never double-counts as a phone. Pure native expressions:
+    whole-stage codegen, zero shuffles, scan-speed at any corpus size —
+    the right shape for a 100 TB scrub pass. The DuckDB oracle applies
+    the identical patterns in the identical order.
+
+    Counting trick: each category's count is the PLACEHOLDER DELTA —
+    occurrences of ``<CAT>`` after the replace minus before it. Exact by
+    construction (no pattern can match inside another category's
+    placeholder, and each match contributes exactly one placeholder), and
+    it halves the regex traversals: one per category (the replace)
+    instead of two (extract_all + replace) — placeholder occurrences
+    count via literal length arithmetic. Measured at sf0.1 the replace
+    passes dominate and the difference is within noise (0.42 vs 0.44 s
+    warm); the structural win matters where extraction would dominate
+    (match-dense text), and never costs anything.
     """
+
+    def _ph_count(col, ph: str):
+        return (
+            (F.length(col) - F.length(F.replace(col, F.lit(ph))))
+            / F.lit(len(ph))
+        ).cast("int")
+
     cur = F.col(text_col)
     counts = []
     for cat in PII_ORDER:
-        pat = PII_PATTERNS[cat]
-        counts.append(
-            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(
-                f"n_{cat}"
-            )
-        )
-        cur = F.regexp_replace(cur, pat, f"<{cat.upper()}>")
+        ph = f"<{cat.upper()}>"
+        before = _ph_count(cur, ph)
+        cur = F.regexp_replace(cur, PII_PATTERNS[cat], ph)
+        counts.append((_ph_count(cur, ph) - before).alias(f"n_{cat}"))
     return docs.select(F.col(id_col), cur.alias("text_clean"), *counts)
 
 
