@@ -22,7 +22,7 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     yield con
     con.close()
@@ -152,3 +152,138 @@ def test_lsh_multi_recall_superset_of_single_table(emb):
     }
     assert single <= multi
     assert len(multi) >= len(single)
+
+
+# --- parameterized oracle matches for the round-5 families: prove the
+# knobs are real parameters, not gate-tuned constants ---
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_sessions_match_at_two_gaps(spark, events_df, duck):
+    from binance_futures_availability_spark.operators import events as ev
+
+    for gap in (30, 10):
+        n = _match(
+            ev.sessionize(events_df, gap_minutes=gap),
+            duck,
+            oracles.sql_event_sessions(gap),
+        )
+        assert n > 0
+
+
+def test_sliding_counts_match_at_two_widths(spark, events_df, duck):
+    from binance_futures_availability_spark.operators import events as ev
+
+    for dur, slide in (("1 hour", "15 minutes"), ("30 minutes", "10 minutes")):
+        dmin = 60 if dur == "1 hour" else 30
+        smin = 15 if slide == "15 minutes" else 10
+        n = _match(
+            ev.sliding_window_counts(events_df, dur, slide),
+            duck,
+            oracles.sql_event_sliding_counts(dmin, smin),
+        )
+        assert n > 0
+
+
+def test_topk_users_match_at_two_k(spark, events_df, duck):
+    from binance_futures_availability_spark.operators import events as ev
+
+    for k in (3, 5):
+        n = _match(
+            ev.window_topk_users(events_df, k=k),
+            duck,
+            oracles.sql_event_topk_users(k),
+        )
+        assert n > 0
+
+
+def test_funnel_matches_on_alternate_steps(spark, events_df, duck):
+    from binance_futures_availability_spark.operators import events as ev
+
+    for steps in (("view", "click", "purchase"), ("signup", "purchase")):
+        n = _match(
+            ev.funnel(events_df, steps=steps),
+            duck,
+            oracles.sql_event_funnel(steps),
+        )
+        assert n > 0
+
+
+def test_stratified_sample_matches_on_alternate_rates(spark, docs, duck):
+    from binance_futures_availability_spark.operators import sampling
+
+    for rates, default in (({"en": 2500, "zh": 7500}, 5000), ({"de": 100}, 9000)):
+        _match(
+            sampling.stratified_sample(docs, rates, default),
+            duck,
+            oracles.sql_stratified_sample(rates, default),
+        )
+
+
+def test_stratum_cap_matches_on_alternate_k(spark, docs, duck):
+    from binance_futures_availability_spark.operators import sampling
+
+    for k in (10, 4):
+        n = _match(
+            sampling.stratum_cap(docs, k),
+            duck,
+            oracles.sql_stratum_cap(k),
+        )
+        assert n > 0
+
+
+def test_contamination_matches_on_wider_ngram(spark, docs, duck):
+    from binance_futures_availability_spark.functions import md5_int60
+    from binance_futures_availability_spark.operators import textops
+    from pyspark.sql import functions as F
+
+    bucket = (
+        md5_int60(F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string")))
+        % 1000
+    )
+    train = docs.filter(bucket < 980)
+    bench = docs.filter(bucket >= 990)
+    for n, mo in ((5, 1), (4, 2)):
+        _match(
+            textops.contamination_check(train, bench, n=n, min_overlap=mo),
+            duck,
+            oracles.sql_contamination_check(n, mo),
+        )
+
+
+def test_cross_dedup_matches_on_alternate_threshold(spark, docs, duck):
+    from binance_futures_availability_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    for thr in (0.5, 0.3):
+        _match(
+            dd.cross_dedup_pairs(
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+                thr,
+            ),
+            duck,
+            oracles.sql_cross_dedup_pairs(thr),
+        )
+
+
+def test_knn_join_matches_on_alternate_k_nprobe(spark, emb, duck):
+    from binance_futures_availability_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    for k, nprobe in ((5, 4), (3, 2)):
+        n = _match(
+            sim.knn_join(
+                emb.filter(F.col("vec_id") % 100 == 0),
+                emb,
+                k,
+                nprobe=nprobe,
+            ),
+            duck,
+            oracles.sql_knn_join(100, k, sim.IVF_N_CELLS, nprobe),
+        )
+        assert n > 0
