@@ -349,3 +349,38 @@ def event_counts_stream(
             "total_value",
         )
     )
+
+
+def session_stream(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    late_horizon: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization — the stateful twin of
+    ``operators.events.sessionize``: (user_id, session_start, session_end,
+    n_events) via Spark's native ``session_window`` state machine.
+
+    A session's window GROWS while events keep arriving within
+    ``gap_minutes`` of its current end and finalizes (append-mode emit)
+    once the watermark passes end + gap — so state is bounded by the
+    number of OPEN sessions, not event history. Late events inside the
+    horizon merge into (or bridge!) existing open sessions exactly like
+    the batch gap rule; events later than the horizon are dropped. The
+    batch twin remains the authority for closed history (its session ids
+    are ordinal per user; the stream identifies sessions by their start
+    time — the natural keys of each execution model).
+    """
+    return (
+        stream.withWatermark("ts", late_horizon)
+        .groupBy(
+            F.session_window(F.col("ts"), f"{gap_minutes} minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -448,3 +448,57 @@ def test_streaming_event_counts_watermarked(spark, tmp_path):
     for key, r in got.items():
         assert batch[key]["n_events"] == r["n_events"]
         assert batch[key]["total_value"] == r["total_value"]
+
+
+def test_streaming_sessionization_matches_batch_gap_rule(spark, tmp_path):
+    """session_window sessions equal the batch sessionize split (same gap),
+    modulo the window-end convention (stream end = last event + gap)."""
+    from binance_futures_availability_spark.operators import events as ev_ops
+    from binance_futures_availability_spark.streaming.pipeline import (
+        event_stream_source,
+        session_stream,
+    )
+
+    incoming = tmp_path / "sess_in"
+    rows = [
+        (1, TS(2024, 1, 1, 10, 0), 1, "view", 0.0, "{}"),
+        (2, TS(2024, 1, 1, 10, 20), 1, "view", 0.0, "{}"),   # same session
+        (3, TS(2024, 1, 1, 11, 0), 1, "view", 0.0, "{}"),    # 40min gap → new
+        (4, TS(2024, 1, 1, 10, 0), 2, "view", 0.0, "{}"),
+        # far-future closer so the watermark passes every session above
+        (5, TS(2024, 1, 2, 0, 0), 3, "view", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("append").parquet(str(incoming))
+
+    q = (
+        session_stream(event_stream_source(spark, str(incoming)), gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # user 1: two sessions; session window end = last event + gap
+    s1 = got[(1, TS(2024, 1, 1, 10, 0))]
+    assert s1["n_events"] == 2
+    assert s1["session_end"] == TS(2024, 1, 1, 10, 50)
+    s2 = got[(1, TS(2024, 1, 1, 11, 0))]
+    assert s2["n_events"] == 1
+    assert (2, TS(2024, 1, 1, 10, 0)) in got
+    # the 00:00 closer session is still open (watermark = closer - 2h)
+    assert (3, TS(2024, 1, 2, 0, 0)) not in got
+    # batch twin agrees on the split (session count per user)
+    batch = ev_ops.sessionize(
+        spark.read.parquet(str(incoming)), gap_minutes=30
+    ).collect()
+    batch_sessions = {(r["user_id"], r["session_start"]) for r in batch}
+    for key in got:
+        assert key in batch_sessions
