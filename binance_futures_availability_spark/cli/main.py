@@ -203,6 +203,58 @@ def cmd_similarity(args: argparse.Namespace) -> int:
     return _print_rows(df, args, f"{args.op}:")
 
 
+def cmd_sample(args: argparse.Namespace) -> int:
+    from ..operators import sampling
+
+    spark = get_session("bfa-cli")
+    docs = spark.read.parquet(args.docs)
+    if args.op == "stratified":
+        rates = {}
+        for spec in args.rate or []:
+            stratum, _, rate = spec.partition("=")
+            rates[stratum] = int(rate)
+        df = sampling.stratified_sample(
+            docs, rates, args.default_rate, strata_col=args.strata
+        )
+    elif args.op == "cap":
+        df = sampling.stratum_cap(docs, args.k, strata_col=args.strata)
+    elif args.op == "mixture":
+        df = sampling.mixture_weights(docs, strata_col=args.strata)
+    else:  # length-stats
+        df = sampling.length_stats(docs, strata_col=args.strata)
+    return _print_rows(df, args, f"{args.op}:")
+
+
+def cmd_scrub(args: argparse.Namespace) -> int:
+    from ..operators import textops
+
+    spark = get_session("bfa-cli")
+    docs = spark.read.parquet(args.docs)
+    return _print_rows(
+        textops.pii_scrub(docs).orderBy("doc_id"), args, "pii scrub:"
+    )
+
+
+def cmd_events(args: argparse.Namespace) -> int:
+    from ..operators import events as ev
+
+    spark = get_session("bfa-cli")
+    df_in = spark.read.parquet(args.events)
+    if args.op == "windows":
+        df = ev.window_counts(df_in, args.duration)
+    elif args.op == "sessions":
+        df = ev.sessionize(df_in, args.gap_minutes)
+    elif args.op == "asof":
+        df = ev.asof_pairs(df_in)
+    elif args.op == "funnel":
+        df = ev.funnel(df_in, tuple(args.steps.split(",")))
+    elif args.op == "topk-users":
+        df = ev.window_topk_users(df_in, args.k)
+    else:  # retention
+        df = ev.retention_cohorts(df_in)
+    return _print_rows(df, args, f"{args.op}:")
+
+
 def _add_source_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--table", help="parquet daily_availability table path")
     p.add_argument("--sf-dir", help="testdata dir (derived fact table)")
@@ -309,6 +361,53 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--json", action="store_true")
     p.set_defaults(func=cmd_similarity)
+
+    p = psub.add_parser("sample", help="Corpus sampling / data mixing")
+    p.add_argument("docs", help="documents parquet path")
+    p.add_argument(
+        "--op",
+        choices=["stratified", "cap", "mixture", "length-stats"],
+        default="mixture",
+    )
+    p.add_argument(
+        "--rate",
+        action="append",
+        metavar="STRATUM=PER10K",
+        help="per-stratum keep rate (repeatable), e.g. en=2500",
+    )
+    p.add_argument("--default-rate", type=int, default=10_000)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--strata", default="lang")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_sample)
+
+    p = psub.add_parser("scrub", help="PII redaction")
+    p.add_argument("docs", help="documents parquet path")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_scrub)
+
+    evp = sub.add_parser("events", help="Event-stream analytics")
+    esub = evp.add_subparsers(dest="events_command")
+    p = esub.add_parser("analyze", help="Windowed / behavioral analytics")
+    p.add_argument("events", help="events parquet path")
+    p.add_argument(
+        "--op",
+        choices=[
+            "windows",
+            "sessions",
+            "asof",
+            "funnel",
+            "topk-users",
+            "retention",
+        ],
+        default="windows",
+    )
+    p.add_argument("--duration", default="1 hour")
+    p.add_argument("--gap-minutes", type=int, default=30)
+    p.add_argument("--steps", default="view,click,purchase")
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_events)
 
     return parser
 

@@ -306,3 +306,93 @@ def test_analytics_api_trend_uses_routing(engine):
         after = q.get_availability_trend()
         engine.invalidate_matview()
     assert after == before
+
+
+@pytest.fixture(scope="module")
+def strata_docs_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("clistrata") / "docs")
+    spark.createDataFrame(
+        [
+            (1, "one two three contact bob@example.com now", "en"),
+            (2, "vier fuenf sechs sieben acht", "de"),
+            (3, "alpha beta gamma delta epsilon", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    ).write.parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    import datetime as dt
+
+    p = str(tmp_path_factory.mktemp("clievents") / "events")
+    T = dt.datetime
+    spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0), 1, "view", 1.0, "{}"),
+            (2, T(2024, 1, 1, 10, 10), 1, "click", 2.0, "{}"),
+            (3, T(2024, 1, 1, 12, 0), 1, "view", 3.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(p)
+    return p
+
+
+def test_cli_pipeline_sample_mixture(strata_docs_path, capsys):
+    assert (
+        main(
+            ["pipeline", "sample", strata_docs_path,
+             "--op", "mixture", "--strata", "lang", "--json"]
+        )
+        == 0
+    )
+    rows = json.loads(capsys.readouterr().out)
+    weights = {r["lang"]: r["weight_ppm"] for r in rows}
+    assert set(weights) == {"en", "de"}
+    assert 999990 <= sum(weights.values()) <= 1000000
+
+
+def test_cli_pipeline_sample_stratified_rates(strata_docs_path, capsys):
+    assert (
+        main(
+            ["pipeline", "sample", strata_docs_path,
+             "--op", "stratified", "--rate", "en=10000",
+             "--default-rate", "0", "--strata", "lang", "--json"]
+        )
+        == 0
+    )
+    rows = json.loads(capsys.readouterr().out)
+    assert {r["doc_id"] for r in rows} == {1, 3}  # de dropped at rate 0
+
+
+def test_cli_pipeline_scrub(strata_docs_path, capsys):
+    assert main(["pipeline", "scrub", strata_docs_path, "--json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    byid = {r["doc_id"]: r for r in rows}
+    assert byid[1]["n_email"] == 1 and "<EMAIL>" in byid[1]["text_clean"]
+    assert byid[2]["n_email"] == 0
+
+
+def test_cli_events_sessions(events_path, capsys):
+    assert (
+        main(
+            ["events", "analyze", events_path,
+             "--op", "sessions", "--gap-minutes", "30", "--json"]
+        )
+        == 0
+    )
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 2  # the 12:00 view starts a second session
+
+
+def test_cli_events_funnel(events_path, capsys):
+    assert (
+        main(
+            ["events", "analyze", events_path,
+             "--op", "funnel", "--steps", "view,click", "--json"]
+        )
+        == 0
+    )
+    rows = json.loads(capsys.readouterr().out)
+    assert rows[0]["stage_reached"] == 2
