@@ -40,6 +40,7 @@ from binance_futures_availability_spark.operators import (
     textops,
     timelines,
     volume,
+    warehouse,
 )
 from binance_futures_availability_spark.operators.availability import (
     availability_fact,
@@ -63,6 +64,7 @@ LISTING_DATE = "1995-01-05"  # has new listings at every SF
 SYMBOL = "S0007"  # suppkey 7 exists at every scale factor
 PCTL_SYMBOL = "S0020"  # in the SNAP_DATE volume cohort at sf0.01
 GEN_TS = "2026-01-01 00:00:00"
+YEAR_START_1996, YEAR_END_1996 = "1996-01-01", "1996-12-31"
 
 # --- extension-suite parameters (non-degenerate at the sf0.01 gate:
 # 25 jaccard pairs ≥ 0.8, 56 simhash pairs ≤ hamming 5, cosine max ≈ 0.51) ---
@@ -381,6 +383,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "backfill_enrich": _backfill_enrich,
         "symbol_classification": _symbol_classification,
+        # --- warehouse multi-join showcase over the TPC-H tables ---
+        "revenue_by_nation": lambda s, d: warehouse.revenue_by_nation(
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "nation"),
+            load_table(s, d, "region"),
+            YEAR_START_1996, YEAR_END_1996,
+        ),
         # --- event-stream analytics over the events table ---
         "event_window_counts": lambda s, d: events.window_counts(
             load_table(s, d, "events")
@@ -858,6 +869,9 @@ ORDER BY symbol, event_date"""),
                                '%y%m%d') IS NOT NULL
                         THEN 'delivery' ELSE 'perpetual' END AS symbol_type
             FROM u ORDER BY symbol""".replace("{P}", CONTRACT_SUFFIX_RE)
+        ),
+        "revenue_by_nation": oracles.sql_revenue_by_nation(
+            YEAR_START_1996, YEAR_END_1996
         ),
         "event_window_counts": oracles.sql_event_window_counts(),
         "event_sliding_counts": oracles.sql_event_sliding_counts(),

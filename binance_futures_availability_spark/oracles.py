@@ -1048,3 +1048,22 @@ SELECT f.cohort_week,
        CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
 FROM events e JOIN cohorts f USING (user_id)
 GROUP BY 1, 2"""
+
+
+def sql_revenue_by_nation(date_from: str, date_to: str) -> str:
+    """TPC-H Q5-family revenue rollup — mirrors warehouse.revenue_by_nation
+    (same per-row double product, same DECIMAL(18,2) reduction)."""
+    return f"""SELECT r.r_name AS region_name,
+       n.n_name AS nation_name,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate BETWEEN DATE '{date_from}' AND DATE '{date_to}'
+GROUP BY 1, 2"""

@@ -133,3 +133,76 @@ def test_incomplete_dates(populated_da):
     # every fixture date has 2 available < 3
     assert [r["date"] for r in rows] == [D1, D2, D3]
     assert all(r["symbol_count"] == 2 for r in rows)
+
+
+def test_revenue_by_nation_literal_world(spark):
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    D = dt.date
+    customer = spark.createDataFrame(
+        [(1, "alice", 10, 0.0, "A"), (2, "bob", 20, 0.0, "B")],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 1, "O", 0.0, D(1996, 3, 1), "1"),
+            (200, 2, "O", 0.0, D(1996, 4, 1), "1"),
+            (300, 1, "O", 0.0, D(1997, 1, 1), "1"),  # outside window
+        ],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (100, 1, 1, 1, 1.0, 100.00, 0.10, 0.0, "N", "O", D(1996, 3, 2)),
+            (100, 2, 2, 2, 1.0, 50.00, 0.00, 0.0, "N", "O", D(1996, 3, 2)),
+            (200, 3, 3, 1, 1.0, 20.00, 0.50, 0.0, "N", "O", D(1996, 4, 2)),
+            (300, 4, 4, 1, 1.0, 999.00, 0.00, 0.0, "N", "O", D(1997, 1, 2)),
+        ],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+         "l_linestatus", "l_shipdate"],
+    )
+    nation = spark.createDataFrame(
+        [(10, "FRANCE", 1), (20, "CANADA", 2)],
+        ["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = spark.createDataFrame(
+        [(1, "EUROPE"), (2, "AMERICA")], ["r_regionkey", "r_name"]
+    )
+    got = {
+        (r["region_name"], r["nation_name"]): r
+        for r in warehouse.revenue_by_nation(
+            customer, orders, lineitem, nation, region,
+            "1996-01-01", "1996-12-31",
+        ).collect()
+    }
+    # alice: 100·0.9 + 50·1.0 = 140.00 exactly; 1997 order excluded
+    assert got[("EUROPE", "FRANCE")]["revenue"] == 140.0
+    assert got[("EUROPE", "FRANCE")]["n_lineitems"] == 2
+    assert got[("AMERICA", "CANADA")]["revenue"] == 10.0
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    import datetime as dt
+
+    from binance_futures_availability_spark.catalog import load_table
+    from binance_futures_availability_spark.operators import warehouse
+
+    df = warehouse.revenue_by_nation(
+        load_table(spark, "/root/testdata/sf0.001", "customer"),
+        load_table(spark, "/root/testdata/sf0.001", "orders"),
+        load_table(spark, "/root/testdata/sf0.001", "lineitem"),
+        load_table(spark, "/root/testdata/sf0.001", "nation"),
+        load_table(spark, "/root/testdata/sf0.001", "region"),
+        "1996-01-01", "1996-12-31",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the nation⋈region dim chain must arrive via broadcast — no fact row
+    # ever shuffles for a dimension lookup
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the order-date window reaches the orders scan as a pushed filter
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:400] or \
+           "o_orderdate" in plan
