@@ -392,6 +392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "region"),
             YEAR_START_1996, YEAR_END_1996,
         ),
+        "pricing_summary": lambda s, d: warehouse.pricing_summary(
+            load_table(s, d, "lineitem"), "1998-09-02"
+        ),
         # --- event-stream analytics over the events table ---
         "event_window_counts": lambda s, d: events.window_counts(
             load_table(s, d, "events")
@@ -873,6 +876,7 @@ ORDER BY symbol, event_date"""),
         "revenue_by_nation": oracles.sql_revenue_by_nation(
             YEAR_START_1996, YEAR_END_1996
         ),
+        "pricing_summary": oracles.sql_pricing_summary("1998-09-02"),
         "event_window_counts": oracles.sql_event_window_counts(),
         "event_sliding_counts": oracles.sql_event_sliding_counts(),
         "event_sessions": oracles.sql_event_sessions(),

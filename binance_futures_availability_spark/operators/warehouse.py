@@ -71,3 +71,46 @@ def revenue_by_nation(
         F.count(F.lit(1)).alias("n_lineitems"),
         F.sum("rev").cast("double").alias("revenue"),
     )
+
+
+def pricing_summary(
+    lineitem: DataFrame,
+    ship_before: str,
+) -> DataFrame:
+    """Pricing summary report (the TPC-H Q1 family): per (returnflag,
+    linestatus) — row counts and exact decimal sums of quantity, base
+    price, discounted price, and discounted+taxed price, plus integer-
+    ratio averages.
+
+    Scan-dominated: one filter pushed to the parquet scan, one
+    partial-agg shuffle on a 6-value key — the shape that saturates I/O
+    at 100 TB with near-zero shuffle volume. All sums are exact decimal
+    reductions (2-decimal-sourced inputs; products exact at scale 4/6);
+    averages divide the exact sums by the exact count — one double
+    division, deterministic.
+    """
+    dec = "decimal(18,2)"
+    qty = F.col("l_quantity").cast(dec)
+    price = F.col("l_extendedprice").cast(dec)
+    disc = F.col("l_discount").cast(dec)
+    tax = F.col("l_tax").cast(dec)
+    one = F.lit(1).cast(dec)
+    disc_price = price * (one - disc)
+    charge = disc_price * (one + tax)
+    agg = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_before))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+        )
+    )
+    return agg

@@ -206,3 +206,35 @@ def test_revenue_by_nation_broadcasts_dims(spark):
     # the order-date window reaches the orders scan as a pushed filter
     assert "o_orderdate" in plan.split("PushedFilters")[1][:400] or \
            "o_orderdate" in plan
+
+
+def test_pricing_summary_exact_decimal_sums(spark):
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    D = dt.date
+    lineitem = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 2.0, 100.00, 0.10, 0.05, "N", "O", D(1996, 1, 1)),
+            (2, 2, 2, 1, 3.0, 50.00, 0.00, 0.00, "N", "O", D(1996, 2, 1)),
+            (3, 3, 3, 1, 1.0, 10.00, 0.50, 0.10, "R", "F", D(1996, 3, 1)),
+            # after the cutoff — excluded
+            (4, 4, 4, 1, 9.0, 999.00, 0.00, 0.00, "N", "O", D(1999, 1, 1)),
+        ],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+         "l_linestatus", "l_shipdate"],
+    )
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in warehouse.pricing_summary(lineitem, "1998-09-02").collect()
+    }
+    no = got[("N", "O")]
+    assert no["count_order"] == 2 and no["sum_qty"] == 5.0
+    assert no["sum_base_price"] == 150.0
+    assert no["sum_disc_price"] == 140.0      # 100·0.9 + 50·1.0
+    assert no["sum_charge"] == 144.5          # 90·1.05 + 50·1.0
+    assert no["avg_qty"] == 2.5 and no["avg_disc"] == 0.05
+    rf = got[("R", "F")]
+    assert rf["sum_disc_price"] == 5.0 and rf["sum_charge"] == 5.5
