@@ -32,17 +32,17 @@ def revenue_by_nation(
     (region_name, nation_name, n_lineitems, revenue) — the TPC-H Q5
     family re-expressed on this schema.
 
-    revenue = Σ (price · (1 − discount)) computed ENTIRELY in decimals:
-    both inputs are 2-decimal-sourced, so casting each to DECIMAL(18,2)
-    recovers the exact value, the product is exact at scale 4, and the
-    reduction is exact decimal addition. Rounding the double PRODUCT
-    would not work — Spark rounds the double's shortest decimal
-    representation (HALF_UP over BigDecimal(toString)) while DuckDB
-    rounds the full binary value, and they disagree in the last cent.
-    The customer→nation→region dimension chain is broadcast; the only
-    fact shuffle is lineitem ⋈ orders on the order key.
+    revenue = Σ (price · (1 − discount)) computed in INTEGER CENTS
+    (scale-4 long products, long reduction — primitive through codegen;
+    see pricing_summary for the measured decimal-boxing cost and the
+    overflow headroom). Rounding the double PRODUCT would not work —
+    Spark rounds the double's shortest decimal representation (HALF_UP
+    over BigDecimal(toString)) while DuckDB rounds the full binary
+    value, and they disagree in the last cent; scaling the 2-decimal
+    INPUTS to integers first is exact on both engines. The customer→
+    nation→region dimension chain is broadcast; the only fact shuffle is
+    lineitem ⋈ orders on the order key.
     """
-    dec = "decimal(18,2)"
     dims = F.broadcast(
         nation.join(
             F.broadcast(region),
@@ -57,11 +57,11 @@ def revenue_by_nation(
         F.col("o_orderdate").between(F.lit(date_from), F.lit(date_to))
     ).select("o_orderkey", "o_custkey")
     cust = customer.select("c_custkey", "c_nationkey")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
     line = lineitem.select(
-        "l_orderkey",
-        F.col("l_extendedprice").cast(dec)
-        * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec)),
-    ).toDF("l_orderkey", "rev")
+        "l_orderkey", (price_c * (F.lit(100) - disc_h)).alias("rev4")
+    )
     joined = (
         line.join(o, line["l_orderkey"] == o["o_orderkey"])
         .join(cust, o["o_custkey"] == cust["c_custkey"])
@@ -69,7 +69,7 @@ def revenue_by_nation(
     )
     return joined.groupBy("region_name", "nation_name").agg(
         F.count(F.lit(1)).alias("n_lineitems"),
-        F.sum("rev").cast("double").alias("revenue"),
+        (F.sum("rev4").cast("double") / 10000.0).alias("revenue"),
     )
 
 
@@ -78,39 +78,47 @@ def pricing_summary(
     ship_before: str,
 ) -> DataFrame:
     """Pricing summary report (the TPC-H Q1 family): per (returnflag,
-    linestatus) — row counts and exact decimal sums of quantity, base
-    price, discounted price, and discounted+taxed price, plus integer-
-    ratio averages.
+    linestatus) — row counts and exact sums of quantity, base price,
+    discounted price, and discounted+taxed price, plus averages.
 
     Scan-dominated: one filter pushed to the parquet scan, one
     partial-agg shuffle on a 6-value key — the shape that saturates I/O
-    at 100 TB with near-zero shuffle volume. All sums are exact decimal
-    reductions (2-decimal-sourced inputs; products exact at scale 4/6);
-    averages divide the exact sums by the exact count — one double
-    division, deterministic.
+    at 100 TB with near-zero shuffle volume.
+
+    Exactness via INTEGER CENTS, not DecimalType: the 2-decimal-sourced
+    inputs scale to hundredths as longs, products are exact at scale
+    4/6 in long arithmetic, and the reductions are long sums — all of
+    which stay PRIMITIVE through whole-stage codegen. Spark's DecimalType
+    boxes a Decimal object per value even at compact precision; the
+    measured cost on this query was 0.88 s vs 0.39 s warm at sf0.1 for
+    the same answers. Headroom: the scale-6 charge sum overflows a long
+    past ~9·10¹² currency units per aggregation group — far beyond any
+    per-group total here; a corpus that exceeds it shards the group key
+    or falls back to decimal reduction. Final division by the scale
+    factor is one double op on an exactly-representable integer —
+    deterministic, mirrored verbatim in the oracle.
     """
-    dec = "decimal(18,2)"
-    qty = F.col("l_quantity").cast(dec)
-    price = F.col("l_extendedprice").cast(dec)
-    disc = F.col("l_discount").cast(dec)
-    tax = F.col("l_tax").cast(dec)
-    one = F.lit(1).cast(dec)
-    disc_price = price * (one - disc)
-    charge = disc_price * (one + tax)
-    agg = (
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    qty_c = cents("l_quantity")
+    price_c = cents("l_extendedprice")
+    disc_h = cents("l_discount")
+    tax_h = cents("l_tax")
+    disc_price4 = price_c * (F.lit(100) - disc_h)
+    charge6 = disc_price4 * (F.lit(100) + tax_h)
+    n = F.count(F.lit(1))
+    return (
         lineitem.filter(F.col("l_shipdate") <= F.lit(ship_before))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("count_order"),
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(price).cast("double") / F.count(F.lit(1))).alias(
-                "avg_price"
+            n.alias("count_order"),
+            (F.sum(qty_c).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(disc_price4).cast("double") / 10000.0).alias(
+                "sum_disc_price"
             ),
-            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            (F.sum(charge6).cast("double") / 1000000.0).alias("sum_charge"),
+            (F.sum(qty_c).cast("double") / 100.0 / n).alias("avg_qty"),
+            (F.sum(price_c).cast("double") / 100.0 / n).alias("avg_price"),
+            (F.sum(disc_h).cast("double") / 100.0 / n).alias("avg_disc"),
         )
     )
-    return agg

@@ -1052,14 +1052,13 @@ GROUP BY 1, 2"""
 
 def sql_revenue_by_nation(date_from: str, date_to: str) -> str:
     """TPC-H Q5-family revenue rollup — mirrors warehouse.revenue_by_nation
-    (same per-row double product, same DECIMAL(18,2) reduction)."""
+    (same integer-cents scale-4 products, same long reduction)."""
     return f"""SELECT r.r_name AS region_name,
        n.n_name AS nation_name,
        COUNT(*) AS n_lineitems,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2))
-                   - CAST(l.l_discount AS DECIMAL(18,2))))
-            AS DOUBLE) AS revenue
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1070,27 +1069,24 @@ GROUP BY 1, 2"""
 
 
 def sql_pricing_summary(ship_before: str) -> str:
-    """TPC-H Q1-family pricing summary — identical decimal arithmetic to
-    warehouse.pricing_summary (casts first, products at scale 4/6,
-    exact reductions, double division last)."""
+    """TPC-H Q1-family pricing summary — identical integer-cents
+    arithmetic to warehouse.pricing_summary (scale to hundredths as
+    BIGINT, exact long products/sums, one double division per output)."""
+    q = "CAST(round(l_quantity * 100) AS BIGINT)"
+    p = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    d = "CAST(round(l_discount * 100) AS BIGINT)"
+    t = "CAST(round(l_tax * 100) AS BIGINT)"
+    dp4 = f"{p} * (100 - {d})"
+    ch6 = f"{dp4} * (100 + {t})"
     return f"""SELECT l_returnflag, l_linestatus,
        COUNT(*) AS count_order,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-           AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-            AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
-            AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-           AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-           AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-           AS avg_disc
+       CAST(SUM({q}) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM({p}) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM({dp4}) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM({ch6}) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(SUM({q}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+       CAST(SUM({p}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+       CAST(SUM({d}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc
 FROM lineitem
 WHERE l_shipdate <= DATE '{ship_before}'
 GROUP BY l_returnflag, l_linestatus"""
