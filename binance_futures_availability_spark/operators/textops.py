@@ -318,13 +318,9 @@ def contamination_check(
     projection the dedup suite uses (distinct within doc, so n_matched
     counts distinct matching grams).
     """
+    from ..index_cache import cached_index, plan_key
     from .dedup import shingle_array  # local import to avoid cycle
 
-    # grams travel as 60-bit md5 longs, not strings: the broadcast table
-    # and the per-gram join rows carry 8 bytes instead of ~6·n chars, and
-    # the hash-join probes compare longs (same trick as the ngram postings
-    # path; 2⁻⁶⁰ collisions are counted identically by both engines since
-    # the oracle hashes the same way)
     # explode_outer keeps gramless docs (fewer than n tokens) as a null-gram
     # row, so zero-match documents fall out of the SAME aggregation —
     # no second join to restore them (measured: removes the sort-merge
@@ -332,9 +328,20 @@ def contamination_check(
     # BROADCAST probe (never shuffled), and the hash join already hashes
     # the string key natively — pre-hashing with md5 was measured as pure
     # added compute.
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode_outer(shingle_array(F.col(text_col), n)).alias("gram"),
+    #
+    # The exploded (id, gram) postings are a session-cached index artifact
+    # (same discipline as term_frequencies' inverted index): production
+    # decontamination screens ONE training corpus against MANY benchmarks,
+    # and the n-gram projection — the expensive interpreted zip_with chain
+    # — is benchmark-independent, so it is built once per (corpus, n).
+    def _build_grams() -> DataFrame:
+        return docs.select(
+            F.col(id_col),
+            F.explode_outer(shingle_array(F.col(text_col), n)).alias("gram"),
+        )
+
+    doc_grams = cached_index(
+        plan_key(docs, "gram_index", id_col, text_col, str(n)), _build_grams
     )
     bench_grams = benchmark.select(
         F.explode(shingle_array(F.col(text_col), n)).alias("bgram")
