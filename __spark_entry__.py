@@ -395,6 +395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": lambda s, d: warehouse.pricing_summary(
             load_table(s, d, "lineitem"), "1998-09-02"
         ),
+        "promo_revenue": lambda s, d: warehouse.promo_revenue(
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "part"),
+            "1996-06-01", "1996-06-30",
+        ),
         # --- event-stream analytics over the events table ---
         "event_window_counts": lambda s, d: events.window_counts(
             load_table(s, d, "events")
@@ -877,6 +882,9 @@ ORDER BY symbol, event_date"""),
             YEAR_START_1996, YEAR_END_1996
         ),
         "pricing_summary": oracles.sql_pricing_summary("1998-09-02"),
+        "promo_revenue": oracles.sql_promo_revenue(
+            "1996-06-01", "1996-06-30"
+        ),
         "event_window_counts": oracles.sql_event_window_counts(),
         "event_sliding_counts": oracles.sql_event_sliding_counts(),
         "event_sessions": oracles.sql_event_sessions(),

@@ -7,10 +7,11 @@ shuffle (both sides fact-sized, co-partitioned on the order key by the
 join itself); customer joins on the shuffled key's projection; nation
 and region are DIMENSIONS — broadcast explicitly so no fact row ever
 shuffles for them. Filters (the order-date window) sit directly on the
-orders scan so Parquet pushdown prunes before the join. Money sums go
-through DECIMAL(18,2) (per-row double product rounds identically on
-both engines; the reduction is exact decimal addition) — the same
-float discipline as the availability volume operators.
+orders scan so Parquet pushdown prunes before the join. Money sums run
+in INTEGER CENTS (2-decimal inputs scaled to long hundredths; products
+exact at scale 4/6; long reductions) — primitive through whole-stage
+codegen where DecimalType would box per value, and engine-exact where
+rounding a computed double product is not (see revenue_by_nation).
 """
 
 from __future__ import annotations
@@ -121,4 +122,44 @@ def pricing_summary(
             (F.sum(price_c).cast("double") / 100.0 / n).alias("avg_price"),
             (F.sum(disc_h).cast("double") / 100.0 / n).alias("avg_disc"),
         )
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str,
+    date_to: str,
+) -> DataFrame:
+    """Promotion-revenue share (the TPC-H Q14 family): one row —
+    (n_lineitems, promo_rev, total_rev, promo_pct) for shipments in the
+    window, where promo_pct = 100 · promo / total.
+
+    Shape: ship-date filter pushed to the lineitem scan; ``part`` is a
+    true dimension (orders of magnitude smaller than lineitem) joined by
+    BROADCAST — no fact shuffle at all; the conditional aggregate
+    collapses map-side to a single row. Money in integer cents (scale-4
+    exact longs); the final share is one double division of two exactly-
+    representable sums.
+    """
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    rev4 = price_c * (F.lit(100) - disc_h)
+    line = lineitem.filter(
+        F.col("l_shipdate").between(F.lit(date_from), F.lit(date_to))
+    ).select("l_partkey", rev4.alias("rev4"))
+    joined = line.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        line["l_partkey"] == F.col("p_partkey"),
+    )
+    promo = F.when(F.col("p_type") == "PROMO", F.col("rev4")).otherwise(F.lit(0))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        (F.sum(promo).cast("double") / 10000.0).alias("promo_rev"),
+        (F.sum("rev4").cast("double") / 10000.0).alias("total_rev"),
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum("rev4").cast("double")
+        ).alias("promo_pct"),
     )

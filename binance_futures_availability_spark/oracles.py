@@ -1090,3 +1090,20 @@ def sql_pricing_summary(ship_before: str) -> str:
 FROM lineitem
 WHERE l_shipdate <= DATE '{ship_before}'
 GROUP BY l_returnflag, l_linestatus"""
+
+
+def sql_promo_revenue(date_from: str, date_to: str) -> str:
+    """TPC-H Q14-family promotion share — mirrors warehouse.promo_revenue
+    (integer-cents products, one double division of exact sums)."""
+    rev = (
+        "CAST(round(l.l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l.l_discount * 100) AS BIGINT))"
+    )
+    promo = f"CASE WHEN p.p_type = 'PROMO' THEN {rev} ELSE 0 END"
+    return f"""SELECT COUNT(*) AS n_lineitems,
+       CAST(SUM({promo}) AS DOUBLE) / 10000.0 AS promo_rev,
+       CAST(SUM({rev}) AS DOUBLE) / 10000.0 AS total_rev,
+       100.0 * CAST(SUM({promo}) AS DOUBLE) / CAST(SUM({rev}) AS DOUBLE)
+           AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate BETWEEN DATE '{date_from}' AND DATE '{date_to}'"""

@@ -238,3 +238,37 @@ def test_pricing_summary_exact_decimal_sums(spark):
     assert no["avg_qty"] == 2.5 and no["avg_disc"] == 0.05
     rf = got[("R", "F")]
     assert rf["sum_disc_price"] == 5.0 and rf["sum_charge"] == 5.5
+
+
+def test_promo_revenue_share(spark):
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    D = dt.date
+    lineitem = spark.createDataFrame(
+        [
+            (1, 10, 1, 1, 1.0, 100.00, 0.00, 0.0, "N", "O", D(1996, 6, 5)),
+            (2, 20, 2, 1, 1.0, 300.00, 0.00, 0.0, "N", "O", D(1996, 6, 6)),
+            # outside the window
+            (3, 10, 3, 1, 1.0, 999.00, 0.00, 0.0, "N", "O", D(1996, 7, 1)),
+        ],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+         "l_linestatus", "l_shipdate"],
+    )
+    part = spark.createDataFrame(
+        [(10, "widget", "B1", "PROMO", 1, 1.0), (20, "gadget", "B2", "STANDARD", 1, 1.0)],
+        ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    )
+    got = warehouse.promo_revenue(
+        lineitem, part, "1996-06-01", "1996-06-30"
+    ).collect()[0]
+    assert got["n_lineitems"] == 2
+    assert got["promo_rev"] == 100.0 and got["total_rev"] == 400.0
+    assert got["promo_pct"] == 25.0
+    # the part dimension arrives via broadcast — no fact shuffle at all
+    plan = warehouse.promo_revenue(
+        lineitem, part, "1996-06-01", "1996-06-30"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
