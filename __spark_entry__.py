@@ -400,6 +400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "part"),
             "1996-06-01", "1996-06-30",
         ),
+        "availability_by_nation": lambda s, d: warehouse.availability_by_nation(
+            _da(s, d),
+            load_table(s, d, "supplier"),
+            load_table(s, d, "nation"),
+        ),
         # --- event-stream analytics over the events table ---
         "event_window_counts": lambda s, d: events.window_counts(
             load_table(s, d, "events")
@@ -885,6 +890,7 @@ ORDER BY symbol, event_date"""),
         "promo_revenue": oracles.sql_promo_revenue(
             "1996-06-01", "1996-06-30"
         ),
+        "availability_by_nation": with_da(oracles.sql_availability_by_nation()),
         "event_window_counts": oracles.sql_event_window_counts(),
         "event_sliding_counts": oracles.sql_event_sliding_counts(),
         "event_sessions": oracles.sql_event_sessions(),

@@ -163,3 +163,43 @@ def promo_revenue(
             / F.sum("rev4").cast("double")
         ).alias("promo_pct"),
     )
+
+
+def availability_by_nation(
+    da: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Cross-domain dimension enrichment: availability coverage per
+    supplier nation — (nation_name, n_symbols, n_records,
+    available_records, availability_pct).
+
+    The availability fact's ``symbol`` IS the supplier key in costume
+    ('S' || lpad(suppkey, 4, '0') — availability.py:55), so supplier +
+    nation form the symbol's dimension hierarchy, exactly like an
+    exchangeInfo metadata join. Both dims broadcast (symbol-count-sized);
+    the fact scans once into a partial agg — no fact shuffle beyond the
+    nation-key aggregate. The pct is one double division of exact counts.
+    """
+    sym_dim = F.broadcast(
+        supplier.join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        ).select(
+            F.concat(
+                F.lit("S"), F.lpad(F.col("s_suppkey").cast("string"), 4, "0")
+            ).alias("symbol"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+    joined = da.select("symbol", "available").join(sym_dim, "symbol")
+    return joined.groupBy("nation_name").agg(
+        F.countDistinct("symbol").alias("n_symbols"),
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.col("available").cast("long")).alias("available_records"),
+        (
+            F.lit(100.0)
+            * F.sum(F.col("available").cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("availability_pct"),
+    )

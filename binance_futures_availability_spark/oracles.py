@@ -1107,3 +1107,20 @@ def sql_promo_revenue(date_from: str, date_to: str) -> str:
            AS promo_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate BETWEEN DATE '{date_from}' AND DATE '{date_to}'"""
+
+
+def sql_availability_by_nation() -> str:
+    """Availability coverage per supplier nation — mirrors
+    warehouse.availability_by_nation over the derived fact (with_da
+    splices the fact CTE in __spark_entry__)."""
+    return """SELECT n.n_name AS nation_name,
+       COUNT(DISTINCT da.symbol) AS n_symbols,
+       COUNT(*) AS n_records,
+       CAST(SUM(CASE WHEN da.available THEN 1 ELSE 0 END) AS BIGINT)
+           AS available_records,
+       100.0 * CAST(SUM(CASE WHEN da.available THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS availability_pct
+FROM da
+JOIN supplier s ON da.symbol = 'S' || lpad(CAST(s.s_suppkey AS VARCHAR), 4, '0')
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1"""

@@ -272,3 +272,37 @@ def test_promo_revenue_share(spark):
         lineitem, part, "1996-06-01", "1996-06-30"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_availability_by_nation_enrichment(spark):
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+    from binance_futures_availability_spark.schema import DAILY_AVAILABILITY
+    from conftest import _row
+
+    D = dt.date
+    da = spark.createDataFrame(
+        [
+            _row(D(2024, 1, 1), "S0001", True, 10.0),
+            _row(D(2024, 1, 2), "S0001", False, None),
+            _row(D(2024, 1, 1), "S0002", True, 20.0),
+        ],
+        DAILY_AVAILABILITY,
+    )
+    supplier = spark.createDataFrame(
+        [(1, "Supplier#1", 10, 0.0), (2, "Supplier#2", 20, 0.0)],
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    nation = spark.createDataFrame(
+        [(10, "FRANCE", 1), (20, "CANADA", 2)],
+        ["n_nationkey", "n_name", "n_regionkey"],
+    )
+    got = {
+        r["nation_name"]: r
+        for r in warehouse.availability_by_nation(da, supplier, nation).collect()
+    }
+    fr = got["FRANCE"]
+    assert fr["n_symbols"] == 1 and fr["n_records"] == 2
+    assert fr["available_records"] == 1 and fr["availability_pct"] == 50.0
+    assert got["CANADA"]["availability_pct"] == 100.0
