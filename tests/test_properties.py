@@ -369,3 +369,97 @@ def test_pack_sequences_invariants(spark, rows, budget):
             packs[r["pack_id"]].append(r["n_tokens"])
         for toks in packs.values():
             assert sum(toks) <= budget + max(toks)
+
+
+# --- round-5 families: invariants over random tiny corpora/streams ---
+
+_doc_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 50),
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "the", "x1"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        st.sampled_from(["en", "de", "fr"]),
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(_doc_strategy, st.integers(1, 9999))
+@SETTINGS
+def test_stratified_sample_nested_and_partitioned(spark, rows, rate):
+    """Invariants: (a) a sample at rate r is a SUBSET of the sample at any
+    higher rate (nesting); (b) rate 10000 keeps everything, rate 0 keeps
+    nothing — on arbitrary corpora including empty ones."""
+    from binance_futures_availability_spark.operators import sampling
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        if rows else spark.createDataFrame([], "doc_id long, text string, lang string")
+    low = {r["doc_id"] for r in sampling.stratified_sample(docs, {}, rate).collect()}
+    hi_rate = min(10000, rate + 1731)
+    high = {r["doc_id"] for r in sampling.stratified_sample(docs, {}, hi_rate).collect()}
+    assert low <= high
+    assert len({r["doc_id"] for r in sampling.stratified_sample(docs, {}, 10000).collect()}) == len(rows)
+    assert sampling.stratified_sample(docs, {}, 0).count() == 0
+
+
+@given(_doc_strategy)
+@SETTINGS
+def test_mixture_weights_sum_bound_and_exact_isqrt(spark, rows):
+    """weight_ppm sums to ≤ 1e6 with shortfall < n_strata (floor division),
+    and scaled_tokens is the exact integer sqrt — on arbitrary corpora."""
+    import math
+
+    from binance_futures_availability_spark.operators import sampling
+
+    if not rows:
+        return
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = sampling.mixture_weights(docs, strata_col="lang").collect()
+    total = sum(r["weight_ppm"] for r in out)
+    assert 1_000_000 - len(out) < total <= 1_000_000
+    for r in out:
+        assert r["scaled_tokens"] == math.isqrt(r["total_tokens"])
+
+
+@given(_doc_strategy, st.integers(1, 5))
+@SETTINGS
+def test_stratum_cap_never_exceeds_k_and_is_prefix_stable(spark, rows, k):
+    """Per-stratum count ≤ k, and the k-cap survivors are a SUBSET of the
+    (k+1)-cap survivors (hash order is stable, so caps nest like samples)."""
+    from binance_futures_availability_spark.operators import sampling
+
+    if not rows:
+        return
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    capped = sampling.stratum_cap(docs, k, strata_col="lang").collect()
+    per = {}
+    for r in capped:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    assert all(v <= k for v in per.values())
+    wider = {
+        r["doc_id"]
+        for r in sampling.stratum_cap(docs, k + 1, strata_col="lang").collect()
+    }
+    assert {r["doc_id"] for r in capped} <= wider
+
+
+@given(_doc_strategy)
+@SETTINGS
+def test_contamination_self_check_flags_everything_with_grams(spark, rows):
+    """A corpus checked against ITSELF marks exactly the docs that have at
+    least one n-gram (every gram trivially matches); gramless docs stay
+    clean. n=2 so two-token docs participate."""
+    from binance_futures_availability_spark.operators import textops as t
+
+    if not rows:
+        return
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in t.contamination_check(docs, docs, n=2).collect()}
+    for doc_id, text, _ in rows:
+        has_gram = len(text.split()) >= 2
+        assert out[doc_id]["contaminated"] == has_gram
