@@ -281,6 +281,17 @@ def _ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer from it with partition pruning — no assignment kernel in the
     query plan. Results are identical to ivf_topk (same seeds/assignment),
     so it shares ivf_topk's oracle."""
+    return similarity.ivf_topk_indexed(
+        spark, _ivf_index_path(spark, sf_dir), ANN_QUERY_ID, ANN_K
+    )
+
+
+#: resolved on-disk IVF index per sf_dir (fingerprint + existence check
+#: once per session, not per query)
+_IVF_INDEX_PATHS: dict = {}
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
 
     path = _IVF_INDEX_PATHS.get(sf_dir)
@@ -293,12 +304,19 @@ def _ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not writer.table_exists(spark, path + "/vectors"):
             similarity.write_ivf_index(emb, path)
         _IVF_INDEX_PATHS[sf_dir] = path
-    return similarity.ivf_topk_indexed(spark, path, ANN_QUERY_ID, ANN_K)
+    return path
 
 
-#: resolved on-disk IVF index per sf_dir (fingerprint + existence check
-#: once per session, not per query)
-_IVF_INDEX_PATHS: dict = {}
+def _knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_join served from the on-disk cell-partitioned index (storage-
+    level partition pruning over the probe-cell union); identical results
+    to knn_join, so it shares its oracle."""
+    return similarity.knn_join_indexed(
+        spark,
+        _ivf_index_path(spark, sf_dir),
+        _emb(spark, sf_dir).filter(F.col("vec_id") % KNN_QUERY_MOD == 0),
+        KNN_K,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -467,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), ANN_QUERY_ID, ANN_K
         ),
         "ivf_topk_indexed": _ivf_indexed_topk,
+        "knn_join_indexed": _knn_join_indexed,
         "knn_join": lambda s, d: similarity.knn_join(
             _emb(s, d).filter(F.col("vec_id") % KNN_QUERY_MOD == 0),
             _emb(s, d),
@@ -927,6 +946,10 @@ ORDER BY symbol, event_date"""),
         # identical semantics served from the on-disk cell-partitioned index
         "ivf_topk_indexed": oracles.sql_ivf_topk(
             ANN_QUERY_ID, ANN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
+        ),
+        # identical semantics served from the on-disk cell-partitioned index
+        "knn_join_indexed": oracles.sql_knn_join(
+            KNN_QUERY_MOD, KNN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
         ),
         "knn_join": oracles.sql_knn_join(
             KNN_QUERY_MOD, KNN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE

@@ -916,6 +916,67 @@ def knn_join(
     ).filter(F.col("knn_rank") <= k)
 
 
+def knn_join_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ANN against a ``write_ivf_index`` artifact — ``knn_join``
+    served from the ON-DISK cell-partitioned index with storage-level
+    pruning: (query_id, vec_id, cosine, knn_rank).
+
+    The cross-dataset shape at cluster scale: a frozen corpus index on
+    object storage, a new dataset's vectors as the query side. Probe
+    cells are chosen per query by the same Arrow-batched GEMM as
+    ``knn_join`` (against the resident centroid table); the DISTINCT
+    union of all probe cells — bounded by ``n_cells``, a one-job
+    bounded collect, the partition-pruning handshake — becomes a
+    ``cell IN (...)`` PartitionFilter on the vectors table, so only the
+    union's partition directories are listed and read. Candidates then
+    narrow per query via the broadcast (query, cell) equi-join exactly
+    like the in-session path; no assignment kernel anywhere. Results are
+    identical to ``knn_join`` over the same corpus (same seeds, same
+    assignment), so it shares its oracle.
+    """
+    root = index_path.rstrip("/")
+    sq, snrm = _read_seeds(spark, root)
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_embedding(F.col(vec_col)).alias("__qq"),
+    ).withColumn("__qnorm", int_dot(F.col("__qq"), F.col("__qq")))
+    probes = qbase.withColumn(
+        "__probe", _probe_kernel(sq, snrm, nprobe)(F.col("__qq"))
+    ).select(
+        "query_id", "__qq", "__qnorm", F.explode("__probe").alias("cell")
+    )
+    probes = tracked_persist(probes)
+    cells = [int(r["cell"]) for r in probes.select("cell").distinct().collect()]
+    vectors = _index_vectors(spark, root).filter(F.col("cell").isin(cells))
+    cands = vectors.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    dot = int_dot(F.col("__q"), F.col("__qq"))
+    scored = cands.select(
+        "query_id",
+        F.col(id_col),
+        cosine_from_quantized(dot, F.col("__norm"), F.col("__qnorm")).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return scored.withColumn(
+        "knn_rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("knn_rank") <= k)
+
+
 def embedding_dedup_survivors(
     emb: DataFrame,
     threshold: float = 0.95,

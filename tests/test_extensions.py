@@ -967,3 +967,26 @@ def test_neardup_survivors_cluster_level(spark):
     assert ids == [0, 3]
     # full doc rows come back, not just ids
     assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_knn_join_indexed_equals_in_session(spark, emb, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("knnidx") / "ivf")
+    similarity.write_ivf_index(emb, idx, n_cells=2)
+    disk = similarity.knn_join_indexed(
+        spark, idx, emb, k=3, nprobe=2
+    ).collect()
+    mem = similarity.knn_join(emb, emb, k=3, n_cells=2, nprobe=2).collect()
+    key = lambda r: (r["query_id"], r["knn_rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["vec_id"], r["knn_rank"]) for r in disk]
+    ) == sorted([(r["query_id"], r["vec_id"], r["knn_rank"]) for r in mem])
+    # the probe-cell union arrives as a PartitionFilter on the vectors scan
+    plan = (
+        similarity.knn_join_indexed(spark, idx, emb, k=3, nprobe=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:120]
+    assert "cell" in seg
