@@ -77,6 +77,10 @@ SETB_START, SETB_END = "1995-01-01", "1995-03-31"
 SAMPLE_RATES = {"en": 2500, "zh": 7500}
 SAMPLE_DEFAULT_RATE = 5000
 CAP_K = 10
+#: mixture budget: ~half the sf0.01 corpus token mass, so the τ=0.5 rates
+#: bite below 10000 for the big strata and cap at 10000 for none/some —
+#: both arms of the LEAST() exercised
+MIX_BUDGET_TOKENS = 10_000
 
 NGRAM_THRESHOLD = 0.8
 LSH_JACCARD_THRESHOLD = 0.5
@@ -517,6 +521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "stratum_cap": lambda s, d: sampling.stratum_cap(_docs(s, d), CAP_K),
         "mixture_weights": lambda s, d: sampling.mixture_weights(_docs(s, d)),
+        "apply_mixture": lambda s, d: sampling.apply_mixture(
+            _docs(s, d), MIX_BUDGET_TOKENS
+        ),
         "length_stats": lambda s, d: sampling.length_stats(_docs(s, d)),
         "pack_sequences": lambda s, d: textops.pack_sequences(_docs(s, d)),
         "quality_scores": lambda s, d: textops.quality_scores(_docs(s, d)),
@@ -972,6 +979,7 @@ ORDER BY symbol, event_date"""),
         ),
         "stratum_cap": oracles.sql_stratum_cap(CAP_K),
         "mixture_weights": oracles.sql_mixture_weights(),
+        "apply_mixture": oracles.sql_apply_mixture(MIX_BUDGET_TOKENS),
         "length_stats": oracles.sql_length_stats(),
         "pack_sequences": oracles.sql_pack_sequences(),
         "quality_scores": oracles.sql_quality_scores(),

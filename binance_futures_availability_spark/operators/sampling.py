@@ -198,3 +198,52 @@ def length_stats(
         F.max("n_tokens").alias("max_tokens"),
         F.sum(mid_contrib).cast("long").alias("median_tokens_x2"),
     )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    temperature_sqrt: bool = True,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Materialize a temperature mixture: (id, stratum) — the sampled
+    corpus whose per-stratum token mass approximates
+    ``budget_tokens · weight_ppm / 10⁶`` under ``mixture_weights``.
+
+    Closes the mixing loop: weights → per-stratum keep rates → the
+    deterministic hash sample. The rate derivation is pure integer
+    arithmetic (no float anywhere):
+
+        target_s = budget · weight_ppm // 10⁶
+        rate_s   = min(10000, target_s · 10000 // total_tokens_s)
+
+    so both engines agree bit-for-bit; strata whose natural mass is
+    below target keep everything (rate caps at 10000). The keep decision
+    is the same (salt, id) bucket as ``stratified_sample`` — nested,
+    growth-stable samples. Scale shape: one partial-agg shuffle builds
+    the stratum-count-sized rate table, which broadcasts back over the
+    corpus scan; the sample itself is a narrow filter.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
+    w = mixture_weights(docs, strata_col, text_col, temperature_sqrt)
+    target = F.expr(f"({budget_tokens} * weight_ppm) div 1000000")
+    rates = w.select(
+        F.col(strata_col),
+        target.alias("__target"),
+        F.col("total_tokens"),
+    ).select(
+        strata_col,
+        F.least(
+            F.lit(RATE_DENOM).cast("long"),
+            F.expr("(__target * 10000) div total_tokens"),
+        ).alias("__rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), strata_col)
+        .filter(_bucket(id_col, salt) < F.col("__rate"))
+        .select(id_col, strata_col)
+    )

@@ -1124,3 +1124,24 @@ FROM da
 JOIN supplier s ON da.symbol = 'S' || lpad(CAST(s.s_suppkey AS VARCHAR), 4, '0')
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY 1"""
+
+
+def sql_apply_mixture(
+    budget_tokens: int, strata_col: str = "lang", salt: str = "mix-v1"
+) -> str:
+    """Mixture materialization — same integer rate derivation and hash
+    bucket as sampling.apply_mixture, over sql_mixture_weights' output."""
+    bucket = MD5_INT.format(x=f"'{salt}:' || CAST(doc_id AS VARCHAR)") + " % 10000"
+    return f"""WITH w AS (
+    SELECT * FROM ({sql_mixture_weights(strata_col)})
+),
+rates AS (
+    SELECT {strata_col},
+           LEAST(10000,
+                 ((({budget_tokens} * weight_ppm) // 1000000) * 10000)
+                 // total_tokens) AS rate
+    FROM w
+)
+SELECT d.doc_id, d.{strata_col}
+FROM documents d JOIN rates USING ({strata_col})
+WHERE {bucket} < rates.rate"""

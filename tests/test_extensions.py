@@ -990,3 +990,35 @@ def test_knn_join_indexed_equals_in_session(spark, emb, tmp_path_factory):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:120]
     assert "cell" in seg
+
+
+def test_apply_mixture_hits_budget_and_caps(spark):
+    from binance_futures_availability_spark.operators import sampling
+
+    # two strata: 'big' has 4000 tokens across 200 docs, 'small' 100 across 10
+    rows = [(i, " ".join(["w"] * 20), "big") for i in range(200)] + [
+        (1000 + i, " ".join(["w"] * 10), "small") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = sampling.apply_mixture(docs, budget_tokens=2000, strata_col="lang")
+    got = out.collect()
+    by = {}
+    for r in got:
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    # τ=0.5 upweights 'small': its target exceeds its natural mass → rate
+    # caps at 10000 → ALL small docs kept
+    assert by.get("small", 0) == 10
+    # 'big' is downsampled: target ≈ 2000·w_big/1e6 < 4000 tokens
+    assert 0 < by["big"] < 200
+    # sampled token mass lands within a loose band of the big-stratum target
+    w = {
+        r["lang"]: r
+        for r in sampling.mixture_weights(docs, strata_col="lang").collect()
+    }
+    target_big = 2000 * w["big"]["weight_ppm"] // 1_000_000
+    assert abs(by["big"] * 20 - target_big) < 800  # hash-sampling variance
+    # determinism + subset-of-corpus
+    again = {r["doc_id"] for r in out.collect()}
+    assert again == {r["doc_id"] for r in got}
+    with pytest.raises(ValueError):
+        sampling.apply_mixture(docs, 0)
