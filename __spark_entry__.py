@@ -77,9 +77,10 @@ SETB_START, SETB_END = "1995-01-01", "1995-03-31"
 SAMPLE_RATES = {"en": 2500, "zh": 7500}
 SAMPLE_DEFAULT_RATE = 5000
 CAP_K = 10
-#: mixture budget: ~half the sf0.01 corpus token mass, so the τ=0.5 rates
-#: bite below 10000 for the big strata and cap at 10000 for none/some —
-#: both arms of the LEAST() exercised
+#: mixture budget: ~⅓ of the sf0.01 corpus token mass — every stratum's
+#: rate lands strictly inside (0, 10000) at the gate SF (2594-4694), so
+#: the division arm is gate-exercised; the keep-all cap arm is covered by
+#: pytest (test_apply_mixture_hits_budget_and_caps)
 MIX_BUDGET_TOKENS = 10_000
 
 NGRAM_THRESHOLD = 0.8
