@@ -953,7 +953,12 @@ def knn_join_indexed(
     ).select(
         "query_id", "__qq", "__qnorm", F.explode("__probe").alias("cell")
     )
-    probes = tracked_persist(probes)
+    # the bounded cell-union collect re-runs the probe kernel (it runs
+    # again inside the join) — deliberately NOT persisted: a persist here
+    # would be per-CALL, not per-corpus-artifact, and tracked handles
+    # accumulate until clear_indexes(); the kernel is one Arrow-batched
+    # GEMM over the (small) query side, cheaper than a pinned block per
+    # query batch
     cells = [int(r["cell"]) for r in probes.select("cell").distinct().collect()]
     vectors = _index_vectors(spark, root).filter(F.col("cell").isin(cells))
     cands = vectors.join(F.broadcast(probes), "cell").filter(
