@@ -101,6 +101,7 @@ def sessionize(
     gap_minutes: int = 30,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Inactivity-gap sessionization: (user_id, session_id, n_events,
     session_start, session_end) — a new session starts when a user's gap
@@ -115,7 +116,7 @@ def sessionize(
     ``F.session_window``; this batch form is gate-exact.
     """
     gap = F.lit(gap_minutes * 60)
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     prev_ts = F.lag(ts_col).over(w)
     is_new = F.when(
         prev_ts.isNull()
@@ -141,6 +142,7 @@ def asof_pairs(
     right_type: str = "view",
     ts_col: str = "ts",
     user_col: str = "user_id",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """AS-OF pairing within an event stream: every ``left_type`` event
     joined to the LATEST preceding ``right_type`` event of the same user —
@@ -156,10 +158,10 @@ def asof_pairs(
     """
     tagged = events.filter(
         F.col("event_type").isin(left_type, right_type)
-    ).select("event_id", user_col, ts_col, "event_type")
+    ).select(id_col, user_col, ts_col, "event_type")
     w = (
         Window.partitionBy(user_col)
-        .orderBy(ts_col, "event_id")
+        .orderBy(ts_col, id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carried = F.last(
@@ -169,7 +171,7 @@ def asof_pairs(
         tagged.withColumn("view_ts", carried)
         .filter(F.col("event_type") == left_type)
         .select(
-            "event_id",
+            id_col,
             user_col,
             F.col(ts_col).alias("click_ts"),
             "view_ts",

@@ -463,3 +463,80 @@ def test_contamination_self_check_flags_everything_with_grams(spark, rows):
     for doc_id, text, _ in rows:
         has_gram = len(text.split()) >= 2
         assert out[doc_id]["contaminated"] == has_gram
+
+
+_event_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 99),
+        st.integers(0, 7200),  # seconds offset within two hours
+        st.integers(1, 3),     # user
+        st.sampled_from(["view", "click"]),
+    ),
+    min_size=1,
+    max_size=16,
+    unique_by=lambda r: r[0],
+)
+
+
+def _event_frame(spark, rows):
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    return spark.createDataFrame(
+        [
+            (eid, base + dt.timedelta(seconds=off), u, t, 0.0, "{}")
+            for eid, off, u, t in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+@given(_event_strategy, st.integers(1, 30))
+@SETTINGS
+def test_sessionize_partition_and_gap_invariants(spark, rows, gap):
+    """Sessions partition each user's events exactly (counts add up), and
+    consecutive sessions of one user are separated by MORE than the gap
+    while no session's internal span can skip the gap rule."""
+    from binance_futures_availability_spark.operators import events as ev
+
+    df = _event_frame(spark, rows)
+    out = ev.sessionize(df, gap_minutes=gap).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r)
+    from collections import Counter
+
+    want = Counter(u for _, _, u, _ in rows)
+    for u, sess in per_user.items():
+        assert sum(r["n_events"] for r in sess) == want[u]
+        sess.sort(key=lambda r: r["session_start"])
+        for a, b in zip(sess, sess[1:]):
+            assert (
+                b["session_start"] - a["session_end"]
+            ).total_seconds() > gap * 60
+        for r in sess:
+            assert r["session_start"] <= r["session_end"]
+    assert sum(want.values()) == sum(r["n_events"] for r in out)
+
+
+@given(_event_strategy)
+@SETTINGS
+def test_asof_view_precedes_click_and_is_latest(spark, rows):
+    """Every pairing's view_ts strictly precedes (or ties at same ts with
+    lower id) the click, and no LATER view before the click was skipped."""
+    from binance_futures_availability_spark.operators import events as ev
+
+    df = _event_frame(spark, rows)
+    out = {r["event_id"]: r for r in ev.asof_pairs(df).collect()}
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    events = sorted(
+        [(eid, base + dt.timedelta(seconds=off), u, t) for eid, off, u, t in rows],
+        key=lambda e: (e[1], e[0]),
+    )
+    for eid, ts, u, t in events:
+        if t != "click":
+            continue
+        views = [
+            e for e in events
+            if e[2] == u and e[3] == "view" and (e[1], e[0]) < (ts, eid)
+        ]
+        expect = max(views, key=lambda e: (e[1], e[0]))[1] if views else None
+        assert out[eid]["view_ts"] == expect
