@@ -220,6 +220,10 @@ def cmd_sample(args: argparse.Namespace) -> int:
         df = sampling.stratum_cap(docs, args.k, strata_col=args.strata)
     elif args.op == "mixture":
         df = sampling.mixture_weights(docs, strata_col=args.strata)
+    elif args.op == "apply-mixture":
+        df = sampling.apply_mixture(
+            docs, args.budget_tokens, strata_col=args.strata
+        )
     else:  # length-stats
         df = sampling.length_stats(docs, strata_col=args.strata)
     return _print_rows(df, args, f"{args.op}:")
@@ -366,9 +370,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("docs", help="documents parquet path")
     p.add_argument(
         "--op",
-        choices=["stratified", "cap", "mixture", "length-stats"],
+        choices=["stratified", "cap", "mixture", "apply-mixture", "length-stats"],
         default="mixture",
     )
+    p.add_argument("--budget-tokens", type=int, default=1_000_000)
     p.add_argument(
         "--rate",
         action="append",

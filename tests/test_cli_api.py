@@ -396,3 +396,16 @@ def test_cli_events_funnel(events_path, capsys):
     )
     rows = json.loads(capsys.readouterr().out)
     assert rows[0]["stage_reached"] == 2
+
+
+def test_cli_pipeline_apply_mixture(strata_docs_path, capsys):
+    assert (
+        main(
+            ["pipeline", "sample", strata_docs_path,
+             "--op", "apply-mixture", "--budget-tokens", "8",
+             "--strata", "lang", "--json"]
+        )
+        == 0
+    )
+    rows = json.loads(capsys.readouterr().out)
+    assert all(r["lang"] in {"en", "de"} for r in rows)

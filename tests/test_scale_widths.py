@@ -287,3 +287,14 @@ def test_knn_join_matches_on_alternate_k_nprobe(spark, emb, duck):
             oracles.sql_knn_join(100, k, sim.IVF_N_CELLS, nprobe),
         )
         assert n > 0
+
+
+def test_apply_mixture_matches_on_alternate_budgets(spark, docs, duck):
+    from binance_futures_availability_spark.operators import sampling
+
+    for budget in (10_000, 3_000):
+        _match(
+            sampling.apply_mixture(docs, budget),
+            duck,
+            oracles.sql_apply_mixture(budget),
+        )
