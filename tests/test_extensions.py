@@ -1022,3 +1022,27 @@ def test_apply_mixture_hits_budget_and_caps(spark):
     assert again == {r["doc_id"] for r in got}
     with pytest.raises(ValueError):
         sampling.apply_mixture(docs, 0)
+
+
+def test_index_caches_isolate_across_corpora(spark):
+    """Regression guard for the cache-key bug class: the SAME session
+    querying two different corpora (and a filtered view of one) must never
+    share n_docs / tf / gram artifacts between them."""
+    a = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    na, nb = a.count(), b.count()
+    tf_a = textops.term_frequencies(a).select("n_docs").first()["n_docs"]
+    tf_b = textops.term_frequencies(b).select("n_docs").first()["n_docs"]
+    assert (tf_a, tf_b) == (na, nb)
+    # a filtered frame over the SAME files gets its own count (the exact
+    # r4-advice pitfall: inputFiles() alone cannot key this)
+    half = b.filter("doc_id % 2 = 0")
+    tf_half = textops.term_frequencies(half).select("n_docs").first()["n_docs"]
+    assert tf_half == half.count() != nb
+    # repetition_scores' top-term branch reuses the per-corpus tf index
+    # without crossing corpora either
+    top_a = {
+        r["doc_id"]: r["top_term_count"]
+        for r in textops.repetition_scores(a).collect()
+    }
+    assert len(top_a) == na
