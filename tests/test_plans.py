@@ -433,3 +433,41 @@ def test_contamination_check_broadcasts_benchmark_no_joinback(plan_docs):
     assert "BroadcastHashJoin" in plan
     assert plan.count("Join") == plan.count("BroadcastHashJoin")
     assert "SortMergeJoin" not in plan
+
+
+def test_event_rollup_prunes_columns_and_pushes_nothing_extra(spark, tmp_path_factory):
+    """window_counts must read only (ts, event_type, user_id, value) —
+    props and event_id never reach the scan (ReadSchema pruning)."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import events as ev
+
+    p = str(tmp_path_factory.mktemp("evplan") / "events")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), 1, "view", 1.0, '{"k": 1}')],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(p)
+    plan = _plan(ev.window_counts(spark.read.parquet(p)))
+    schema = plan.split("ReadSchema")[1][:200]
+    assert "props" not in schema and "event_id" not in schema
+    for col in ("ts", "event_type", "user_id", "value"):
+        assert col in schema
+
+
+def test_pricing_summary_pushes_shipdate_and_prunes(spark, tmp_path_factory):
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    p = str(tmp_path_factory.mktemp("liplan") / "lineitem")
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.date(1996, 1, 1))],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+         "l_linestatus", "l_shipdate"],
+    ).write.parquet(p)
+    plan = _plan(warehouse.pricing_summary(spark.read.parquet(p), "1998-09-02"))
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "l_shipdate" in pushed
+    schema = plan.split("ReadSchema")[1][:300]
+    assert "l_orderkey" not in schema and "l_partkey" not in schema
