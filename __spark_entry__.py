@@ -401,6 +401,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_events": lambda s, d: analytics.transition_events(
             availability_fact_by_symbol(s, d)
         ).withColumn("prev_date", F.date_format("prev_date", "yyyy-MM-dd")),
+        # gaps-and-islands: contiguous availability runs per symbol
+        "availability_intervals": lambda s, d: analytics.availability_intervals(
+            _da(s, d)
+        ),
         "missing_volume": lambda s, d: backfill.missing_volume(
             _da(s, d), YEAR_START, YEAR_END
         ),
@@ -875,6 +879,7 @@ SELECT symbol, event, event_date, prev_date FROM (
     FROM lagged
 ) WHERE event IS NOT NULL
 ORDER BY symbol, event_date"""),
+        "availability_intervals": with_da(oracles.sql_availability_intervals()),
         "missing_volume": with_da(f"""
             SELECT date, symbol, url FROM da
             WHERE available AND quote_volume_usdt IS NULL

@@ -159,3 +159,30 @@ def transition_events(da: DataFrame) -> DataFrame:
         "symbol",
         "event_date",
     )
+
+
+def availability_intervals(da: DataFrame) -> DataFrame:
+    """Contiguous availability runs per symbol — the gaps-and-islands
+    pattern: (symbol, start_date, end_date, n_days).
+
+    Each symbol's available dates are islanded by the classic anchor
+    trick: ``date − row_number`` days is CONSTANT within a consecutive
+    run, so one (symbol ORDER BY date) window plus a group-by on the
+    anchor recovers every interval in a single shuffle — the interval
+    form of the timeline (the reference surfaces this as first/last
+    listing dates and gap events; this materializes the full validity
+    intervals an SCD-style dimension needs). Day-integer arithmetic is
+    exact on both engines.
+    """
+    from pyspark.sql import Window
+
+    avail = da.filter(F.col("available")).select("symbol", "date")
+    w = Window.partitionBy("symbol").orderBy("date")
+    anchored = avail.withColumn(
+        "__anchor", F.date_sub(F.col("date"), F.row_number().over(w))
+    )
+    return anchored.groupBy("symbol", "__anchor").agg(
+        F.min("date").alias("start_date"),
+        F.max("date").alias("end_date"),
+        F.count(F.lit(1)).cast("int").alias("n_days"),
+    ).drop("__anchor")

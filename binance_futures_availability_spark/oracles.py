@@ -1145,3 +1145,20 @@ rates AS (
 SELECT d.doc_id, d.{strata_col}
 FROM documents d JOIN rates USING ({strata_col})
 WHERE {bucket} < rates.rate"""
+
+
+def sql_availability_intervals() -> str:
+    """Gaps-and-islands over the derived fact — mirrors
+    analytics.availability_intervals (same date − row_number anchor)."""
+    return """WITH avail AS (
+    SELECT symbol, date FROM da WHERE available
+),
+anchored AS (
+    SELECT symbol, date,
+           date - CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY date)
+                       AS INT) AS anchor
+    FROM avail
+)
+SELECT symbol, MIN(date) AS start_date, MAX(date) AS end_date,
+       CAST(COUNT(*) AS INT) AS n_days
+FROM anchored GROUP BY symbol, anchor"""

@@ -306,3 +306,40 @@ def test_availability_by_nation_enrichment(spark):
     assert fr["n_symbols"] == 1 and fr["n_records"] == 2
     assert fr["available_records"] == 1 and fr["availability_pct"] == 50.0
     assert got["CANADA"]["availability_pct"] == 100.0
+
+
+def test_availability_intervals_islands(spark):
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import analytics
+    from binance_futures_availability_spark.schema import DAILY_AVAILABILITY
+    from conftest import _row
+
+    D = dt.date
+    rows = [
+        # A: available 1-2, gap (unavailable 3), available 4
+        _row(D(2024, 1, 1), "A", True, 1.0),
+        _row(D(2024, 1, 2), "A", True, 1.0),
+        _row(D(2024, 1, 3), "A", False, None),
+        _row(D(2024, 1, 4), "A", True, 1.0),
+        # B: one unbroken run
+        _row(D(2024, 1, 1), "B", True, 1.0),
+        _row(D(2024, 1, 2), "B", True, 1.0),
+        # C: a MISSING row (no record Jan 2) also breaks the island
+        _row(D(2024, 1, 1), "C", True, 1.0),
+        _row(D(2024, 1, 3), "C", True, 1.0),
+    ]
+    da = spark.createDataFrame(rows, DAILY_AVAILABILITY)
+    got = sorted(
+        (
+            (r["symbol"], r["start_date"], r["end_date"], r["n_days"])
+            for r in analytics.availability_intervals(da).collect()
+        )
+    )
+    assert got == [
+        ("A", D(2024, 1, 1), D(2024, 1, 2), 2),
+        ("A", D(2024, 1, 4), D(2024, 1, 4), 1),
+        ("B", D(2024, 1, 1), D(2024, 1, 2), 2),
+        ("C", D(2024, 1, 1), D(2024, 1, 1), 1),
+        ("C", D(2024, 1, 3), D(2024, 1, 3), 1),
+    ]
