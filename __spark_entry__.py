@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tfidf", F.round("tfidf", 9)
         ),
         "corpus_split": lambda s, d: textops.corpus_split(_docs(s, d)),
+        "top_terms": lambda s, d: textops.top_terms(_docs(s, d)),
         "pii_scrub": _pii_scrub,
         "contamination_check": _contamination_check,
         "stratified_sample": lambda s, d: sampling.stratified_sample(
@@ -978,6 +979,7 @@ ORDER BY symbol, event_date"""),
         "term_frequencies": oracles.sql_term_frequencies(),
         "tfidf_weights": oracles.sql_tfidf_weights(),
         "corpus_split": oracles.sql_corpus_split(),
+        "top_terms": oracles.sql_top_terms(),
         "pii_scrub": oracles.sql_pii_scrub(PII_SUFFIX),
         "contamination_check": oracles.sql_contamination_check(),
         "stratified_sample": oracles.sql_stratified_sample(

@@ -517,3 +517,44 @@ def pack_sequences(
         "shard",
         (F.col("shard").cast("long") * 1_000_000 + pack_in_shard).alias("pack_id"),
     )
+
+
+def top_terms(
+    docs: DataFrame,
+    k: int = 10,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum heavy-hitter vocabulary: the ``k`` terms with the
+    highest document frequency in each stratum — (stratum, term, df, rnk),
+    ties → lexicographically first term.
+
+    Vocabulary analytics for corpus QA (stop-word drift, boilerplate
+    tokens, contamination tells). Shape: distinct-within-doc terms stay a
+    narrow array projection (``array_distinct`` before the explode, so df
+    counts documents, not occurrences); one partial-agg shuffle on
+    (stratum, term); the top-k window runs over the aggregated vocabulary
+    partitioned by stratum. At open-vocabulary scale the window input is
+    vocabulary-sized, not corpus-sized — the aggregate did the heavy
+    lifting map-side.
+    """
+    from ..functions import tokens
+
+    terms = docs.select(
+        F.col(strata_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    df_tbl = terms.groupBy(strata_col, "term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        df_tbl.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(strata_col, "term", F.col("df").cast("long"), "rnk")
+    )

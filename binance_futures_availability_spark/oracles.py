@@ -1162,3 +1162,24 @@ anchored AS (
 SELECT symbol, MIN(date) AS start_date, MAX(date) AS end_date,
        CAST(COUNT(*) AS INT) AS n_days
 FROM anchored GROUP BY symbol, anchor"""
+
+
+def sql_top_terms(k: int = 10, strata_col: str = "lang") -> str:
+    """Per-stratum heavy-hitter terms — mirrors textops.top_terms (distinct
+    terms per doc, df desc / term asc ties)."""
+    return rf"""WITH terms AS (
+    SELECT DISTINCT {strata_col}, doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+    FROM documents
+),
+dfs AS (
+    SELECT {strata_col}, term, COUNT(*) AS df FROM terms
+    WHERE term <> '' GROUP BY 1, 2
+),
+ranked AS (
+    SELECT {strata_col}, term, CAST(df AS BIGINT) AS df,
+           CAST(ROW_NUMBER() OVER (PARTITION BY {strata_col}
+                ORDER BY df DESC, term) AS INT) AS rnk
+    FROM dfs
+)
+SELECT {strata_col}, term, df, rnk FROM ranked WHERE rnk <= {k}"""

@@ -1046,3 +1046,25 @@ def test_index_caches_isolate_across_corpora(spark):
         for r in textops.repetition_scores(a).collect()
     }
     assert len(top_a) == na
+
+
+def test_top_terms_df_not_tf_and_ties(spark):
+    docs = spark.createDataFrame(
+        [
+            # 'x' appears many times in ONE doc — df must stay 1
+            (0, "x x x x x y", "en"),
+            (1, "y z", "en"),
+            (2, "y z", "en"),
+            (3, "aa bb", "de"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {
+        (r["lang"], r["rnk"]): r
+        for r in textops.top_terms(docs, k=2, strata_col="lang").collect()
+    }
+    # en: y in 3 docs; z in 2; x only 1 (occurrences don't inflate df)
+    assert got[("en", 1)]["term"] == "y" and got[("en", 1)]["df"] == 3
+    assert got[("en", 2)]["term"] == "z" and got[("en", 2)]["df"] == 2
+    # de: tie df=1 between aa/bb → lexicographic
+    assert got[("de", 1)]["term"] == "aa" and got[("de", 2)]["term"] == "bb"
