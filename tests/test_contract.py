@@ -1,0 +1,54 @@
+"""Driver-contract invariants — cheap checks that catch drift instantly,
+without running the full oracle gate.
+
+The external driver consumes ``__spark_entry__``: ``entry`` must run,
+``queries()`` and ``oracle_sql()`` must stay key-aligned, and every oracle
+must at least PLAN on DuckDB against the registered views (EXPLAIN —
+syntax/binding errors surface here in milliseconds instead of failing a
+full gate run later).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def test_queries_and_oracles_key_aligned():
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    assert q == o, (sorted(q - o), sorted(o - q))
+    assert len(q) >= 83
+
+
+def test_every_query_is_callable():
+    assert all(callable(f) for f in entry.queries().values())
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_every_oracle_plans_on_duckdb(duck):
+    failures = []
+    for name, sql in entry.oracle_sql().items():
+        try:
+            duck.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            failures.append((name, str(e).splitlines()[0]))
+    assert not failures, failures
