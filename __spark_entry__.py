@@ -427,6 +427,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "part"),
             "1996-06-01", "1996-06-30",
         ),
+        "shipping_priority": lambda s, d: warehouse.shipping_priority(
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+            "BUILDING", "1996-06-30",
+        ),
+        "returned_item_customers": lambda s, d: warehouse.returned_item_customers(
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "nation"),
+            "1996-01-01", "1996-03-31",
+        ),
+        "large_volume_customers": lambda s, d: warehouse.large_volume_customers(
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+            200.0,
+        ),
         "availability_by_nation": lambda s, d: warehouse.availability_by_nation(
             _da(s, d),
             load_table(s, d, "supplier"),
@@ -923,6 +942,13 @@ ORDER BY symbol, event_date"""),
         "promo_revenue": oracles.sql_promo_revenue(
             "1996-06-01", "1996-06-30"
         ),
+        "shipping_priority": oracles.sql_shipping_priority(
+            "BUILDING", "1996-06-30"
+        ),
+        "returned_item_customers": oracles.sql_returned_item_customers(
+            "1996-01-01", "1996-03-31"
+        ),
+        "large_volume_customers": oracles.sql_large_volume_customers(200.0),
         "availability_by_nation": with_da(oracles.sql_availability_by_nation()),
         "event_window_counts": oracles.sql_event_window_counts(),
         "event_sliding_counts": oracles.sql_event_sliding_counts(),

@@ -165,6 +165,155 @@ def promo_revenue(
     )
 
 
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str,
+    cutoff: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` unshipped orders by outstanding revenue (the TPC-H Q3
+    family): (o_orderkey, revenue, o_orderdate, o_orderpriority) for
+    customers in ``segment``, orders placed before ``cutoff`` with line
+    items still shipping after it.
+
+    Shape: the segment filter reduces customer to ~1/5 of a dimension
+    table — broadcast into the orders scan so the fact side never
+    shuffles for it; the order-date and ship-date predicates push into
+    their respective parquet scans; the only shuffle is lineitem ⋈
+    orders on the order key, then the group-by reuses that key
+    partitioning (no second exchange) and the top-k collapses to a
+    TakeOrderedAndProject — no global sort materializes. Ties broken by
+    order key so the selected set is deterministic at any scale.
+    Revenue in integer cents (scale-4 exact; see pricing_summary).
+    """
+    cust = F.broadcast(
+        customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    )
+    o = (
+        orders.filter(F.col("o_orderdate") < F.lit(cutoff))
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    line = lineitem.filter(F.col("l_shipdate") > F.lit(cutoff)).select(
+        "l_orderkey", (price_c * (F.lit(100) - disc_h)).alias("rev4")
+    )
+    return (
+        line.join(o, line["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum("rev4").cast("double") / 10000.0).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(k)
+    )
+
+
+def returned_item_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str,
+    date_to: str,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` customers by revenue lost to returns in a quarter (the
+    TPC-H Q10 family): (c_custkey, c_name, revenue, c_acctbal,
+    nation_name) over RETURNFLAG='R' line items of orders placed in
+    [date_from, date_to].
+
+    Shape: both fact filters (return flag, order-date window) push to
+    their scans; lineitem ⋈ orders shuffles on the order key; the
+    customer-key aggregate is the second (much smaller) shuffle; the
+    customer→nation dimension chain broadcasts onto the aggregated
+    result — dimension attributes join AFTER the reduction, so they
+    ride on at most |customers| rows, not |lineitem|. Top-k via
+    TakeOrderedAndProject with the unique customer key as tiebreak.
+    """
+    o = orders.filter(
+        F.col("o_orderdate").between(F.lit(date_from), F.lit(date_to))
+    ).select("o_orderkey", "o_custkey")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    line = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", (price_c * (F.lit(100) - disc_h)).alias("rev4")
+    )
+    per_cust = (
+        line.join(o, line["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg((F.sum("rev4").cast("double") / 10000.0).alias("revenue"))
+    )
+    cust_dim = F.broadcast(
+        customer.join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        ).select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+    return (
+        per_cust.join(cust_dim, per_cust["o_custkey"] == cust_dim["c_custkey"])
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_quantity: float,
+) -> DataFrame:
+    """Orders whose total quantity exceeds ``min_quantity`` with their
+    customers (the TPC-H Q18 family): (c_name, c_custkey, o_orderkey,
+    o_orderdate, o_totalprice, sum_qty).
+
+    Shape: the HAVING predicate runs on the order-key aggregate —
+    |orders|-sized, reduced map-side before its one shuffle — and
+    typically survives <1% of orders, so the subsequent joins ride on a
+    tiny frame: orders joins the aggregate on the same order key (AQE
+    turns it into a broadcast once the filter's selectivity is seen at
+    runtime), customer broadcasts. Quantity summed exactly in integer
+    hundredths; ``o_totalprice`` is a read-through column (no
+    arithmetic), emitted bit-identically by both engines.
+    """
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        lineitem.select("l_orderkey", qty_c.alias("qty_c"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("qty_c").alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > int(round(min_quantity * 100)))
+    )
+    o = orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = F.broadcast(customer.select("c_custkey", "c_name"))
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(cust, o["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            (F.col("sum_qty_c").cast("double") / 100.0).alias("sum_qty"),
+        )
+    )
+
+
 def availability_by_nation(
     da: DataFrame,
     supplier: DataFrame,

@@ -1109,6 +1109,74 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate BETWEEN DATE '{date_from}' AND DATE '{date_to}'"""
 
 
+def sql_shipping_priority(segment: str, cutoff: str, k: int = 10) -> str:
+    """TPC-H Q3-family outstanding-revenue top-k — mirrors
+    warehouse.shipping_priority (integer-cents revenue, order-key
+    tiebreak)."""
+    rev = (
+        "CAST(round(l.l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l.l_discount * 100) AS BIGINT))"
+    )
+    return f"""SELECT o.o_orderkey,
+       CAST(SUM({rev}) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       o.o_orderpriority
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{segment}'
+  AND o.o_orderdate < DATE '{cutoff}'
+  AND l.l_shipdate > DATE '{cutoff}'
+GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT {k}"""
+
+
+def sql_returned_item_customers(
+    date_from: str, date_to: str, k: int = 20
+) -> str:
+    """TPC-H Q10-family returned-revenue top-k — mirrors
+    warehouse.returned_item_customers (integer-cents revenue, customer
+    key tiebreak, dimension attributes joined after the reduction)."""
+    rev = (
+        "CAST(round(l.l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l.l_discount * 100) AS BIGINT))"
+    )
+    return f"""SELECT c.c_custkey, c.c_name,
+       CAST(SUM({rev}) AS DOUBLE) / 10000.0 AS revenue,
+       c.c_acctbal, n.n_name AS nation_name
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate BETWEEN DATE '{date_from}' AND DATE '{date_to}'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT {k}"""
+
+
+def sql_large_volume_customers(min_quantity: float) -> str:
+    """TPC-H Q18-family large-quantity orders — mirrors
+    warehouse.large_volume_customers (integer-hundredths quantity sum,
+    read-through o_totalprice)."""
+    return f"""WITH big AS (
+    SELECT l_orderkey,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT))
+           > {int(round(min_quantity * 100))}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       o.o_totalprice,
+       CAST(big.sum_qty_c AS DOUBLE) / 100.0 AS sum_qty
+FROM big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey"""
+
+
 def sql_availability_by_nation() -> str:
     """Availability coverage per supplier nation — mirrors
     warehouse.availability_by_nation over the derived fact (with_da

@@ -343,3 +343,136 @@ def test_availability_intervals_islands(spark):
         ("C", D(2024, 1, 1), D(2024, 1, 1), 1),
         ("C", D(2024, 1, 3), D(2024, 1, 3), 1),
     ]
+
+
+def test_shipping_priority_literal_world(spark):
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    D = dt.date
+    customer = spark.createDataFrame(
+        [(1, "alice", 10, 0.0, "BUILDING"), (2, "bob", 20, 0.0, "AUTO")],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 1, "O", 0.0, D(1996, 3, 1), "1-URGENT"),
+            (200, 2, "O", 0.0, D(1996, 3, 1), "1-URGENT"),  # wrong segment
+            (300, 1, "O", 0.0, D(1996, 8, 1), "2-HIGH"),    # after cutoff
+            (400, 1, "O", 0.0, D(1996, 2, 1), "3-MEDIUM"),
+        ],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = spark.createDataFrame(
+        [
+            # order 100: one line still unshipped after cutoff, one shipped
+            (100, 1, 1, 1, 1.0, 100.00, 0.10, 0.0, "N", "O", D(1996, 7, 2)),
+            (100, 2, 2, 2, 1.0, 999.00, 0.00, 0.0, "N", "O", D(1996, 5, 2)),
+            (200, 3, 3, 1, 1.0, 20.00, 0.00, 0.0, "N", "O", D(1996, 7, 2)),
+            (400, 4, 4, 1, 1.0, 30.00, 0.50, 0.0, "N", "O", D(1996, 7, 2)),
+        ],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+         "l_linestatus", "l_shipdate"],
+    )
+    rows = warehouse.shipping_priority(
+        customer, orders, lineitem, "BUILDING", "1996-06-30", k=10
+    ).collect()
+    # order 200 excluded (segment), order 300 excluded (placed after
+    # cutoff), order 100's shipped line excluded — 100·0.9 = 90.00 beats
+    # order 400's 30·0.5 = 15.00
+    assert [(r["o_orderkey"], r["revenue"]) for r in rows] == [
+        (100, 90.0), (400, 15.0)
+    ]
+    assert rows[0]["o_orderpriority"] == "1-URGENT"
+    assert rows[0]["o_orderdate"] == dt.date(1996, 3, 1)
+
+
+def test_returned_item_customers_topk_and_dims(spark):
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    D = dt.date
+    customer = spark.createDataFrame(
+        [(1, "alice", 10, 5.5, "B"), (2, "bob", 20, 1.25, "B"),
+         (3, "carol", 10, 0.0, "B")],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    nation = spark.createDataFrame(
+        [(10, "FRANCE", 1), (20, "CANADA", 2)],
+        ["n_nationkey", "n_name", "n_regionkey"],
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 1, "F", 0.0, D(1996, 2, 1), "1"),
+            (200, 2, "F", 0.0, D(1996, 2, 1), "1"),
+            (300, 3, "F", 0.0, D(1996, 6, 1), "1"),  # outside quarter
+        ],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (100, 1, 1, 1, 1.0, 100.00, 0.10, 0.0, "R", "F", D(1996, 3, 2)),
+            (100, 2, 2, 2, 1.0, 40.00, 0.00, 0.0, "N", "F", D(1996, 3, 2)),
+            (200, 3, 3, 1, 1.0, 60.00, 0.00, 0.0, "R", "F", D(1996, 3, 2)),
+            (300, 4, 4, 1, 1.0, 999.00, 0.00, 0.0, "R", "F", D(1996, 7, 2)),
+        ],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+         "l_linestatus", "l_shipdate"],
+    )
+    rows = warehouse.returned_item_customers(
+        customer, orders, lineitem, nation, "1996-01-01", "1996-03-31", k=2
+    ).collect()
+    # alice: only the R line counts (100·0.9 = 90); bob 60; carol's order
+    # is outside the quarter
+    assert [(r["c_custkey"], r["revenue"], r["nation_name"]) for r in rows] \
+        == [(1, 90.0, "FRANCE"), (2, 60.0, "CANADA")]
+    assert rows[0]["c_acctbal"] == 5.5
+
+
+def test_large_volume_customers_having(spark):
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    D = dt.date
+    customer = spark.createDataFrame(
+        [(1, "alice", 10, 0.0, "B"), (2, "bob", 20, 0.0, "B")],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 1, "F", 1234.56, D(1996, 2, 1), "1"),
+            (200, 2, "F", 99.99, D(1996, 3, 1), "1"),
+        ],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (100, 1, 1, 1, 150.0, 1.0, 0.0, 0.0, "N", "F", D(1996, 2, 2)),
+            (100, 2, 2, 2, 150.5, 1.0, 0.0, 0.0, "N", "F", D(1996, 2, 2)),
+            (200, 3, 3, 1, 300.0, 1.0, 0.0, 0.0, "N", "F", D(1996, 3, 2)),
+        ],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+         "l_linestatus", "l_shipdate"],
+    )
+    rows = {
+        r["o_orderkey"]: r
+        for r in warehouse.large_volume_customers(
+            customer, orders, lineitem, 300.0
+        ).collect()
+    }
+    # order 100 sums 300.5 > 300 (the half-unit survives integer
+    # hundredths); order 200 sums exactly 300 — strict > excludes it
+    assert set(rows) == {100}
+    r = rows[100]
+    assert r["sum_qty"] == 300.5 and r["c_name"] == "alice"
+    assert r["o_totalprice"] == 1234.56
+    assert r["o_orderdate"] == dt.date(1996, 2, 1)
