@@ -529,6 +529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": lambda s, d: similarity.embedding_dedup_survivors(
             _emb(s, d), COSINE_THRESHOLD
         ),
+        "semantic_dedup": lambda s, d: similarity.semantic_dedup_survivors(
+            _emb(s, d), COSINE_THRESHOLD
+        ),
         "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         "token_counts": lambda s, d: textops.token_counts(_docs(s, d)),
         "term_frequencies": lambda s, d: textops.term_frequencies(_docs(s, d)),
@@ -1000,6 +1003,9 @@ ORDER BY symbol, event_date"""),
             COSINE_THRESHOLD
         ),
         "embedding_dedup": oracles.sql_embedding_dedup_survivors(COSINE_THRESHOLD),
+        "semantic_dedup": oracles.sql_semantic_dedup_survivors(
+            COSINE_THRESHOLD, similarity.IVF_N_CELLS
+        ),
         "label_centroids": oracles.sql_label_centroids(),
         "token_counts": oracles.sql_token_counts(),
         "term_frequencies": oracles.sql_term_frequencies(),

@@ -1029,6 +1029,65 @@ def embedding_dedup_survivors(
     return emb.join(dups, id_col, "left_anti").select(id_col)
 
 
+def semantic_dedup_survivors(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_N_CELLS,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster the corpus coarsely (the IVF
+    cell assignment), run exact pairwise cosine ONLY within each cluster,
+    and drop every vector that matches a lower id at ≥ ``threshold``.
+
+    This is the published SemDeDup recipe (k-means + within-cluster
+    pairwise pruning) re-expressed on the engine's IVF artifact: the
+    coarse quantizer is shared with ``ivf_topk``/``write_ivf_index``, so
+    the cluster assignment is computed once per (table, n_cells) and the
+    dedup pass adds no new corpus-wide kernel. Within-cluster pairs run
+    as ONE dense GEMM per cell in an Arrow-batched applyInPandas —
+    float64 GEMM over quantized integers is exact (every partial sum an
+    integer < 2^53; see _block_cosine_fn), and the denominator multiplies
+    per-side sqrts in the oracle's exact order.
+
+    Scale shape: ``n_cells`` bounds the quadratic — per-cell population
+    ≈ n / n_cells, and cells are independent tasks, so sizing n_cells ≈
+    n / target_cluster_size keeps each GEMM one task's worth of work
+    (SemDeDup itself runs ~100k clusters at web scale). The kernel emits
+    only duplicate IDS (not pairs), so the shuffle back is bounded by the
+    dup count; survivors come from one broadcast-able left_anti join.
+    Unlike ``embedding_dedup_survivors`` (hyperplane-LSH candidates,
+    recall < 1 across buckets), the cluster scope makes dedup decisions
+    local by construction — the trade SemDeDup documents.
+    """
+    assigned = _ivf_assigned(emb, id_col, vec_col, n_cells)
+
+    def dup_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vid": pd.Series([], dtype="int64")})
+        ids = pdf["__id"].to_numpy()
+        q = np.asarray(pdf["__q"].tolist(), dtype=np.float64)
+        rt = np.sqrt(pdf["__norm"].to_numpy(dtype=np.float64))
+        cos = (q @ q.T) / (rt[:, None] * rt[None, :])
+        i, j = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+        if len(j) == 0:
+            return pd.DataFrame({"vid": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"vid": np.unique(ids[j])})
+
+    dups = (
+        assigned.select(F.col(id_col).alias("__id"), "__q", "__norm", "cell")
+        .groupBy("cell")
+        .applyInPandas(dup_ids, "vid long")
+        .select(F.col("vid").alias(id_col))
+        .distinct()
+    )
+    # survivors are corpus-sized — no output sort (see
+    # embedding_dedup_survivors); the dup side is bounded and broadcasts
+    return emb.join(dups, id_col, "left_anti").select(id_col)
+
+
 def label_centroids(
     emb: DataFrame,
     id_col: str = "vec_id",

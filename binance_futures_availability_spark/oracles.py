@@ -405,6 +405,26 @@ WHERE vec_id NOT IN (SELECT vid FROM dup_ids)
 ORDER BY vec_id"""
 
 
+def sql_semantic_dedup_survivors(threshold: float, n_cells: int) -> str:
+    """SemDeDup survivors — mirrors similarity.semantic_dedup_survivors:
+    same IVF cell assignment CTEs, within-cell pairwise exact cosine
+    (integer dots, per-side sqrt product), lowest-id-wins survivorship."""
+    return f"""WITH {EMB_BASE_CTE},
+{_ivf_ctes(n_cells)},
+dup_ids AS (
+    SELECT DISTINCT nb.vec_id AS vid
+    FROM normed na
+    JOIN assign aa ON na.vec_id = aa.vec_id
+    JOIN assign ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+    JOIN normed nb ON nb.vec_id = ab.vec_id
+    WHERE list_dot_product(na.q, nb.q) / (sqrt(na.nrm) * sqrt(nb.nrm))
+          >= {threshold}
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vid FROM dup_ids)
+ORDER BY vec_id"""
+
+
 def sql_label_centroids() -> str:
     return f"""WITH flat AS (
     SELECT label,

@@ -1068,3 +1068,39 @@ def test_top_terms_df_not_tf_and_ties(spark):
     assert got[("en", 2)]["term"] == "z" and got[("en", 2)]["df"] == 2
     # de: tie df=1 between aa/bb → lexicographic
     assert got[("de", 1)]["term"] == "aa" and got[("de", 2)]["term"] == "bb"
+
+
+def test_semantic_dedup_within_cluster_scope(spark):
+    import math
+
+    # seeds (two lowest ids) are the axes; 40-degree and 50-degree vectors
+    # assign to different cells, a 41-degree vector joins the 40-degree one
+    def at(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    emb2 = spark.createDataFrame(
+        [(0, at(0), "x"), (1, at(90), "x"), (2, at(40), "x"),
+         (3, at(50), "x"), (4, at(41), "x")],
+        ["vec_id", "embedding", "label"],
+    )
+    got = [
+        r["vec_id"]
+        for r in sorted(
+            similarity.semantic_dedup_survivors(emb2, 0.95, n_cells=2).collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+    # v4 is near-identical to v2 in the SAME cell -> dropped; v2/v3 are a
+    # cos(10 deg) ~ 0.985 pair SPLIT ACROSS cells -> both survive (the
+    # documented SemDeDup locality trade)
+    assert got == [0, 1, 2, 3]
+
+
+def test_semantic_dedup_drops_higher_id_identical(emb):
+    # identical v0/v1 share a cell -> 1 dropped; the anti-parallel and
+    # orthogonal vectors survive
+    got = sorted(
+        r["vec_id"]
+        for r in similarity.semantic_dedup_survivors(emb, 0.99, n_cells=2).collect()
+    )
+    assert got == [0, 2, 3]
