@@ -474,6 +474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_retention": lambda s, d: events.retention_cohorts(
             load_table(s, d, "events")
         ),
+        "event_spikes": lambda s, d: events.spike_detection(
+            load_table(s, d, "events")
+        ),
         # --- LLM-pipeline extension operators over documents/embeddings ---
         "exact_duplicates": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -961,6 +964,7 @@ ORDER BY symbol, event_date"""),
         "event_funnel": oracles.sql_event_funnel(),
         "event_topk_users": oracles.sql_event_topk_users(),
         "event_retention": oracles.sql_event_retention(),
+        "event_spikes": oracles.sql_event_spikes(),
         # --- extension-suite oracles (generators in oracles.py keep the
         # md5/quantization constants in one place so Spark and SQL can't drift)
         "exact_duplicates": oracles.sql_exact_dup_groups(),

@@ -314,3 +314,60 @@ def retention_cohorts(
     return tagged.groupBy("cohort_week", "week_offset").agg(
         F.countDistinct(user_col).alias("active_users")
     )
+
+
+def spike_detection(
+    events: DataFrame,
+    k: int = 3,
+    window_days: int = 7,
+    min_history: int = 5,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Daily volume-anomaly detection per event type: (event_type, day,
+    n_events, trailing_n, trailing_sum, is_spike) where is_spike flags a
+    day whose count exceeds trailing-mean + k·stddev.
+
+    The z-score test runs in EXACT INTEGER algebra — no float mean or
+    variance ever materializes. With x = today's count and n/s/ss = the
+    trailing window's count/sum/sum-of-squares,
+
+        x > μ + k·σ  ⟺  x·n − s > 0  ∧  (x·n − s)² > k²·(n·ss − s²)
+
+    (population σ; both sides scaled by n²). Every term is a BIGINT of
+    bounded magnitude (daily counts square, not corpus totals), so Spark
+    and the DuckDB oracle agree bit-for-bit — float stddev would diverge
+    in the last ulp between engines and between partition merge orders.
+
+    Shape: one map-side-combined aggregate to |types|×|days| rows, one
+    window per type ordered by day over that REDUCED frame (rows-frame of
+    the prior ``window_days`` observed days, so gaps don't dilute the
+    baseline) — the window never sees raw events. is_spike is NULL-safe:
+    days with under ``min_history`` trailing observations report false.
+    """
+    x = F.col("n_events")
+    daily = events.groupBy(
+        F.col(type_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    n = F.count(x).over(w)
+    s = F.sum(x).over(w)
+    ss = F.sum(x * x).over(w)
+    dev = x * n - s  # n·(x − μ), integer-exact
+    spike = (
+        (n >= min_history)
+        & (dev > 0)
+        & (dev * dev > F.lit(k * k) * (n * ss - s * s))
+    )
+    return daily.select(
+        type_col,
+        "day",
+        "n_events",
+        F.coalesce(n, F.lit(0)).alias("trailing_n"),
+        F.coalesce(s, F.lit(0)).alias("trailing_sum"),
+        F.coalesce(spike, F.lit(False)).alias("is_spike"),
+    )

@@ -1070,6 +1070,36 @@ FROM events e JOIN cohorts f USING (user_id)
 GROUP BY 1, 2"""
 
 
+def sql_event_spikes(
+    k: int = 3, window_days: int = 7, min_history: int = 5
+) -> str:
+    """Daily spike detection — mirrors events.spike_detection's exact
+    integer z-score test ((x·n − s)² > k²·(n·ss − s²)) over the same
+    per-type rows-frame of prior observed days."""
+    return f"""WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+trailed AS (
+    SELECT event_type, day, n_events,
+           COUNT(n_events) OVER w AS n,
+           SUM(n_events) OVER w AS s,
+           SUM(n_events * n_events) OVER w AS ss
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN {window_days} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events,
+       CAST(n AS BIGINT) AS trailing_n,
+       CAST(COALESCE(s, 0) AS BIGINT) AS trailing_sum,
+       COALESCE(n >= {min_history}
+                AND n_events * n - s > 0
+                AND (n_events * n - s) * (n_events * n - s)
+                    > {k * k} * (n * ss - s * s),
+                FALSE) AS is_spike
+FROM trailed"""
+
+
 def sql_revenue_by_nation(date_from: str, date_to: str) -> str:
     """TPC-H Q5-family revenue rollup — mirrors warehouse.revenue_by_nation
     (same integer-cents scale-4 products, same long reduction)."""

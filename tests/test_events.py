@@ -174,3 +174,32 @@ def test_retention_cohorts_week_offsets(spark):
     assert got[(w0, 0)] == 2
     assert got[(w0, 2)] == 1
     assert (w0, 1) not in got
+
+
+def test_spike_detection_integer_zscore(spark):
+    # 6 calm days with slight jitter (counts 3,4,3,4,3,4), then a burst
+    rows, eid = [], 0
+    counts = [3, 4, 3, 4, 3, 4, 20]
+    for day, n in enumerate(counts, start=1):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, T(2024, 1, day, 12, 0), 1, "view", 0.0, "{}"))
+    # a second type with too little history to ever flag
+    rows.append((900, T(2024, 1, 1, 9, 0), 2, "click", 0.0, "{}"))
+    rows.append((901, T(2024, 1, 2, 9, 0), 2, "click", 0.0, "{}"))
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in ev.spike_detection(_events(spark, rows), k=3).collect()
+    }
+    burst = got[("view", dt.date(2024, 1, 7))]
+    # trailing n=6, s=21, ss=75: (20·6−21)² = 9801 > 9·(6·75−441) = 81
+    assert burst["is_spike"] and burst["n_events"] == 20
+    assert burst["trailing_n"] == 6 and burst["trailing_sum"] == 21
+    # calm days never flag; the jitter day 6 (4 vs mean 3.4) is not 3σ
+    assert not any(
+        r["is_spike"] for key, r in got.items() if key != ("view", dt.date(2024, 1, 7))
+    )
+    # short-history type reports false, zero-filled trailing columns
+    first = got[("click", dt.date(2024, 1, 1))]
+    assert not first["is_spike"] and first["trailing_n"] == 0
+    assert first["trailing_sum"] == 0
