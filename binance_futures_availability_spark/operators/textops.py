@@ -558,3 +558,81 @@ def top_terms(
         .filter(F.col("rnk") <= k)
         .select(strata_col, "term", F.col("df").cast("long"), "rnk")
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus strata: (stratum_a,
+    stratum_b, n_terms_a, n_terms_b, n_shared, jaccard) for every stratum
+    pair sharing at least one term — the corpus-governance matrix that
+    flags near-duplicate sources and measures domain diversity before
+    mixing.
+
+    Scale shape: the per-stratum vocabulary is ONE distinct over
+    (stratum, term) — corpus-sized input, vocabulary-sized output, built
+    once and persisted (three consumers: sizes and both join sides). The
+    overlap self-join is on ``term``, and its per-key fan-out is bounded
+    by |strata|² BY CONSTRUCTION (a term appears at most once per
+    stratum after the distinct), so stop words cannot skew a task — the
+    hazard an all-pairs doc-level design would have. Stratum sizes are a
+    |strata|-row broadcast. Jaccard is one double division of exact
+    BIGINT counts — engine-deterministic. Zero-overlap pairs are absent
+    (inner join), mirroring the oracle.
+    """
+    from ..functions import tokens
+    from ..index_cache import cached_index, plan_key
+
+    def _build_vocab() -> DataFrame:
+        return (
+            docs.select(
+                F.col(strata_col).alias("stratum"),
+                F.explode(F.array_distinct(tokens(F.col(text_col)))).alias(
+                    "term"
+                ),
+            )
+            .filter(F.col("term") != "")
+            .distinct()
+        )
+
+    vocab = cached_index(
+        plan_key(docs, "stratum_vocab", strata_col, text_col), _build_vocab
+    )
+    sizes = vocab.groupBy("stratum").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = vocab.select(F.col("stratum").alias("stratum_a"), "term")
+    b = vocab.select(F.col("stratum").alias("stratum_b"), "term")
+    shared = (
+        a.join(b, "term")
+        .filter(F.col("stratum_a") < F.col("stratum_b"))
+        .groupBy("stratum_a", "stratum_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = F.broadcast(
+        sizes.select(
+            F.col("stratum").alias("stratum_a"),
+            F.col("n_terms").alias("n_terms_a"),
+        )
+    )
+    sb = F.broadcast(
+        sizes.select(
+            F.col("stratum").alias("stratum_b"),
+            F.col("n_terms").alias("n_terms_b"),
+        )
+    )
+    union_size = (
+        F.col("n_terms_a") + F.col("n_terms_b") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, "stratum_a")
+        .join(sb, "stratum_b")
+        .select(
+            "stratum_a",
+            "stratum_b",
+            "n_terms_a",
+            "n_terms_b",
+            "n_shared",
+            (F.col("n_shared").cast("double") / union_size).alias("jaccard"),
+        )
+    )

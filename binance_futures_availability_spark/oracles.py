@@ -1070,6 +1070,37 @@ FROM events e JOIN cohorts f USING (user_id)
 GROUP BY 1, 2"""
 
 
+def sql_source_overlap(strata_col: str = "source") -> str:
+    """Pairwise stratum vocabulary overlap — mirrors textops.source_overlap
+    (same whitespace tokenizer, distinct per-stratum vocabulary, inner
+    join drops zero-overlap pairs, double division of exact counts)."""
+    return rf"""WITH vocab AS (
+    SELECT DISTINCT {strata_col} AS stratum, term FROM (
+        SELECT {strata_col},
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents
+    ) WHERE term <> ''
+),
+sizes AS (
+    SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM vocab GROUP BY 1
+),
+shared AS (
+    SELECT a.stratum AS stratum_a, b.stratum AS stratum_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM vocab a JOIN vocab b
+      ON a.term = b.term AND a.stratum < b.stratum
+    GROUP BY 1, 2
+)
+SELECT stratum_a, stratum_b,
+       sa.n_terms AS n_terms_a, sb.n_terms AS n_terms_b, n_shared,
+       CAST(n_shared AS DOUBLE)
+           / (sa.n_terms + sb.n_terms - n_shared) AS jaccard
+FROM shared
+JOIN sizes sa ON stratum_a = sa.stratum
+JOIN sizes sb ON stratum_b = sb.stratum"""
+
+
 def sql_event_spikes(
     k: int = 3, window_days: int = 7, min_history: int = 5
 ) -> str:

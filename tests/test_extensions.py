@@ -1104,3 +1104,26 @@ def test_semantic_dedup_drops_higher_id_identical(emb):
         for r in similarity.semantic_dedup_survivors(emb, 0.99, n_cells=2).collect()
     )
     assert got == [0, 2, 3]
+
+
+def test_source_overlap_jaccard_matrix(spark):
+    docs3 = spark.createDataFrame(
+        [
+            (0, "a b c", "en", "s1"),
+            (1, "b c d", "en", "s2"),
+            (2, "b  c", "en", "s2"),      # dup tokens collapse per stratum
+            (3, "x y z", "en", "s3"),     # disjoint from s1/s2
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    got = {
+        (r["stratum_a"], r["stratum_b"]): r
+        for r in textops.source_overlap(docs3).collect()
+    }
+    # s1={a,b,c}, s2={b,c,d}: shared 2, union 4
+    r = got[("s1", "s2")]
+    assert (r["n_terms_a"], r["n_terms_b"], r["n_shared"]) == (3, 3, 2)
+    assert r["jaccard"] == 0.5
+    # zero-overlap pairs are absent, not zero rows
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got
+    assert set(got) == {("s1", "s2")}
