@@ -193,3 +193,71 @@ def cosine_from_quantized(dot: Column, norm_a: Column, norm_b: Column) -> Column
     return dot.cast("double") / (
         F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double"))
     )
+
+
+def global_row_number(
+    df,
+    order_cols,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+):
+    """Distributed global 1-based row number over a total order — the
+    scale-safe replacement for ``row_number() OVER (ORDER BY ...)``,
+    which Catalyst plans as a SINGLE-partition window (every row through
+    one task: the one shape that cannot survive a corpus-sized input).
+
+    Classic two-pass offset pattern: range-repartition on the order
+    columns (the same distributed sort a global orderBy uses), count
+    rows per partition (ONE bounded driver collect — #partitions rows,
+    same class as the IVF centroid table), then a narrow Arrow pass
+    assigns offset + local position. No window, no single-partition
+    stage; wall-clock is one range shuffle plus two narrow scans.
+
+    ``order_cols`` must end in a tie-breaking unique key: ranks then
+    depend only on the total order, not on where the range sampler drew
+    partition boundaries. The input is persisted for the two passes and
+    unpersisted before return (the count pass has already materialized
+    every partition, so the main pass reads cached blocks).
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    parts = (
+        df.repartitionByRange(n_part, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    out_schema = ",".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in parts.schema.fields]
+        + [f"{rank_col} long"]
+    )
+
+    def number(batches):
+        import pandas as pd  # noqa: F401 — Arrow batch interface
+
+        pos = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["__pid"].iat[0])]
+            pdf[rank_col] = range(base + pos + 1, base + pos + 1 + len(pdf))
+            pos += len(pdf)
+            yield pdf
+
+    ranked = parts.mapInPandas(number, out_schema).drop("__pid")
+    parts.unpersist()
+    return ranked

@@ -636,3 +636,50 @@ def source_overlap(
             (F.col("n_shared").cast("double") / union_size).alias("jaccard"),
         )
     )
+
+
+def quality_deciles(
+    docs: DataFrame,
+    n_tiles: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus bucketing by quality: (doc_id, quality_score, decile) with
+    ``decile`` ∈ [1, n_tiles] assigned exactly like ``NTILE(n) OVER
+    (ORDER BY quality_score, doc_id)`` — the standard pre-training move
+    of keeping/weighting the top quality buckets.
+
+    NTILE over a corpus cannot run as a window: Catalyst plans an
+    un-partitioned ORDER BY window as one task holding the entire
+    corpus. Instead the global position comes from
+    ``functions.global_row_number`` (range repartition + per-partition
+    offsets — fully distributed), and the tile is pure integer
+    arithmetic on (rank, total): the first ``total % n`` tiles take
+    ``total//n + 1`` rows, the rest ``total//n`` — exactly SQL NTILE
+    semantics, so the DuckDB oracle can use the real NTILE. The one
+    extra job is the bounded per-partition count collect.
+    """
+    from ..functions import global_row_number
+
+    scored = quality_scores(docs, id_col, text_col).select(
+        id_col, "quality_score"
+    )
+    ranked = global_row_number(
+        scored, ["quality_score", id_col], rank_col="__rank"
+    )
+    total = _corpus_count(docs)  # session-cached corpus count
+    q, rem = divmod(total, n_tiles)
+    big = q + 1
+    r0 = F.col("__rank") - 1  # 0-based
+    cut = rem * big
+    if q == 0:  # fewer rows than tiles: each row its own tile
+        tile = r0 + 1
+    else:
+        tile = F.when(
+            F.col("__rank") <= cut, F.floor(r0 / F.lit(big)) + 1
+        ).otherwise(F.floor((r0 - cut) / F.lit(q)) + rem + 1)
+    return ranked.select(
+        id_col,
+        "quality_score",
+        tile.cast("int").alias("decile"),
+    )

@@ -676,6 +676,17 @@ SELECT doc_id,
 FROM documents""".strip()
 
 
+def sql_quality_deciles(n_tiles: int = 10) -> str:
+    """NTILE bucketing over the quality score — the Spark side reproduces
+    SQL NTILE semantics from its distributed global rank, so the oracle
+    uses the real window function."""
+    return f"""WITH scored AS ({sql_quality_scores()})
+SELECT doc_id, quality_score,
+       CAST(NTILE({n_tiles}) OVER (ORDER BY quality_score, doc_id) AS INT)
+           AS decile
+FROM scored"""
+
+
 def sql_language_id() -> str:
     langs = ["en", "de", "fr", "es", "zh"]
     scores = {

@@ -471,3 +471,40 @@ def test_pricing_summary_pushes_shipdate_and_prunes(spark, tmp_path_factory):
     assert "l_shipdate" in pushed
     schema = plan.split("ReadSchema")[1][:300]
     assert "l_orderkey" not in schema and "l_partkey" not in schema
+
+
+def test_global_row_number_matches_window_semantics(spark):
+    """Distributed rank equals row_number() OVER (ORDER BY ...) without a
+    single-partition window stage; survives empty range partitions."""
+    from pyspark.sql import functions as F
+
+    from binance_futures_availability_spark.functions import global_row_number
+
+    df = spark.range(0, 257).selectExpr("id", "(id * 37) % 13 as score")
+    ranked = global_row_number(df, ["score", "id"], num_partitions=8)
+    got = [(r["score"], r["id"]) for r in sorted(ranked.collect(), key=lambda r: r["rank"])]
+    assert got == sorted((r["score"], r["id"]) for r in df.collect())
+    ranks = sorted(r["rank"] for r in ranked.collect())
+    assert ranks == list(range(1, 258))
+    # more partitions than rows: empty partitions must not break offsets
+    tiny = spark.range(0, 3).selectExpr("id", "id as score")
+    got3 = sorted((r["rank"], r["id"]) for r in global_row_number(tiny, ["score", "id"], num_partitions=8).collect())
+    assert got3 == [(1, 0), (2, 1), (3, 2)]
+    # no Window operator in the plan — the whole point
+    assert "Window" not in ranked._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quality_deciles_ntile_remainder_semantics(spark):
+    """7 rows / 3 tiles -> sizes 3,2,2 in score order (SQL NTILE)."""
+    from binance_futures_availability_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (i + 1), "en", "s") for i in range(7)],
+        ["doc_id", "text", "lang", "source"],
+    )
+    got = {
+        r["doc_id"]: r["decile"]
+        for r in textops.quality_deciles(docs, n_tiles=3).collect()
+    }
+    # score increases with doc_id here (longer docs score higher)
+    assert [got[i] for i in range(7)] == [1, 1, 1, 2, 2, 3, 3]
