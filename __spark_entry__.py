@@ -512,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), COSINE_THRESHOLD
         ),
         "ivf_cells": lambda s, d: similarity.ivf_cells(_emb(s, d)),
+        "kmeans_cells": lambda s, d: similarity.kmeans_cells(_emb(s, d)),
         "ivf_topk": lambda s, d: similarity.ivf_topk(
             _emb(s, d), ANN_QUERY_ID, ANN_K
         ),
@@ -989,6 +990,7 @@ ORDER BY symbol, event_date"""),
         "ann_topk": oracles.sql_ann_topk(ANN_QUERY_ID, ANN_K),
         "cosine_pairs": oracles.sql_cosine_pairs(COSINE_THRESHOLD),
         "ivf_cells": oracles.sql_ivf_cells(similarity.IVF_N_CELLS),
+        "kmeans_cells": oracles.sql_kmeans_cells(similarity.IVF_N_CELLS),
         "ivf_topk": oracles.sql_ivf_topk(
             ANN_QUERY_ID, ANN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
         ),

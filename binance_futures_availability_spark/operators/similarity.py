@@ -1029,6 +1029,63 @@ def embedding_dedup_survivors(
     return emb.join(dups, id_col, "left_anti").select(id_col)
 
 
+def kmeans_cells(
+    emb: DataFrame,
+    n_cells: int = IVF_N_CELLS,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) refinement of the IVF coarse quantizer:
+    (vec_id, cell) after ``n_iters`` assignment→update rounds from the
+    deterministic lowest-id seeds.
+
+    Every round is ENGINE-EXACT, which is what makes an iterative
+    clustering gate-checkable at all: cosine to a cell's MEAN equals
+    cosine to its integer SUM vector (the 1/count scale cancels in the
+    normalization), so centroids never leave integer space — the
+    assignment kernel is the same exact-GEMM argmax as round zero
+    (``_cell_kernel``: integer dots < 2^53, per-side sqrt, ties to the
+    lowest cell), and the update is one posexplode + SUM aggregate.
+
+    Scale shape per round: one Arrow-batched assignment pass over the
+    cached quantized table (no shuffle), one (cell, dim) aggregate —
+    n_cells×dim output, the bounded centroid collect every k-means
+    implementation ships between rounds. Driver state is 2 numpy arrays
+    of n_cells×dim ints. Cells that lose all members retain their
+    previous sum vector (the standard empty-cluster rule, mirrored in
+    the oracle). Magnitude headroom: per-dim sums are count·scale — at
+    ~10⁹ members per cell the exact-GEMM bound (2^53) needs a coarser
+    quantization or per-cell mean rescale; document-scale corpora sit
+    orders below it.
+    """
+    import numpy as np
+
+    base = _with_quantized(emb, vec_col)
+    sq, snrm = _collect_seeds(
+        base, id_col, n_cells, _seed_cache_key(emb, id_col, vec_col, n_cells)
+    )
+    sq = sq.copy()
+    for _ in range(n_iters):
+        assigned = base.withColumn("cell", _cell_kernel(sq, snrm)(F.col("__q")))
+        sums = (
+            assigned.select("cell", F.posexplode("__q").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("v").alias("sv"))
+            .collect()
+        )
+        # copy retains previous centroids for cells that lost all members
+        # (an emptied cell simply has no (cell, dim) rows to overwrite)
+        new_sq = sq.copy()
+        for r in sums:
+            new_sq[r["cell"], r["dim"]] = r["sv"]
+        sq = new_sq
+        snrm = (sq * sq).sum(axis=1)
+    return base.withColumn(
+        "cell", _cell_kernel(sq, snrm)(F.col("__q"))
+    ).select(id_col, "cell")
+
+
 def semantic_dedup_survivors(
     emb: DataFrame,
     threshold: float = 0.4,

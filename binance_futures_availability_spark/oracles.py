@@ -405,6 +405,62 @@ WHERE vec_id NOT IN (SELECT vid FROM dup_ids)
 ORDER BY vec_id"""
 
 
+def sql_kmeans_cells(n_cells: int, n_iters: int = 2) -> str:
+    """Spherical k-means — mirrors similarity.kmeans_cells by unrolling
+    the Lloyd rounds into CTEs: integer sum-vector centroids (cosine to
+    the mean ≡ cosine to the sum), exact integer dots, ties to the lowest
+    cell, emptied cells retaining the previous centroid via COALESCE."""
+    ctes = [
+        "flat AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS dim,"
+        " unnest(q) AS v FROM normed)",
+        f"""seeds0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, vec_id
+    FROM (SELECT vec_id FROM normed ORDER BY vec_id LIMIT {n_cells})
+)""",
+        "cent0 AS (SELECT s.cell, f.dim, f.v AS sv"
+        " FROM seeds0 s JOIN flat f USING (vec_id))",
+    ]
+    for r in range(n_iters + 1):
+        ctes.append(
+            f"cn{r} AS (SELECT cell, SUM(sv * sv) AS cn"
+            f" FROM cent{r} GROUP BY 1)"
+        )
+        ctes.append(
+            f"""scored{r} AS (
+    SELECT f.vec_id, c.cell, SUM(f.v * c.sv) AS dot
+    FROM flat f JOIN cent{r} c USING (dim) GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""assign{r} AS (
+    SELECT vec_id, cell FROM (
+        SELECT s.vec_id, s.cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                   ORDER BY CAST(s.dot AS DOUBLE)
+                            / (sqrt(n.nrm) * sqrt(k.cn)) DESC,
+                        s.cell) AS rn
+        FROM scored{r} s
+        JOIN normed n USING (vec_id) JOIN cn{r} k USING (cell)
+    ) WHERE rn = 1
+)"""
+        )
+        if r < n_iters:
+            ctes.append(
+                f"""cent{r + 1} AS (
+    SELECT c.cell, c.dim, COALESCE(su.sv, c.sv) AS sv
+    FROM cent{r} c LEFT JOIN (
+        SELECT a.cell, f.dim, SUM(f.v) AS sv
+        FROM assign{r} a JOIN flat f USING (vec_id) GROUP BY 1, 2
+    ) su ON c.cell = su.cell AND c.dim = su.dim
+)"""
+            )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {EMB_BASE_CTE},\n{body}\n"
+        f"SELECT vec_id, CAST(cell AS INT) AS cell FROM assign{n_iters}"
+    )
+
+
 def sql_semantic_dedup_survivors(threshold: float, n_cells: int) -> str:
     """SemDeDup survivors — mirrors similarity.semantic_dedup_survivors:
     same IVF cell assignment CTEs, within-cell pairwise exact cosine

@@ -1127,3 +1127,22 @@ def test_source_overlap_jaccard_matrix(spark):
     # zero-overlap pairs are absent, not zero rows
     assert ("s1", "s3") not in got and ("s2", "s3") not in got
     assert set(got) == {("s1", "s2")}
+
+
+def test_kmeans_cells_recovers_clusters_from_bad_seeds(spark):
+    # both seeds (lowest ids) sit in cluster A; Lloyd rounds must pull one
+    # centroid over to cluster B
+    a = [[1.0, 0.0], [0.98, 0.05], [0.95, 0.1]]
+    b = [[0.0, 1.0], [0.05, 0.98], [0.1, 0.95]]
+    emb2 = spark.createDataFrame(
+        [(i, v, "x") for i, v in enumerate(a + b)],
+        ["vec_id", "embedding", "label"],
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.kmeans_cells(emb2, n_cells=2, n_iters=2).collect()
+    }
+    cells_a = {got[i] for i in (0, 1, 2)}
+    cells_b = {got[i] for i in (3, 4, 5)}
+    assert len(cells_a) == 1 and len(cells_b) == 1
+    assert cells_a != cells_b
