@@ -52,6 +52,13 @@ HEADLINERS = {
     "revenue_by_nation": "multi-join rollup: broadcast dim chain (nation/region/customer), date filter pushed to the orders scan, one fact shuffle",
     "knn_join_indexed": "on-disk batch ANN: probe-cell union arrives as PartitionFilters on the cell-partitioned index; memoized union, broadcast query side",
     "apply_mixture": "mixture materialization: stratum-count-sized rate table broadcast over the corpus scan; keep decision is a narrow hash filter",
+    "shipping_priority": "Q3 family: broadcast segment dim into the orders scan, pushed date predicates both sides, group reuses the join key partitioning, TakeOrderedAndProject top-k (no global sort)",
+    "large_volume_customers": "Q18 family: HAVING on the order-key aggregate BEFORE any join (one AQE-coalesced shuffle); orders/customer arrive via broadcast",
+    "semantic_dedup": "SemDeDup: cached IVF assignment partitioned by cell, one exact GEMM per cell in applyInPandas, dup ids (not pairs) shuffle back, broadcast anti join",
+    "kmeans_cells": "Lloyd rounds: assignment is a narrow Arrow pass over the cached quantized table; each update is one (cell, dim) aggregate with a bounded centroid collect",
+    "event_spikes": "spike detection: aggregate to |types|x|days| before the window; trailing-frame z-test in pure BIGINT expressions (codegen, no UDF)",
+    "source_overlap": "vocabulary overlap: distinct to vocabulary size first, term self-join fan-out bounded by |strata|^2, broadcast size table",
+    "quality_deciles": "distributed NTILE: range repartition + per-partition offsets + narrow Arrow rank pass — no single-partition Window stage anywhere",
 }
 
 
