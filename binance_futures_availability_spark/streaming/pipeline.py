@@ -384,3 +384,89 @@ def session_stream(
             "n_events",
         )
     )
+
+
+SPIKES_SCHEMA = (
+    "event_type string, day date, n_events long, trailing_n long, "
+    "trailing_sum long, is_spike boolean"
+)
+_SPIKES_STATE = (
+    "hist_days array<date>, hist_counts array<long>, "
+    "cur_day date, cur_count long"
+)
+
+
+def spike_stream(
+    stream: DataFrame,
+    k: int = 3,
+    window_days: int = 7,
+    min_history: int = 5,
+) -> DataFrame:
+    """Online volume-anomaly detection — the stateful streaming twin of
+    ``operators.events.spike_detection``, same exact integer z-test
+    ((x·n − s)² > k²·(n·ss − s²)) over the same trailing window of
+    observed days.
+
+    Per-event-type state carries the last ``window_days`` completed
+    (day, count) pairs plus the open day's running count — bounded by
+    #types × window_days, independent of throughput. A day's verdict is
+    emitted when its successor day first appears for that type (the
+    batch operator learns day boundaries the same way: from the data);
+    the open day stays unemitted until then, matching append-mode
+    finalization semantics. Rows older than the open day are DROPPED
+    (the operator's own late-data horizon — one day of disorder; the
+    batch twin remains the authority for reprocessing history).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        (etype,) = key
+        if state.exists:
+            hist_days, hist_counts, cur_day, cur_count = state.get
+            hist_days, hist_counts = list(hist_days), list(hist_counts)
+        else:
+            hist_days, hist_counts, cur_day, cur_count = [], [], None, 0
+        out: list[tuple] = []
+
+        def finalize():
+            n = len(hist_counts)
+            s = sum(hist_counts)
+            ss = sum(c * c for c in hist_counts)
+            dev = cur_count * n - s
+            spike = bool(
+                n >= min_history
+                and dev > 0
+                and dev * dev > k * k * (n * ss - s * s)
+            )
+            out.append((etype, cur_day, cur_count, n, s, spike))
+            hist_days.append(cur_day)
+            hist_counts.append(cur_count)
+            del hist_days[:-window_days], hist_counts[:-window_days]
+
+        for pdf in pdf_iter:
+            for ts in pdf["ts"].sort_values():
+                day = ts.date()
+                if cur_day is None:
+                    cur_day, cur_count = day, 1
+                elif day == cur_day:
+                    cur_count += 1
+                elif day > cur_day:
+                    finalize()
+                    cur_day, cur_count = day, 1
+                # else: older than the open day — dropped (late horizon)
+        state.update((hist_days, hist_counts, cur_day, cur_count))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "event_type", "day", "n_events",
+                "trailing_n", "trailing_sum", "is_spike",
+            ],
+        )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        fn,
+        SPIKES_SCHEMA,
+        _SPIKES_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -502,3 +502,66 @@ def test_streaming_sessionization_matches_batch_gap_rule(spark, tmp_path):
     batch_sessions = {(r["user_id"], r["session_start"]) for r in batch}
     for key in got:
         assert key in batch_sessions
+
+
+def test_streaming_spike_detection_matches_batch(spark, tmp_path):
+    """The stateful spike stream emits the batch twin's exact verdicts for
+    completed days, withholds the open day, and survives a restart with
+    its trailing history intact."""
+    from binance_futures_availability_spark.operators import events as ev_ops
+    from binance_futures_availability_spark.streaming.pipeline import (
+        event_stream_source,
+        spike_stream,
+    )
+
+    counts = [3, 4, 3, 4, 3, 4, 20, 1]  # burst on day 7; day 8 stays open
+    rows, eid = [], 0
+    for day, n in enumerate(counts, start=1):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, TS(2024, 1, day, 12, 0), 1, "view", 0.0, "{}"))
+    incoming = tmp_path / "spk_in"
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # two micro-batches split mid-history to exercise checkpointed state
+    spark.createDataFrame(rows[:20], schema).write.mode("append").parquet(
+        str(incoming)
+    )
+
+    def run():
+        q = (
+            spike_stream(event_stream_source(spark, str(incoming)))
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "spk_out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "spk_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows[20:], schema).write.mode("append").parquet(
+        str(incoming)
+    )
+    run()
+
+    got = {
+        r["day"]: r
+        for r in spark.read.parquet(str(tmp_path / "spk_out")).collect()
+    }
+    batch = {
+        r["day"]: r
+        for r in ev_ops.spike_detection(
+            spark.read.parquet(str(incoming))
+        ).collect()
+    }
+    # days 1..7 completed (day 8 open and withheld); verdicts identical
+    assert set(got) == {d for d in batch if d.day <= 7}
+    for d, r in got.items():
+        b = batch[d]
+        for c in ("n_events", "trailing_n", "trailing_sum", "is_spike"):
+            assert r[c] == b[c], (d, c)
+    assert got[max(got)]["is_spike"]  # the burst day flagged
