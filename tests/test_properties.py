@@ -540,3 +540,93 @@ def test_asof_view_precedes_click_and_is_latest(spark, rows):
         ]
         expect = max(views, key=lambda e: (e[1], e[0]))[1] if views else None
         assert out[eid]["view_ts"] == expect
+
+
+# --- round-5 continuation properties ---
+
+_count_series = st.lists(st.integers(1, 50), min_size=6, max_size=12)
+
+
+@SETTINGS
+@given(counts=_count_series, scale=st.integers(1, 7))
+def test_spike_zscore_scale_invariant(spark, counts, scale):
+    """The integer z-test is invariant under scaling every daily count by
+    a constant ((x·n−s)² and k²(n·ss−s²) both scale by c²), and a
+    constant series never flags (variance 0, dev 0)."""
+    from binance_futures_availability_spark.operators import events as ev_ops
+
+    def series_df(cs):
+        rows, eid = [], 0
+        for day, n in enumerate(cs, start=1):
+            for _ in range(n):
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day, 12, 0), 1, "t", 0.0, "")
+                )
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    base = {
+        r["day"]: r["is_spike"]
+        for r in ev_ops.spike_detection(series_df(counts)).collect()
+    }
+    scaled = {
+        r["day"]: r["is_spike"]
+        for r in ev_ops.spike_detection(
+            series_df([c * scale for c in counts])
+        ).collect()
+    }
+    assert base == scaled
+    const = ev_ops.spike_detection(series_df([7] * len(counts))).collect()
+    assert not any(r["is_spike"] for r in const)
+
+
+@SETTINGS
+@given(
+    n=st.integers(1, 40),
+    parts=st.integers(1, 6),
+    seed=st.integers(0, 10),
+)
+def test_global_row_number_is_partitioning_invariant(spark, n, parts, seed):
+    """Ranks are a pure function of the total order — dense 1..n and
+    identical regardless of input partitioning or partition-count knob."""
+    from binance_futures_availability_spark.functions import global_row_number
+
+    df = spark.range(0, n).selectExpr(
+        "id", f"(id * 31 + {seed}) % 17 as score"
+    )
+    expected = sorted(
+        (r["score"], r["id"]) for r in df.collect()
+    )
+    for repar in (df, df.repartition(parts)):
+        got = sorted(
+            (r["rank"], r["score"], r["id"])
+            for r in global_row_number(
+                df=repar, order_cols=["score", "id"], num_partitions=parts
+            ).collect()
+        )
+        assert [r[0] for r in got] == list(range(1, n + 1))
+        assert [(s, i) for _, s, i in got] == expected
+
+
+@SETTINGS
+@given(
+    vocab_sizes=st.lists(st.integers(1, 8), min_size=2, max_size=4),
+    overlap=st.integers(0, 5),
+)
+def test_source_overlap_jaccard_bounds(spark, vocab_sizes, overlap):
+    """Jaccard stays in (0, 1]; identical strata hit exactly 1; counts are
+    consistent (n_shared ≤ min(n_terms))."""
+    rows = []
+    for si, size in enumerate(vocab_sizes):
+        own = [f"w{si}_{j}" for j in range(size)]
+        shared = [f"common_{j}" for j in range(overlap)]
+        rows.append((si, " ".join(own + shared), "en", f"s{si}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    for r in textops.source_overlap(docs).collect():
+        assert 0 < r["jaccard"] <= 1
+        assert r["n_shared"] <= min(r["n_terms_a"], r["n_terms_b"])
+        assert r["n_shared"] == overlap
