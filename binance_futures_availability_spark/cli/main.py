@@ -158,11 +158,20 @@ def cmd_text(args: argparse.Namespace) -> int:
 
     spark = get_session("bfa-cli")
     docs = spark.read.parquet(args.docs)
+    if args.op == "source-overlap":
+        return _print_rows(
+            textops.source_overlap(docs, strata_col=args.strata).orderBy(
+                "stratum_a", "stratum_b"
+            ),
+            args,
+            "source overlap:",
+        )
     op = {
         "tokens": textops.token_counts,
         "quality": textops.quality_scores,
         "language": textops.language_id,
         "fingerprints": textops.fingerprints,
+        "deciles": textops.quality_deciles,
     }[args.op]
     # display ordering belongs to the presentation surface: with the
     # _print_rows limit this collapses to TakeOrdered (no corpus-wide sort)
@@ -196,6 +205,12 @@ def cmd_similarity(args: argparse.Namespace) -> int:
         df = similarity.lsh_cosine_pairs(emb, args.threshold)
     elif args.op == "pairs-multi":
         df = similarity.lsh_cosine_pairs_multi(emb, args.threshold)
+    elif args.op == "kmeans":
+        df = similarity.kmeans_cells(emb).orderBy("vec_id")
+    elif args.op == "semantic-dedup":
+        df = similarity.semantic_dedup_survivors(emb, args.threshold).orderBy(
+            "vec_id"
+        )
     else:  # dedup
         df = similarity.embedding_dedup_survivors(emb, args.threshold).orderBy(
             "vec_id"
@@ -254,9 +269,45 @@ def cmd_events(args: argparse.Namespace) -> int:
         df = ev.funnel(df_in, tuple(args.steps.split(",")))
     elif args.op == "topk-users":
         df = ev.window_topk_users(df_in, args.k)
+    elif args.op == "spikes":
+        df = ev.spike_detection(df_in, args.k)
     else:  # retention
         df = ev.retention_cohorts(df_in)
     return _print_rows(df, args, f"{args.op}:")
+
+
+def cmd_warehouse(args: argparse.Namespace) -> int:
+    from ..catalog import load_table
+    from ..operators import warehouse as wh
+
+    spark = get_session("bfa-cli")
+    t = lambda name: load_table(spark, args.dir, name)  # noqa: E731
+    if args.report == "pricing":
+        df = wh.pricing_summary(t("lineitem"), args.date_to)
+    elif args.report == "revenue-by-nation":
+        df = wh.revenue_by_nation(
+            t("customer"), t("orders"), t("lineitem"), t("nation"),
+            t("region"), args.date_from, args.date_to,
+        )
+    elif args.report == "promo":
+        df = wh.promo_revenue(
+            t("lineitem"), t("part"), args.date_from, args.date_to
+        )
+    elif args.report == "shipping-priority":
+        df = wh.shipping_priority(
+            t("customer"), t("orders"), t("lineitem"),
+            args.segment, args.date_to, args.k,
+        )
+    elif args.report == "returned-items":
+        df = wh.returned_item_customers(
+            t("customer"), t("orders"), t("lineitem"), t("nation"),
+            args.date_from, args.date_to, args.k,
+        )
+    else:  # large-volume
+        df = wh.large_volume_customers(
+            t("customer"), t("orders"), t("lineitem"), args.min_quantity
+        )
+    return _print_rows(df, args, f"{args.report}:")
 
 
 def _add_source_args(p: argparse.ArgumentParser) -> None:
@@ -336,9 +387,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("docs", help="documents parquet path")
     p.add_argument(
         "--op",
-        choices=["tokens", "quality", "language", "fingerprints"],
+        choices=[
+            "tokens",
+            "quality",
+            "language",
+            "fingerprints",
+            "deciles",
+            "source-overlap",
+        ],
         default="tokens",
     )
+    p.add_argument("--strata", default="source")
     p.add_argument("--json", action="store_true")
     p.set_defaults(func=cmd_text)
 
@@ -352,6 +411,8 @@ def build_parser() -> argparse.ArgumentParser:
             "pairs",
             "pairs-multi",
             "dedup",
+            "kmeans",
+            "semantic-dedup",
             "index-build",
             "index-topk",
         ],
@@ -391,6 +452,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--json", action="store_true")
     p.set_defaults(func=cmd_scrub)
 
+    whp = sub.add_parser("warehouse", help="Warehouse join reports (TPC-H-family)")
+    wsub = whp.add_subparsers(dest="warehouse_command")
+    p = wsub.add_parser("report", help="Run a join report over a table dir")
+    p.add_argument("dir", help="directory holding the warehouse parquet tables")
+    p.add_argument(
+        "--report",
+        choices=[
+            "pricing",
+            "revenue-by-nation",
+            "promo",
+            "shipping-priority",
+            "returned-items",
+            "large-volume",
+        ],
+        default="pricing",
+    )
+    p.add_argument("--date-from", default="1996-01-01")
+    p.add_argument("--date-to", default="1996-12-31")
+    p.add_argument("--segment", default="BUILDING")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--min-quantity", type=float, default=200.0)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_warehouse)
+
     evp = sub.add_parser("events", help="Event-stream analytics")
     esub = evp.add_subparsers(dest="events_command")
     p = esub.add_parser("analyze", help="Windowed / behavioral analytics")
@@ -404,6 +489,7 @@ def build_parser() -> argparse.ArgumentParser:
             "funnel",
             "topk-users",
             "retention",
+            "spikes",
         ],
         default="windows",
     )

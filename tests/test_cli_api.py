@@ -409,3 +409,73 @@ def test_cli_pipeline_apply_mixture(strata_docs_path, capsys):
     )
     rows = json.loads(capsys.readouterr().out)
     assert all(r["lang"] in {"en", "de"} for r in rows)
+
+
+def test_cli_warehouse_reports(capsys):
+    from binance_futures_availability_spark.cli.main import main
+
+    d = "/root/testdata/sf0.001"
+    assert (
+        main(
+            ["warehouse", "report", d,
+             "--report", "shipping-priority", "--date-to", "1996-06-30",
+             "--k", "3", "--json"]
+        )
+        == 0
+    )
+    rows = json.loads(capsys.readouterr().out)
+    assert 0 < len(rows) <= 3 and "revenue" in rows[0]
+    assert (
+        main(
+            ["warehouse", "report", d,
+             "--report", "large-volume", "--min-quantity", "200", "--json"]
+        )
+        == 0
+    )
+    rows = json.loads(capsys.readouterr().out)
+    assert rows and all(r["sum_qty"] > 200.0 for r in rows)
+
+
+def test_cli_text_deciles_and_overlap(docs_path, capsys, tmp_path_factory):
+    from binance_futures_availability_spark.cli.main import main
+
+    assert main(["pipeline", "text", docs_path, "--op", "deciles", "--json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows and {"doc_id", "quality_score", "decile"} <= set(rows[0])
+    d2 = str(tmp_path_factory.mktemp("clidocs2") / "docs")
+    from binance_futures_availability_spark.session import get_session
+
+    get_session("bfa-cli").createDataFrame(
+        [(0, "a b c", "s1"), (1, "b c d", "s2")],
+        ["doc_id", "text", "source"],
+    ).write.parquet(d2)
+    assert main(
+        ["pipeline", "text", d2, "--op", "source-overlap", "--json"]
+    ) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows[0]["n_shared"] == 2
+
+
+def test_cli_similarity_kmeans_and_semantic(emb_path, capsys):
+    from binance_futures_availability_spark.cli.main import main
+
+    assert main(
+        ["pipeline", "similarity", emb_path, "--op", "kmeans", "--json"]
+    ) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows and {"vec_id", "cell"} <= set(rows[0])
+    assert main(
+        ["pipeline", "similarity", emb_path,
+         "--op", "semantic-dedup", "--threshold", "0.99", "--json"]
+    ) == 0
+    json.loads(capsys.readouterr().out)
+
+
+def test_cli_events_spikes(events_path, capsys):
+    from binance_futures_availability_spark.cli.main import main
+
+    assert main(
+        ["events", "analyze", events_path, "--op", "spikes", "--json"]
+    ) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows and {"event_type", "day", "is_spike"} <= set(rows[0])
