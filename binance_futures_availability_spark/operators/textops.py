@@ -34,14 +34,27 @@ def _stop_count(col, lang: str):
     return F.size(F.regexp_extract_all(col, F.lit(LANG_STOPWORDS[lang]), F.lit(0)))
 
 
+#: BPE-ish pre-tokenizer: contraction suffixes, space-prefixed letter
+#: runs, digit CHUNKS OF ≤3 (how modern BPE vocabularies split numbers),
+#: punctuation runs. Leftmost-first alternation — identical in Java regex
+#: (Spark) and RE2 (DuckDB); no lookahead, so both engines agree.
+SUBWORD_RE = r"'[sdmt]| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^\sA-Za-z0-9]+"
+
+
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace + word-regex token counts per document."""
+    """Whitespace, word-regex, and BPE-ish subword token counts per
+    document — the budget signals a pre-training pipeline needs before a
+    real tokenizer pass (``n_subword_est`` tracks BPE counts closely
+    enough for packing/mixture budgeting and is pure codegen regex)."""
     return docs.select(
         id_col,
         token_count(F.col(text_col)).alias("n_tokens"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9]+"), F.lit(0))).alias(
             "n_word_tokens"
         ),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(SUBWORD_RE), F.lit(0))
+        ).alias("n_subword_est"),
         F.length(text_col).alias("n_chars_measured"),
     )
 

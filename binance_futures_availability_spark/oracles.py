@@ -699,6 +699,9 @@ SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS INT)
            AS n_word_tokens,
+       CAST(len(regexp_extract_all(
+           text, '''[sdmt]| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^\sA-Za-z0-9]+', 0
+       )) AS INT) AS n_subword_est,
        CAST(length(text) AS INT) AS n_chars_measured
 FROM documents""".strip()
 

@@ -268,6 +268,17 @@ def test_token_counts(spark):
     assert got[0]["n_tokens"] == 3
     assert got[0]["n_word_tokens"] == 3
     assert got[1]["n_tokens"] == 1
+    assert got[0]["n_subword_est"] == 3
+
+
+def test_subword_estimate_bpe_conventions(spark):
+    # digit chunking (<=3), contraction suffix split, punct runs
+    df = spark.createDataFrame(
+        [(0, "it's 123456 well-known!!")], ["doc_id", "text"]
+    )
+    r = textops.token_counts(df).collect()[0]
+    # it | 's | " 123" | "456" | " well" | "-" | "known" | "!!"
+    assert r["n_subword_est"] == 8
 
 
 def test_quality_scores_components(spark):
