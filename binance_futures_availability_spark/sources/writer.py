@@ -303,3 +303,75 @@ def refresh_symbol_counts_incremental(
     recomputed = refresh_symbol_counts(da.filter(F.col("date").isin(touched)))
     untouched = existing_counts.filter(~F.col("date").isin(touched))
     return untouched.unionByName(recomputed)
+
+
+def partition_file_stats(spark, path: str, partition_col: str = "date") -> DataFrame:
+    """(partition value, n_files, n_rows) for a partitioned table — the
+    health check behind compaction. One narrow scan using
+    ``input_file_name()``; output is bounded by the partition count."""
+    df = spark.read.parquet(path).select(
+        partition_col, F.input_file_name().alias("__file")
+    )
+    return df.groupBy(partition_col).agg(
+        F.countDistinct("__file").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_col: str = "date",
+    max_files: int = 1,
+    files_per_partition: int = 1,
+) -> list:
+    """Rewrite only the partitions fragmented past ``max_files`` into
+    ``files_per_partition`` files each — the SMALL-FILES problem every
+    streaming/upsert sink accumulates (each micro-batch or touched-
+    partition rewrite appends task-count files; a year of hourly batches
+    is ~10⁴ files per partition, and at 100 TB the NameNode/listing and
+    per-file open costs dominate scans long before data volume does).
+
+    Cost ∝ fragmented partitions, not table size: the stats pass is one
+    narrow scan; only offending partitions are re-read (partition-pruned
+    semi join), re-clustered so each holds ``files_per_partition`` write
+    tasks, and committed via the same staged dynamic-partition-overwrite
+    discipline as ``upsert_partitioned`` — untouched partitions are
+    never rewritten. Returns the compacted partition values.
+    """
+    stats = partition_file_stats(spark, path, partition_col)
+    fragged = [
+        r[partition_col]
+        for r in stats.filter(F.col("n_files") > max_files).collect()
+    ]
+    if not fragged:
+        return []
+    staging = path.rstrip("/") + ".__compact__"
+    part = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(fragged)
+    )
+    shuffle_cols = [F.col(partition_col)]
+    if files_per_partition > 1:
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in part.columns]),
+            F.lit(files_per_partition),
+        )
+        shuffle_cols.append(salt)
+    (
+        part.repartition(*shuffle_cols)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(staging)
+    )
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        _rm_tree(spark, staging)
+    return fragged

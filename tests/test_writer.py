@@ -311,3 +311,63 @@ def test_merge_into_matched_none_keeps_target(spark, tmp_path):
     assert got[(D(2024, 1, 1), "ETHUSDT")] == 50.0  # NOT updated
     assert got[(D(2024, 1, 1), "XRPUSDT")] == 10.0
     assert len(got) == 4
+
+
+def test_compact_partitions_rewrites_only_fragmented(spark, tmp_path):
+    import datetime as dt
+    import glob
+    import os
+
+    from binance_futures_availability_spark.sources.writer import (
+        compact_partitions,
+        partition_file_stats,
+    )
+
+    path = str(tmp_path / "frag")
+    D = dt.date
+    rows = [
+        (D(2024, 1, d), f"S{i}", float(i)) for d in (1, 2, 3) for i in range(8)
+    ]
+    (
+        spark.createDataFrame(rows, ["date", "symbol", "v"])
+        .repartition(6)
+        .write.partitionBy("date")
+        .parquet(path)
+    )
+    before = {
+        str(r["date"]): r
+        for r in partition_file_stats(spark, path).collect()
+    }
+    assert all(r["n_files"] > 1 for r in before.values())
+
+    compacted = compact_partitions(spark, path, max_files=1)
+    assert sorted(str(d) for d in compacted) == sorted(before)
+    after = {
+        str(r["date"]): r for r in partition_file_stats(spark, path).collect()
+    }
+    assert all(r["n_files"] == 1 for r in after.values())
+    # data survives byte-for-byte (row multiset)
+    got = sorted(
+        (str(r["date"]), r["symbol"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == sorted((str(d), s, v) for d, s, v in rows)
+
+    # second pass is a no-op: nothing fragmented, nothing rewritten
+    files = sorted(glob.glob(path + "/date=*/*.parquet"))
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    assert compact_partitions(spark, path, max_files=1) == []
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
+
+    # multi-file target: each partition lands files_per_partition files
+    path2 = str(tmp_path / "frag2")
+    (
+        spark.createDataFrame(rows, ["date", "symbol", "v"])
+        .repartition(6)
+        .write.partitionBy("date")
+        .parquet(path2)
+    )
+    compact_partitions(spark, path2, max_files=1, files_per_partition=2)
+    stats2 = partition_file_stats(spark, path2).collect()
+    assert all(r["n_files"] <= 2 for r in stats2)
+    assert sum(r["n_rows"] for r in stats2) == len(rows)
