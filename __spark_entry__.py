@@ -405,6 +405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "availability_intervals": lambda s, d: analytics.availability_intervals(
             _da(s, d)
         ),
+        "availability_rollup": lambda s, d: analytics.availability_rollup(
+            _da(s, d)
+        ),
         "missing_volume": lambda s, d: backfill.missing_volume(
             _da(s, d), YEAR_START, YEAR_END
         ),
@@ -909,6 +912,7 @@ SELECT symbol, event, event_date, prev_date FROM (
 ) WHERE event IS NOT NULL
 ORDER BY symbol, event_date"""),
         "availability_intervals": with_da(oracles.sql_availability_intervals()),
+        "availability_rollup": with_da(oracles.sql_availability_rollup()),
         "missing_volume": with_da(f"""
             SELECT date, symbol, url FROM da
             WHERE available AND quote_volume_usdt IS NULL

@@ -186,3 +186,50 @@ def availability_intervals(da: DataFrame) -> DataFrame:
         F.max("date").alias("end_date"),
         F.count(F.lit(1)).cast("int").alias("n_days"),
     ).drop("__anchor")
+
+
+def availability_rollup(da: DataFrame) -> DataFrame:
+    """Hierarchical coverage report via GROUP BY ROLLUP(year, month):
+    per-month rows, per-year subtotals (month NULL), and the grand total
+    (both NULL) in ONE pass — (year, month, n_records, n_available,
+    n_symbols).
+
+    Catalyst plans rollup as an Expand (one input row emitted once per
+    grouping set) feeding a single partial aggregate — still one shuffle,
+    and the expansion factor is the hierarchy depth (3), not data-driven.
+    That beats three separate aggregation jobs at any scale; the exact
+    COUNT(DISTINCT symbol) adds the usual expand-per-distinct-agg cost,
+    acceptable against a #symbols-bounded universe (swap in
+    approx_count_distinct past that — see approx_availability_stats).
+    """
+    y = F.year("date").alias("year")
+    m = F.month("date").alias("month")
+    return da.rollup(y, m).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.col("available").cast("long")).alias("n_available"),
+        F.countDistinct("symbol").alias("n_symbols"),
+    )
+
+
+def approx_availability_stats(da: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """The sketch-based twin of ``availability_stats`` for scales where
+    exact distincts and percentiles stop being interactive: HyperLogLog++
+    distinct counts (relative standard deviation ``rsd``) and
+    approx_percentile volume quantiles (GK sketch).
+
+    Both sketches are single-pass, mergeable partial aggregates — the
+    whole query is one map-side-combined reduction to a single row with
+    NO expand and NO sort, at any corpus size; that is the entire point
+    of sketches at 100 TB. NOT oracle-gated: sketch outputs are
+    implementation-defined (documented trade, same family as tfidf's
+    ln); the pytest contract asserts the published error bounds against
+    the exact twin instead.
+    """
+    return da.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.approx_count_distinct("date", rsd).alias("approx_dates"),
+        F.approx_count_distinct("symbol", rsd).alias("approx_symbols"),
+        F.percentile_approx(
+            "quote_volume_usdt", [0.5, 0.9, 0.99], 10_000
+        ).alias("volume_quantiles"),
+    )

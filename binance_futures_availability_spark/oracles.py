@@ -1171,6 +1171,23 @@ JOIN sizes sa ON stratum_a = sa.stratum
 JOIN sizes sb ON stratum_b = sb.stratum"""
 
 
+def sql_availability_rollup() -> str:
+    """Hierarchical rollup — mirrors analytics.availability_rollup (same
+    grouping sets: (year, month), (year), ()); spliced over the da CTE."""
+    return """WITH base AS (
+    SELECT CAST(EXTRACT(year FROM date) AS INT) AS year,
+           CAST(EXTRACT(month FROM date) AS INT) AS month,
+           available, symbol
+    FROM da
+)
+SELECT year, month,
+       COUNT(*) AS n_records,
+       CAST(SUM(CASE WHEN available THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_available,
+       CAST(COUNT(DISTINCT symbol) AS BIGINT) AS n_symbols
+FROM base GROUP BY ROLLUP (year, month)"""
+
+
 def sql_event_spikes(
     k: int = 3, window_days: int = 7, min_history: int = 5
 ) -> str:

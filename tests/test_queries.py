@@ -476,3 +476,34 @@ def test_large_volume_customers_having(spark):
     assert r["sum_qty"] == 300.5 and r["c_name"] == "alice"
     assert r["o_totalprice"] == 1234.56
     assert r["o_orderdate"] == dt.date(1996, 2, 1)
+
+
+def test_availability_rollup_grouping_sets(populated_da):
+    from binance_futures_availability_spark.operators import analytics
+
+    rows = analytics.availability_rollup(populated_da).collect()
+    got = {(r["year"], r["month"]): r for r in rows}
+    # fixture world: 8 (date, symbol) rows across Jan 2024 — month row,
+    # year subtotal, and grand total must agree
+    assert got[(2024, 1)]["n_records"] == 8
+    assert got[(2024, 1)]["n_symbols"] == 3
+    assert got[(2024, None)]["n_records"] == 8
+    assert got[(None, None)]["n_records"] == 8
+    assert got[(2024, 1)]["n_available"] == 6  # BTC 3 + ETH 2 + NEW 1
+    assert len(rows) == 3
+
+
+def test_approx_stats_within_error_bounds(populated_da):
+    from binance_futures_availability_spark.operators import analytics
+
+    exact = analytics.availability_stats(populated_da).collect()[0]
+    approx = analytics.approx_availability_stats(populated_da).collect()[0]
+    assert approx["total_records"] == exact["total_records"]
+    # HLL++ rsd=0.05: generous 3-sigma band
+    for a, e in (
+        (approx["approx_dates"], exact["distinct_dates"]),
+        (approx["approx_symbols"], exact["distinct_symbols"]),
+    ):
+        assert abs(a - e) <= max(1, 0.15 * e)
+    q50, q90, q99 = approx["volume_quantiles"]
+    assert q50 <= q90 <= q99
