@@ -480,6 +480,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_spikes": lambda s, d: events.spike_detection(
             load_table(s, d, "events")
         ),
+        # general two-table as-of join: odd-id events pick up the latest
+        # even-id event at ts <= theirs per user (oracle: native ASOF JOIN)
+        "event_asof_join": lambda s, d: events.asof_join(
+            load_table(s, d, "events").filter(F.col("event_id") % 2 == 1),
+            load_table(s, d, "events").filter(F.col("event_id") % 2 == 0),
+        ),
         # --- LLM-pipeline extension operators over documents/embeddings ---
         "exact_duplicates": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -972,6 +978,7 @@ ORDER BY symbol, event_date"""),
         "event_topk_users": oracles.sql_event_topk_users(),
         "event_retention": oracles.sql_event_retention(),
         "event_spikes": oracles.sql_event_spikes(),
+        "event_asof_join": oracles.sql_event_asof_join(),
         # --- extension-suite oracles (generators in oracles.py keep the
         # md5/quantization constants in one place so Spark and SQL can't drift)
         "exact_duplicates": oracles.sql_exact_dup_groups(),

@@ -371,3 +371,82 @@ def spike_detection(
         F.coalesce(s, F.lit(0)).alias("trailing_sum"),
         F.coalesce(spike, F.lit(False)).alias("is_spike"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """General two-TABLE as-of join: each left row gains the right row
+    with the greatest ``ts ≤ left.ts`` in its ``by`` group — (id, by, ts,
+    value, r_id, r_ts, r_value), NULLs when no prior right row exists.
+
+    Spark lacks the primitive; the scale-right expression is the
+    union-and-carry window: both sides tagged into ONE frame, sorted by
+    (ts, side) within the group — right rows sort before left at equal
+    ts, giving the standard inclusive ``≤`` rule — and three
+    last(..., ignorenulls=True) columns carry the latest right row
+    forward. ONE shuffle on the group key, no join operator, no range
+    explosion (a naive range join is O(|L|·|R|) per group). Right rows
+    are first deduped to one per (by, ts) — max id wins — so the carried
+    row is well-defined; the DuckDB oracle runs its NATIVE ASOF JOIN
+    over the same deduped side, checking these window semantics against
+    an independent implementation of the operator.
+    """
+    lt, rt = dict(left.dtypes), dict(right.dtypes)
+    wr = Window.partitionBy(by, ts_col).orderBy(F.desc(id_col))
+    r1 = (
+        right.select(by, ts_col, id_col, value_col)
+        .withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    l2 = left.select(
+        F.col(by),
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.col(id_col).alias("l_id"),
+        F.col(value_col).alias("l_value"),
+        F.lit(None).cast(rt[id_col]).alias("__cr_id"),
+        F.lit(None).cast(rt[ts_col]).alias("__cr_ts"),
+        F.lit(None).cast(rt[value_col]).alias("__cr_value"),
+    )
+    r2 = r1.select(
+        F.col(by),
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lt[id_col]).alias("l_id"),
+        F.lit(None).cast(lt[value_col]).alias("l_value"),
+        F.col(id_col).alias("__cr_id"),
+        F.col(ts_col).alias("__cr_ts"),
+        F.col(value_col).alias("__cr_value"),
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    return (
+        l2.unionByName(r2)
+        .select(
+            "*",
+            carry(F.col("__cr_id")).alias("r_" + id_col),
+            carry(F.col("__cr_ts")).alias("r_" + ts_col),
+            carry(F.col("__cr_value")).alias("r_" + value_col),
+        )
+        .filter(F.col("__is_left") == 1)
+        .select(
+            F.col("l_id").alias(id_col),
+            by,
+            F.col("__ts").alias(ts_col),
+            F.col("l_value").alias(value_col),
+            "r_" + id_col,
+            "r_" + ts_col,
+            "r_" + value_col,
+        )
+    )

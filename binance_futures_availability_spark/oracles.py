@@ -1171,6 +1171,29 @@ JOIN sizes sa ON stratum_a = sa.stratum
 JOIN sizes sb ON stratum_b = sb.stratum"""
 
 
+def sql_event_asof_join(left_mod: int = 2) -> str:
+    """General as-of join — the oracle runs DuckDB's NATIVE ASOF JOIN
+    against the Spark union-and-carry window form: an independent
+    implementation of the same semantics (greatest r.ts ≤ l.ts per user,
+    right side deduped to one row per (user, ts) with max id)."""
+    return f"""WITH r1 AS (
+    SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % {left_mod} = 0
+    ) WHERE rn = 1
+),
+l AS (
+    SELECT event_id, user_id, ts, value
+    FROM events WHERE event_id % {left_mod} = 1
+)
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       r.event_id AS r_event_id, r.ts AS r_ts, r.value AS r_value
+FROM l ASOF LEFT JOIN r1 r
+  ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
 def sql_availability_rollup() -> str:
     """Hierarchical rollup — mirrors analytics.availability_rollup (same
     grouping sets: (year, month), (year), ()); spliced over the da CTE."""

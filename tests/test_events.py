@@ -203,3 +203,29 @@ def test_spike_detection_integer_zscore(spark):
     first = got[("click", dt.date(2024, 1, 1))]
     assert not first["is_spike"] and first["trailing_n"] == 0
     assert first["trailing_sum"] == 0
+
+
+def test_asof_join_inclusive_and_tie_rules(spark):
+    left = _events(
+        spark,
+        [
+            (1, T(2024, 1, 1, 10, 0), 1, "l", 1.0, "{}"),   # no prior right
+            (3, T(2024, 1, 1, 12, 0), 1, "l", 2.0, "{}"),   # equal-ts right
+            (5, T(2024, 1, 1, 15, 0), 1, "l", 3.0, "{}"),   # later right won
+            (7, T(2024, 1, 1, 9, 0), 2, "l", 4.0, "{}"),    # other user
+        ],
+    )
+    right = _events(
+        spark,
+        [
+            (2, T(2024, 1, 1, 12, 0), 1, "r", 10.0, "{}"),
+            (4, T(2024, 1, 1, 12, 0), 1, "r", 11.0, "{}"),  # same ts: max id wins
+            (6, T(2024, 1, 1, 14, 0), 1, "r", 12.0, "{}"),
+        ],
+    )
+    got = {r["event_id"]: r for r in ev.asof_join(left, right).collect()}
+    assert got[1]["r_event_id"] is None and got[1]["r_value"] is None
+    # inclusive <= at equal ts; the (user, ts)-dedup keeps event 4
+    assert got[3]["r_event_id"] == 4 and got[3]["r_value"] == 11.0
+    assert got[5]["r_event_id"] == 6 and got[5]["r_ts"] == T(2024, 1, 1, 14, 0)
+    assert got[7]["r_event_id"] is None  # rights belong to user 1 only
