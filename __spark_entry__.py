@@ -482,6 +482,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # general two-table as-of join: odd-id events pick up the latest
         # even-id event at ts <= theirs per user (oracle: native ASOF JOIN)
+        # bucketed range join: every event back into its containing
+        # session interval (oracle: DuckDB's native range/IEJoin)
+        "event_interval_join": lambda s, d: events.interval_join(
+            load_table(s, d, "events"),
+            events.sessionize(load_table(s, d, "events")),
+        ),
         "event_asof_join": lambda s, d: events.asof_join(
             load_table(s, d, "events").filter(F.col("event_id") % 2 == 1),
             load_table(s, d, "events").filter(F.col("event_id") % 2 == 0),
@@ -979,6 +985,7 @@ ORDER BY symbol, event_date"""),
         "event_retention": oracles.sql_event_retention(),
         "event_spikes": oracles.sql_event_spikes(),
         "event_asof_join": oracles.sql_event_asof_join(),
+        "event_interval_join": oracles.sql_event_interval_join(),
         # --- extension-suite oracles (generators in oracles.py keep the
         # md5/quantization constants in one place so Spark and SQL can't drift)
         "exact_duplicates": oracles.sql_exact_dup_groups(),

@@ -450,3 +450,53 @@ def asof_join(
             "r_" + value_col,
         )
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range (interval-containment) join: each point row joined to every
+    interval of its group with ``start ≤ ts ≤ end`` — (id, by, ts, start,
+    end). The operator class Spark's equi-join machinery lacks.
+
+    Scale-right expression: the BUCKETED range join. A naive theta-join
+    on the range predicate degenerates to a per-group cross product
+    (O(|P|·|I|) per group — Catalyst plans exactly that if asked).
+    Instead time is cut into ``bucket_seconds`` buckets: every interval
+    explodes into the buckets it covers (F.sequence — a narrow
+    projection), points map to one bucket each, and the join becomes an
+    EQUI-join on (group, bucket) with the exact containment predicate
+    as a post-filter. Work is then O(points + interval-bucket spans +
+    true matches). ``bucket_seconds`` is the knob: size it near the
+    median interval length so each interval spans O(1) buckets — too
+    fine explodes intervals, too coarse piles points per bucket (the
+    same trade as every spatial grid join).
+    """
+    bs = F.lit(bucket_seconds)
+    pt = points.select(
+        id_col, by, ts_col,
+        (F.unix_timestamp(F.col(ts_col)) / bs).cast("long").alias("__bucket"),
+    )
+    iv = intervals.select(
+        by, start_col, end_col,
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / bs).cast("long"),
+                (F.unix_timestamp(F.col(end_col)) / bs).cast("long"),
+            )
+        ).alias("__bucket"),
+    )
+    return (
+        pt.join(iv, [by, "__bucket"])
+        .filter(
+            F.col(ts_col).between(F.col(start_col), F.col(end_col))
+        )
+        .select(id_col, by, ts_col, start_col, end_col)
+    )

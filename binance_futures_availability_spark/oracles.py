@@ -1194,6 +1194,19 @@ FROM l ASOF LEFT JOIN r1 r
   ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
 
+def sql_event_interval_join(gap_minutes: int = 30) -> str:
+    """Interval-containment join — the oracle runs DuckDB's range join
+    (its IEJoin path) against Spark's bucketed equi-join form: every
+    event mapped into its containing session interval."""
+    return f"""WITH sessions AS (
+    SELECT * FROM ({sql_event_sessions(gap_minutes)})
+)
+SELECT e.event_id, e.user_id, e.ts, s.session_start, s.session_end
+FROM events e JOIN sessions s
+  ON e.user_id = s.user_id
+ AND e.ts BETWEEN s.session_start AND s.session_end"""
+
+
 def sql_availability_rollup() -> str:
     """Hierarchical rollup — mirrors analytics.availability_rollup (same
     grouping sets: (year, month), (year), ()); spliced over the da CTE."""

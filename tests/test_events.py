@@ -229,3 +229,33 @@ def test_asof_join_inclusive_and_tie_rules(spark):
     assert got[3]["r_event_id"] == 4 and got[3]["r_value"] == 11.0
     assert got[5]["r_event_id"] == 6 and got[5]["r_ts"] == T(2024, 1, 1, 14, 0)
     assert got[7]["r_event_id"] is None  # rights belong to user 1 only
+
+
+def test_interval_join_containment_and_bucketing(spark):
+    points = _events(
+        spark,
+        [
+            (1, T(2024, 1, 1, 10, 30), 1, "p", 0.0, "{}"),  # inside A
+            (2, T(2024, 1, 1, 12, 0), 1, "p", 0.0, "{}"),   # boundary end A
+            (3, T(2024, 1, 1, 13, 0), 1, "p", 0.0, "{}"),   # in no interval
+            (4, T(2024, 1, 1, 10, 30), 2, "p", 0.0, "{}"),  # other group
+        ],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0), T(2024, 1, 1, 12, 0)),
+            (2, T(2024, 1, 1, 14, 0), T(2024, 1, 1, 15, 0)),
+        ],
+        "user_id long, session_start timestamp, session_end timestamp",
+    )
+    # tiny buckets force multi-bucket interval explosion; the dedup-free
+    # contract holds because a point's bucket matches each interval once
+    got = {
+        r["event_id"]: r
+        for r in ev.interval_join(
+            points, intervals, bucket_seconds=600
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[2]["session_end"] == T(2024, 1, 1, 12, 0)  # inclusive end
+    assert got[1]["session_start"] == T(2024, 1, 1, 10, 0)
