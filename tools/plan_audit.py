@@ -59,6 +59,9 @@ HEADLINERS = {
     "event_spikes": "spike detection: aggregate to |types|x|days| before the window; trailing-frame z-test in pure BIGINT expressions (codegen, no UDF)",
     "source_overlap": "vocabulary overlap: distinct to vocabulary size first, term self-join fan-out bounded by |strata|^2, broadcast size table",
     "quality_deciles": "distributed NTILE: range repartition + per-partition offsets + narrow Arrow rank pass — no single-partition Window stage anywhere",
+    "availability_rollup": "GROUP BY ROLLUP: one Expand (x3, hierarchy depth) + one partial-agg shuffle replaces three aggregation jobs",
+    "event_asof_join": "two-table as-of join as union-and-carry window: one group-key shuffle, no join operator, no range explosion",
+    "event_interval_join": "bucketed range join: interval bucket explosion is a narrow projection; the join is an equi-join on (group, bucket) with exact containment as post-filter",
 }
 
 
