@@ -231,9 +231,25 @@ def global_row_number(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
+
+    def _part_counts(batches):
+        import pandas as pd
+
+        pid, cnt = None, 0
+        for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["__pid"].iat[0])
+                cnt += len(pdf)
+        if pid is not None:
+            yield pd.DataFrame({"__pid": [pid], "cnt": [cnt]})
+
+    # per-partition counts WITHOUT an aggregation shuffle: one narrow
+    # Arrow pass over the (now materialized) cached blocks
     counts = {
         r["__pid"]: r["cnt"]
-        for r in parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        for r in parts.select("__pid").mapInPandas(
+            _part_counts, "__pid int, cnt long"
+        ).collect()
     }
     offsets, acc = {}, 0
     for pid in sorted(counts):

@@ -673,12 +673,21 @@ def quality_deciles(
     extra job is the bounded per-partition count collect.
     """
     from ..functions import global_row_number
+    from ..index_cache import cached_index, plan_key
 
-    scored = quality_scores(docs, id_col, text_col).select(
-        id_col, "quality_score"
-    )
-    ranked = global_row_number(
-        scored, ["quality_score", id_col], rank_col="__rank"
+    def _build_ranked() -> DataFrame:
+        scored = quality_scores(docs, id_col, text_col).select(
+            id_col, "quality_score"
+        )
+        return global_row_number(
+            scored, ["quality_score", id_col], rank_col="__rank"
+        )
+
+    # the ranked frame is a session-cached index artifact (same discipline
+    # as the tf inverted index): repeated decile/threshold queries serve
+    # from the cache instead of re-running the range sort + offset passes
+    ranked = cached_index(
+        plan_key(docs, "quality_rank", id_col, text_col), _build_ranked
     )
     total = _corpus_count(docs)  # session-cached corpus count
     q, rem = divmod(total, n_tiles)
