@@ -204,9 +204,16 @@ def availability_rollup(da: DataFrame) -> DataFrame:
     """
     y = F.year("date").alias("year")
     m = F.month("date").alias("month")
-    return da.rollup(y, m).agg(
-        F.count(F.lit(1)).alias("n_records"),
-        F.sum(F.col("available").cast("long")).alias("n_available"),
+    # two-level: reduce the fact to (year, month, symbol) partials first,
+    # so the rollup's Expand and the COUNT(DISTINCT) expand both run over
+    # a #symbols×#months frame instead of the raw fact stream
+    partial = da.groupBy(y, m, F.col("symbol")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("available").cast("long")).alias("_av"),
+    )
+    return partial.rollup("year", "month").agg(
+        F.sum("_n").cast("long").alias("n_records"),
+        F.sum("_av").alias("n_available"),
         F.countDistinct("symbol").alias("n_symbols"),
     )
 

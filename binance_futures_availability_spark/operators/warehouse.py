@@ -181,12 +181,15 @@ def shipping_priority(
     Shape: the segment filter reduces customer to ~1/5 of a dimension
     table — broadcast into the orders scan so the fact side never
     shuffles for it; the order-date and ship-date predicates push into
-    their respective parquet scans; the only shuffle is lineitem ⋈
-    orders on the order key, then the group-by reuses that key
-    partitioning (no second exchange) and the top-k collapses to a
-    TakeOrderedAndProject — no global sort materializes. Ties broken by
-    order key so the selected set is deterministic at any scale.
-    Revenue in integer cents (scale-4 exact; see pricing_summary).
+    their respective parquet scans. The revenue aggregate runs BELOW
+    the join (legal because the order-attribute group keys are
+    functionally dependent on the order key): the line-item stream
+    reduces map-side to ≤|orders| rows in its one shuffle, and the join
+    is then order-sized ⋈ order-sized instead of a sort-merge over raw
+    line items. The top-k collapses to a TakeOrderedAndProject — no
+    global sort materializes; ties broken by order key so the selected
+    set is deterministic at any scale. Revenue in integer cents
+    (scale-4 exact; see pricing_summary).
     """
     cust = F.broadcast(
         customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
@@ -198,13 +201,21 @@ def shipping_priority(
     )
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_h = F.round(F.col("l_discount") * 100).cast("long")
-    line = lineitem.filter(F.col("l_shipdate") > F.lit(cutoff)).select(
-        "l_orderkey", (price_c * (F.lit(100) - disc_h)).alias("rev4")
+    # aggregate BELOW the join: the order-attribute group keys are
+    # functionally dependent on the order key, so summing per order key
+    # first is identical — the fact side reduces map-side to ≤|orders|
+    # rows before any join, and the join runs order-sized ⋈ order-sized
+    # instead of sort-merging the full line-item stream
+    line_rev = (
+        lineitem.filter(F.col("l_shipdate") > F.lit(cutoff))
+        .select(
+            "l_orderkey", (price_c * (F.lit(100) - disc_h)).alias("rev4")
+        )
+        .groupBy("l_orderkey")
+        .agg((F.sum("rev4").cast("double") / 10000.0).alias("revenue"))
     )
     return (
-        line.join(o, line["l_orderkey"] == o["o_orderkey"])
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg((F.sum("rev4").cast("double") / 10000.0).alias("revenue"))
+        line_rev.join(o, line_rev["l_orderkey"] == o["o_orderkey"])
         .select(
             "o_orderkey",
             "revenue",
