@@ -563,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": lambda s, d: textops.top_terms(_docs(s, d)),
         "source_overlap": lambda s, d: textops.source_overlap(_docs(s, d)),
         "quality_deciles": lambda s, d: textops.quality_deciles(_docs(s, d)),
+        "curated_corpus": lambda s, d: textops.curate_corpus(_docs(s, d)),
         "pii_scrub": _pii_scrub,
         "contamination_check": _contamination_check,
         "stratified_sample": lambda s, d: sampling.stratified_sample(
@@ -1040,6 +1041,7 @@ ORDER BY symbol, event_date"""),
         "top_terms": oracles.sql_top_terms(),
         "source_overlap": oracles.sql_source_overlap(),
         "quality_deciles": oracles.sql_quality_deciles(),
+        "curated_corpus": oracles.sql_curate_corpus(),
         "pii_scrub": oracles.sql_pii_scrub(PII_SUFFIX),
         "contamination_check": oracles.sql_contamination_check(),
         "stratified_sample": oracles.sql_stratified_sample(

@@ -59,6 +59,21 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def quality_score_expr(t):
+    """The heuristic quality score as a reusable column expression —
+    raw doubles in a fixed evaluation order (no round(): cross-engine
+    round implementations differ in last-ulp cases; integer-derived
+    ratios are already bit-deterministic)."""
+    wc = token_count(t)
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    stop = _stop_count(t, "en")
+    return (
+        0.4 * F.least(wc.cast("double") / 100.0, F.lit(1.0))
+        + 0.4 * (stop.cast("double") / wc)
+        + 0.2 * F.least((nonspace.cast("double") / wc) / 10.0, F.lit(1.0))
+    )
+
+
 def quality_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -73,14 +88,7 @@ def quality_scores(
     stop = _stop_count(t, "en")
     awl = nonspace.cast("double") / wc
     stop_ratio = stop.cast("double") / wc
-    # raw doubles, fixed evaluation order — no round(): cross-engine round
-    # implementations differ in last-ulp cases; integer-derived ratios are
-    # already bit-deterministic
-    score = (
-        0.4 * F.least(wc.cast("double") / 100.0, F.lit(1.0))
-        + 0.4 * stop_ratio
-        + 0.2 * F.least(awl / 10.0, F.lit(1.0))
-    )
+    score = quality_score_expr(t)
     return docs.select(
         id_col,
         wc.alias("word_count"),
@@ -704,4 +712,57 @@ def quality_deciles(
         id_col,
         "quality_score",
         tile.cast("int").alias("decile"),
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.25,
+    splits: tuple = DEFAULT_SPLITS,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The curation pipeline END-TO-END in one composed plan: quality
+    filter → exact dedup (lowest-id survivor per normalized-content
+    hash) → deterministic train/val/test split → token budget —
+    (doc_id, quality_score, n_tokens, split).
+
+    This is the operator-composition story: every stage is the same
+    expression its standalone operator uses (quality_score_expr,
+    normalized-text md5, the salted per-mille split), so Catalyst fuses
+    the whole pipeline into ONE narrow scan + ONE shuffle (the dedup
+    window's content-hash partitioning) — no intermediate
+    materialization, no second pass over the corpus. Filter order
+    matters at scale: the quality gate runs BEFORE the dedup shuffle,
+    so rejected docs never enter the exchange.
+    """
+    t = F.col(text_col)
+    from pyspark.sql import Window
+
+    kept = docs.select(
+        F.col(id_col),
+        t.alias("__text"),
+        quality_score_expr(t).alias("quality_score"),
+    ).filter(F.col("quality_score") >= min_quality)
+    w = Window.partitionBy("__md5").orderBy(id_col)
+    survivors = (
+        kept.withColumn("__md5", F.md5(normalized_text(F.col("__text"))))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    uppers = [u for _, u in splits]
+    if any(b <= a for a, b in zip(uppers, uppers[1:])) or uppers[-1] != 1000 or uppers[0] <= 0:
+        raise ValueError(f"splits must cover (0, 1000]; got {uppers}")
+    bucket = md5_int60(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    ) % 1000
+    split_col = F.lit(None).cast("string")
+    for name, upper in reversed(splits):
+        split_col = F.when(bucket < upper, F.lit(name)).otherwise(split_col)
+    return survivors.select(
+        id_col,
+        "quality_score",
+        token_count(F.col("__text")).alias("n_tokens"),
+        split_col.alias("split"),
     )

@@ -735,6 +735,43 @@ SELECT doc_id,
 FROM documents""".strip()
 
 
+def sql_curate_corpus(
+    min_quality: float = 0.25,
+    splits: tuple = (("train", 980), ("val", 990), ("test", 1000)),
+    salt: str = "split-v1",
+) -> str:
+    """End-to-end curation pipeline — the same composed stages as
+    textops.curate_corpus: identical score expression (so the filter
+    decisions match bit-for-bit), normalized-content md5 dedup with
+    lowest-id survivorship, salted per-mille split."""
+    wc = r"len(regexp_split_to_array(trim(text), '\s+'))"
+    stop = f"len(regexp_extract_all(text, '{STOPWORDS_SQL['en']}', 0))"
+    score = (
+        f"0.4 * LEAST(CAST({wc} AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.4 * (CAST({stop} AS DOUBLE) / {wc})"
+        f" + 0.2 * LEAST((CAST(length(regexp_replace(text, '\\s', '', 'g'))"
+        f" AS DOUBLE) / {wc}) / 10.0, 1.0)"
+    )
+    norm = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
+    bucket = MD5_INT.format(x=f"'{salt}:' || CAST(doc_id AS VARCHAR)") + " % 1000"
+    cases = " ".join(
+        f"WHEN {bucket} < {upper} THEN '{name}'" for name, upper in splits
+    )
+    return f"""WITH scored AS (
+    SELECT doc_id, text, {score} AS quality_score FROM documents
+),
+kept AS (SELECT * FROM scored WHERE quality_score >= {min_quality}),
+dd AS (
+    SELECT doc_id, text, quality_score,
+           ROW_NUMBER() OVER (PARTITION BY {norm} ORDER BY doc_id) AS rn
+    FROM kept
+)
+SELECT doc_id, quality_score,
+       CAST({wc} AS INT) AS n_tokens,
+       CASE {cases} END AS split
+FROM dd WHERE rn = 1"""
+
+
 def sql_quality_deciles(n_tiles: int = 10) -> str:
     """NTILE bucketing over the quality score — the Spark side reproduces
     SQL NTILE semantics from its distributed global rank, so the oracle

@@ -1157,3 +1157,30 @@ def test_kmeans_cells_recovers_clusters_from_bad_seeds(spark):
     cells_b = {got[i] for i in (3, 4, 5)}
     assert len(cells_a) == 1 and len(cells_b) == 1
     assert cells_a != cells_b
+
+
+def test_curate_corpus_stage_composition(spark):
+    docs6 = spark.createDataFrame(
+        [
+            # high quality (stopword-rich), duplicated with different ids
+            (0, "the cat and the dog sat in the house of the king", "en", "s"),
+            (5, "The cat and the dog  sat in the house of the KING", "en", "s"),
+            # low quality: no stopwords, short
+            (1, "zz qq xx", "en", "s"),
+            # distinct survivor
+            (2, "the quick brown fox is happy to see the lazy dog", "en", "s"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    got = {r["doc_id"]: r for r in textops.curate_corpus(docs6, 0.25).collect()}
+    # doc 1 fails the quality gate; doc 5 is a normalized dup of doc 0
+    # (case/whitespace) — lowest id survives
+    assert set(got) == {0, 2}
+    assert got[0]["n_tokens"] == 12
+    assert got[0]["split"] in ("train", "val", "test")
+    # the split matches the standalone corpus_split assignment
+    split_map = {
+        r["doc_id"]: r["split"]
+        for r in textops.corpus_split(docs6.select("doc_id")).collect()
+    }
+    assert all(got[i]["split"] == split_map[i] for i in got)
