@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "availability_rollup": lambda s, d: analytics.availability_rollup(
             _da(s, d)
         ),
+        "volume_histogram": lambda s, d: volume.volume_histogram(_da(s, d)),
         "missing_volume": lambda s, d: backfill.missing_volume(
             _da(s, d), YEAR_START, YEAR_END
         ),
@@ -926,6 +927,7 @@ SELECT symbol, event, event_date, prev_date FROM (
 ORDER BY symbol, event_date"""),
         "availability_intervals": with_da(oracles.sql_availability_intervals()),
         "availability_rollup": with_da(oracles.sql_availability_rollup()),
+        "volume_histogram": with_da(oracles.sql_volume_histogram()),
         "missing_volume": with_da(f"""
             SELECT date, symbol, url FROM da
             WHERE available AND quote_volume_usdt IS NULL

@@ -277,3 +277,25 @@ def global_row_number(
     ranked = parts.mapInPandas(number, out_schema).drop("__pid")
     parts.unpersist()
     return ranked
+
+
+def interleave_bits(a, b, bits: int = 16):
+    """Morton/Z-curve interleave of two non-negative ints (low ``bits``
+    of each): a pure codegen bit expression — no UDF. Rows close on the
+    Z value are close in BOTH dimensions, which is what makes a Z-sorted
+    file layout prune on either column's row-group min/max stats."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i
+            )
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)),
+                2 * i + 1,
+            )
+        )
+    return z

@@ -151,3 +151,29 @@ def market_summary(da: DataFrame, target_date: dt.date | str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_volume_usdt"),
     )
+
+
+def volume_histogram(da: DataFrame, bin_width: float = 25000.0) -> DataFrame:
+    """Volume distribution histogram: (bin, bin_lo, n_records) over rows
+    with a volume — the monitoring/planning surface for skew decisions
+    (which volume strata dominate, where to cut sampling tiers).
+
+    One narrow projection (floor-divide bin assignment) + one partial-agg
+    shuffle on a small integer key — the same shape as a group-count, so
+    it runs at scan speed at any table size. The bin id is
+    floor(volume / width): float division + floor is deterministic on
+    IEEE doubles, and bin_lo = bin · width multiplies an exact small
+    integer — both engines agree bit-for-bit.
+    """
+    b = F.floor(F.col("quote_volume_usdt") / F.lit(bin_width)).cast("long")
+    return (
+        da.filter(F.col("quote_volume_usdt").isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .select(
+            "bin",
+            (F.col("bin").cast("double") * F.lit(bin_width)).alias("bin_lo"),
+            "n_records",
+        )
+    )

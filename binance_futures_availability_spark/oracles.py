@@ -1244,6 +1244,18 @@ FROM events e JOIN sessions s
  AND e.ts BETWEEN s.session_start AND s.session_end"""
 
 
+def sql_volume_histogram(bin_width: float = 25000.0) -> str:
+    """Volume histogram — mirrors volume.volume_histogram (same float
+    floor-divide binning, exact integer counts)."""
+    return f"""SELECT bin,
+       CAST(bin AS DOUBLE) * {bin_width} AS bin_lo,
+       COUNT(*) AS n_records
+FROM (
+    SELECT CAST(floor(quote_volume_usdt / {bin_width}) AS BIGINT) AS bin
+    FROM da WHERE quote_volume_usdt IS NOT NULL
+) GROUP BY bin"""
+
+
 def sql_availability_rollup() -> str:
     """Hierarchical rollup — mirrors analytics.availability_rollup (same
     grouping sets: (year, month), (year), ()); spliced over the da CTE."""

@@ -371,3 +371,44 @@ def test_compact_partitions_rewrites_only_fragmented(spark, tmp_path):
     stats2 = partition_file_stats(spark, path2).collect()
     assert all(r["n_files"] <= 2 for r in stats2)
     assert sum(r["n_rows"] for r in stats2) == len(rows)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from binance_futures_availability_spark.sources.writer import write_zordered
+
+    grid = spark.range(64 * 64).selectExpr(
+        "CAST(id / 64 AS LONG) AS x", "CAST(id % 64 AS LONG) AS y"
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(grid, zpath, "x", "y", n_files=16, bits=6)
+    # linear baseline: range-sorted by x only, same file count
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def files_covering(path, col, lo, hi):
+        stats = (
+            spark.read.parquet(path)
+            .select(col, F.input_file_name().alias("f"))
+            .groupBy("f")
+            .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+            .collect()
+        )
+        return sum(1 for r in stats if r["mn"] <= hi and lo <= r["mx"]), len(stats)
+
+    zx, zn = files_covering(zpath, "x", 10, 13)
+    zy, _ = files_covering(zpath, "y", 10, 13)
+    lx, ln = files_covering(lpath, "x", 10, 13)
+    ly, _ = files_covering(lpath, "y", 10, 13)
+    # linear layout: great on x, useless on y (every file covers all y)
+    assert lx <= 2 and ly == ln
+    # z-order: BOTH dimensions prune to a strict subset of files
+    assert zx < zn and zy < zn
+    assert zy <= zn // 2  # the dimension linear sort abandons
+    # data intact
+    assert spark.read.parquet(zpath).count() == 64 * 64
