@@ -298,3 +298,90 @@ def test_apply_mixture_matches_on_alternate_budgets(spark, docs, duck):
             duck,
             oracles.sql_apply_mixture(budget),
         )
+
+
+# --- round-5 continuation families ---
+
+
+def test_kmeans_matches_oracle_at_two_configs(spark, emb, duck):
+    for n_cells, n_iters in ((8, 1), (4, 3)):
+        n = _match(
+            similarity.kmeans_cells(emb, n_cells=n_cells, n_iters=n_iters),
+            duck,
+            oracles.sql_kmeans_cells(n_cells, n_iters),
+        )
+        assert n > 0
+
+
+def test_semantic_dedup_matches_on_alternate_params(spark, emb, duck):
+    for thr, n_cells in ((0.3, 8), (0.5, 4)):
+        n = _match(
+            similarity.semantic_dedup_survivors(emb, thr, n_cells=n_cells),
+            duck,
+            oracles.sql_semantic_dedup_survivors(thr, n_cells),
+        )
+        assert n > 0
+
+
+def test_spikes_match_on_alternate_window(spark, events_df, duck):
+    from binance_futures_availability_spark.operators import events as ev
+
+    for k, wd, mh in ((3, 7, 5), (2, 4, 3)):
+        n = _match(
+            ev.spike_detection(events_df, k=k, window_days=wd, min_history=mh),
+            duck,
+            oracles.sql_event_spikes(k, wd, mh),
+        )
+        assert n > 0
+
+
+def test_interval_join_matches_at_two_buckets(spark, events_df, duck):
+    from binance_futures_availability_spark.operators import events as ev
+
+    for gap, bucket in ((30, 3600), (10, 300)):
+        n = _match(
+            ev.interval_join(
+                events_df,
+                ev.sessionize(events_df, gap_minutes=gap),
+                bucket_seconds=bucket,
+            ),
+            duck,
+            oracles.sql_event_interval_join(gap),
+        )
+        assert n > 0
+
+
+def test_curate_matches_on_alternate_threshold_and_splits(spark, docs, duck):
+    from binance_futures_availability_spark.operators import textops
+
+    alt = (("train", 900), ("holdout", 1000))
+    for thr, splits in ((0.25, None), (0.35, alt)):
+        kwargs = {"min_quality": thr}
+        sql_kwargs = {"min_quality": thr}
+        if splits:
+            kwargs["splits"] = splits
+            sql_kwargs["splits"] = splits
+        n = _match(
+            textops.curate_corpus(docs, **kwargs),
+            duck,
+            oracles.sql_curate_corpus(**sql_kwargs),
+        )
+        assert n > 0
+
+
+def test_histogram_matches_at_two_bin_widths(spark, duck):
+    import __spark_entry__ as entrymod
+    from binance_futures_availability_spark.operators import volume
+    from binance_futures_availability_spark.operators.availability import with_da
+
+    da = entrymod._da(spark, SF_DIR)
+    duck2 = duckdb.connect()
+    for t in ("documents", "embeddings", "events", "lineitem"):
+        duck2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    for width in (25000.0, 5000.0):
+        n = _match(
+            volume.volume_histogram(da, width),
+            duck2,
+            with_da(oracles.sql_volume_histogram(width)),
+        )
+        assert n > 0
