@@ -565,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": lambda s, d: textops.source_overlap(_docs(s, d)),
         "quality_deciles": lambda s, d: textops.quality_deciles(_docs(s, d)),
         "curated_corpus": lambda s, d: textops.curate_corpus(_docs(s, d)),
+        "chunked_documents": lambda s, d: textops.chunk_documents(_docs(s, d)),
         "pii_scrub": _pii_scrub,
         "contamination_check": _contamination_check,
         "stratified_sample": lambda s, d: sampling.stratified_sample(
@@ -1044,6 +1045,7 @@ ORDER BY symbol, event_date"""),
         "source_overlap": oracles.sql_source_overlap(),
         "quality_deciles": oracles.sql_quality_deciles(),
         "curated_corpus": oracles.sql_curate_corpus(),
+        "chunked_documents": oracles.sql_chunk_documents(),
         "pii_scrub": oracles.sql_pii_scrub(PII_SUFFIX),
         "contamination_check": oracles.sql_contamination_check(),
         "stratified_sample": oracles.sql_stratified_sample(

@@ -766,3 +766,52 @@ def curate_corpus(
         token_count(F.col("__text")).alias("n_tokens"),
         split_col.alias("split"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-stride sliding-window chunking: each document becomes
+    overlapping ``chunk_tokens``-token windows advancing by
+    ``chunk_tokens − overlap`` — (doc_id, chunk_id, n_tokens,
+    chunk_text), the segmentation every embedding/RAG indexing pipeline
+    runs before vectorizing and long-document pretraining runs before
+    packing.
+
+    Pure narrow plan: tokenize once per row, generate the window starts
+    with F.sequence, explode, slice — all codegen array expressions, no
+    shuffle, no UDF; output size is rows × ⌈n/stride⌉, the only cost.
+    Every start < n_tokens emits (the tail window is shorter; callers
+    filter on n_tokens if they need full windows only). Deterministic:
+    same whitespace tokenizer as token_counts, mirrored in the oracle.
+    """
+    from ..functions import tokens
+
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        id_col, toks.alias("__toks"), F.size(toks).alias("__n")
+    ).filter(F.col("__n") > 0)
+    starts = F.sequence(
+        F.lit(0), F.col("__n") - 1, F.lit(step)
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return (
+        base.select(
+            id_col, "__toks", F.explode(starts).alias("__start")
+        )
+        .select(
+            id_col,
+            (F.col("__start") / step).cast("int").alias("chunk_id"),
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

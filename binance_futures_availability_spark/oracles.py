@@ -772,6 +772,29 @@ SELECT doc_id, quality_score,
 FROM dd WHERE rn = 1"""
 
 
+def sql_chunk_documents(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    """Sliding-window chunking — mirrors textops.chunk_documents (same
+    whitespace tokenizer, same stride/window arithmetic, list_slice
+    clamps like F.slice)."""
+    step = chunk_tokens - overlap
+    return rf"""WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id, toks,
+           unnest(range(0, GREATEST(len(toks), 1), {step})) AS start
+    FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(start / {step} AS INT) AS chunk_id,
+       CAST(len(list_slice(toks, start + 1, start + {chunk_tokens})) AS INT)
+           AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {chunk_tokens}), ' ')
+           AS chunk_text
+FROM s"""
+
+
 def sql_quality_deciles(n_tiles: int = 10) -> str:
     """NTILE bucketing over the quality score — the Spark side reproduces
     SQL NTILE semantics from its distributed global rank, so the oracle

@@ -1184,3 +1184,26 @@ def test_curate_corpus_stage_composition(spark):
         for r in textops.corpus_split(docs6.select("doc_id")).collect()
     }
     assert all(got[i]["split"] == split_map[i] for i in got)
+
+
+def test_chunk_documents_stride_and_tail(spark):
+    docs1 = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10))), (1, "solo")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in textops.chunk_documents(
+            docs1, chunk_tokens=4, overlap=2
+        ).collect()
+    }
+    # doc 0: starts 0,2,4,6,8 -> windows of 4,4,4,4,2 tokens
+    assert [got[(0, i)]["n_tokens"] for i in range(5)] == [4, 4, 4, 4, 2]
+    assert got[(0, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert got[(0, 1)]["chunk_text"] == "w2 w3 w4 w5"  # 2-token overlap
+    assert got[(0, 4)]["chunk_text"] == "w8 w9"
+    assert got[(1, 0)]["chunk_text"] == "solo"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textops.chunk_documents(docs1, chunk_tokens=4, overlap=4)
