@@ -566,6 +566,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles": lambda s, d: textops.quality_deciles(_docs(s, d)),
         "curated_corpus": lambda s, d: textops.curate_corpus(_docs(s, d)),
         "chunked_documents": lambda s, d: textops.chunk_documents(_docs(s, d)),
+        "boilerplate_chunks": lambda s, d: textops.boilerplate_chunks(
+            _docs(s, d)
+        ),
+        "scrub_boilerplate": lambda s, d: textops.scrub_boilerplate(
+            _docs(s, d)
+        ),
         "pii_scrub": _pii_scrub,
         "contamination_check": _contamination_check,
         "stratified_sample": lambda s, d: sampling.stratified_sample(
@@ -1046,6 +1052,8 @@ ORDER BY symbol, event_date"""),
         "quality_deciles": oracles.sql_quality_deciles(),
         "curated_corpus": oracles.sql_curate_corpus(),
         "chunked_documents": oracles.sql_chunk_documents(),
+        "boilerplate_chunks": oracles.sql_boilerplate_chunks(),
+        "scrub_boilerplate": oracles.sql_scrub_boilerplate(),
         "pii_scrub": oracles.sql_pii_scrub(PII_SUFFIX),
         "contamination_check": oracles.sql_contamination_check(),
         "stratified_sample": oracles.sql_stratified_sample(

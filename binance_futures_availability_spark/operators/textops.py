@@ -815,3 +815,68 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def boilerplate_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document duplicate detection: disjoint ``chunk_tokens``-token
+    windows repeated across ≥ ``min_docs`` documents — (chunk_text,
+    n_docs, n_occurrences). The chunk-granularity form of line-level
+    dedup: repeated navigation/footer/template fragments show up here
+    long before whole documents are near-dups.
+
+    Shape: the chunker's narrow explode, then ONE aggregate keyed on the
+    chunk text — hash-partitioned, map-side combined, and the HAVING
+    filter keeps only the (sparse) repeated tail. Granularity is the
+    chunk width: smaller windows catch shorter boilerplate at more
+    rows-in-flight.
+    """
+    ch = chunk_documents(docs, chunk_tokens, 0, id_col, text_col)
+    return (
+        ch.groupBy("chunk_text")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def scrub_boilerplate(
+    docs: DataFrame,
+    chunk_tokens: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove cross-document boilerplate IN PLACE: re-chunk each doc
+    disjointly, drop every chunk whose text repeats in ≥ ``min_docs``
+    documents, and reassemble the survivors in order — (doc_id,
+    clean_text, n_kept_chunks). Documents that were pure boilerplate
+    vanish (no surviving chunk), exactly like line-dedup pipelines.
+
+    Shape: chunker explode → anti join against the (sparse) boilerplate
+    set on the chunk text — broadcast-able right side by construction —
+    → one per-doc aggregate whose ordering is handled engine-side
+    (array_sort over (chunk_id, text) structs: deterministic regardless
+    of partial-agg arrival order, no window needed).
+    """
+    ch = chunk_documents(docs, chunk_tokens, 0, id_col, text_col)
+    bp = boilerplate_chunks(
+        docs, chunk_tokens, min_docs, id_col, text_col
+    ).select("chunk_text")
+    kept = ch.join(bp, "chunk_text", "left_anti")
+    pieces = F.array_sort(
+        F.collect_list(F.struct("chunk_id", "chunk_text"))
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(pieces, lambda p: p["chunk_text"]), " "
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_kept_chunks"),
+    )

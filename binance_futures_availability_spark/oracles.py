@@ -795,6 +795,34 @@ SELECT doc_id,
 FROM s"""
 
 
+def sql_boilerplate_chunks(chunk_tokens: int = 8, min_docs: int = 2) -> str:
+    """Repeated-chunk detection — mirrors textops.boilerplate_chunks over
+    the same disjoint chunker."""
+    return f"""WITH c AS ({sql_chunk_documents(chunk_tokens, 0)})
+SELECT chunk_text,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM c GROUP BY chunk_text
+HAVING COUNT(DISTINCT doc_id) >= {min_docs}"""
+
+
+def sql_scrub_boilerplate(chunk_tokens: int = 8, min_docs: int = 2) -> str:
+    """Boilerplate scrub — mirrors textops.scrub_boilerplate (same chunker,
+    same repeated-set, ordered reassembly)."""
+    return f"""WITH c AS ({sql_chunk_documents(chunk_tokens, 0)}),
+bp AS (
+    SELECT chunk_text FROM c GROUP BY chunk_text
+    HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+),
+kept AS (
+    SELECT * FROM c WHERE chunk_text NOT IN (SELECT chunk_text FROM bp)
+)
+SELECT doc_id,
+       array_to_string(list(chunk_text ORDER BY chunk_id), ' ') AS clean_text,
+       CAST(COUNT(*) AS INT) AS n_kept_chunks
+FROM kept GROUP BY doc_id"""
+
+
 def sql_quality_deciles(n_tiles: int = 10) -> str:
     """NTILE bucketing over the quality score — the Spark side reproduces
     SQL NTILE semantics from its distributed global rank, so the oracle

@@ -1207,3 +1207,32 @@ def test_chunk_documents_stride_and_tail(spark):
 
     with _pytest.raises(ValueError):
         textops.chunk_documents(docs1, chunk_tokens=4, overlap=4)
+
+
+def test_boilerplate_detection_and_scrub(spark):
+    # footer "follow us on example social" repeats in docs 0/1; unique
+    # bodies survive; doc 2 is PURE boilerplate and vanishes
+    footer = "follow us on social"
+    docs_bp = spark.createDataFrame(
+        [
+            (0, "unique body zero here " + footer),
+            (1, "different body one text " + footer),
+            (2, footer),
+            (3, "totally unrelated content four words"),
+        ],
+        ["doc_id", "text"],
+    )
+    bp = textops.boilerplate_chunks(docs_bp, chunk_tokens=4, min_docs=2)
+    got_bp = {r["chunk_text"]: r for r in bp.collect()}
+    assert footer in got_bp
+    assert got_bp[footer]["n_docs"] == 3
+    clean = {
+        r["doc_id"]: r
+        for r in textops.scrub_boilerplate(
+            docs_bp, chunk_tokens=4, min_docs=2
+        ).collect()
+    }
+    assert clean[0]["clean_text"] == "unique body zero here"
+    assert clean[1]["clean_text"] == "different body one text"
+    assert 2 not in clean  # pure boilerplate vanishes
+    assert clean[3]["n_kept_chunks"] >= 1
