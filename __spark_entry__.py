@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_boilerplate": lambda s, d: textops.scrub_boilerplate(
             _docs(s, d)
         ),
+        "doc_keyterms": lambda s, d: textops.doc_keyterms(_docs(s, d)),
         "pii_scrub": _pii_scrub,
         "contamination_check": _contamination_check,
         "stratified_sample": lambda s, d: sampling.stratified_sample(
@@ -1054,6 +1055,7 @@ ORDER BY symbol, event_date"""),
         "chunked_documents": oracles.sql_chunk_documents(),
         "boilerplate_chunks": oracles.sql_boilerplate_chunks(),
         "scrub_boilerplate": oracles.sql_scrub_boilerplate(),
+        "doc_keyterms": oracles.sql_doc_keyterms(),
         "pii_scrub": oracles.sql_pii_scrub(PII_SUFFIX),
         "contamination_check": oracles.sql_contamination_check(),
         "stratified_sample": oracles.sql_stratified_sample(

@@ -880,3 +880,41 @@ def scrub_boilerplate(
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("int").alias("n_kept_chunks"),
     )
+
+
+def doc_keyterms(
+    docs: DataFrame,
+    k: int = 3,
+    digits: int = 9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by TF-IDF —
+    (doc_id, term, tfidf, rnk). The standard cheap keyterm pass before
+    tagging/clustering/retrieval-filter stages.
+
+    Ranking runs over the ROUNDED weight (``digits`` decimals): the raw
+    ln differs between engines in the last ulp, so ordering by it could
+    flip ranks on near-ties — rounding collapses sub-1e-9 differences
+    and the (weight desc, term asc) tie-break makes the selection fully
+    deterministic on both engines, which is what puts a float-scoring
+    operator back inside the exact-hash gate.
+
+    Shape: the cached TF index → one window partitioned by the doc key
+    over the (already vocabulary-joined) weights — the per-doc rank
+    input is each doc's own term list, so the window never sees
+    corpus-wide state.
+    """
+    from pyspark.sql import Window
+
+    weighted = tfidf_weights(docs, id_col, text_col).withColumn(
+        "tfidf", F.round("tfidf", digits)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        weighted.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tfidf", "rnk")
+    )

@@ -823,6 +823,18 @@ SELECT doc_id,
 FROM kept GROUP BY doc_id"""
 
 
+def sql_doc_keyterms(k: int = 3, digits: int = 9) -> str:
+    """Per-doc top-k TF-IDF terms — mirrors textops.doc_keyterms (rank
+    over the rounded weight, term tie-break)."""
+    return f"""WITH w AS ({sql_tfidf_weights(digits)})
+SELECT doc_id, term, tfidf, rnk FROM (
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS INT) AS rnk
+    FROM w
+) WHERE rnk <= {k}"""
+
+
 def sql_quality_deciles(n_tiles: int = 10) -> str:
     """NTILE bucketing over the quality score — the Spark side reproduces
     SQL NTILE semantics from its distributed global rank, so the oracle

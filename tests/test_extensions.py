@@ -1236,3 +1236,25 @@ def test_boilerplate_detection_and_scrub(spark):
     assert clean[1]["clean_text"] == "different body one text"
     assert 2 not in clean  # pure boilerplate vanishes
     assert clean[3]["n_kept_chunks"] >= 1
+
+
+def test_doc_keyterms_rare_term_wins(spark):
+    docs_kt = spark.createDataFrame(
+        [
+            (0, "common common common rare"),
+            (1, "common words here again"),
+            (2, "common stuff more common"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["rnk"]): r["term"]
+        for r in textops.doc_keyterms(docs_kt, k=2).collect()
+    }
+    # doc 0: "rare" (df=1) has the highest idf but tf=1 vs common's tf=3;
+    # tf dominates here: tfidf(common)=3*(ln(4/4)+1)=3 > tfidf(rare)=ln(2)+1
+    assert got[(0, 1)] == "common"
+    assert got[(0, 2)] == "rare"
+    # every doc gets at most k rows and ranks are dense from 1
+    ranks = sorted(r for (_, r) in got)
+    assert set(ranks) <= {1, 2}
