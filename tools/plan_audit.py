@@ -62,6 +62,9 @@ HEADLINERS = {
     "availability_rollup": "GROUP BY ROLLUP: one Expand (x3, hierarchy depth) + one partial-agg shuffle replaces three aggregation jobs",
     "event_asof_join": "two-table as-of join as union-and-carry window: one group-key shuffle, no join operator, no range explosion",
     "event_interval_join": "bucketed range join: interval bucket explosion is a narrow projection; the join is an equi-join on (group, bucket) with exact containment as post-filter",
+    "curated_corpus": "end-to-end curation: quality filter + dedup + split + budget fused into one narrow scan + one content-hash shuffle; the quality gate runs BEFORE the exchange",
+    "chunked_documents": "sliding-window chunking: tokenize + sequence + explode + slice, all codegen array expressions — zero shuffle",
+    "scrub_boilerplate": "sub-document dedup: anti join against the sparse repeated-chunk set; ordered reassembly via array_sort of structs (no window)",
 }
 
 
