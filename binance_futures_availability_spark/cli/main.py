@@ -166,6 +166,12 @@ def cmd_text(args: argparse.Namespace) -> int:
             args,
             "source overlap:",
         )
+    if args.op == "keyterms":
+        return _print_rows(
+            textops.doc_keyterms(docs).orderBy("doc_id", "rnk"),
+            args,
+            "keyterms:",
+        )
     op = {
         "tokens": textops.token_counts,
         "quality": textops.quality_scores,
@@ -273,6 +279,28 @@ def cmd_events(args: argparse.Namespace) -> int:
         df = ev.spike_detection(df_in, args.k)
     else:  # retention
         df = ev.retention_cohorts(df_in)
+    return _print_rows(df, args, f"{args.op}:")
+
+
+def cmd_curate(args: argparse.Namespace) -> int:
+    from ..operators import textops
+
+    spark = get_session("bfa-cli")
+    docs = spark.read.parquet(args.docs)
+    if args.op == "curate":
+        df = textops.curate_corpus(docs, args.min_quality).orderBy("doc_id")
+    elif args.op == "chunk":
+        df = textops.chunk_documents(
+            docs, args.chunk_tokens, args.overlap
+        ).orderBy("doc_id", "chunk_id")
+    elif args.op == "boilerplate":
+        df = textops.boilerplate_chunks(
+            docs, args.chunk_tokens, args.min_docs
+        ).orderBy("chunk_text")
+    else:  # scrub-boilerplate
+        df = textops.scrub_boilerplate(
+            docs, args.chunk_tokens, args.min_docs
+        ).orderBy("doc_id")
     return _print_rows(df, args, f"{args.op}:")
 
 
@@ -394,6 +422,7 @@ def build_parser() -> argparse.ArgumentParser:
             "fingerprints",
             "deciles",
             "source-overlap",
+            "keyterms",
         ],
         default="tokens",
     )
@@ -446,6 +475,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strata", default="lang")
     p.add_argument("--json", action="store_true")
     p.set_defaults(func=cmd_sample)
+
+    p = psub.add_parser("curate", help="Curation: end-to-end / chunking / boilerplate")
+    p.add_argument("docs", help="documents parquet path")
+    p.add_argument(
+        "--op",
+        choices=["curate", "chunk", "boilerplate", "scrub-boilerplate"],
+        default="curate",
+    )
+    p.add_argument("--min-quality", type=float, default=0.25)
+    p.add_argument("--chunk-tokens", type=int, default=8)
+    p.add_argument("--overlap", type=int, default=0)
+    p.add_argument("--min-docs", type=int, default=2)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_curate)
 
     p = psub.add_parser("scrub", help="PII redaction")
     p.add_argument("docs", help="documents parquet path")

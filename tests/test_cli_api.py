@@ -479,3 +479,27 @@ def test_cli_events_spikes(events_path, capsys):
     ) == 0
     rows = json.loads(capsys.readouterr().out)
     assert rows and {"event_type", "day", "is_spike"} <= set(rows[0])
+
+
+def test_cli_curate_family(docs_path, capsys):
+    from binance_futures_availability_spark.cli.main import main
+
+    assert main(["pipeline", "curate", docs_path, "--min-quality", "0.1", "--json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows and {"doc_id", "split", "n_tokens"} <= set(rows[0])
+    assert main(
+        ["pipeline", "curate", docs_path, "--op", "chunk",
+         "--chunk-tokens", "4", "--overlap", "2", "--json"]
+    ) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows and rows[0]["chunk_id"] == 0
+    assert main(
+        ["pipeline", "curate", docs_path, "--op", "scrub-boilerplate",
+         "--chunk-tokens", "4", "--json"]
+    ) == 0
+    json.loads(capsys.readouterr().out)
+    assert main(
+        ["pipeline", "text", docs_path, "--op", "keyterms", "--json"]
+    ) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows and rows[0]["rnk"] == 1

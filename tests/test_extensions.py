@@ -1258,3 +1258,36 @@ def test_doc_keyterms_rare_term_wins(spark):
     # every doc gets at most k rows and ranks are dense from 1
     ranks = sorted(r for (_, r) in got)
     assert set(ranks) <= {1, 2}
+
+
+def test_new_ops_degenerate_inputs(spark):
+    """Empty and single-row corpora flow through the round-5 operators
+    without errors or phantom rows."""
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string, source string")
+    one = spark.createDataFrame([(0, "a b c", "en", "s")], ["doc_id", "text", "lang", "source"])
+
+    assert textops.chunk_documents(empty).count() == 0
+    assert textops.boilerplate_chunks(empty).count() == 0
+    assert textops.scrub_boilerplate(empty).count() == 0
+    assert textops.source_overlap(empty).count() == 0
+    assert textops.curate_corpus(empty).count() == 0
+    # single doc: nothing repeats, everything survives
+    assert textops.boilerplate_chunks(one).count() == 0
+    assert textops.scrub_boilerplate(one).collect()[0]["clean_text"] == "a b c"
+    assert textops.source_overlap(one).count() == 0  # no pair
+    got = textops.quality_deciles(one, n_tiles=10).collect()
+    assert len(got) == 1 and got[0]["decile"] == 1
+
+
+def test_kmeans_fewer_vectors_than_cells(spark):
+    emb_small = spark.createDataFrame(
+        [(0, [1.0, 0.0], "x"), (1, [0.0, 1.0], "x")],
+        ["vec_id", "embedding", "label"],
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.kmeans_cells(emb_small, n_cells=8, n_iters=1).collect()
+    }
+    # seeds clamp to the available vectors; both assign to valid cells
+    assert set(got) == {0, 1}
+    assert all(0 <= c < 8 for c in got.values())
