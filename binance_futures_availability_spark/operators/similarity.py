@@ -735,6 +735,45 @@ def write_ivf_index(
     )
 
 
+def append_to_ivf_index(
+    emb_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign a NEW vector batch against
+    the index's STORED centroids and append it to the cell-partitioned
+    vector table — no rebuild, no touch of existing partitions.
+
+    This is how IVF indexes grow in production: the coarse quantizer is
+    frozen at build time (so existing assignments stay valid and probes
+    stay consistent), new vectors stream in batch-by-batch, and each
+    append writes only the parquet files for the batch's own rows —
+    work ∝ batch size, never ∝ index size. Re-run ``write_ivf_index``
+    when drift makes the frozen centroids a poor quantizer (the
+    standard rebuild cadence trade). Serving caches for the path are
+    invalidated (a cached reader pins its file listing and would not
+    see the appended files); the seed cache is untouched — seeds are
+    immutable by construction.
+    """
+    spark = emb_new.sparkSession
+    root = path.rstrip("/")
+    sq, snrm = _read_seeds(spark, root)
+    base = _with_quantized(emb_new, vec_col)
+    _VECTORS_CACHE.pop(root, None)
+    for k in [k for k in _QROW_CACHE if k[0] == root]:
+        _QROW_CACHE.pop(k, None)
+    for k in [k for k in _CELLS_CACHE if k[0] == root]:
+        _CELLS_CACHE.pop(k, None)
+    (
+        base.withColumn("cell", _cell_kernel(sq, snrm)(F.col("__q")))
+        .select(F.col(id_col), "__q", "__norm", "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(root + "/vectors")
+    )
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,

@@ -411,3 +411,38 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def expire_partitions(
+    spark,
+    path: str,
+    before: str,
+    partition_col: str = "date",
+) -> list:
+    """Retention enforcement: drop every ``<partition_col>=<value>``
+    directory with ``value < before`` — a pure METADATA operation (list
+    the table root, delete matching directories); no data file is ever
+    opened, so retention on a 100 TB table costs the same as on 100 MB.
+
+    Values compare as their directory strings: ISO dates order
+    lexicographically, which is exactly why the fact table partitions on
+    ISO-formatted dates. Returns the removed partition values. The same
+    guard every retention job needs: a malformed ``before`` that matches
+    nothing simply removes nothing.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    removed = []
+    prefix = partition_col + "="
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            value = name[len(prefix):]
+            if value < before:
+                fs.delete(status.getPath(), True)
+                removed.append(value)
+    return sorted(removed)

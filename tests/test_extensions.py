@@ -1291,3 +1291,44 @@ def test_kmeans_fewer_vectors_than_cells(spark):
     # seeds clamp to the available vectors; both assign to valid cells
     assert set(got) == {0, 1}
     assert all(0 <= c < 8 for c in got.values())
+
+
+def test_append_to_ivf_index_equals_rebuild(spark, tmp_path_factory):
+    """Appending a batch against frozen centroids equals a full rebuild
+    whenever the seeds coincide (first batch holds the lowest ids)."""
+    import math as _math
+
+    def vec(deg):
+        return [_math.cos(_math.radians(deg)), _math.sin(_math.radians(deg))]
+
+    rows = [(i, vec(7 * i), "x") for i in range(20)]
+    emb_all = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    first = emb_all.filter("vec_id < 10")
+    second = emb_all.filter("vec_id >= 10")
+
+    inc = str(tmp_path_factory.mktemp("ivfinc") / "idx")
+    full = str(tmp_path_factory.mktemp("ivffull") / "idx")
+    similarity.write_ivf_index(first, inc, n_cells=4)
+    similarity.append_to_ivf_index(second, inc)
+    similarity.write_ivf_index(emb_all, full, n_cells=4)
+
+    got_inc = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk_indexed(spark, inc, 0, k=5, nprobe=4).collect()
+    ]
+    got_full = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk_indexed(spark, full, 0, k=5, nprobe=4).collect()
+    ]
+    assert got_inc == got_full
+    # a query on an APPENDED vector serves appended neighbors identically
+    inc15 = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk_indexed(spark, inc, 15, k=5, nprobe=4).collect()
+    ]
+    full15 = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk_indexed(spark, full, 15, k=5, nprobe=4).collect()
+    ]
+    assert inc15 == full15
+    assert any(v >= 10 for v, _ in inc15)

@@ -412,3 +412,29 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert zy <= zn // 2  # the dimension linear sort abandons
     # data intact
     assert spark.read.parquet(zpath).count() == 64 * 64
+
+
+def test_expire_partitions_metadata_only(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    from binance_futures_availability_spark.sources.writer import (
+        expire_partitions,
+    )
+
+    path = str(tmp_path / "retain")
+    D = dt.date
+    rows = [(str(D(2024, 1, d)), f"S{i}", float(i)) for d in (1, 2, 3) for i in range(3)]
+    (
+        spark.createDataFrame(rows, ["date", "symbol", "v"])
+        .write.partitionBy("date")
+        .parquet(path)
+    )
+    removed = expire_partitions(spark, path, before="2024-01-03")
+    assert removed == ["2024-01-01", "2024-01-02"]
+    assert [d for d in sorted(os.listdir(path)) if d.startswith("date=")] == ["date=2024-01-03"]
+    left = spark.read.parquet(path)
+    assert left.count() == 3
+    assert {str(r["date"]) for r in left.select("date").distinct().collect()} == {"2024-01-03"}
+    # idempotent: nothing else matches
+    assert expire_partitions(spark, path, before="2024-01-03") == []
