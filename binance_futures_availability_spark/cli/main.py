@@ -304,6 +304,42 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return _print_rows(df, args, f"{args.op}:")
 
 
+def cmd_maintain(args: argparse.Namespace) -> int:
+    from ..sources import writer
+
+    spark = get_session("bfa-cli")
+    if args.op == "stats":
+        return _print_rows(
+            writer.partition_file_stats(spark, args.table, args.partition_col)
+            .orderBy(args.partition_col),
+            args,
+            "partition stats:",
+        )
+    if args.op == "compact":
+        done = writer.compact_partitions(
+            spark, args.table, args.partition_col, args.max_files,
+            args.files_per_partition,
+        )
+        print(f"compacted {len(done)} partitions: {sorted(map(str, done))}")
+        return 0
+    if args.op == "expire":
+        if not args.before:
+            raise SystemExit("--before VALUE is required for expire")
+        removed = writer.expire_partitions(
+            spark, args.table, args.before, args.partition_col
+        )
+        print(f"expired {len(removed)} partitions: {removed}")
+        return 0
+    # zorder
+    if not (args.col_a and args.col_b):
+        raise SystemExit("--col-a and --col-b are required for zorder")
+    df = spark.read.parquet(args.table)
+    writer.write_zordered(df, args.output or args.table + ".zordered",
+                          args.col_a, args.col_b, args.n_files)
+    print("z-ordered copy written")
+    return 0
+
+
 def cmd_warehouse(args: argparse.Namespace) -> int:
     from ..catalog import load_table
     from ..operators import warehouse as wh
@@ -494,6 +530,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("docs", help="documents parquet path")
     p.add_argument("--json", action="store_true")
     p.set_defaults(func=cmd_scrub)
+
+    mnt = sub.add_parser("maintain", help="Table maintenance (stats/compact/expire/zorder)")
+    msub = mnt.add_subparsers(dest="maintain_command")
+    p = msub.add_parser("run", help="Run a maintenance operation")
+    p.add_argument("table", help="partitioned parquet table path")
+    p.add_argument(
+        "--op", choices=["stats", "compact", "expire", "zorder"], default="stats"
+    )
+    p.add_argument("--partition-col", default="date")
+    p.add_argument("--max-files", type=int, default=1)
+    p.add_argument("--files-per-partition", type=int, default=1)
+    p.add_argument("--before", help="expire partitions with value < BEFORE")
+    p.add_argument("--col-a")
+    p.add_argument("--col-b")
+    p.add_argument("--n-files", type=int, default=8)
+    p.add_argument("--output", help="zorder output path (default <table>.zordered)")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_maintain)
 
     whp = sub.add_parser("warehouse", help="Warehouse join reports (TPC-H-family)")
     wsub = whp.add_subparsers(dest="warehouse_command")

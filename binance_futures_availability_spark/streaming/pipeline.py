@@ -470,3 +470,59 @@ def spike_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+EMBEDDING_STREAM = "vec_id long, embedding array<float>, label int"
+
+
+def embedding_stream_source(spark: SparkSession, incoming_dir: str) -> DataFrame:
+    """readStream over a drop-directory of embedding parquet batches."""
+    return (
+        spark.readStream.schema(EMBEDDING_STREAM)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(incoming_dir)
+    )
+
+
+def start_ivf_append_sink(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    n_cells: int | None = None,
+):
+    """writeStream → foreachBatch(incremental IVF append): the vector-
+    ingest pipeline. The FIRST batch builds the index (freezing the
+    coarse quantizer); every later batch assigns against the stored
+    centroids and appends only its own cell-partition files
+    (``append_to_ivf_index`` — work ∝ batch). Restart-safe the same way
+    the upsert sink is: the checkpoint replays unacknowledged batches;
+    replayed appends re-add rows, and the serving path's candidate
+    dedup... does NOT dedup — so exactly-once delivery here comes from
+    the checkpoint acknowledging the append (parquet append is atomic
+    per task file; a crash mid-batch can leave partial files, the
+    standard parquet-append caveat the Delta log would close).
+    """
+    from ..operators import similarity
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        try:
+            spark.read.parquet(index_path.rstrip("/") + "/seeds").first()
+            exists = True
+        except Exception:  # noqa: BLE001 — first batch: no index yet
+            exists = False
+        if exists:
+            similarity.append_to_ivf_index(batch, index_path)
+        elif n_cells is not None:
+            similarity.write_ivf_index(batch, index_path, n_cells=n_cells)
+        else:
+            similarity.write_ivf_index(batch, index_path)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -503,3 +503,31 @@ def test_cli_curate_family(docs_path, capsys):
     ) == 0
     rows = json.loads(capsys.readouterr().out)
     assert rows and rows[0]["rnk"] == 1
+
+
+def test_cli_maintain_stats_compact_expire(spark, tmp_path_factory, capsys):
+    import datetime as dt
+
+    from binance_futures_availability_spark.cli.main import main
+    from binance_futures_availability_spark.session import get_session
+
+    s = get_session("bfa-cli")
+    path = str(tmp_path_factory.mktemp("climnt") / "t")
+    D = dt.date
+    rows = [(str(D(2024, 1, d)), f"S{i}", float(i)) for d in (1, 2) for i in range(4)]
+    s.createDataFrame(rows, ["date", "symbol", "v"]).repartition(4).write.partitionBy(
+        "date"
+    ).parquet(path)
+
+    assert main(["maintain", "run", path, "--op", "stats", "--json"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert len(stats) == 2 and all(r["n_files"] > 1 for r in stats)
+
+    assert main(["maintain", "run", path, "--op", "compact"]) == 0
+    assert "compacted 2 partitions" in capsys.readouterr().out
+
+    assert main(
+        ["maintain", "run", path, "--op", "expire", "--before", "2024-01-02"]
+    ) == 0
+    assert "expired 1 partitions" in capsys.readouterr().out
+    assert s.read.parquet(path).count() == 4

@@ -565,3 +565,60 @@ def test_streaming_spike_detection_matches_batch(spark, tmp_path):
         for c in ("n_events", "trailing_n", "trailing_sum", "is_spike"):
             assert r[c] == b[c], (d, c)
     assert got[max(got)]["is_spike"]  # the burst day flagged
+
+
+def test_streaming_ivf_append_sink(spark, tmp_path):
+    """First micro-batch builds the index (frozen quantizer); later
+    batches append incrementally; the served top-k equals a batch-built
+    index over the union."""
+    import math as _math
+
+    from binance_futures_availability_spark.operators import similarity
+    from binance_futures_availability_spark.streaming.pipeline import (
+        embedding_stream_source,
+        start_ivf_append_sink,
+    )
+
+    def vec(deg):
+        return [
+            float(_math.cos(_math.radians(deg))),
+            float(_math.sin(_math.radians(deg))),
+        ]
+
+    schema = "vec_id long, embedding array<float>, label int"
+    incoming = tmp_path / "emb_in"
+    idx = str(tmp_path / "ividx")
+    batch1 = [(i, vec(7 * i), 0) for i in range(10)]
+    batch2 = [(i, vec(7 * i), 0) for i in range(10, 20)]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(
+        str(incoming)
+    )
+
+    def run():
+        q = start_ivf_append_sink(
+            embedding_stream_source(spark, str(incoming)),
+            idx,
+            str(tmp_path / "ivckpt"),
+            n_cells=4,
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(
+        str(incoming)
+    )
+    run()
+
+    ref = str(tmp_path / "refidx")
+    similarity.write_ivf_index(
+        spark.createDataFrame(batch1 + batch2, schema), ref, n_cells=4
+    )
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk_indexed(spark, idx, 15, k=5, nprobe=4).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk_indexed(spark, ref, 15, k=5, nprobe=4).collect()
+    ]
+    assert got == want and any(v >= 10 for v, _ in got)
