@@ -409,6 +409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _da(s, d)
         ),
         "volume_histogram": lambda s, d: volume.volume_histogram(_da(s, d)),
+        "symbol_volume_profile": lambda s, d: volume.symbol_volume_profile(
+            _da(s, d)
+        ),
         "missing_volume": lambda s, d: backfill.missing_volume(
             _da(s, d), YEAR_START, YEAR_END
         ),
@@ -488,6 +491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_interval_join": lambda s, d: events.interval_join(
             load_table(s, d, "events"),
             events.sessionize(load_table(s, d, "events")),
+        ),
+        # skew-safe enrichment through the salted join; oracle = plain join
+        "salted_enrich": lambda s, d: events.salted_first_seen_enrich(
+            load_table(s, d, "events")
         ),
         "event_asof_join": lambda s, d: events.asof_join(
             load_table(s, d, "events").filter(F.col("event_id") % 2 == 1),
@@ -936,6 +943,7 @@ ORDER BY symbol, event_date"""),
         "availability_intervals": with_da(oracles.sql_availability_intervals()),
         "availability_rollup": with_da(oracles.sql_availability_rollup()),
         "volume_histogram": with_da(oracles.sql_volume_histogram()),
+        "symbol_volume_profile": with_da(oracles.sql_symbol_volume_profile()),
         "missing_volume": with_da(f"""
             SELECT date, symbol, url FROM da
             WHERE available AND quote_volume_usdt IS NULL
@@ -996,6 +1004,7 @@ ORDER BY symbol, event_date"""),
         "event_retention": oracles.sql_event_retention(),
         "event_spikes": oracles.sql_event_spikes(),
         "event_asof_join": oracles.sql_event_asof_join(),
+        "salted_enrich": oracles.sql_salted_first_seen(),
         "event_interval_join": oracles.sql_event_interval_join(),
         # --- extension-suite oracles (generators in oracles.py keep the
         # md5/quantization constants in one place so Spark and SQL can't drift)

@@ -500,3 +500,30 @@ def interval_join(
         )
         .select(id_col, by, ts_col, start_col, end_col)
     )
+
+
+def salted_first_seen_enrich(
+    events: DataFrame,
+    n_salts: int = 16,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Hot-key-safe event enrichment: every event tagged with its user's
+    first-seen timestamp — (event_id, user_id, ts, first_ts) — through
+    the SALTED join path.
+
+    The enrichment join is the classic skew site: one bot/whale user can
+    put its entire event history in a single task. ``salted_join``
+    splits each key across ``n_salts`` tasks by replicating only the
+    small (per-user) side; results are IDENTICAL to the plain join —
+    which is exactly what this query's oracle (a plain SQL join)
+    verifies on real data, complementing the unit test's plan-level
+    skew-spread assertion.
+    """
+    from ..functions import salted_join
+
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("first_ts"))
+    return salted_join(
+        events.select(id_col, user_col, ts_col), first, user_col, n_salts
+    ).select(id_col, user_col, ts_col, "first_ts")

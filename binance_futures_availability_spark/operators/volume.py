@@ -177,3 +177,50 @@ def volume_histogram(da: DataFrame, bin_width: float = 25000.0) -> DataFrame:
             "n_records",
         )
     )
+
+
+def symbol_volume_profile(da: DataFrame) -> DataFrame:
+    """Per-symbol trading profile through the full value-window family:
+    (symbol, n_days, first_volume, second_volume, last_volume,
+    total_volume, volume_cume_dist) — FIRST_VALUE / NTH_VALUE /
+    LAST_VALUE over each symbol's dated history plus a market-wide
+    CUME_DIST of total volume.
+
+    Shape: ONE symbol-key shuffle serves every per-symbol window (same
+    partitioning, full-frame); the row_number pick collapses to one row
+    per symbol before the cume_dist window, whose input is bounded by
+    the symbol universe (the W1 global-window precedent). Totals sum as
+    exact DECIMAL(18,2); value columns are read-through doubles — both
+    engines agree bit-for-bit, and CUME_DIST's tie semantics (ties share
+    the value) make the global window order-stable.
+    """
+    cohort = _cohort(da).select(
+        "symbol", "date", F.col("quote_volume_usdt").alias("qv")
+    )
+    w_full = (
+        Window.partitionBy("symbol")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    profile = (
+        cohort.withColumn("first_volume", F.first("qv").over(w_full))
+        .withColumn("second_volume", F.nth_value("qv", 2).over(w_full))
+        .withColumn("last_volume", F.last("qv").over(w_full))
+        .withColumn("n_days", F.count("qv").over(w_full).cast("long"))
+        .withColumn(
+            "total_volume",
+            F.sum(F.col("qv").cast("decimal(18,2)")).over(w_full).cast("double"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("symbol").orderBy("date")),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol", "n_days", "first_volume", "second_volume",
+            "last_volume", "total_volume",
+        )
+    )
+    return profile.withColumn(
+        "volume_cume_dist", F.cume_dist().over(Window.orderBy("total_volume"))
+    )

@@ -1319,6 +1319,32 @@ FROM (
 ) GROUP BY bin"""
 
 
+def sql_symbol_volume_profile() -> str:
+    """Per-symbol window profile — mirrors volume.symbol_volume_profile
+    (same full frame, DECIMAL totals, CUME_DIST tie semantics)."""
+    return """WITH cohort AS (
+    SELECT symbol, date, quote_volume_usdt AS qv FROM da
+    WHERE available AND quote_volume_usdt IS NOT NULL
+),
+prof AS (
+    SELECT symbol,
+           FIRST_VALUE(qv) OVER w AS first_volume,
+           NTH_VALUE(qv, 2) OVER w AS second_volume,
+           LAST_VALUE(qv) OVER w AS last_volume,
+           COUNT(qv) OVER w AS n_days,
+           CAST(SUM(CAST(qv AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS total_volume,
+           ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY date) AS rn
+    FROM cohort
+    WINDOW w AS (PARTITION BY symbol ORDER BY date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT symbol, CAST(n_days AS BIGINT) AS n_days,
+       first_volume, second_volume, last_volume, total_volume,
+       cume_dist() OVER (ORDER BY total_volume) AS volume_cume_dist
+FROM prof WHERE rn = 1"""
+
+
 def sql_availability_rollup() -> str:
     """Hierarchical rollup — mirrors analytics.availability_rollup (same
     grouping sets: (year, month), (year), ()); spliced over the da CTE."""
@@ -1334,6 +1360,16 @@ SELECT year, month,
            AS n_available,
        CAST(COUNT(DISTINCT symbol) AS BIGINT) AS n_symbols
 FROM base GROUP BY ROLLUP (year, month)"""
+
+
+def sql_salted_first_seen() -> str:
+    """First-seen enrichment — a PLAIN join: the oracle for the salted
+    path, proving salting changes the physical plan and nothing else."""
+    return """WITH first AS (
+    SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.ts, f.first_ts
+FROM events e JOIN first f USING (user_id)"""
 
 
 def sql_event_spikes(

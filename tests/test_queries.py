@@ -507,3 +507,26 @@ def test_approx_stats_within_error_bounds(populated_da):
         assert abs(a - e) <= max(1, 0.15 * e)
     q50, q90, q99 = approx["volume_quantiles"]
     assert q50 <= q90 <= q99
+
+
+def test_symbol_volume_profile_windows(populated_da):
+    from binance_futures_availability_spark.operators import volume as vol
+
+    got = {
+        r["symbol"]: r
+        for r in vol.symbol_volume_profile(populated_da).collect()
+    }
+    btc = got["BTCUSDT"]
+    # BTC volumes 300/200/100 across D1..D3 in date order
+    assert (btc["first_volume"], btc["second_volume"], btc["last_volume"]) == (
+        300.0, 200.0, 100.0,
+    )
+    assert btc["n_days"] == 3 and btc["total_volume"] == 600.0
+    # single-day symbol: NTH_VALUE(2) is NULL
+    new = got["NEWUSDT"]
+    assert new["second_volume"] is None and new["n_days"] == 1
+    # cume_dist: NEW(50) < ETH(50)?? ETH total 30+20=50 ties NEW 50
+    eth = got["ETHUSDT"]
+    assert eth["total_volume"] == new["total_volume"] == 50.0
+    assert eth["volume_cume_dist"] == new["volume_cume_dist"]  # tie shares value
+    assert btc["volume_cume_dist"] == 1.0
