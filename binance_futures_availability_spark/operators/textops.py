@@ -866,10 +866,21 @@ def scrub_boilerplate(
     (array_sort over (chunk_id, text) structs: deterministic regardless
     of partial-agg arrival order, no window needed).
     """
-    ch = chunk_documents(docs, chunk_tokens, 0, id_col, text_col)
-    bp = boilerplate_chunks(
-        docs, chunk_tokens, min_docs, id_col, text_col
-    ).select("chunk_text")
+    # ONE materialized chunker pass feeds both the repeated-set aggregate
+    # and the keep side: the two consumers are distinct subtree scans
+    # Catalyst will not dedupe, so the intermediate is persisted under
+    # the session's tracked-release discipline (index_cache docstring)
+    from ..index_cache import tracked_persist
+
+    ch = tracked_persist(
+        chunk_documents(docs, chunk_tokens, 0, id_col, text_col)
+    )
+    bp = (
+        ch.groupBy("chunk_text")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("chunk_text")
+    )
     kept = ch.join(bp, "chunk_text", "left_anti")
     pieces = F.array_sort(
         F.collect_list(F.struct("chunk_id", "chunk_text"))
