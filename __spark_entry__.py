@@ -560,6 +560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), COSINE_THRESHOLD
         ),
         "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
+        "centroid_confusion": lambda s, d: similarity.centroid_confusion(
+            _emb(s, d)
+        ),
         "token_counts": lambda s, d: textops.token_counts(_docs(s, d)),
         "term_frequencies": lambda s, d: textops.term_frequencies(_docs(s, d)),
         # gate-able TF-IDF: rounded to 9 decimals (raw ln differs between
@@ -1053,6 +1056,7 @@ ORDER BY symbol, event_date"""),
             COSINE_THRESHOLD, similarity.IVF_N_CELLS
         ),
         "label_centroids": oracles.sql_label_centroids(),
+        "centroid_confusion": oracles.sql_centroid_confusion(),
         "token_counts": oracles.sql_token_counts(),
         "term_frequencies": oracles.sql_term_frequencies(),
         "tfidf_weights": oracles.sql_tfidf_weights(),

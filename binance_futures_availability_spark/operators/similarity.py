@@ -1125,6 +1125,66 @@ def kmeans_cells(
     ).select(id_col, "cell")
 
 
+def centroid_confusion(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-class-mean evaluation: assign every vector to the label
+    whose centroid it is most cosine-similar to, and roll up the
+    confusion matrix — (label, predicted_label, n). The embedding-space
+    sanity check every labeled corpus gets (how separable are the
+    classes? which pairs bleed?), and the auto-labeling primitive for
+    weakly-supervised expansion.
+
+    Engine-exact by the same identity as ``kmeans_cells``: cosine to a
+    class MEAN equals cosine to its integer SUM vector, so the per-label
+    centroids are one posexplode aggregate collected as a bounded
+    #labels×dim table (broadcast into the assignment kernel), and the
+    assignment is the exact-GEMM argmax with ties to the lowest label.
+    One narrow Arrow pass + one tiny (label, predicted) aggregate.
+    """
+    import numpy as np
+
+    base = _with_quantized(emb, vec_col)
+    sums = (
+        base.select(
+            F.col(label_col).alias("__lbl"),
+            F.posexplode(F.col("__q")).alias("dim", "v"),
+        )
+        .groupBy("__lbl", "dim")
+        .agg(F.sum("v").alias("sv"))
+        .collect()
+    )
+    labels = sorted({r["__lbl"] for r in sums})
+    dim = max(r["dim"] for r in sums) + 1
+    lq = np.zeros((len(labels), dim), dtype=np.float64)
+    pos = {lb: i for i, lb in enumerate(labels)}
+    for r in sums:
+        lq[pos[r["__lbl"]], r["dim"]] = r["sv"]
+    lnrm = (lq * lq).sum(axis=1)
+    lbl_arr = np.asarray(labels)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def predict(q: pd.Series) -> pd.Series:
+        if len(q) == 0:
+            return pd.Series([], dtype="int32")
+        qm = np.asarray(q.tolist(), dtype=np.float64)
+        cos = (qm @ lq.T) / (
+            np.sqrt((qm * qm).sum(axis=1))[:, None] * np.sqrt(lnrm)[None, :]
+        )
+        return pd.Series(lbl_arr[np.argmax(cos, axis=1)].astype(np.int32))
+
+    return (
+        base.withColumn("predicted_label", predict(F.col("__q")))
+        .groupBy(F.col(label_col).alias("label"), "predicted_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def semantic_dedup_survivors(
     emb: DataFrame,
     threshold: float = 0.4,

@@ -481,6 +481,38 @@ WHERE vec_id NOT IN (SELECT vid FROM dup_ids)
 ORDER BY vec_id"""
 
 
+def sql_centroid_confusion() -> str:
+    """Nearest-class-mean confusion matrix — mirrors
+    similarity.centroid_confusion (integer sum-vector centroids, exact
+    dots, per-side sqrt product, ties to the lowest label)."""
+    return f"""WITH {EMB_BASE_CTE},
+flat AS (
+    SELECT vec_id, label, generate_subscripts(q, 1) - 1 AS dim,
+           unnest(q) AS v
+    FROM normed
+),
+cents AS (SELECT label AS lbl, dim, SUM(v) AS sv FROM flat GROUP BY 1, 2),
+cn AS (SELECT lbl, SUM(sv * sv) AS nrm2 FROM cents GROUP BY 1),
+scored AS (
+    SELECT f.vec_id, c.lbl, SUM(f.v * c.sv) AS dot
+    FROM flat f JOIN cents c USING (dim) GROUP BY 1, 2
+),
+best AS (
+    SELECT vec_id, lbl FROM (
+        SELECT s.vec_id, s.lbl,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                   ORDER BY CAST(s.dot AS DOUBLE)
+                            / (sqrt(n.nrm) * sqrt(k.nrm2)) DESC,
+                        s.lbl) AS rn
+        FROM scored s
+        JOIN normed n USING (vec_id) JOIN cn k ON s.lbl = k.lbl
+    ) WHERE rn = 1
+)
+SELECT e.label, CAST(b.lbl AS INT) AS predicted_label, COUNT(*) AS n
+FROM embeddings e JOIN best b ON e.vec_id = b.vec_id
+GROUP BY 1, 2"""
+
+
 def sql_label_centroids() -> str:
     return f"""WITH flat AS (
     SELECT label,

@@ -1332,3 +1332,27 @@ def test_append_to_ivf_index_equals_rebuild(spark, tmp_path_factory):
     ]
     assert inc15 == full15
     assert any(v >= 10 for v, _ in inc15)
+
+
+def test_centroid_confusion_separable_classes(spark):
+    import math as _math
+
+    def vec(deg):
+        return [_math.cos(_math.radians(deg)), _math.sin(_math.radians(deg))]
+
+    # class 0 hugs 0 deg, class 1 hugs 90 deg; vec 4 is mislabeled (80 deg
+    # tagged as class 0) and must be "confused" into class 1
+    emb_c = spark.createDataFrame(
+        [
+            (0, vec(0), 0), (1, vec(5), 0), (2, vec(90), 1), (3, vec(85), 1),
+            (4, vec(80), 0),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    got = {
+        (r["label"], r["predicted_label"]): r["n"]
+        for r in similarity.centroid_confusion(emb_c).collect()
+    }
+    assert got[(0, 0)] == 2 and got[(1, 1)] == 2
+    assert got[(0, 1)] == 1  # the mislabeled vector crosses over
+    assert (1, 0) not in got
