@@ -505,6 +505,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
             _docs(s, d), NGRAM_THRESHOLD
         ),
+        # asymmetric near-dup: same pair machinery, containment metric —
+        # the gate verifies the min-denominator VALUES; asymmetric-length
+        # semantics (quote-in-long-doc) are pinned by the unit test
+        "containment_pairs": lambda s, d: dedup.containment_pairs(
+            _docs(s, d), NGRAM_THRESHOLD
+        ),
         "minhash_signatures": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(
             _docs(s, d), LSH_JACCARD_THRESHOLD
@@ -1013,6 +1019,9 @@ ORDER BY symbol, event_date"""),
         # md5/quantization constants in one place so Spark and SQL can't drift)
         "exact_duplicates": oracles.sql_exact_dup_groups(),
         "ngram_jaccard_pairs": oracles.sql_ngram_jaccard_pairs(
+            NGRAM_THRESHOLD, dedup.DEFAULT_MAX_SHINGLE_FREQ
+        ),
+        "containment_pairs": oracles.sql_containment_pairs(
             NGRAM_THRESHOLD, dedup.DEFAULT_MAX_SHINGLE_FREQ
         ),
         "minhash_signatures": oracles.sql_minhash_signatures(),

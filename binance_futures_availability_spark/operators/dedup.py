@@ -257,6 +257,9 @@ def _pair_jaccard(
         .select(
             "id_a",
             "id_b",
+            "inter",
+            "sz_a",
+            "sz_b",
             (
                 F.col("inter").cast("double")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
@@ -303,7 +306,55 @@ def ngram_jaccard_pairs(
             max_shingle_freq,
             sizes=sizes,
             postings_key=plan_key(docs, "postings_h", id_col, text_col, n),
-        ).filter(F.col("jaccard") >= threshold),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard"),
+        "id_a",
+        "id_b",
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """Asymmetric near-dup: pairs where the SMALLER document's shingle
+    set is ≥ ``threshold`` contained in the other — (id_a, id_b,
+    containment, jaccard). Catches what Jaccard structurally cannot: a
+    quote, excerpt, or wholesale inclusion of a short document inside a
+    long one has tiny Jaccard (the union is dominated by the long doc)
+    but containment ≈ 1 — the variant web-dedup pipelines run to catch
+    mirrored snippets and quoted boilerplate.
+
+    Same machinery and scale shape as ``ngram_jaccard_pairs`` (shared
+    cached postings artifact, capped posting lists, one pair aggregate);
+    containment = |A∩B| / min(|A|, |B|) is one extra exact-integer
+    division over the counts the pipeline already carries.
+    """
+    from ..index_cache import plan_key
+
+    sh = shingles(docs, id_col, text_col, n)
+    sizes = shingle_arrays(docs, id_col, text_col, n).select(
+        F.col(id_col), F.size("__sa").alias("sz")
+    )
+    pairs = _pair_jaccard(
+        sh,
+        id_col,
+        max_shingle_freq,
+        sizes=sizes,
+        postings_key=plan_key(docs, "postings_h", id_col, text_col, n),
+    )
+    containment = F.col("inter").cast("double") / F.least(
+        F.col("sz_a"), F.col("sz_b")
+    )
+    return gathered_sort(
+        pairs.withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard"),
         "id_a",
         "id_b",
     )

@@ -200,7 +200,8 @@ inter AS (
 ),
 jac AS (
     SELECT id_a, id_b,
-           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard,
+           CAST(i AS DOUBLE) / LEAST(sa.sz, sb.sz) AS containment
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -214,6 +215,16 @@ def sql_ngram_jaccard_pairs(
     return f"""WITH {hashed_jaccard_ctes(max_shingle_freq)}
 SELECT id_a, id_b, jaccard FROM jac
 WHERE jaccard >= {threshold} ORDER BY id_a, id_b"""
+
+
+def sql_containment_pairs(
+    threshold: float, max_shingle_freq: int | None = None
+) -> str:
+    """Asymmetric containment pairs — mirrors dedup.containment_pairs
+    (same hashed postings, containment = i / min(|A|, |B|))."""
+    return f"""WITH {hashed_jaccard_ctes(max_shingle_freq)}
+SELECT id_a, id_b, containment, jaccard FROM jac
+WHERE containment >= {threshold} ORDER BY id_a, id_b"""
 
 
 def simhash_ctes() -> str:

@@ -1356,3 +1356,28 @@ def test_centroid_confusion_separable_classes(spark):
     assert got[(0, 0)] == 2 and got[(1, 1)] == 2
     assert got[(0, 1)] == 1  # the mislabeled vector crosses over
     assert (1, 0) not in got
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    body = " ".join(f"body{i}" for i in range(40))
+    quote = "alpha beta gamma delta epsilon"
+    docs_q = spark.createDataFrame(
+        [
+            (0, quote),                      # the short source
+            (1, body + " " + quote),         # long doc quoting it wholesale
+            (2, "totally unrelated words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.containment_pairs(docs_q, 0.9).collect()
+    }
+    # every shingle of doc 0 appears in doc 1 → containment 1.0, while
+    # jaccard is tiny (union dominated by the long doc)
+    assert (0, 1) in cont
+    r = cont[(0, 1)]
+    assert r["containment"] == 1.0 and r["jaccard"] < 0.1
+    # jaccard at the same threshold misses the pair entirely
+    jac = dedup.ngram_jaccard_pairs(docs_q, 0.9).collect()
+    assert not any(p["id_a"] == 0 and p["id_b"] == 1 for p in jac)
