@@ -546,6 +546,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), ANN_QUERY_ID, ANN_K
         ),
         "ivf_topk_indexed": _ivf_indexed_topk,
+        # range search from the same on-disk index: threshold filter over
+        # the pruned probe scan, no ordering stage (0.2 → 25 rows at t2)
+        "ivf_range_indexed": lambda s, d: similarity.ivf_range_indexed(
+            s, _ivf_index_path(s, d), ANN_QUERY_ID, 0.2
+        ),
         "knn_join_indexed": _knn_join_indexed,
         "knn_join": lambda s, d: similarity.knn_join(
             _emb(s, d).filter(F.col("vec_id") % KNN_QUERY_MOD == 0),
@@ -1047,6 +1052,9 @@ ORDER BY symbol, event_date"""),
         # identical semantics served from the on-disk cell-partitioned index
         "ivf_topk_indexed": oracles.sql_ivf_topk(
             ANN_QUERY_ID, ANN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
+        ),
+        "ivf_range_indexed": oracles.sql_ivf_range(
+            ANN_QUERY_ID, 0.2, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
         ),
         # identical semantics served from the on-disk cell-partitioned index
         "knn_join_indexed": oracles.sql_knn_join(

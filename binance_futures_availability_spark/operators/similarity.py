@@ -829,6 +829,65 @@ def ivf_topk_indexed(
     return _topk_from_candidates(cands, k, id_col)
 
 
+def ivf_range_indexed(
+    spark,
+    index_path: str,
+    query_vec_id: int,
+    min_cosine: float,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """RANGE search against the on-disk IVF index: every vector in the
+    probed cells with cosine ≥ ``min_cosine`` — (id, cosine). The other
+    half of the FAISS serving surface (top-k answers "closest k"; range
+    answers "everything this similar", the shape dedup sweeps and
+    recall-at-threshold audits need).
+
+    Identical plan skeleton to ``ivf_topk_indexed`` — resident centroid
+    probe choice, PartitionFilters pruning to ``nprobe`` cell
+    directories, query shipped as a folded literal — except the tail is
+    a threshold FILTER instead of TakeOrderedAndProject: no ordering
+    stage at all, so the result streams at pruned-scan speed regardless
+    of how many neighbors qualify (a top-k forced through a giant k
+    would heap-sort them). Same recall caveat as every IVF query:
+    matches outside the probed cells are unseen; raise nprobe for
+    recall.
+    """
+    root = index_path.rstrip("/")
+    sq, snrm = _read_seeds(spark, root)
+    vectors = _index_vectors(spark, root)
+    qkey = (root, id_col, query_vec_id)
+    qrow = _QROW_CACHE.get(qkey)
+    if qrow is None:
+        row = (
+            vectors.filter(F.col(id_col) == query_vec_id)
+            .select("__q", "__norm")
+            .first()
+        )
+        if row is None:
+            raise ValueError(
+                f"query {id_col}={query_vec_id} not found in index"
+            )
+        qrow = (list(row["__q"]), int(row["__norm"]))
+        _QROW_CACHE[qkey] = qrow
+    qq, qn = qrow
+    probe = _probe_cells(sq, snrm, qq, qn, nprobe)
+    cands = _attach_query_literals(
+        vectors.filter(F.col("cell").isin(probe)).filter(
+            F.col(id_col) != query_vec_id
+        ),
+        qq,
+        qn,
+    )
+    dot = int_dot(F.col("__q"), F.col("__qq"))
+    return cands.select(
+        F.col(id_col),
+        cosine_from_quantized(dot, F.col("__norm"), F.col("__qnorm")).alias(
+            "cosine"
+        ),
+    ).filter(F.col("cosine") >= min_cosine)
+
+
 def _read_seeds(spark, root: str):
     """Centroid table of a write_ivf_index artifact, cached per path."""
     import numpy as np

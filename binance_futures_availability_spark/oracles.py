@@ -401,6 +401,32 @@ ORDER BY cosine DESC, n.vec_id
 LIMIT {k}"""
 
 
+def sql_ivf_range(
+    query_vec_id: int, min_cosine: float, n_cells: int, nprobe: int
+) -> str:
+    """IVF range search — same probe CTEs as sql_ivf_topk, threshold
+    filter instead of ORDER/LIMIT (mirrors similarity.ivf_range_indexed)."""
+    return f"""WITH {EMB_BASE_CTE},
+{_ivf_ctes(n_cells)},
+qv AS (SELECT q AS qq, nrm AS qn FROM normed WHERE vec_id = {query_vec_id}),
+probe AS (
+    SELECT cell FROM (
+        SELECT s.cell,
+               list_dot_product(s.sq, qv.qq) / (sqrt(s.snrm) * sqrt(qv.qn)) AS cs
+        FROM seeds s, qv
+    ) ORDER BY cs DESC, cell LIMIT {nprobe}
+)
+SELECT n.vec_id,
+       list_dot_product(n.q, qv.qq) / (sqrt(n.nrm) * sqrt(qv.qn)) AS cosine
+FROM normed n
+JOIN assign a ON n.vec_id = a.vec_id
+JOIN probe p ON a.cell = p.cell
+CROSS JOIN qv
+WHERE n.vec_id <> {query_vec_id}
+  AND list_dot_product(n.q, qv.qq) / (sqrt(n.nrm) * sqrt(qv.qn))
+      >= {min_cosine}"""
+
+
 def sql_embedding_dedup_survivors(
     threshold: float, n_planes: int = N_PLANES
 ) -> str:

@@ -1381,3 +1381,36 @@ def test_containment_catches_quote_jaccard_misses(spark):
     # jaccard at the same threshold misses the pair entirely
     jac = dedup.ngram_jaccard_pairs(docs_q, 0.9).collect()
     assert not any(p["id_a"] == 0 and p["id_b"] == 1 for p in jac)
+
+
+def test_ivf_range_indexed_threshold_and_pruning(spark, tmp_path_factory):
+    import math as _math
+
+    def at(deg):
+        return [_math.cos(_math.radians(deg)), _math.sin(_math.radians(deg))]
+
+    # seeds (two lowest ids) are the axes -> two distinct cells
+    emb = spark.createDataFrame(
+        [(0, at(0), "x"), (1, at(90), "x"), (2, at(10), "x"), (3, at(80), "x")],
+        ["vec_id", "embedding", "label"],
+    )
+    idx = str(tmp_path_factory.mktemp("ivfrange") / "idx")
+    similarity.write_ivf_index(emb, idx, n_cells=2)
+    # full probe: identical vector qualifies at 0.99; orthogonal does not
+    got = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.ivf_range_indexed(spark, idx, 0, 0.95, nprobe=2).collect()
+    }
+    assert set(got) == {2}  # only the 10-degree vector is this similar
+    # low threshold with full probe finds the orthogonal vector too
+    wide = {
+        r["vec_id"]
+        for r in similarity.ivf_range_indexed(spark, idx, 0, -1.01, nprobe=2).collect()
+    }
+    assert wide == {1, 2, 3}  # full probe sees everything
+    # nprobe=1 restricts matches to the query's own cell
+    narrow = {
+        r["vec_id"]
+        for r in similarity.ivf_range_indexed(spark, idx, 0, -1.01, nprobe=1).collect()
+    }
+    assert narrow == {2}  # nprobe=1: only the query's own cell
