@@ -630,3 +630,92 @@ def test_source_overlap_jaccard_bounds(spark, vocab_sizes, overlap):
         assert 0 < r["jaccard"] <= 1
         assert r["n_shared"] <= min(r["n_terms_a"], r["n_terms_b"])
         assert r["n_shared"] == overlap
+
+
+_event_rows = st.lists(
+    st.tuples(
+        st.integers(1, 2),            # user
+        st.integers(0, 3600 * 6),     # second offset
+        st.floats(0.0, 10.0, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@SETTINGS
+@given(rows=_event_rows, split=st.integers(2, 3))
+def test_asof_join_matches_python_reference(spark, rows, split):
+    """The union-and-carry window equals a brute-force as-of computed in
+    Python: greatest right-ts ≤ left-ts per user, max-id tie on equal
+    right timestamps."""
+    from binance_futures_availability_spark.operators import events as ev_ops
+
+    base = dt.datetime(2024, 1, 1)
+    evs = [
+        (i, base + dt.timedelta(seconds=sec), u, "t", v, "")
+        for i, (u, sec, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    left = df.filter(F.col("event_id") % split != 0)
+    right = df.filter(F.col("event_id") % split == 0)
+    got = {
+        r["event_id"]: (r["r_event_id"], r["r_ts"])
+        for r in ev_ops.asof_join(left, right).collect()
+    }
+    rights = [e for e in evs if e[0] % split == 0]
+    for e in evs:
+        if e[0] % split == 0:
+            continue
+        cands = [r for r in rights if r[2] == e[2] and r[1] <= e[1]]
+        if not cands:
+            want = (None, None)
+        else:
+            best_ts = max(r[1] for r in cands)
+            best_id = max(r[0] for r in cands if r[1] == best_ts)
+            want = (best_id, best_ts)
+        assert got[e[0]] == want, (e, want, got[e[0]])
+
+
+@SETTINGS
+@given(rows=_event_rows, bucket=st.sampled_from([60, 600, 3600]))
+def test_interval_join_matches_python_reference(spark, rows, bucket):
+    """The bucketed grid join equals brute-force containment at ANY
+    bucket width (the grid is an optimization, never a semantic)."""
+    from binance_futures_availability_spark.operators import events as ev_ops
+
+    base = dt.datetime(2024, 1, 1)
+    evs = [
+        (i, base + dt.timedelta(seconds=sec), u, "t", v, "")
+        for i, (u, sec, v) in enumerate(rows)
+    ]
+    points = spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ivs = [
+        (u, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + 1800))
+        for u in (1, 2)
+        for s in (0, 7200)
+    ]
+    intervals = spark.createDataFrame(
+        ivs, "user_id long, session_start timestamp, session_end timestamp"
+    )
+    got = {
+        (r["event_id"], r["session_start"])
+        for r in ev_ops.interval_join(
+            points, intervals, bucket_seconds=bucket
+        ).collect()
+    }
+    want = {
+        (e[0], s)
+        for e in evs
+        for (u, s, en) in ivs
+        if u == e[2] and s <= e[1] <= en
+    }
+    assert got == want

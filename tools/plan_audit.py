@@ -65,6 +65,9 @@ HEADLINERS = {
     "curated_corpus": "end-to-end curation: quality filter + dedup + split + budget fused into one narrow scan + one content-hash shuffle; the quality gate runs BEFORE the exchange",
     "chunked_documents": "sliding-window chunking: tokenize + sequence + explode + slice, all codegen array expressions — zero shuffle",
     "scrub_boilerplate": "sub-document dedup: anti join against the sparse repeated-chunk set; ordered reassembly via array_sort of structs (no window)",
+    "containment_pairs": "asymmetric near-dup: shares the cached hashed-postings artifact with the Jaccard path; containment is one extra division over carried counts",
+    "ivf_range_indexed": "IVF range search: PartitionFilters prune to nprobe cell dirs; threshold filter, no ordering stage",
+    "centroid_confusion": "nearest-class-mean: bounded centroid collect, one Arrow argmax pass, tiny confusion aggregate",
 }
 
 
