@@ -567,6 +567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": lambda s, d: similarity.embedding_dedup_survivors(
             _emb(s, d), COSINE_THRESHOLD
         ),
+        "lsh_recall_audit": lambda s, d: similarity.lsh_recall_audit(
+            _emb(s, d), COSINE_THRESHOLD
+        ),
         "semantic_dedup": lambda s, d: similarity.semantic_dedup_survivors(
             _emb(s, d), COSINE_THRESHOLD
         ),
@@ -1069,6 +1072,7 @@ ORDER BY symbol, event_date"""),
             COSINE_THRESHOLD
         ),
         "embedding_dedup": oracles.sql_embedding_dedup_survivors(COSINE_THRESHOLD),
+        "lsh_recall_audit": oracles.sql_lsh_recall_audit(COSINE_THRESHOLD),
         "semantic_dedup": oracles.sql_semantic_dedup_survivors(
             COSINE_THRESHOLD, similarity.IVF_N_CELLS
         ),

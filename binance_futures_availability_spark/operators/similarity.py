@@ -1184,6 +1184,48 @@ def kmeans_cells(
     ).select(id_col, "cell")
 
 
+def lsh_recall_audit(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Recall measurement for the LSH scale path: one row — (n_exact,
+    n_lsh, n_matched, recall) comparing ``lsh_cosine_pairs`` against the
+    exact ``cosine_pairs`` baseline at the same threshold. The audit
+    every LSH deployment runs before trusting a width setting: the
+    n_planes knob trades recall for bucket population, and this
+    operator turns that trade into a measured number instead of a
+    guess.
+
+    LSH verification is exact, so LSH pairs ⊆ exact pairs (precision 1
+    by construction — the audit asserts it as n_matched == n_lsh) and
+    recall = n_lsh / n_exact. Shape: both pair pipelines run once (each
+    with its own documented scale shape), joined on the (sparse) pair
+    key; the audit output is a single aggregate row. Run at a sampled
+    scale — the exact baseline is the quadratic one being audited.
+    """
+    e = cosine_pairs(emb, threshold, id_col, vec_col).select(
+        "id_a", "id_b", F.lit(1).alias("__e")
+    )
+    l = lsh_cosine_pairs(emb, threshold, id_col, vec_col, n_planes).select(
+        "id_a", "id_b", F.lit(1).alias("__l")
+    )
+    j = e.join(l, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce("__e", F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce("__l", F.lit(0))).cast("long").alias("n_lsh"),
+        F.sum(
+            F.when(F.col("__e").isNotNull() & F.col("__l").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_matched"),
+    ).withColumn(
+        "recall",
+        F.col("n_matched").cast("double") / F.col("n_exact"),
+    )
+
+
 def centroid_confusion(
     emb: DataFrame,
     id_col: str = "vec_id",

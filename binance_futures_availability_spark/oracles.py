@@ -427,6 +427,35 @@ WHERE n.vec_id <> {query_vec_id}
       >= {min_cosine}"""
 
 
+def sql_lsh_recall_audit(threshold: float, n_planes: int = N_PLANES) -> str:
+    """LSH recall audit — composes the exact-pairs and LSH-pairs oracle
+    CTEs and aggregates the overlap (mirrors similarity.lsh_recall_audit)."""
+    return f"""WITH {EMB_BASE_CTE},
+bucketed AS (
+    SELECT vec_id, q, nrm, {_bucket_sql(n_planes)} AS bucket FROM normed
+),
+exact AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm))
+          >= {threshold}
+),
+lsh AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm))
+          >= {threshold}
+)
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+       CAST((SELECT COUNT(*) FROM exact JOIN lsh USING (id_a, id_b))
+            AS BIGINT) AS n_matched,
+       CAST((SELECT COUNT(*) FROM exact JOIN lsh USING (id_a, id_b))
+            AS DOUBLE)
+           / (SELECT COUNT(*) FROM exact) AS recall"""
+
+
 def sql_embedding_dedup_survivors(
     threshold: float, n_planes: int = N_PLANES
 ) -> str:

@@ -1414,3 +1414,18 @@ def test_ivf_range_indexed_threshold_and_pruning(spark, tmp_path_factory):
         for r in similarity.ivf_range_indexed(spark, idx, 0, -1.01, nprobe=1).collect()
     }
     assert narrow == {2}  # nprobe=1: only the query's own cell
+
+
+def test_lsh_recall_audit_precision_one_and_recall(emb, spark):
+    r = similarity.lsh_recall_audit(emb, 0.99).collect()[0]
+    # identical pair (0,1) exists and always collides -> full recall here
+    assert r["n_exact"] == 1 and r["n_lsh"] == 1
+    assert r["n_matched"] == r["n_lsh"]  # precision 1 by construction
+    assert r["recall"] == 1.0
+    # wider corpus at the gate threshold: recall in (0, 1], precision 1
+    import __spark_entry__ as entrymod
+
+    emb_big = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    r2 = similarity.lsh_recall_audit(emb_big, 0.3).collect()[0]
+    assert r2["n_matched"] == r2["n_lsh"] <= r2["n_exact"]
+    assert 0 < r2["recall"] <= 1.0  # single-table 8-plane LSH: low but >0
