@@ -380,6 +380,7 @@ def asof_join(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """General two-TABLE as-of join: each left row gains the right row
     with the greatest ``ts ≤ left.ts`` in its ``by`` group — (id, by, ts,
@@ -431,7 +432,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
-    return (
+    out = (
         l2.unionByName(r2)
         .select(
             "*",
@@ -450,6 +451,24 @@ def asof_join(
             "r_" + value_col,
         )
     )
+    if tolerance_seconds is not None:
+        # merge_asof-style max gap: a carried right row older than the
+        # tolerance yields NULLs (unmatched), not a dropped left row
+        fresh = (
+            F.unix_timestamp(F.col(ts_col))
+            - F.unix_timestamp(F.col("r_" + ts_col))
+        ) <= tolerance_seconds
+        out = out.select(
+            id_col,
+            by,
+            ts_col,
+            value_col,
+            *[
+                F.when(fresh, F.col("r_" + c)).alias("r_" + c)
+                for c in (id_col, ts_col, value_col)
+            ],
+        )
+    return out
 
 
 def interval_join(

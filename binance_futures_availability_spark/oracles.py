@@ -1369,11 +1369,20 @@ JOIN sizes sa ON stratum_a = sa.stratum
 JOIN sizes sb ON stratum_b = sb.stratum"""
 
 
-def sql_event_asof_join(left_mod: int = 2) -> str:
+def sql_event_asof_join(
+    left_mod: int = 2, tolerance_seconds: int | None = None
+) -> str:
     """General as-of join — the oracle runs DuckDB's NATIVE ASOF JOIN
     against the Spark union-and-carry window form: an independent
     implementation of the same semantics (greatest r.ts ≤ l.ts per user,
     right side deduped to one row per (user, ts) with max id)."""
+    m, c = "", ""
+    if tolerance_seconds is not None:
+        m = (
+            f"CASE WHEN epoch(l.ts) - epoch(r.ts) <= {tolerance_seconds}"
+            " THEN "
+        )
+        c = " END"
     return f"""WITH r1 AS (
     SELECT user_id, ts, event_id, value FROM (
         SELECT user_id, ts, event_id, value,
@@ -1387,7 +1396,9 @@ l AS (
     FROM events WHERE event_id % {left_mod} = 1
 )
 SELECT l.event_id, l.user_id, l.ts, l.value,
-       r.event_id AS r_event_id, r.ts AS r_ts, r.value AS r_value
+       {m}r.event_id{c} AS r_event_id,
+       {m}r.ts{c} AS r_ts,
+       {m}r.value{c} AS r_value
 FROM l ASOF LEFT JOIN r1 r
   ON l.user_id = r.user_id AND l.ts >= r.ts"""
 

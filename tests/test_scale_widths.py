@@ -385,3 +385,42 @@ def test_histogram_matches_at_two_bin_widths(spark, duck):
             with_da(oracles.sql_volume_histogram(width)),
         )
         assert n > 0
+
+
+def test_asof_join_matches_with_tolerance(spark, events_df, duck):
+    from pyspark.sql import functions as F
+
+    from binance_futures_availability_spark.operators import events as ev
+
+    for tol in (None, 600, 60):
+        n = _match(
+            ev.asof_join(
+                events_df.filter(F.col("event_id") % 2 == 1),
+                events_df.filter(F.col("event_id") % 2 == 0),
+                tolerance_seconds=tol,
+            ),
+            duck,
+            oracles.sql_event_asof_join(2, tol),
+        )
+        assert n > 0
+
+
+def test_containment_matches_at_two_thresholds(spark, docs, duck):
+    from binance_futures_availability_spark.operators import dedup
+
+    for t in (0.8, 0.5):
+        _match(
+            dedup.containment_pairs(docs, t, max_shingle_freq=1000),
+            duck,
+            oracles.sql_containment_pairs(t, 1000),
+        )
+
+
+def test_recall_audit_matches_at_two_widths(spark, emb, duck):
+    for n_planes in (8, 6):
+        n = _match(
+            similarity.lsh_recall_audit(emb, 0.3, n_planes=n_planes),
+            duck,
+            oracles.sql_lsh_recall_audit(0.3, n_planes),
+        )
+        assert n == 1
