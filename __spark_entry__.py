@@ -408,8 +408,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "availability_rollup": lambda s, d: analytics.availability_rollup(
             _da(s, d)
         ),
+        "availability_pivot": lambda s, d: analytics.availability_pivot(
+            _da(s, d)
+        ),
         "volume_histogram": lambda s, d: volume.volume_histogram(_da(s, d)),
         "symbol_volume_profile": lambda s, d: volume.symbol_volume_profile(
+            _da(s, d)
+        ),
+        "gap_filled_volumes": lambda s, d: timelines.gap_filled_volumes(
             _da(s, d)
         ),
         "missing_volume": lambda s, d: backfill.missing_volume(
@@ -959,8 +965,10 @@ SELECT symbol, event, event_date, prev_date FROM (
 ORDER BY symbol, event_date"""),
         "availability_intervals": with_da(oracles.sql_availability_intervals()),
         "availability_rollup": with_da(oracles.sql_availability_rollup()),
+        "availability_pivot": with_da(oracles.sql_availability_pivot()),
         "volume_histogram": with_da(oracles.sql_volume_histogram()),
         "symbol_volume_profile": with_da(oracles.sql_symbol_volume_profile()),
+        "gap_filled_volumes": with_da(oracles.sql_gap_filled_volumes()),
         "missing_volume": with_da(f"""
             SELECT date, symbol, url FROM da
             WHERE available AND quote_volume_usdt IS NULL

@@ -240,3 +240,34 @@ def approx_availability_stats(da: DataFrame, rsd: float = 0.05) -> DataFrame:
             "quote_volume_usdt", [0.5, 0.9, 0.99], 10_000
         ).alias("volume_quantiles"),
     )
+
+
+def availability_pivot(da: DataFrame) -> DataFrame:
+    """PIVOT coverage: month × weekday availability matrix —
+    (month, dow_0..dow_6) with available-record counts, Sunday-based
+    weekday columns. The wide-format report surface (`GROUP BY month
+    PIVOT dow`) BI layers ask of an engine.
+
+    Spark's ``pivot`` with an EXPLICIT value list compiles to the same
+    single partial-agg shuffle as a plain groupBy (one aggregate per
+    (month) key with 7 conditional columns — no second pass, no
+    values-discovery job, which an implicit pivot would pay). Weekday
+    normalized to 0=Sunday to match DuckDB's dayofweek convention.
+    """
+    base = da.select(
+        F.date_trunc("month", F.col("date")).cast("date").alias("month"),
+        (F.dayofweek("date") - 1).alias("__dow"),
+        F.col("available").cast("long").alias("__av"),
+    )
+    pivoted = (
+        base.groupBy("month")
+        .pivot("__dow", list(range(7)))
+        .sum("__av")
+    )
+    return pivoted.select(
+        "month",
+        *[
+            F.coalesce(F.col(str(d)), F.lit(0)).alias(f"dow_{d}")
+            for d in range(7)
+        ],
+    )

@@ -1428,6 +1428,47 @@ FROM (
 ) GROUP BY bin"""
 
 
+def sql_availability_pivot() -> str:
+    """month × weekday pivot — conditional aggregation mirror of
+    analytics.availability_pivot (DuckDB dayofweek is already 0=Sunday)."""
+    cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN dayofweek(date) = {d} AND available"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS dow_{d}"
+        for d in range(7)
+    )
+    return f"""SELECT CAST(date_trunc('month', date) AS DATE) AS month,
+       {cols}
+FROM da GROUP BY 1"""
+
+
+def sql_gap_filled_volumes() -> str:
+    """LOCF gap fill — mirrors timelines.gap_filled_volumes (per-symbol
+    generate_series skeleton, left join, carry-forward window)."""
+    return """WITH observed AS (
+    SELECT symbol, date, quote_volume_usdt FROM da
+    WHERE available AND quote_volume_usdt IS NOT NULL
+),
+skeleton AS (
+    SELECT symbol, CAST(d AS DATE) AS date FROM (
+        SELECT symbol,
+               unnest(generate_series(MIN(date), MAX(date),
+                                      INTERVAL 1 DAY)) AS d
+        FROM observed GROUP BY symbol
+    )
+),
+joined AS (
+    SELECT s.symbol, s.date, o.quote_volume_usdt
+    FROM skeleton s LEFT JOIN observed o USING (symbol, date)
+)
+SELECT symbol, date,
+       LAST_VALUE(quote_volume_usdt IGNORE NULLS) OVER (
+           PARTITION BY symbol ORDER BY date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS quote_volume_usdt,
+       quote_volume_usdt IS NULL AS is_filled
+FROM joined"""
+
+
 def sql_symbol_volume_profile() -> str:
     """Per-symbol window profile — mirrors volume.symbol_volume_profile
     (same full frame, DECIMAL totals, CUME_DIST tie semantics)."""

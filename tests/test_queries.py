@@ -530,3 +530,56 @@ def test_symbol_volume_profile_windows(populated_da):
     assert eth["total_volume"] == new["total_volume"] == 50.0
     assert eth["volume_cume_dist"] == new["volume_cume_dist"]  # tie shares value
     assert btc["volume_cume_dist"] == 1.0
+
+
+def test_gap_filled_volumes_locf(populated_da):
+    from binance_futures_availability_spark.operators import timelines as tl
+
+    got = {
+        (r["symbol"], r["date"]): r
+        for r in tl.gap_filled_volumes(populated_da).collect()
+    }
+    # NEWUSDT observed only on D3 -> no densification before its first day
+    assert (("NEWUSDT", D1)) not in got and ("NEWUSDT", D3) in got
+    # BTC has all three days observed, nothing filled
+    assert all(not got[("BTCUSDT", d)]["is_filled"] for d in (D1, D2, D3))
+    # ETH observed D1, D2: series spans its own range only
+    assert ("ETHUSDT", D3) not in got
+    assert got[("ETHUSDT", D2)]["quote_volume_usdt"] == 20.0
+
+
+def test_gap_filled_volumes_carries_forward(spark):
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import timelines as tl
+    from conftest import _row
+    from binance_futures_availability_spark.schema import DAILY_AVAILABILITY
+
+    D = dt.date
+    rows = [
+        _row(D(2024, 2, 1), "AUSDT", True, 10.0),
+        _row(D(2024, 2, 4), "AUSDT", True, 40.0),  # 2-day hole
+    ]
+    da = spark.createDataFrame(rows, DAILY_AVAILABILITY)
+    got = {r["date"]: r for r in tl.gap_filled_volumes(da).collect()}
+    assert sorted(got) == [D(2024, 2, d) for d in (1, 2, 3, 4)]
+    for d in (2, 3):  # holes carry the last observed value, flagged
+        assert got[D(2024, 2, d)]["quote_volume_usdt"] == 10.0
+        assert got[D(2024, 2, d)]["is_filled"]
+    assert got[D(2024, 2, 4)]["quote_volume_usdt"] == 40.0
+    assert not got[D(2024, 2, 4)]["is_filled"]
+
+
+def test_availability_pivot_weekday_matrix(populated_da):
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import analytics
+
+    rows = analytics.availability_pivot(populated_da).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["month"] == dt.date(2024, 1, 1)
+    # fixture availabilities: D1(Sat)=2, D2(Sun)=2, D3(Mon)=2
+    assert r["dow_6"] == 2 and r["dow_0"] == 2 and r["dow_1"] == 2
+    # all other weekday columns zero-filled, never NULL
+    assert all(r[f"dow_{d}"] == 0 for d in (2, 3, 4, 5))
