@@ -603,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "doc_keyterms": lambda s, d: textops.doc_keyterms(_docs(s, d)),
+        "bigram_lm_scores": lambda s, d: textops.bigram_lm_scores(_docs(s, d)),
         "pii_scrub": _pii_scrub,
         "contamination_check": _contamination_check,
         "stratified_sample": lambda s, d: sampling.stratified_sample(
@@ -1098,6 +1099,7 @@ ORDER BY symbol, event_date"""),
         "boilerplate_chunks": oracles.sql_boilerplate_chunks(),
         "scrub_boilerplate": oracles.sql_scrub_boilerplate(),
         "doc_keyterms": oracles.sql_doc_keyterms(),
+        "bigram_lm_scores": oracles.sql_bigram_lm_scores(),
         "pii_scrub": oracles.sql_pii_scrub(PII_SUFFIX),
         "contamination_check": oracles.sql_contamination_check(),
         "stratified_sample": oracles.sql_stratified_sample(

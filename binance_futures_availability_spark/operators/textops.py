@@ -929,3 +929,79 @@ def doc_keyterms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tfidf", "rnk")
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Statistical language-model quality scoring (the CCNet/KenLM-style
+    filter, reduced to a corpus-trained bigram model): per document the
+    average negative log-probability of its token bigrams under
+    Laplace-smoothed corpus statistics — (doc_id, n_bigrams,
+    avg_neg_logprob). Low = fluent/common phrasing, high = gibberish or
+    out-of-domain; pipelines threshold or bucket on it exactly like a
+    perplexity filter.
+
+    ENGINE-EXACT despite the ln: each bigram's log-probability is
+    quantized to integer NANO-NATS (round(ln·10⁹) as BIGINT) before any
+    aggregation, so the per-doc reduction is an integer sum — immune to
+    float summation order across partitions AND to the cross-engine
+    last-ulp ln divergence (a 1-ulp input wiggle moves the rounded
+    integer only on a measure-zero boundary; the tfidf precedent,
+    hardened from per-value rounding to integer algebra).
+
+    Shape: token explode → unigram counts (one shuffle); in-row bigram
+    zip → bigram counts (one shuffle); the scoring join brings both
+    count tables onto the bigram stream (vocabulary-sized sides — the
+    same broadcast-vs-shuffle trade as term_frequencies' df join); one
+    final per-doc integer aggregate. Documents with <2 tokens have no
+    bigrams and are absent, mirrored by the oracle.
+    """
+    from ..functions import tokens
+
+    t = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), t.alias("__t")).filter(
+        F.size("__t") >= 2
+    )
+    uni = (
+        docs.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab_n = uni.count()  # bounded scalar: |vocabulary|
+    bi = base.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(__t, 1, size(__t) - 1)").alias("w1"),
+                F.expr("slice(__t, 2, size(__t) - 1)").alias("w2"),
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.col("cb") + F.lit(1.0))
+                    / (F.col("cu") + F.lit(float(vocab_n)))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("__ilp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (
+            -F.sum("__ilp").cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("avg_neg_logprob"),
+    )

@@ -933,6 +933,37 @@ SELECT doc_id, term, tfidf, rnk FROM (
 ) WHERE rnk <= {k}"""
 
 
+def sql_bigram_lm_scores() -> str:
+    """Bigram-LM quality scores — mirrors textops.bigram_lm_scores:
+    Laplace-smoothed corpus bigram model, per-bigram log-probs quantized
+    to integer nano-nats BEFORE the (order-independent) integer sum."""
+    return r"""WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents
+),
+flat AS (
+    SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
+    FROM toks
+),
+uni AS (SELECT w, COUNT(*) AS cu FROM flat GROUP BY w),
+v AS (SELECT COUNT(*) AS vn FROM uni),
+bi AS (
+    SELECT f1.doc_id, f1.w AS w1, f2.w AS w2
+    FROM flat f1 JOIN flat f2
+      ON f1.doc_id = f2.doc_id AND f2.pos = f1.pos + 1
+),
+bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+scored AS (
+    SELECT b.doc_id,
+           CAST(round(ln((bc.cb + 1.0) / (u.cu + v.vn)) * 1000000000)
+                AS BIGINT) AS ilp
+    FROM bi b JOIN bc USING (w1, w2) JOIN uni u ON u.w = b.w1 CROSS JOIN v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       -CAST(SUM(ilp) AS DOUBLE) / 1000000000 / COUNT(*) AS avg_neg_logprob
+FROM scored GROUP BY doc_id"""
+
+
 def sql_quality_deciles(n_tiles: int = 10) -> str:
     """NTILE bucketing over the quality score — the Spark side reproduces
     SQL NTILE semantics from its distributed global rank, so the oracle

@@ -1429,3 +1429,27 @@ def test_lsh_recall_audit_precision_one_and_recall(emb, spark):
     r2 = similarity.lsh_recall_audit(emb_big, 0.3).collect()[0]
     assert r2["n_matched"] == r2["n_lsh"] <= r2["n_exact"]
     assert 0 < r2["recall"] <= 1.0  # single-table 8-plane LSH: low but >0
+
+
+def test_bigram_lm_scores_fluency_ordering(spark):
+    import math as _math
+
+    # "a b" repeated is maximally predictable; the shuffled-vocab doc is not
+    docs_lm = spark.createDataFrame(
+        [
+            (0, "a b a b a b a b"),
+            (1, "q w e r t y u i"),
+            (2, "x"),  # <2 tokens: no bigrams, absent from output
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in textops.bigram_lm_scores(docs_lm).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_bigrams"] == 7 and got[1]["n_bigrams"] == 7
+    assert got[0]["avg_neg_logprob"] < got[1]["avg_neg_logprob"]
+    # spot value: V = 11 distinct tokens corpus-wide; C(a)=C(b)=4
+    expect0 = -(
+        4 * round(_math.log((4 + 1) / (4 + 11)) * 1e9)   # (a,b) x4
+        + 3 * round(_math.log((3 + 1) / (4 + 11)) * 1e9)  # (b,a) x3
+    ) / 1e9 / 7
+    assert abs(got[0]["avg_neg_logprob"] - expect0) < 1e-9
