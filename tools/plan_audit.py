@@ -68,6 +68,9 @@ HEADLINERS = {
     "containment_pairs": "asymmetric near-dup: shares the cached hashed-postings artifact with the Jaccard path; containment is one extra division over carried counts",
     "ivf_range_indexed": "IVF range search: PartitionFilters prune to nprobe cell dirs; threshold filter, no ordering stage",
     "centroid_confusion": "nearest-class-mean: bounded centroid collect, one Arrow argmax pass, tiny confusion aggregate",
+    "gap_filled_volumes": "LOCF gap fill: generated per-symbol date skeleton (no shuffle for the explode), left join, ONE carry-forward window",
+    "availability_pivot": "explicit-value PIVOT: one partial-agg shuffle, no values-discovery job",
+    "bigram_lm_scores": "bigram LM: two count shuffles + scoring joins; per-doc reduction is an integer nano-nat sum (order-independent)",
 }
 
 
