@@ -719,3 +719,45 @@ def test_interval_join_matches_python_reference(spark, rows, bucket):
         if u == e[2] and s <= e[1] <= en
     }
     assert got == want
+
+
+_short_texts = st.lists(
+    st.text(alphabet="abc ", min_size=1, max_size=30), min_size=1, max_size=6
+)
+
+
+@SETTINGS
+@given(texts=_short_texts, chunk=st.integers(2, 6))
+def test_disjoint_chunks_reconstruct_document(spark, texts, chunk):
+    """Zero-overlap chunks partition the token stream: re-joining them in
+    chunk_id order reproduces the whitespace-normalized document."""
+    rows = [(i, t) for i, t in enumerate(texts) if t.strip()]
+    if not rows:
+        return
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pieces = {}
+    for r in textops.chunk_documents(docs, chunk_tokens=chunk, overlap=0).collect():
+        pieces.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    for i, t in rows:
+        rebuilt = " ".join(p for _, p in sorted(pieces[i]))
+        assert rebuilt == " ".join(t.split())
+
+
+@SETTINGS
+@given(texts=_short_texts, thr=st.floats(0.0, 0.5, allow_nan=False))
+def test_curate_corpus_invariants(spark, texts, thr):
+    """Curation output is a subset of input ids, free of exact dups
+    (normalized), and every surviving row carries a valid split."""
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts) if t.strip()]
+    if not rows:
+        return
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    got = textops.curate_corpus(docs, thr).collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == len(set(ids)) and set(ids) <= {i for i, *_ in rows}
+    assert all(r["split"] in ("train", "val", "test") for r in got)
+    # survivors have distinct normalized content
+    norm = {}
+    for i, t, *_ in rows:
+        norm[i] = " ".join(t.split()).lower()
+    assert len({norm[i] for i in ids}) == len(ids)
