@@ -172,6 +172,12 @@ def cmd_text(args: argparse.Namespace) -> int:
             args,
             "keyterms:",
         )
+    if args.op == "lm-score":
+        return _print_rows(
+            textops.bigram_lm_scores(docs).orderBy("doc_id"),
+            args,
+            "bigram-LM scores:",
+        )
     op = {
         "tokens": textops.token_counts,
         "quality": textops.quality_scores,
@@ -459,6 +465,7 @@ def build_parser() -> argparse.ArgumentParser:
             "deciles",
             "source-overlap",
             "keyterms",
+            "lm-score",
         ],
         default="tokens",
     )

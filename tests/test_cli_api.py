@@ -531,3 +531,11 @@ def test_cli_maintain_stats_compact_expire(spark, tmp_path_factory, capsys):
     ) == 0
     assert "expired 1 partitions" in capsys.readouterr().out
     assert s.read.parquet(path).count() == 4
+
+
+def test_cli_text_lm_score(docs_path, capsys):
+    from binance_futures_availability_spark.cli.main import main
+
+    assert main(["pipeline", "text", docs_path, "--op", "lm-score", "--json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows and {"doc_id", "n_bigrams", "avg_neg_logprob"} <= set(rows[0])
