@@ -215,9 +215,13 @@ def global_row_number(
 
     ``order_cols`` must end in a tie-breaking unique key: ranks then
     depend only on the total order, not on where the range sampler drew
-    partition boundaries. The input is persisted for the two passes and
-    unpersisted before return (the count pass has already materialized
-    every partition, so the main pass reads cached blocks).
+    partition boundaries. The partitioned input is localCheckpoint-ed
+    (eager): the count pass and the returned frame read the SAME
+    materialized blocks, so the offsets can never disagree with the rank
+    pass even for nondeterministic inputs — and the range shuffle runs
+    once, not twice. Blocks are released when the checkpointed RDD is
+    garbage-collected (ContextCleaner), the same discipline as
+    index_cache.
     """
     from pyspark.sql import functions as F
 
@@ -229,7 +233,7 @@ def global_row_number(
         df.repartitionByRange(n_part, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     def _part_counts(batches):
@@ -274,9 +278,7 @@ def global_row_number(
             pos += len(pdf)
             yield pdf
 
-    ranked = parts.mapInPandas(number, out_schema).drop("__pid")
-    parts.unpersist()
-    return ranked
+    return parts.mapInPandas(number, out_schema).drop("__pid")
 
 
 def interleave_bits(a, b, bits: int = 16):

@@ -1152,10 +1152,12 @@ def kmeans_cells(
     implementation ships between rounds. Driver state is 2 numpy arrays
     of n_cells×dim ints. Cells that lose all members retain their
     previous sum vector (the standard empty-cluster rule, mirrored in
-    the oracle). Magnitude headroom: per-dim sums are count·scale — at
-    ~10⁹ members per cell the exact-GEMM bound (2^53) needs a coarser
-    quantization or per-cell mean rescale; document-scale corpora sit
-    orders below it.
+    the oracle). Magnitude headroom: centroid NORMS are square-summed in
+    exact Python ints (f64 squares of per-dim sums lose exactness at
+    cell populations of only ~10²); the assignment GEMM's exactness
+    bound is the dot q·c ≈ dim·pop·scale² < 2^53 — with dim 64 and
+    scale 1e6 that holds to ~10⁵ members per cell, past which use a
+    coarser quantization or per-cell mean rescale.
     """
     import numpy as np
 
@@ -1178,7 +1180,14 @@ def kmeans_cells(
         for r in sums:
             new_sq[r["cell"], r["dim"]] = r["sv"]
         sq = new_sq
-        snrm = (sq * sq).sum(axis=1)
+        # centroid norms from EXACT integers: (count·1e6)² blows the f64
+        # 2^53 mantissa at cell populations ~100, so square-sum in Python
+        # ints (the oracle's exact SUM(sv·sv)) and round ONCE to double —
+        # the same single rounding DuckDB's sqrt(HUGEINT) applies.
+        snrm = np.asarray(
+            [float(sum(int(v) * int(v) for v in row)) for row in sq],
+            dtype=np.float64,
+        )
     return base.withColumn(
         "cell", _cell_kernel(sq, snrm)(F.col("__q"))
     ).select(id_col, "cell")
@@ -1264,20 +1273,40 @@ def centroid_confusion(
     pos = {lb: i for i, lb in enumerate(labels)}
     for r in sums:
         lq[pos[r["__lbl"]], r["dim"]] = r["sv"]
-    lnrm = (lq * lq).sum(axis=1)
+    # exact-integer norms (same 2^53 discipline as kmeans_cells)
+    lnrm = np.asarray(
+        [float(sum(int(v) * int(v) for v in row)) for row in lq],
+        dtype=np.float64,
+    )
     lbl_arr = np.asarray(labels)
+
+    # the UDF's return type follows the LABEL column's type — labels may
+    # be strings or any integer width, not just int32
+    lbl_type = emb.schema[label_col].dataType.simpleString()
+    np_cast = {
+        "tinyint": np.int8,
+        "smallint": np.int16,
+        "int": np.int32,
+        "bigint": np.int64,
+    }.get(lbl_type)
+    if np_cast is None and lbl_type != "string":
+        raise ValueError(
+            f"centroid_confusion: unsupported label type {lbl_type!r} "
+            "(integer or string labels only)"
+        )
 
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("int")
+    @pandas_udf(lbl_type)
     def predict(q: pd.Series) -> pd.Series:
         if len(q) == 0:
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype="object" if np_cast is None else np_cast)
         qm = np.asarray(q.tolist(), dtype=np.float64)
         cos = (qm @ lq.T) / (
             np.sqrt((qm * qm).sum(axis=1))[:, None] * np.sqrt(lnrm)[None, :]
         )
-        return pd.Series(lbl_arr[np.argmax(cos, axis=1)].astype(np.int32))
+        picked = lbl_arr[np.argmax(cos, axis=1)]
+        return pd.Series(picked if np_cast is None else picked.astype(np_cast))
 
     return (
         base.withColumn("predicted_label", predict(F.col("__q")))

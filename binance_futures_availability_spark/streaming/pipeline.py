@@ -443,17 +443,26 @@ def spike_stream(
             hist_counts.append(cur_count)
             del hist_days[:-window_days], hist_counts[:-window_days]
 
-        for pdf in pdf_iter:
-            for ts in pdf["ts"].sort_values():
-                day = ts.date()
-                if cur_day is None:
-                    cur_day, cur_count = day, 1
-                elif day == cur_day:
-                    cur_count += 1
-                elif day > cur_day:
-                    finalize()
-                    cur_day, cur_count = day, 1
-                # else: older than the open day — dropped (late horizon)
+        # A group's micro-batch may arrive as SEVERAL Arrow chunks with no
+        # cross-chunk order guarantee: sort the combined series once, or an
+        # earlier day landing in a later chunk would be dropped as "late"
+        # and its predecessor finalized with an undercounted n_events.
+        chunks = [pdf["ts"] for pdf in pdf_iter]
+        all_ts = (
+            pd.concat(chunks, ignore_index=True).sort_values()
+            if chunks
+            else pd.Series([], dtype="datetime64[ns]")
+        )
+        for ts in all_ts:
+            day = ts.date()
+            if cur_day is None:
+                cur_day, cur_count = day, 1
+            elif day == cur_day:
+                cur_count += 1
+            elif day > cur_day:
+                finalize()
+                cur_day, cur_count = day, 1
+            # else: older than the open day — dropped (late horizon)
         state.update((hist_days, hist_counts, cur_day, cur_count))
         yield pd.DataFrame(
             out,
@@ -494,17 +503,27 @@ def start_ivf_append_sink(
     ingest pipeline. The FIRST batch builds the index (freezing the
     coarse quantizer); every later batch assigns against the stored
     centroids and appends only its own cell-partition files
-    (``append_to_ivf_index`` — work ∝ batch). Restart-safe the same way
-    the upsert sink is: the checkpoint replays unacknowledged batches;
-    replayed appends re-add rows, and the serving path's candidate
-    dedup... does NOT dedup — so exactly-once delivery here comes from
-    the checkpoint acknowledging the append (parquet append is atomic
-    per task file; a crash mid-batch can leave partial files, the
-    standard parquet-append caveat the Delta log would close).
+    (``append_to_ivf_index`` — work ∝ batch). Restart-safe: the
+    checkpoint replays unacknowledged batches, and a per-batch commit
+    marker under ``<index>/_committed_batches/`` makes the replay a
+    no-op — a crash between the parquet append and the checkpoint
+    commit re-delivers the batch, sees its marker, and skips the
+    double-append. The only remaining window is a crash between the
+    append and the marker write (milliseconds vs the append itself),
+    the gap a transactional table format (Delta/Iceberg) would close
+    on a real deployment.
     """
+    import os
+
     from ..operators import similarity
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker_dir = os.path.join(
+            index_path.rstrip("/"), "_committed_batches"
+        )
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # checkpoint replay of an already-applied append
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
@@ -520,6 +539,9 @@ def start_ivf_append_sink(
             similarity.write_ivf_index(batch, index_path, n_cells=n_cells)
         else:
             similarity.write_ivf_index(batch, index_path)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
 
     return (
         stream.writeStream.foreachBatch(process_batch)

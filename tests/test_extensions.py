@@ -1453,3 +1453,36 @@ def test_bigram_lm_scores_fluency_ordering(spark):
         + 3 * round(_math.log((3 + 1) / (4 + 11)) * 1e9)  # (b,a) x3
     ) / 1e9 / 7
     assert abs(got[0]["avg_neg_logprob"] - expect0) < 1e-9
+
+
+def test_centroid_confusion_string_labels(spark):
+    """The predicted-label column follows the LABEL column's type —
+    string-labeled corpora work, not just int32."""
+    import math as _math
+
+    def vec(deg):
+        return [_math.cos(_math.radians(deg)), _math.sin(_math.radians(deg))]
+
+    emb_c = spark.createDataFrame(
+        [
+            (0, vec(0), "en"), (1, vec(5), "en"),
+            (2, vec(90), "zh"), (3, vec(85), "zh"),
+            (4, vec(80), "en"),  # mislabeled → crosses to zh
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    out = similarity.centroid_confusion(emb_c)
+    assert dict(out.dtypes)["predicted_label"] == "string"
+    got = {
+        (r["label"], r["predicted_label"]): r["n"] for r in out.collect()
+    }
+    assert got[("en", "en")] == 2 and got[("zh", "zh")] == 2
+    assert got[("en", "zh")] == 1
+
+
+def test_centroid_confusion_rejects_unsupported_label_type(spark):
+    emb_c = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1.5)], ["vec_id", "embedding", "label"]
+    )
+    with pytest.raises(ValueError, match="unsupported label type"):
+        similarity.centroid_confusion(emb_c)

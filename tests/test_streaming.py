@@ -622,3 +622,113 @@ def test_streaming_ivf_append_sink(spark, tmp_path):
         for r in similarity.ivf_topk_indexed(spark, ref, 15, k=5, nprobe=4).collect()
     ]
     assert got == want and any(v >= 10 for v, _ in got)
+
+
+def test_streaming_spike_handles_multichunk_groups(spark, tmp_path):
+    """A group whose micro-batch spans several Arrow chunks must see ONE
+    globally-sorted timestamp series: with per-chunk sorting, day-1 rows
+    landing in a later chunk than day-2 rows were dropped as late and the
+    finalized counts diverged from the batch twin."""
+    from binance_futures_availability_spark.streaming.pipeline import (
+        event_stream_source,
+        spike_stream,
+    )
+
+    # file written with DAY 2 FIRST so small Arrow chunks deliver day 1
+    # after day 2 within the same micro-batch
+    rows, eid = [], 0
+    for day in (2, 1):
+        for _ in range(6):
+            eid += 1
+            rows.append((eid, TS(2024, 1, day, 12, 0), 1, "view", 0.0, "{}"))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    incoming = tmp_path / "spk_mc_in"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(incoming))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        q = (
+            spike_stream(event_stream_source(spark, str(incoming)))
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "spk_mc_out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "spk_mc_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = spark.read.parquet(str(tmp_path / "spk_mc_out")).collect()
+    # day 1 finalized (when day 2 appears) with ALL six events; day 2 open
+    assert [(r["day"], r["n_events"]) for r in got] == [(D(2024, 1, 1), 6)]
+
+
+def test_streaming_ivf_append_sink_replay_is_noop(spark, tmp_path):
+    """A checkpoint replay of an already-applied append batch (crash
+    between the parquet append and the checkpoint commit) must not
+    double-append: the per-batch commit marker makes the replay skip."""
+    import math as _math
+    import os
+
+    from binance_futures_availability_spark.streaming.pipeline import (
+        embedding_stream_source,
+        start_ivf_append_sink,
+    )
+
+    def vec(deg):
+        return [
+            float(_math.cos(_math.radians(deg))),
+            float(_math.sin(_math.radians(deg))),
+        ]
+
+    schema = "vec_id long, embedding array<float>, label int"
+    incoming = tmp_path / "emb_rp_in"
+    idx = str(tmp_path / "ividx_rp")
+    ckpt = tmp_path / "ivckpt_rp"
+
+    def run(ckpt_dir):
+        q = start_ivf_append_sink(
+            embedding_stream_source(spark, str(incoming)),
+            idx,
+            str(ckpt_dir),
+            n_cells=4,
+        ).start()
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(i, vec(7 * i), 0) for i in range(10)], schema
+    ).write.mode("append").parquet(str(incoming))
+    run(ckpt)
+    spark.createDataFrame(
+        [(i, vec(7 * i), 0) for i in range(10, 20)], schema
+    ).write.mode("append").parquet(str(incoming))
+    run(ckpt)
+
+    n_before = spark.read.parquet(idx + "/vectors").count()
+    assert n_before == 20
+
+    # simulate the crash window: the append happened (marker present) but
+    # the checkpoint never acknowledged the batch. A checkpoint copy
+    # missing the newest commit record IS that crashed state; restarting
+    # from it forces Spark to re-deliver the batch.
+    import shutil
+
+    crashed = tmp_path / "ivckpt_rp_crashed"
+    shutil.copytree(ckpt, crashed)
+    commits = sorted(
+        f for f in os.listdir(crashed / "commits") if not f.startswith(".")
+    )
+    os.remove(crashed / "commits" / commits[-1])
+    # the stale Hadoop checksum would fail the re-written commit's rename
+    crc = crashed / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():
+        os.remove(crc)
+    run(crashed)
+
+    assert spark.read.parquet(idx + "/vectors").count() == n_before
