@@ -181,6 +181,32 @@ def _corpus_count(docs: DataFrame) -> int:
     return n
 
 
+def tf_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The corpus's inverted index — (doc_id, term, tf) — built ONCE per
+    (source files, plan, columns) and session-persisted (index_cache).
+
+    This is the shared artifact every token-statistics operator derives
+    from: ``term_frequencies``/``tfidf_weights``/``doc_keyterms`` join the
+    document-frequency aggregate onto it, ``repetition_scores`` reads its
+    per-doc tf distribution, and ``bigram_lm_scores`` folds it into corpus
+    unigram counts — so the token explode + (doc, term) shuffle are paid
+    once per corpus, not once per query. Empty tokens are filtered (only a
+    fully-empty document can produce one under split-on-trim semantics).
+    """
+    from ..index_cache import cached_index, plan_key
+
+    def _build() -> DataFrame:
+        terms = docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        ).filter(F.col("term") != "")
+        return terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    return cached_index(plan_key(docs, "tf_index", id_col, text_col), _build)
+
+
 def term_frequencies(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -217,18 +243,8 @@ def term_frequencies(
     unlike a window over ``term`` which would put one hot term's entire
     posting list in a single task).
     """
-    from ..index_cache import cached_index, plan_key
-
     n_docs = _corpus_count(docs)
-
-    def _build_tf() -> DataFrame:
-        terms = docs.select(
-            F.col(id_col),
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
-        ).filter(F.col("term") != "")
-        return terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-
-    tf = cached_index(plan_key(docs, "tf_index", id_col, text_col), _build_tf)
+    tf = tf_index(docs, id_col, text_col)
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if broadcast_df:
         df_tbl = F.broadcast(df_tbl)
@@ -952,12 +968,15 @@ def bigram_lm_scores(
     integer only on a measure-zero boundary; the tfidf precedent,
     hardened from per-value rounding to integer algebra).
 
-    Shape: token explode → unigram counts (one shuffle); in-row bigram
-    zip → bigram counts (one shuffle); the scoring join brings both
-    count tables onto the bigram stream (vocabulary-sized sides — the
-    same broadcast-vs-shuffle trade as term_frequencies' df join); one
-    final per-doc integer aggregate. Documents with <2 tokens have no
-    bigrams and are absent, mirrored by the oracle.
+    Shape: unigram counts fold out of the session-cached ``tf_index``
+    (``SUM(tf) GROUP BY term`` over the already-materialized postings —
+    no second token explode; r6 rebuilt the explode here and paid 2.9×
+    the oracle); in-row bigram zip → bigram counts (one shuffle); the
+    scoring join brings both count tables onto the bigram stream
+    (vocabulary-sized sides — the same broadcast-vs-shuffle trade as
+    term_frequencies' df join); one final per-doc integer aggregate.
+    Documents with <2 tokens have no bigrams and are absent, mirrored by
+    the oracle.
     """
     from ..functions import tokens
 
@@ -966,9 +985,10 @@ def bigram_lm_scores(
         F.size("__t") >= 2
     )
     uni = (
-        docs.select(F.explode(t).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cu"))
+        tf_index(docs, id_col, text_col)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cu"))
+        .withColumnRenamed("term", "w")
     )
     vocab_n = uni.count()  # bounded scalar: |vocabulary|
     bi = base.select(
