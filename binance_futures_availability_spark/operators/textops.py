@@ -422,16 +422,11 @@ def repetition_scores(
       countable — a narrow per-row projection, zero shuffles.
     """
     from ..functions import tokens
-    from ..index_cache import cached_index, plan_key
 
-    def _build_tf() -> DataFrame:
-        terms = docs.select(
-            F.col(id_col),
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
-        ).filter(F.col("term") != "")
-        return terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-
-    tf = cached_index(plan_key(docs, "tf_index", id_col, text_col), _build_tf)
+    # the shared inverted-index artifact — NOT a local rebuild: a verbatim
+    # duplicate under the same cache key would silently serve whichever body
+    # was built first if the two ever diverged (advisor r7)
+    tf = tf_index(docs, id_col, text_col)
     top = tf.groupBy(id_col).agg(F.max("tf").cast("int").alias("top_term_count"))
 
     toks = tokens(F.col(text_col))
@@ -947,10 +942,65 @@ def doc_keyterms(
     )
 
 
+#: |vocabulary| scalars keyed like every other derived artifact — the Laplace
+#: denominator is a per-call ``count()`` action otherwise (the r7 perf hole).
+_VOCAB_CACHE: dict = {}
+
+
+def _vocab_count(
+    docs: DataFrame, uni: DataFrame, id_col: str, text_col: str
+) -> int:
+    from ..index_cache import plan_key
+
+    key = plan_key(docs, "vocab_n", id_col, text_col)
+    if key is not None and key in _VOCAB_CACHE:
+        return _VOCAB_CACHE[key]
+    n = uni.count()
+    if key is not None:
+        _VOCAB_CACHE[key] = n
+    return n
+
+
+def bigram_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document bigram counts — (doc_id, w1, w2, tf_b) — the bigram
+    twin of ``tf_index``: built once per (source files, plan, columns) and
+    session-persisted (index_cache). The token explode + (doc, bigram)
+    shuffle are paid at build time only; ``bigram_lm_scores`` (and any
+    future phrase-statistics operator) serve from the cached postings.
+    Documents with <2 tokens produce no rows."""
+    from ..functions import tokens
+    from ..index_cache import cached_index, plan_key
+
+    def _build() -> DataFrame:
+        t = tokens(F.col(text_col))
+        base = docs.select(F.col(id_col), t.alias("__t")).filter(
+            F.size("__t") >= 2
+        )
+        bi = base.select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(__t, 1, size(__t) - 1)").alias("w1"),
+                    F.expr("slice(__t, 2, size(__t) - 1)").alias("w2"),
+                )
+            ).alias("b"),
+        ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        return bi.groupBy(id_col, "w1", "w2").agg(
+            F.count(F.lit(1)).alias("tf_b")
+        )
+
+    return cached_index(
+        plan_key(docs, "bigram_index", id_col, text_col), _build
+    )
+
+
 def bigram_lm_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Statistical language-model quality scoring (the CCNet/KenLM-style
     filter, reduced to a corpus-trained bigram model): per document the
@@ -966,62 +1016,73 @@ def bigram_lm_scores(
     float summation order across partitions AND to the cross-engine
     last-ulp ln divergence (a 1-ulp input wiggle moves the rounded
     integer only on a measure-zero boundary; the tfidf precedent,
-    hardened from per-value rounding to integer algebra).
+    hardened from per-value rounding to integer algebra). Identical
+    occurrences share one ilp value, so summing per occurrence equals
+    multiplying by the per-doc bigram count — the scoring runs over the
+    COUNTED bigram table, never the raw occurrence stream.
 
-    Shape: unigram counts fold out of the session-cached ``tf_index``
-    (``SUM(tf) GROUP BY term`` over the already-materialized postings —
-    no second token explode; r6 rebuilt the explode here and paid 2.9×
-    the oracle); in-row bigram zip → bigram counts (one shuffle); the
-    scoring join brings both count tables onto the bigram stream
-    (vocabulary-sized sides — the same broadcast-vs-shuffle trade as
-    term_frequencies' df join); one final per-doc integer aggregate.
+    Shape: everything corpus-derived is a session-cached index artifact
+    (index_cache, keyed on the RAW source frame): the per-doc bigram
+    counts (``bigram_index`` — the one token explode + one shuffle, paid
+    once per corpus), the corpus bigram totals, the unigram totals
+    (folded from ``tf_index``'s postings), and the |V| scalar. A warm
+    call is therefore just the scoring join over in-memory tables plus
+    one per-doc integer aggregate — the same steady-state cost as the
+    other index-backed textops (r7 cached only tf_index and re-paid the
+    bigram explode, two count shuffles, and a count() action per call).
+
+    ``broadcast_counts`` (default True) hints both count tables for the
+    broadcast join — right for natural-language corpora, where the
+    bigram vocabulary is bounded (~|V|·k, millions at worst) and the
+    planner cannot estimate the aggregates' size. For open vocabularies
+    (web-crawl scale, 10⁹+ distinct bigrams) pass False: the totals then
+    reuse the bigram index's hash partitioning and the join plans
+    exchange-free on the count side.
+
     Documents with <2 tokens have no bigrams and are absent, mirrored by
     the oracle.
     """
-    from ..functions import tokens
+    from ..index_cache import cached_index, plan_key
 
-    t = tokens(F.col(text_col))
-    base = docs.select(F.col(id_col), t.alias("__t")).filter(
-        F.size("__t") >= 2
+    bigrams = bigram_index(docs, id_col, text_col)
+    bc = cached_index(
+        plan_key(docs, "bigram_counts", id_col, text_col),
+        lambda: bigrams.groupBy("w1", "w2").agg(F.sum("tf_b").alias("cb")),
     )
-    uni = (
-        tf_index(docs, id_col, text_col)
+    uni = cached_index(
+        plan_key(docs, "unigram_counts", id_col, text_col),
+        lambda: tf_index(docs, id_col, text_col)
         .groupBy("term")
         .agg(F.sum("tf").alias("cu"))
-        .withColumnRenamed("term", "w")
+        .withColumnRenamed("term", "w1"),
     )
-    vocab_n = uni.count()  # bounded scalar: |vocabulary|
-    bi = base.select(
-        id_col,
-        F.explode(
-            F.arrays_zip(
-                F.expr("slice(__t, 1, size(__t) - 1)").alias("w1"),
-                F.expr("slice(__t, 2, size(__t) - 1)").alias("w2"),
-            )
-        ).alias("b"),
-    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    vocab_n = _vocab_count(docs, uni, id_col, text_col)
+    if broadcast_counts:
+        bc = F.broadcast(bc)
+        uni = F.broadcast(uni)
     scored = (
-        bi.join(bc, ["w1", "w2"])
-        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        bigrams.join(bc, ["w1", "w2"])
+        .join(uni, "w1")
         .select(
             id_col,
-            F.round(
-                F.log(
-                    (F.col("cb") + F.lit(1.0))
-                    / (F.col("cu") + F.lit(float(vocab_n)))
-                )
-                * F.lit(1e9)
-            )
-            .cast("long")
-            .alias("__ilp"),
+            "tf_b",
+            (
+                F.col("tf_b")
+                * F.round(
+                    F.log(
+                        (F.col("cb") + F.lit(1.0))
+                        / (F.col("cu") + F.lit(float(vocab_n)))
+                    )
+                    * F.lit(1e9)
+                ).cast("long")
+            ).alias("__ilp"),
         )
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("tf_b").cast("long").alias("n_bigrams"),
         (
             -F.sum("__ilp").cast("double")
             / F.lit(1e9)
-            / F.count(F.lit(1))
+            / F.sum("tf_b")
         ).alias("avg_neg_logprob"),
     )

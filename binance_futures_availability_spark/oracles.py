@@ -936,7 +936,13 @@ SELECT doc_id, term, tfidf, rnk FROM (
 def sql_bigram_lm_scores() -> str:
     """Bigram-LM quality scores — mirrors textops.bigram_lm_scores:
     Laplace-smoothed corpus bigram model, per-bigram log-probs quantized
-    to integer nano-nats BEFORE the (order-independent) integer sum."""
+    to integer nano-nats BEFORE the (order-independent) integer sum.
+
+    The unigram CTE excludes empty tokens (``w <> ''``) to match the
+    Spark side's tf_index-derived counts: split-on-trim yields '' only
+    for an empty/whitespace-only document, which contributes no bigrams
+    but would otherwise inflate the Laplace |V| denominator by one and
+    shift EVERY document's score (advisor r7)."""
     return r"""WITH toks AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
     FROM documents
@@ -945,7 +951,7 @@ flat AS (
     SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
     FROM toks
 ),
-uni AS (SELECT w, COUNT(*) AS cu FROM flat GROUP BY w),
+uni AS (SELECT w, COUNT(*) AS cu FROM flat WHERE w <> '' GROUP BY w),
 v AS (SELECT COUNT(*) AS vn FROM uni),
 bi AS (
     SELECT f1.doc_id, f1.w AS w1, f2.w AS w2

@@ -114,3 +114,60 @@ def test_import_missing_table_raises(spark, tmp_path):
     duckdb.connect(db).close()
     with pytest.raises(ValueError, match="not found"):
         import_duckdb(spark, db)
+
+
+def test_invalid_table_identifier_rejected(spark, populated_da, tmp_path):
+    """Table names are interpolated into DuckDB DDL/COPY strings (no
+    placeholder form exists for identifiers) — anything but a plain
+    identifier must be rejected before touching the database."""
+    db = str(tmp_path / "inj.duckdb")
+    for bad in ("daily; DROP TABLE x", "a-b", "t'); --", ""):
+        with pytest.raises(ValueError, match="identifier"):
+            export_duckdb(populated_da, db, table=bad)
+        with pytest.raises(ValueError, match="identifier"):
+            import_duckdb(spark, db, table=bad)
+
+
+def test_import_with_dest_cleans_staging(spark, populated_da, tmp_path, monkeypatch):
+    """The dest_path branch must remove its COPY staging dir as soon as the
+    partitioned write has materialized it (r6/r7 leak finding)."""
+    import tempfile
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path / "tmp"))
+    (tmp_path / "tmp").mkdir()
+    tempfile.tempdir = None  # re-read TMPDIR
+    try:
+        db = str(tmp_path / "c.duckdb")
+        export_duckdb(populated_da, db)
+        import_duckdb(spark, db, dest_path=str(tmp_path / "fact"))
+        leftovers = list((tmp_path / "tmp").glob("duckdb_import_*"))
+        assert leftovers == []
+    finally:
+        tempfile.tempdir = None
+
+
+def test_read_fact_memoizes_per_path(spark, populated_da, tmp_path):
+    """Repeat catalog reads of one imported table return the SAME cached
+    handle (no per-call partition re-discovery — the r7 205× defect), and
+    a re-import through the same dest invalidates the stale handle."""
+    from binance_futures_availability_spark.sources import duckdb_io
+
+    db = str(tmp_path / "m.duckdb")
+    export_duckdb(populated_da, db)
+    dest = str(tmp_path / "memo_fact")
+    import_duckdb(spark, db, dest_path=dest)
+    h1 = duckdb_io.read_fact(spark, dest)
+    assert duckdb_io.read_fact(spark, dest) is h1
+    # rewrite through the connector: the memo must not serve stale rows
+    from pyspark.sql import functions as F
+
+    export_duckdb(
+        populated_da.withColumn("quote_volume_usdt", F.lit(7.0)), db
+    )
+    h2 = import_duckdb(spark, db, dest_path=dest)
+    assert h2 is not h1
+    vals = {
+        r["quote_volume_usdt"]
+        for r in duckdb_io.read_fact(spark, dest).collect()
+    }
+    assert vals == {7.0}

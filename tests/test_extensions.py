@@ -1455,6 +1455,46 @@ def test_bigram_lm_scores_fluency_ordering(spark):
     assert abs(got[0]["avg_neg_logprob"] - expect0) < 1e-9
 
 
+def test_bigram_lm_scores_oracle_parity_with_empty_docs(spark):
+    """Spark and the DuckDB oracle agree on a corpus containing empty and
+    whitespace-only documents: split-on-trim yields a lone '' token for
+    those docs, which must NOT inflate the Laplace |V| denominator on
+    either side (advisor r7 — the gate corpus has no empty docs, so this
+    edge lives here)."""
+    import duckdb
+    import pandas as pd
+
+    from binance_futures_availability_spark.oracles import (
+        sql_bigram_lm_scores,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran"),
+        (2, ""),           # empty → [''] → no bigrams, no vocab entry
+        (3, "   \t  "),    # whitespace-only → same
+        (4, "cat cat cat"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neg_logprob"])
+        for r in textops.bigram_lm_scores(docs).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        int(doc_id): (int(nb), float(av))
+        for doc_id, nb, av in con.execute(sql_bigram_lm_scores()).fetchall()
+    }
+    con.close()
+
+    assert set(got) == set(want) == {0, 1, 4}
+    for doc_id, (nb, av) in want.items():
+        assert got[doc_id][0] == nb
+        assert got[doc_id][1] == av  # exact: integer nano-nat algebra
+
+
 def test_centroid_confusion_string_labels(spark):
     """The predicted-label column follows the LABEL column's type —
     string-labeled corpora work, not just int32."""
