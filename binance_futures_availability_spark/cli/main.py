@@ -346,6 +346,126 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_update(args: argparse.Namespace) -> int:
+    """One cron tick of the composed daily-update pipeline (update.py —
+    reference .github/scripts/run_daily_update.py): lookback window →
+    batch probe → UPSERT → warnings-only validation → optional rankings
+    append. Warnings never fail the run (exit stays 0)."""
+    import datetime as dt
+
+    from .. import update as update_mod
+    from ..ingest import rest
+
+    table = args.table or os.environ.get("BFA_TABLE_PATH")
+    if not table:
+        raise SystemExit("update needs a writable fact table: pass --table")
+    spark = get_session("bfa-cli")
+    if args.symbols:
+        symbols = [s for s in args.symbols.split(",") if s]
+    elif args.symbols_file:
+        symbols = rest.load_symbols(args.symbols_file, args.contract_type)
+    elif writer.table_exists(spark, table):
+        symbols = [
+            r["symbol"]
+            for r in spark.read.parquet(table).select("symbol").distinct().collect()
+        ]
+    else:
+        raise SystemExit(
+            "update needs a symbol universe: pass --symbols/--symbols-file "
+            "or point --table at an existing fact table"
+        )
+    summary = update_mod.run_daily_update(
+        spark,
+        table,
+        sorted(symbols),
+        lookback_days=args.lookback_days,
+        today=dt.date.fromisoformat(args.today) if args.today else None,
+        rankings_path=args.rankings,
+        max_workers=args.max_workers,
+        validate=not args.no_validate,
+    )
+    if args.json:
+        print(json.dumps(summary, indent=2, default=str))
+    else:
+        lo, hi = summary["window"]
+        print(f"Probed {summary['records']} records for {lo}..{hi}:")
+        print(f"  available: {summary['available']}")
+        print(f"  unavailable: {summary['unavailable']}")
+        report = summary.get("validation")
+        if report is not None:
+            flag = "warnings" if report["has_warnings"] else "clean"
+            print(f"  validation: {flag}")
+        if "rankings_appended" in summary:
+            print(f"  rankings appended: {summary['rankings_appended']}")
+    return 0
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    """The three-layer validation trio (update.validate_report — reference
+    scripts/operations/validate.py): continuity gaps, incomplete dates,
+    optional live cross-check. Warnings-only: always exits 0
+    (validate.py:183's trust-human-judgment policy)."""
+    from .. import update as update_mod
+    from ..ingest import rest
+
+    eng = _engine(args)
+    api_symbols = None
+    if args.cross_check:
+        info = rest.fetch_exchange_info()
+        api_symbols = rest.exchange_info_df(eng.spark, info)
+    report = update_mod.validate_report(
+        eng.table(),
+        end_date=args.end_date,
+        min_symbols=args.min_symbols,
+        api_symbols=api_symbols,
+    )
+    if args.json:
+        print(json.dumps(report, indent=2, default=str))
+    else:
+        if report.get("empty"):
+            print("fact table is empty")
+            return 0
+        print(f"Missing dates: {len(report['missing_dates'])}")
+        for d in report["missing_dates"][:10]:
+            print(f"  - {d}")
+        print(f"Incomplete dates (<{args.min_symbols} symbols): "
+              f"{len(report['incomplete_dates'])}")
+        for d, n in report["incomplete_dates"][:10]:
+            print(f"  - {d}: {n}")
+        if report["cross_check"] is not None:
+            cc = report["cross_check"]
+            print(f"Cross-check: only_in_db={cc['only_in_db']} "
+                  f"only_in_api={cc['only_in_api']} "
+                  f"match_pct={cc['match_pct']:.1f}")
+        print("warnings" if report["has_warnings"] else "clean")
+    return 0
+
+
+def cmd_discover(args: argparse.Namespace) -> int:
+    """Symbol discovery → persisted symbols.json artifact (reference
+    discover_symbols.py workflow; read back by ``update --symbols-file``)."""
+    from ..ingest import discovery
+
+    spark = get_session("bfa-cli")
+    discovered = discovery.discover_classified(spark)
+    if args.out:
+        payload = discovery.write_symbols_file(args.out, discovered)
+        print(
+            f"wrote {args.out}: "
+            f"{payload['metadata']['perpetual_count']} perpetual, "
+            f"{payload['metadata']['delivery_count']} delivery"
+        )
+        return 0
+    if args.json:
+        print(json.dumps(discovered, indent=2))
+    else:
+        for kind in ("perpetual", "delivery"):
+            print(f"{kind}: {len(discovered[kind])}")
+            for s in discovered[kind][:10]:
+                print(f"  - {s}")
+    return 0
+
+
 def cmd_warehouse(args: argparse.Namespace) -> int:
     from ..catalog import load_table
     from ..operators import warehouse as wh
@@ -537,6 +657,47 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("docs", help="documents parquet path")
     p.add_argument("--json", action="store_true")
     p.set_defaults(func=cmd_scrub)
+
+    p = sub.add_parser(
+        "update",
+        help="Daily-update pipeline: probe -> upsert -> validate -> rankings",
+    )
+    p.add_argument("--table", help="writable fact table path (or $BFA_TABLE_PATH)")
+    p.add_argument("--symbols", help="comma-separated symbol universe")
+    p.add_argument("--symbols-file", help="symbols.json artifact (see discover)")
+    p.add_argument(
+        "--contract-type",
+        choices=["perpetual", "delivery", "all"],
+        default="perpetual",
+        help="which symbols.json section to probe",
+    )
+    p.add_argument("--lookback-days", type=int, default=1)
+    p.add_argument("--today", help="anchor date YYYY-MM-DD (default: today)")
+    p.add_argument("--rankings", help="rankings archive path to append to")
+    p.add_argument("--max-workers", type=int, default=150)
+    p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_update)
+
+    p = sub.add_parser(
+        "validate", help="Warnings-only validation report (always exit 0)"
+    )
+    _add_source_args(p)
+    p.add_argument("--min-symbols", type=int, default=5)
+    p.add_argument("--end-date", help="continuity end date (default max-3d)")
+    p.add_argument(
+        "--cross-check",
+        action="store_true",
+        help="also cross-check against the live exchangeInfo symbol set",
+    )
+    p.set_defaults(func=cmd_validate)
+
+    p = sub.add_parser(
+        "discover", help="Discover symbols from the S3 listing"
+    )
+    p.add_argument("--out", help="write the symbols.json artifact here")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_discover)
 
     mnt = sub.add_parser("maintain", help="Table maintenance (stats/compact/expire/zorder)")
     msub = mnt.add_subparsers(dest="maintain_command")

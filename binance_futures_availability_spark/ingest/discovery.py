@@ -136,3 +136,26 @@ def symbols_file_payload(discovered: dict[str, list[str]], generated_at: dt.date
         "perpetual_symbols": discovered["perpetual"],
         "delivery_symbols": discovered["delivery"],
     }
+
+
+def write_symbols_file(
+    path: str,
+    discovered: dict[str, list[str]],
+    generated_at: dt.datetime | None = None,
+) -> dict:
+    """Persist the symbols.json artifact the reference's discover workflow
+    refreshes (reference scripts/discover_symbols.py + data/symbols.json;
+    read back by ``rest.load_symbols``). Atomic: written to a sibling temp
+    file and renamed, so a concurrent reader never sees a torn file.
+    Returns the payload that was written."""
+    import json
+    import os
+
+    payload = symbols_file_payload(
+        discovered, generated_at or dt.datetime.now(dt.timezone.utc)
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(payload, f, indent=2)
+    os.replace(tmp, path)
+    return payload

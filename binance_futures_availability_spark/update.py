@@ -96,9 +96,9 @@ def validate_report(
     report: dict = {"empty": False}
     if end >= bounds["lo"]:
         report["missing_dates"] = [
-            r["missing_date"]
+            r["expected_date"]
             for r in continuity.find_gaps(da, bounds["lo"], end)
-            .orderBy("missing_date")
+            .orderBy("expected_date")
             .collect()
         ]
     else:
