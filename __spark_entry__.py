@@ -142,6 +142,18 @@ def _duckdb_import_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshots.available_symbols_on_date(imported, SNAP_DATE)
 
 
+def _release_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19 — the release-consistency statistics block (reference
+    verify-database-consistency.py:140-203) computed SPARK-SIDE as one
+    partial-aggregated reduction to a single row; the as-of probe is
+    pinned to SNAP_DATE for determinism. The sink/verify halves
+    (gzip artifact, checksum, DuckDB-side block, field diff) are
+    pytest-covered in tests/test_release.py."""
+    from binance_futures_availability_spark.sources import release
+
+    return release.release_stats(_da(spark, sf_dir), as_of=SNAP_DATE)
+
+
 # --- daily_update gate parameters: the probe window sits past the data's
 # max date (2001-11-04) so synthetic probe rows never collide with derived
 # rows; the seed slice gives the rankings leg a real volume-bearing archive.
@@ -486,11 +498,12 @@ GATE_PRIORITY = [
     "continuity_gaps",
     "duckdb_import_snapshot",
     "daily_update",
+    "release_stats",
     "gap_filled_volumes",
     "symbol_counts_matview",
     "backfill_enrich",
-    # dedup family
-    "ngram_jaccard_pairs",
+    # dedup family (ngram_jaccard_pairs rotated out r8 — driver-green in
+    # both r5 and r7; still in the self-harness)
     "minhash_lsh_pairs",
     "duplicate_clusters",
     "neardup_survivors",
@@ -595,6 +608,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # migration connector: fact → .duckdb → fact → P1 snapshot
         "duckdb_import_snapshot": _duckdb_import_snapshot,
         "daily_update": _daily_update,
+        # S19 — release sink consistency block (Spark half)
+        "release_stats": _release_stats,
         # S2/S3 — upsert; J6/U3 — set compare; J8 — dataset differ
         "upsert_semantics": _upsert_semantics,
         "merge_semantics": _merge_semantics,
@@ -965,6 +980,21 @@ def oracle_sql() -> dict[str, str]:
                        || symbol || '/1m/' || symbol || '-1m-'
                        || CAST(date AS VARCHAR) || '.zip' AS url
             FROM probe ORDER BY date, symbol"""),
+        "release_stats": with_da(f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS total_records,
+                   CAST(COUNT(*) FILTER (WHERE available) AS BIGINT)
+                       AS available_records,
+                   CAST(COUNT(*) FILTER (WHERE NOT available) AS BIGINT)
+                       AS unavailable_records,
+                   CAST(COUNT(*) FILTER (WHERE file_size_bytes IS NOT NULL)
+                       AS BIGINT) AS volume_records,
+                   MIN(date) AS min_date,
+                   MAX(date) AS max_date,
+                   CAST(COUNT(DISTINCT date) AS BIGINT) AS distinct_dates,
+                   CAST(COUNT(DISTINCT symbol) AS BIGINT) AS distinct_symbols,
+                   CAST(COUNT(*) FILTER (WHERE date = DATE '{SNAP_DATE}')
+                       AS BIGINT) AS asof_count
+            FROM da"""),
         "availability_range_distinct": with_da(f"""
             SELECT DISTINCT symbol FROM da
             WHERE date BETWEEN DATE '{RANGE_START}' AND DATE '{RANGE_END}'

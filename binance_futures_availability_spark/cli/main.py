@@ -466,6 +466,45 @@ def cmd_discover(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_release(args: argparse.Namespace) -> int:
+    """Build the distributable gzip release artifact (sources/release.py —
+    the reference workflow's `gzip -c $DB_PATH` step + sha256 sidecar) and
+    print the shipped stats block."""
+    from ..sources import release
+
+    eng = _engine(args)
+    stats = release.release_database(eng.table(), args.out)
+    if args.json:
+        print(json.dumps(stats, indent=2, default=str))
+    else:
+        print(f"wrote {args.out} (+.sha256):")
+        for k in release.STAT_KEYS:
+            print(f"  {k}: {stats[k]}")
+    return 0
+
+
+def cmd_verify_release(args: argparse.Namespace) -> int:
+    """Consistency check of the live table against a published artifact
+    (reference verify-database-consistency.py). Exit 1 on divergence —
+    unlike `validate`, a release mismatch is an integrity failure, not a
+    warning."""
+    from ..sources import release
+
+    eng = _engine(args)
+    ok, diffs = release.verify_release(
+        eng.table(), args.artifact, as_of=args.as_of
+    )
+    if args.json:
+        print(json.dumps({"consistent": ok, "differences": diffs}))
+    elif ok:
+        print("consistent")
+    else:
+        print("INCONSISTENT:")
+        for d in diffs:
+            print(f"  - {d}")
+    return 0 if ok else 1
+
+
 def cmd_warehouse(args: argparse.Namespace) -> int:
     from ..catalog import load_table
     from ..operators import warehouse as wh
@@ -698,6 +737,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", help="write the symbols.json artifact here")
     p.add_argument("--json", action="store_true")
     p.set_defaults(func=cmd_discover)
+
+    p = sub.add_parser(
+        "release", help="Build the gzip .duckdb release artifact (+sha256)"
+    )
+    _add_source_args(p)
+    p.add_argument("--out", required=True, help="artifact path (.duckdb.gz)")
+    p.set_defaults(func=cmd_release)
+
+    p = sub.add_parser(
+        "verify-release",
+        help="Check the live table against a release artifact (exit 1 on divergence)",
+    )
+    _add_source_args(p)
+    p.add_argument("--artifact", required=True, help="release .duckdb.gz path")
+    p.add_argument("--as-of", help="expected most-recent update date YYYY-MM-DD")
+    p.set_defaults(func=cmd_verify_release)
 
     mnt = sub.add_parser("maintain", help="Table maintenance (stats/compact/expire/zorder)")
     msub = mnt.add_subparsers(dest="maintain_command")

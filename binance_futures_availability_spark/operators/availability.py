@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 
 #: bump when the derivation changes — invalidates materialized caches
-DA_VERSION = "v3"
+DA_VERSION = "v4"
 
 
 def availability_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,20 +119,23 @@ def materialize_fact(
     - ``partition_col="date"`` for production volumes (≥ tens of MB/date):
       snapshot/anti-join queries prune to single partitions, and incremental
       upserts rewrite only touched dates (writer.upsert_partitioned).
-    - ``partition_col=None`` for small tables: one file, sorted by
-      (date, symbol), so parquet row-group min/max stats serve both the
-      date-pruning (P1/J3/J4) and symbol-pruning (P3) paths without paying
-      a file-per-date tax. Partitioning 60k rows into 2.5k dirs would make
-      every full scan open 2.5k files — wrong below ~1 GB/date.
+    - ``partition_col=None`` for small tables: a handful of range-split
+      files, each sorted by (date, symbol) with NON-OVERLAPPING ranges, so
+      parquet footer min/max serve file-level date pruning (P1/J3/J4) and
+      row-group stats the symbol path (P3) — same pruning power as the
+      previous single global-sorted file, but full scans (aggregations,
+      windows, the cached-handle build) parallelize across the splits
+      instead of running one task. Partitioning 60k rows into 2.5k dirs
+      would make every full scan open 2.5k files — wrong below ~1 GB/date.
     """
     if partition_col:
         da.repartition(partition_col).write.mode("overwrite").partitionBy(
             partition_col
         ).parquet(path)
     else:
-        da.coalesce(1).sortWithinPartitions("date", "symbol").write.mode(
-            "overwrite"
-        ).parquet(path)
+        da.repartitionByRange(8, "date", "symbol").sortWithinPartitions(
+            "date", "symbol"
+        ).write.mode("overwrite").parquet(path)
 
 
 #: session-lifetime handles to the materialized table, keyed by parquet path —

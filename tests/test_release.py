@@ -1,0 +1,121 @@
+"""DB → gzip release sink + consistency verification (§2.1 S19).
+
+Parity targets: reference .github/workflows/update-database.yml:403-410
+(gzip release step) and scripts/verify-database-consistency.py:85-137
+(download + decompress), :140-203 (stats block), :206+ (field diff).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from binance_futures_availability_spark.sources import release
+
+
+def test_release_roundtrip_consistent(spark, populated_da, tmp_path):
+    out = str(tmp_path / "availability.duckdb.gz")
+    stats = release.release_database(populated_da, out)
+    assert os.path.exists(out) and os.path.exists(out + ".sha256")
+    assert stats["total_records"] == populated_da.count()
+
+    ok, diffs = release.verify_release(
+        populated_da, out, as_of=dt.date(2024, 1, 15)
+    )
+    assert ok, diffs
+
+    # the artifact is a real reference-compatible DuckDB file
+    db = release.open_release(out)
+    try:
+        con = duckdb.connect(db, read_only=True)
+        n = con.execute("SELECT COUNT(*) FROM daily_availability").fetchone()[0]
+        con.close()
+        assert n == populated_da.count()
+    finally:
+        os.unlink(db)
+
+
+def test_release_stats_matches_database_stats(spark, populated_da, tmp_path):
+    """The Spark-side single-row aggregate equals the DuckDB-side block
+    field-for-field, including the deterministic as_of count."""
+    out = str(tmp_path / "rel.duckdb.gz")
+    release.release_database(populated_da, out)
+    db = release.open_release(out)
+    try:
+        theirs = release.database_stats(db, as_of=dt.date(2024, 1, 14))
+    finally:
+        os.unlink(db)
+    ours = release.release_stats(populated_da, as_of="2024-01-14").collect()[0]
+    for k in release.STAT_KEYS:
+        assert ours[k] == theirs[k], k
+
+
+def test_verify_release_reports_tamper(spark, populated_da, tmp_path):
+    """Dropping rows from the live table surfaces as per-field differences
+    (the reference's compare_databases listing)."""
+    out = str(tmp_path / "rel.duckdb.gz")
+    release.release_database(populated_da, out)
+    tampered = populated_da.filter(F.col("symbol") != "BTCUSDT")
+    ok, diffs = release.verify_release(tampered, out)
+    assert not ok
+    joined = "\n".join(diffs)
+    assert "total_records" in joined and "distinct_symbols" in joined
+
+
+def test_open_release_checksum_mismatch(spark, populated_da, tmp_path):
+    out = str(tmp_path / "rel.duckdb.gz")
+    release.release_database(populated_da, out)
+    # corrupt one byte past the gzip header
+    with open(out, "r+b") as f:
+        f.seek(os.path.getsize(out) - 1)
+        b = f.read(1)
+        f.seek(-1, os.SEEK_CUR)
+        f.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        release.open_release(out)
+
+
+def test_release_compression_is_streamed_gzip(spark, populated_da, tmp_path):
+    """The artifact is plain gzip (the workflow's `gzip -c`) — any standard
+    tool can decompress it; no custom container format."""
+    out = str(tmp_path / "rel.duckdb.gz")
+    release.release_database(populated_da, out)
+    with gzip.open(out, "rb") as f:
+        magic = f.read(12)
+    # DuckDB file magic block contains 'DUCK'
+    assert b"DUCK" in magic
+
+
+def test_cli_release_and_verify(spark, populated_da, tmp_path, capsys):
+    """`bfa-spark release` + `verify-release` drive the sink and the
+    integrity check through main(); divergence exits 1 (an integrity
+    failure, unlike validate's warnings-only policy)."""
+    import json as json_mod
+
+    from binance_futures_availability_spark.cli.main import main as cli_main
+
+    fact = str(tmp_path / "fact")
+    populated_da.write.mode("overwrite").parquet(fact)
+    out = str(tmp_path / "rel.duckdb.gz")
+    rc = cli_main(["release", "--table", fact, "--out", out, "--json"])
+    assert rc == 0
+    stats = json_mod.loads(capsys.readouterr().out)
+    assert stats["total_records"] == populated_da.count()
+
+    rc = cli_main(["verify-release", "--table", fact, "--artifact", out])
+    assert rc == 0
+    assert "consistent" in capsys.readouterr().out
+
+    # shrink the live table -> divergence -> exit 1
+    populated_da.limit(3).write.mode("overwrite").parquet(fact)
+    rc = cli_main(
+        ["verify-release", "--table", fact, "--artifact", out, "--json"]
+    )
+    assert rc == 1
+    rep = json_mod.loads(capsys.readouterr().out)
+    assert rep["consistent"] is False and rep["differences"]
