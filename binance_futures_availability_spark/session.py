@@ -63,6 +63,13 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The generated-class cache defaults to 100 entries (static conf);
+        # a 100+-query catalog has several codegen stages per query, so at
+        # the default every repeated execution re-pays Janino compilation
+        # (~0.1-0.8 s/query — measured 37 s -> 27 s warm catalog at sf0.1).
+        # Compiled classes are small; 5000 entries is a few hundred MB at
+        # the absolute worst and applies per-JVM (driver and executors).
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # local-mode friendliness; harmless on a cluster
         .config("spark.ui.enabled", "false")
     )
