@@ -466,6 +466,58 @@ def cmd_discover(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_stats(args: argparse.Namespace) -> int:
+    """Comprehensive database statistics (reference
+    .github/scripts/generate_stats.py + check_database_stats.py): the
+    overall block as ONE single-row aggregate, plus per-date symbol
+    counts for the most recent N days — anchored to the table's own MAX
+    date (deterministic; the reference anchors to wall-clock
+    CURRENT_DATE, which never reproduces)."""
+    from pyspark.sql import functions as F
+
+    from ..sources import release
+
+    eng = _engine(args)
+    da = eng.table()
+    overall = release.release_stats(da).collect()[0]
+    bounds = da.agg(F.max("date").alias("hi")).collect()[0]
+    recent_rows = []
+    if bounds["hi"] is not None:
+        recent_rows = (
+            da.filter(F.col("date") > F.date_sub(F.lit(bounds["hi"]), args.days))
+            .groupBy("date")
+            .agg(F.countDistinct("symbol").alias("symbol_count"))
+            .orderBy(F.col("date").desc())
+            .collect()
+        )
+    if args.json:
+        print(
+            json.dumps(
+                {
+                    "overall": {k: overall[k] for k in release.STAT_KEYS},
+                    "recent": [
+                        {"date": str(r["date"]), "symbol_count": r["symbol_count"]}
+                        for r in recent_rows
+                    ],
+                },
+                default=str,
+                indent=2,
+            )
+        )
+    else:
+        print("Overall Statistics:")
+        print(f"  Date Range: {overall['min_date']} to {overall['max_date']}")
+        print(f"  Total Dates: {overall['distinct_dates']}")
+        print(f"  Total Symbols: {overall['distinct_symbols']}")
+        print(f"  Total Records: {overall['total_records']:,}")
+        print(f"  Available Files: {overall['available_records']:,}")
+        print(f"  Unavailable Files: {overall['unavailable_records']:,}")
+        print(f"\nRecent {args.days} Days:")
+        for r in recent_rows:
+            print(f"  {r['date']}: {r['symbol_count']} symbols")
+    return 0
+
+
 def cmd_release(args: argparse.Namespace) -> int:
     """Build the distributable gzip release artifact (sources/release.py —
     the reference workflow's `gzip -c $DB_PATH` step + sha256 sidecar) and
@@ -737,6 +789,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", help="write the symbols.json artifact here")
     p.add_argument("--json", action="store_true")
     p.set_defaults(func=cmd_discover)
+
+    p = sub.add_parser(
+        "stats", help="Comprehensive database statistics"
+    )
+    _add_source_args(p)
+    p.add_argument("--days", type=int, default=7, help="recent window size")
+    p.set_defaults(func=cmd_stats)
 
     p = sub.add_parser(
         "release", help="Build the gzip .duckdb release artifact (+sha256)"

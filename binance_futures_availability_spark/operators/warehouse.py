@@ -205,17 +205,30 @@ def shipping_priority(
     # functionally dependent on the order key, so summing per order key
     # first is identical — the fact side reduces map-side to ≤|orders|
     # rows before any join, and the join runs order-sized ⋈ order-sized
-    # instead of sort-merging the full line-item stream
+    # instead of sort-merging the full line-item stream. The qualifying
+    # orders (segment ∩ pre-cutoff — the SMALL side, date × 1/|segments|
+    # selectivity) are broadcast TWICE on purpose: first as a semi-join
+    # under the aggregate so the revenue hash table only holds qualifying
+    # order keys (~10× fewer groups), then as the build side of the final
+    # attribute join — so the large aggregated stream is never broadcast
+    # and never shuffled beyond its one partial-agg exchange.
     line_rev = (
         lineitem.filter(F.col("l_shipdate") > F.lit(cutoff))
         .select(
             "l_orderkey", (price_c * (F.lit(100) - disc_h)).alias("rev4")
         )
+        .join(
+            F.broadcast(o.select("o_orderkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
         .groupBy("l_orderkey")
         .agg((F.sum("rev4").cast("double") / 10000.0).alias("revenue"))
     )
     return (
-        line_rev.join(o, line_rev["l_orderkey"] == o["o_orderkey"])
+        line_rev.join(
+            F.broadcast(o), line_rev["l_orderkey"] == o["o_orderkey"]
+        )
         .select(
             "o_orderkey",
             "revenue",

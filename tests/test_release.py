@@ -119,3 +119,23 @@ def test_cli_release_and_verify(spark, populated_da, tmp_path, capsys):
     assert rc == 1
     rep = json_mod.loads(capsys.readouterr().out)
     assert rep["consistent"] is False and rep["differences"]
+
+
+def test_cli_stats_verb(spark, populated_da, tmp_path, capsys):
+    """`bfa-spark stats` prints the reference's generate_stats.py block,
+    with the recent window anchored to the table's MAX date."""
+    import json as json_mod
+
+    from binance_futures_availability_spark.cli.main import main as cli_main
+
+    fact = str(tmp_path / "fact")
+    populated_da.write.mode("overwrite").parquet(fact)
+    rc = cli_main(["stats", "--table", fact, "--days", "2", "--json"])
+    assert rc == 0
+    rep = json_mod.loads(capsys.readouterr().out)
+    assert rep["overall"]["total_records"] == populated_da.count()
+    # populated_da: D3 has BTC/ETH/NEW rows, D2 has BTC/ETH only
+    assert rep["recent"] == [
+        {"date": "2024-01-15", "symbol_count": 3},
+        {"date": "2024-01-14", "symbol_count": 2},
+    ]
