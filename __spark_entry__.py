@@ -509,21 +509,23 @@ GATE_PRIORITY = [
     "backfill_enrich",
     # dedup family (ngram_jaccard_pairs rotated out r8 — driver-green in
     # both r5 and r7; still in the self-harness)
-    "minhash_lsh_pairs",
     "duplicate_clusters",
     "neardup_survivors",
     "cross_dedup_pairs",
-    "simhash_pairs",
-    # similarity / ANN family
+    # similarity / ANN family (minhash_lsh_pairs / simhash_pairs /
+    # lsh_cosine_pairs / embedding_dedup rotated out r8, all driver-green
+    # in r5 AND r7; in come the never-gated PQ family)
     "ann_topk",
     "cosine_pairs",
     "kmeans_cells",
     "ivf_topk_indexed",
     "ivf_range_indexed",
     "knn_join_indexed",
-    "lsh_cosine_pairs",
     "lsh_recall_audit",
-    "embedding_dedup",
+    "pq_codes",
+    "pq_topk",
+    "ivf_pq_topk",
+    "pq_recall_audit",
     "semantic_dedup",
     "label_centroids",
     "centroid_confusion",
@@ -818,6 +820,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "lsh_recall_audit": lambda s, d: similarity.lsh_recall_audit(
             _emb(s, d), COSINE_THRESHOLD
+        ),
+        # PQ family: deterministic lowest-id codebooks, integer-exact
+        # encode, ADC scoring, IVF-PQ composition, recall audit
+        "pq_codes": lambda s, d: gathered_sort(
+            similarity.pq_codes(_emb(s, d)).select(
+                "vec_id",
+                F.col("m").cast("int").alias("m"),
+                F.col("code").cast("int").alias("code"),
+            ),
+            "vec_id",
+            "m",
+        ),
+        "pq_topk": lambda s, d: similarity.pq_topk(
+            _emb(s, d), ANN_QUERY_ID, ANN_K
+        ),
+        "ivf_pq_topk": lambda s, d: similarity.ivf_pq_topk(
+            _emb(s, d), ANN_QUERY_ID, ANN_K
+        ),
+        "pq_recall_audit": lambda s, d: similarity.pq_recall_audit(
+            _emb(s, d), ANN_QUERY_ID, ANN_K
         ),
         "semantic_dedup": lambda s, d: similarity.semantic_dedup_survivors(
             _emb(s, d), COSINE_THRESHOLD
@@ -1372,6 +1394,17 @@ ORDER BY symbol, event_date"""),
         ),
         "embedding_dedup": oracles.sql_embedding_dedup_survivors(COSINE_THRESHOLD),
         "lsh_recall_audit": oracles.sql_lsh_recall_audit(COSINE_THRESHOLD),
+        "pq_codes": oracles.sql_pq_codes(similarity.PQ_M, similarity.PQ_K),
+        "pq_topk": oracles.sql_pq_topk(
+            ANN_QUERY_ID, ANN_K, similarity.PQ_M, similarity.PQ_K
+        ),
+        "ivf_pq_topk": oracles.sql_ivf_pq_topk(
+            ANN_QUERY_ID, ANN_K, similarity.IVF_N_CELLS,
+            similarity.IVF_NPROBE, similarity.PQ_M, similarity.PQ_K
+        ),
+        "pq_recall_audit": oracles.sql_pq_recall_audit(
+            ANN_QUERY_ID, ANN_K, similarity.PQ_M, similarity.PQ_K
+        ),
         "semantic_dedup": oracles.sql_semantic_dedup_survivors(
             COSINE_THRESHOLD, similarity.IVF_N_CELLS
         ),

@@ -1403,3 +1403,264 @@ def label_centroids(
         "label",
         "dim",
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-vector half of the IVF-PQ
+# shape every billion-vector ANN deployment runs (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011). Vectors are
+# split into PQ_M subspaces; each subvector is replaced by the id of its
+# nearest codebook entry, so a 64-dim float vector stores as PQ_M small
+# codes, and query scoring reduces to PQ_M lookup-table adds (ADC —
+# asymmetric distance computation) instead of a 64-term dot product.
+#
+# Determinism discipline (the family contract): codebooks are the PQ_K
+# lowest-id vectors' subvectors (the _collect_seeds idiom — reproducible,
+# SQL-expressible; a trained refinement would slot in exactly like
+# kmeans_cells does for the IVF coarse quantizer), encode minimizes the
+# EXACT integer L2² (‖x‖² − 2x·c + ‖c‖² over quantized ints, ties to the
+# lowest code), and ADC scores are exact integer sums divided once at the
+# end — bit-identical across engines and partitionings.
+
+#: PQ defaults: 8 subspaces × 8 dims, 16 codes each → a 64-dim vector
+#: compresses to 8 nibbles (4 bits/code).
+PQ_M = 8
+PQ_K = 16
+
+
+def _pq_subvectors(
+    base: DataFrame, id_col: str, m: int, dim: int = EMB_DIM
+) -> DataFrame:
+    """(id, m, sub, subnorm) — the quantized vector split into ``m``
+    contiguous subspaces. A narrow in-row explode: m rows per vector,
+    no shuffle."""
+    sub_d = dim // m
+    return base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"i -> slice(__q, i * {sub_d} + 1, {sub_d}))"
+            )
+        ).alias("m", "sub"),
+    ).withColumn("subnorm", int_dot(F.col("sub"), F.col("sub")))
+
+
+def pq_codebook(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """The PQ codebook: (m, code, csub, cnorm), ``code`` 0-based by seed
+    id order within each subspace. A bounded dimension table (m×k rows) —
+    broadcast everywhere it is joined, like every PQ implementation ships
+    its codebook to all workers. Session-cached index artifact."""
+
+    def build() -> DataFrame:
+        from pyspark.sql import Window
+
+        base = _with_quantized(emb, vec_col)
+        seeds = base.orderBy(id_col).limit(k)
+        subs = _pq_subvectors(seeds, id_col, m, dim)
+        w = Window.partitionBy("m").orderBy(id_col)
+        # m×k rows: the single-partition window is a bounded dimension,
+        # not a data-sized sort
+        return subs.select(
+            "m",
+            (F.row_number().over(w) - 1).alias("code"),
+            F.col("sub").alias("csub"),
+            F.col("subnorm").alias("cnorm"),
+        )
+
+    return cached_index(
+        plan_key(emb, "pq_codebook", vec_col, m, k, dim), build
+    )
+
+
+def pq_codes(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """The encoded corpus: (id, m, code) — each subvector replaced by its
+    nearest codebook entry (exact integer L2², ties to the lowest code).
+
+    Shape: corpus subvectors (n·m rows, narrow explode) ⋈ broadcast
+    codebook (m×k rows) → per-(vector, subspace) min-reduction. One
+    partial-aggregated shuffle of n·m short rows; the fan-out factor k is
+    a constant, never data-sized. Long (id, m, code) format keeps every
+    column scalar-typed (oracle-hashable) — a serving layout would
+    array-pack per id. Session-cached index artifact: queries pay ADC
+    only, the encode is paid once per corpus."""
+
+    def build() -> DataFrame:
+        base = _with_quantized(emb, vec_col)
+        subs = _pq_subvectors(base, id_col, m, dim)
+        cb = pq_codebook(emb, id_col, vec_col, m, k, dim)
+        scored = subs.join(F.broadcast(cb), "m").select(
+            id_col,
+            "m",
+            F.struct(
+                (
+                    F.col("subnorm")
+                    - 2 * int_dot(F.col("sub"), F.col("csub"))
+                    + F.col("cnorm")
+                ).alias("l2"),
+                F.col("code").alias("code"),
+            ).alias("sc"),
+        )
+        return (
+            scored.groupBy(id_col, "m")
+            .agg(F.min("sc").alias("best"))
+            .select(id_col, "m", F.col("best.code").alias("code"))
+        )
+
+    return cached_index(plan_key(emb, "pq_codes", vec_col, m, k, dim), build)
+
+
+def _pq_adc_scores(
+    emb: DataFrame,
+    query_id: int,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Unranked ADC scores (id, approx_cosine) for every non-query vector.
+
+    The query's lookup table (m×k rows: exact integer dot of each query
+    subvector with each codebook entry, plus the entry's norm) is joined
+    broadcast onto the cached code stream; each vector's approximate
+    score is then PQ_M adds — SUM(qdot) / (‖q‖·‖reconstruction‖), all
+    integer until the final division. One shuffle (the per-id sum) over
+    n·m short rows; the raw vectors are never touched at query time —
+    the entire point of PQ at 100 TB: the codes table is ~64× smaller
+    than the float corpus."""
+    base = _with_quantized(emb, vec_col)
+    cb = pq_codebook(emb, id_col, vec_col, m, k, dim)
+    q_row = base.filter(F.col(id_col) == query_id)
+    qsubs = _pq_subvectors(q_row, id_col, m, dim).select("m", "sub")
+    lut = qsubs.join(cb, "m").select(
+        "m",
+        "code",
+        int_dot(F.col("sub"), F.col("csub")).alias("qdot"),
+        "cnorm",
+    )
+    qn = q_row.select(F.col("__norm").alias("qn"))
+    codes = pq_codes(emb, id_col, vec_col, m, k, dim)
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("qdot").alias("adot"),
+            F.sum("cnorm").alias("rnorm"),
+        )
+    )
+    return (
+        scored.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qn))
+        .select(
+            id_col,
+            cosine_from_quantized(
+                F.col("adot"), F.col("qn"), F.col("rnorm")
+            ).alias("approx_cosine"),
+        )
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    topk: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """ADC top-k over the PQ-compressed corpus: (id, approx_cosine) —
+    the `_pq_adc_scores` stream collapsed to a TakeOrderedAndProject
+    (no global sort materializes; ties to the lower id)."""
+    return (
+        _pq_adc_scores(emb, query_id, id_col, vec_col, m, k, dim)
+        .orderBy(F.desc("approx_cosine"), id_col)
+        .limit(topk)
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    topk: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_N_CELLS,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """IVF-PQ: coarse-quantizer cell pruning THEN ADC scoring — the
+    composition every billion-scale ANN system serves from (FAISS
+    IVFPQ): the candidate set shrinks to nprobe/n_cells of the corpus
+    before any scoring, and scoring itself is table lookups over the
+    compressed codes. Both halves reuse their session-cached artifacts
+    (cell assignment; codebook + codes), so the query-time work is two
+    broadcast joins and one short-row aggregate."""
+    base = _with_quantized(emb, vec_col)
+    sq, snrm = _collect_seeds(
+        base, id_col, n_cells, _seed_cache_key(emb, id_col, vec_col, n_cells)
+    )
+    qrow = (
+        base.filter(F.col(id_col) == query_id).select("__q", "__norm").first()
+    )
+    if qrow is None:
+        raise ValueError(f"query {id_col}={query_id} not found in embeddings")
+    probe = _probe_cells(sq, snrm, qrow["__q"], qrow["__norm"], nprobe)
+    cand = _ivf_assigned(emb, id_col, vec_col, n_cells).filter(
+        F.col("cell").isin(probe)
+    ).select(id_col)
+    # the ADC scored stream is pruned to the probed cells' ids (broadcast
+    # semi join) BEFORE the top-k — candidates are ~nprobe/n_cells of the
+    # corpus and the ranking never sees the rest
+    return (
+        _pq_adc_scores(emb, query_id, id_col, vec_col, m, k, dim)
+        .join(F.broadcast(cand), id_col, "left_semi")
+        .orderBy(F.desc("approx_cosine"), id_col)
+        .limit(topk)
+    )
+
+
+def pq_recall_audit(
+    emb: DataFrame,
+    query_id: int,
+    topk: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Recall@k of PQ ADC against the exact brute-force ranking: one row
+    (k, n_hits, recall) — the audit every compressed-index deployment
+    runs before trusting a (m, k) compression setting (the PQ twin of
+    lsh_recall_audit)."""
+    exact = ann_topk(emb, query_id, topk, id_col, vec_col).select(
+        F.col(id_col).alias("__e")
+    )
+    approx = pq_topk(emb, query_id, topk, id_col, vec_col, m, k, dim).select(
+        F.col(id_col).alias("__a")
+    )
+    j = exact.join(approx, exact["__e"] == approx["__a"], "left_outer")
+    return j.agg(
+        F.lit(topk).cast("long").alias("k"),
+        F.count("__a").cast("long").alias("n_hits"),
+        (F.count("__a") / F.lit(float(topk))).alias("recall"),
+    )

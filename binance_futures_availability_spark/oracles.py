@@ -1790,3 +1790,133 @@ ranked AS (
     FROM dfs
 )
 SELECT {strata_col}, term, df, rnk FROM ranked WHERE rnk <= {k}"""
+
+
+# ---------------------------------------------------------------- PQ / ADC
+
+
+def _pq_ctes(m: int, k: int, dim: int = 64) -> str:
+    """Shared PQ CTEs mirroring similarity.pq_codebook / pq_codes:
+    subvector split, lowest-id codebook (code 0-based by seed id order
+    per subspace), exact-integer-L2 encode with ties to the lowest code.
+    All dot products are integer-exact in doubles (< 2^53)."""
+    sub_d = dim // m
+    return f"""
+pq_subs AS (
+    SELECT n.vec_id, t.m,
+           list_slice(n.q, t.m * {sub_d} + 1, (t.m + 1) * {sub_d}) AS sub
+    FROM normed n CROSS JOIN (SELECT UNNEST(range({m})) AS m) t
+),
+pq_cb AS (
+    SELECT s.m,
+           ROW_NUMBER() OVER (PARTITION BY s.m ORDER BY s.vec_id) - 1 AS code,
+           s.sub AS csub,
+           list_dot_product(s.sub, s.sub) AS cnorm
+    FROM pq_subs s
+    JOIN (SELECT vec_id FROM normed ORDER BY vec_id LIMIT {k}) sd
+      USING (vec_id)
+),
+pq_enc AS (
+    SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY list_dot_product(s.sub, s.sub)
+                            - 2 * list_dot_product(s.sub, c.csub)
+                            + c.cnorm,
+                            c.code
+               ) AS rn
+        FROM pq_subs s JOIN pq_cb c ON c.m = s.m
+    ) WHERE rn = 1
+)
+""".strip()
+
+
+def _pq_adc_ctes(query_vec_id: int) -> str:
+    """Query LUT + per-vector ADC sums (exact integer accumulations)."""
+    return f"""
+qsubs AS (SELECT m, sub FROM pq_subs WHERE vec_id = {query_vec_id}),
+lut AS (
+    SELECT c.m, c.code,
+           list_dot_product(qs.sub, c.csub) AS qdot,
+           c.cnorm
+    FROM pq_cb c JOIN qsubs qs ON qs.m = c.m
+),
+qn AS (SELECT nrm FROM normed WHERE vec_id = {query_vec_id}),
+adc AS (
+    SELECT e.vec_id,
+           SUM(l.qdot) AS adot,
+           SUM(l.cnorm) AS rnorm
+    FROM pq_enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+    WHERE e.vec_id <> {query_vec_id}
+    GROUP BY e.vec_id
+)
+""".strip()
+
+
+def sql_pq_codes(m: int, k: int) -> str:
+    return f"""WITH {EMB_BASE_CTE},
+{_pq_ctes(m, k)}
+SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code
+FROM pq_enc ORDER BY vec_id, m"""
+
+
+def sql_pq_topk(query_vec_id: int, topk: int, m: int, k: int) -> str:
+    return f"""WITH {EMB_BASE_CTE},
+{_pq_ctes(m, k)},
+{_pq_adc_ctes(query_vec_id)}
+SELECT a.vec_id,
+       a.adot / (sqrt(qn.nrm) * sqrt(a.rnorm)) AS approx_cosine
+FROM adc a, qn
+ORDER BY approx_cosine DESC, a.vec_id
+LIMIT {topk}"""
+
+
+def sql_ivf_pq_topk(
+    query_vec_id: int, topk: int, n_cells: int, nprobe: int, m: int, k: int
+) -> str:
+    return f"""WITH {EMB_BASE_CTE},
+{_ivf_ctes(n_cells)},
+{_pq_ctes(m, k)},
+{_pq_adc_ctes(query_vec_id)},
+qv AS (SELECT q AS qq, nrm AS qn FROM normed WHERE vec_id = {query_vec_id}),
+probe AS (
+    SELECT cell FROM (
+        SELECT s.cell,
+               list_dot_product(s.sq, qv.qq) / (sqrt(s.snrm) * sqrt(qv.qn)) AS cs
+        FROM seeds s, qv
+    ) ORDER BY cs DESC, cell LIMIT {nprobe}
+)
+SELECT a.vec_id,
+       a.adot / (sqrt(qn.nrm) * sqrt(a.rnorm)) AS approx_cosine
+FROM adc a
+JOIN assign g ON g.vec_id = a.vec_id
+JOIN probe p ON p.cell = g.cell
+CROSS JOIN qn
+ORDER BY approx_cosine DESC, a.vec_id
+LIMIT {topk}"""
+
+
+def sql_pq_recall_audit(query_vec_id: int, topk: int, m: int, k: int) -> str:
+    return f"""WITH {EMB_BASE_CTE},
+{_pq_ctes(m, k)},
+{_pq_adc_ctes(query_vec_id)},
+qv AS (SELECT q AS qq, nrm AS qn FROM normed WHERE vec_id = {query_vec_id}),
+exact AS (
+    SELECT n.vec_id FROM normed n, qv
+    WHERE n.vec_id <> {query_vec_id}
+    ORDER BY list_dot_product(n.q, qv.qq) / (sqrt(n.nrm) * sqrt(qv.qn)) DESC,
+             n.vec_id
+    LIMIT {topk}
+),
+approx AS (
+    SELECT a.vec_id,
+           a.adot / (sqrt(qn.nrm) * sqrt(a.rnorm)) AS approx_cosine
+    FROM adc a, qn
+    ORDER BY approx_cosine DESC, a.vec_id
+    LIMIT {topk}
+)
+SELECT CAST({topk} AS BIGINT) AS k,
+       CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hits,
+       COUNT(ap.vec_id) / CAST({topk} AS DOUBLE) AS recall
+FROM exact e LEFT JOIN approx ap USING (vec_id)"""

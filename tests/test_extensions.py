@@ -1526,3 +1526,95 @@ def test_centroid_confusion_rejects_unsupported_label_type(spark):
     )
     with pytest.raises(ValueError, match="unsupported label type"):
         similarity.centroid_confusion(emb_c)
+
+
+# ---------------------------------------------------------------- PQ / ADC
+
+
+@pytest.fixture()
+def pq_emb(spark):
+    """8 deterministic 8-dim vectors clustered around two directions, so
+    a 2-subspace / 2-code codebook separates them."""
+    import math
+
+    rows = []
+    for i in range(8):
+        base = [1.0, 0.0, 0.0, 1.0] if i % 2 == 0 else [0.0, 1.0, 1.0, 0.0]
+        # small deterministic wiggle keeps vectors distinct
+        vec = [x + 0.01 * ((i * 7 + j) % 5) for j, x in enumerate(base * 2)]
+        rows.append((i, vec, i % 2))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_pq_codebook_shape_and_determinism(pq_emb):
+    cb = similarity.pq_codebook(pq_emb, m=2, k=2, dim=8)
+    got = sorted(
+        (r["m"], r["code"], len(r["csub"])) for r in cb.collect()
+    )
+    # m×k entries, codes 0-based by seed id order, subvectors dim/m wide
+    assert got == [(0, 0, 4), (0, 1, 4), (1, 0, 4), (1, 1, 4)]
+    again = sorted(
+        (r["m"], r["code"], tuple(r["csub"])) for r in cb.collect()
+    )
+    assert again == sorted(
+        (r["m"], r["code"], tuple(r["csub"])) for r in cb.collect()
+    )
+
+
+def test_pq_codes_cover_corpus_and_separate_clusters(pq_emb):
+    codes = similarity.pq_codes(pq_emb, m=2, k=2, dim=8).collect()
+    # every (vector, subspace) got exactly one code
+    assert len(codes) == 8 * 2
+    by_vec = {}
+    for r in codes:
+        by_vec.setdefault(r["vec_id"], {})[r["m"]] = r["code"]
+    # the two interleaved clusters (seeds 0 and 1 are one of each) must
+    # receive different code words
+    assert by_vec[2] == by_vec[0] and by_vec[3] == by_vec[1]
+    assert by_vec[0] != by_vec[1]
+
+
+def test_pq_topk_ranks_own_cluster_first(pq_emb):
+    got = similarity.pq_topk(pq_emb, 0, 3, m=2, k=2, dim=8).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == 3 and 0 not in ids
+    # even-cluster vectors (same codes as the query) outrank odd ones
+    assert set(ids[:2]).issubset({2, 4, 6})
+    for r in got:
+        assert -1.0001 <= r["approx_cosine"] <= 1.0001
+
+
+def test_ivf_pq_subset_of_pq_ranking(pq_emb):
+    """IVF-PQ returns ADC-ranked vectors from the probed cells only —
+    every returned (id, score) must appear in the unpruned ADC ranking
+    with the identical score."""
+    full = {
+        r["vec_id"]: r["approx_cosine"]
+        for r in similarity._pq_adc_scores(
+            pq_emb, 0, "vec_id", "embedding", 2, 2, dim=8
+        ).collect()
+    }
+    got = similarity.ivf_pq_topk(
+        pq_emb, 0, 3, n_cells=2, nprobe=1, m=2, k=2, dim=8
+    ).collect()
+    assert 0 < len(got) <= 3
+    for r in got:
+        assert full[r["vec_id"]] == r["approx_cosine"]
+
+
+def test_pq_recall_audit_bounds_and_perfect_case(pq_emb):
+    row = similarity.pq_recall_audit(pq_emb, 0, 3, m=2, k=2, dim=8).collect()[0]
+    assert row["k"] == 3
+    assert 0 <= row["n_hits"] <= 3
+    assert row["recall"] == row["n_hits"] / 3.0
+    # k = corpus-1 (ranking is everything): recall is 1 by construction
+    full = similarity.pq_recall_audit(pq_emb, 0, 7, m=2, k=2, dim=8).collect()[0]
+    assert full["recall"] == 1.0
+
+
+def test_pq_codes_compression_bound(pq_emb):
+    """The code table is n·m small ints — the 64× compression claim in
+    long form: every code fits the nibble the (m=8, k=16) default
+    implies."""
+    codes = similarity.pq_codes(pq_emb, m=2, k=2, dim=8).collect()
+    assert all(0 <= r["code"] < 2 for r in codes)
