@@ -383,6 +383,7 @@ def cmd_update(args: argparse.Namespace) -> int:
         rankings_path=args.rankings,
         max_workers=args.max_workers,
         validate=not args.no_validate,
+        release_path=args.release,
     )
     if args.json:
         print(json.dumps(summary, indent=2, default=str))
@@ -765,6 +766,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lookback-days", type=int, default=1)
     p.add_argument("--today", help="anchor date YYYY-MM-DD (default: today)")
     p.add_argument("--rankings", help="rankings archive path to append to")
+    p.add_argument(
+        "--release",
+        help="refresh this gzip .duckdb release artifact after the update",
+    )
     p.add_argument("--max-workers", type=int, default=150)
     p.add_argument("--no-validate", action="store_true")
     p.add_argument("--json", action="store_true")

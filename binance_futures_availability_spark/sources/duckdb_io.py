@@ -205,6 +205,10 @@ def export_duckdb(
     availability_db.py:97-124). Data travels Spark → parquet staging →
     DuckDB ``read_parquet`` — both sides' native bulk paths, no
     row-at-a-time driver loop.
+
+    Missing nullable columns are NULL-filled (the mirror of the import
+    path's pre-ADR-0007 handling): a probe-only table — no volume
+    enrichment yet — still exports as a valid full-schema database.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -212,7 +216,15 @@ def export_duckdb(
     staging = tempfile.mkdtemp(prefix="duckdb_export_")
     try:
         staged = os.path.join(staging, "fact")
-        da.select(_FACT_COLUMNS).write.mode("overwrite").parquet(staged)
+        present = set(da.columns)
+        da.select(
+            *[
+                F.col(f.name)
+                if f.name in present
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in DAILY_AVAILABILITY.fields
+            ]
+        ).write.mode("overwrite").parquet(staged)
         con = _connect(db_path)
         try:
             cols = ", ".join(_FACT_COLUMNS)

@@ -143,6 +143,7 @@ def run_daily_update(
     generated_at: dt.datetime | str | None = None,
     max_workers: int = 150,
     validate: bool = True,
+    release_path: str | None = None,
 ) -> dict:
     """One cron tick, end to end (run_daily_update.py:33-93):
 
@@ -153,7 +154,11 @@ def run_daily_update(
        a re-run of the same window is a no-op on the table's content,
     4. warnings-only validation report,
     5. optional rankings append for dates past the archive watermark
-       (duplicate-date guard raises — the reference's concat rejection).
+       (duplicate-date guard raises — the reference's concat rejection),
+    6. optional release artifact refresh (``release_path``): the updated
+       table exported → gzip + sha256, the workflow's publish step
+       (update-database.yml:403-410); the shipped stats block rides the
+       summary so the caller can log/compare it.
 
     Returns a summary dict mirroring the reference's closing log line
     (records / available / unavailable / window) plus the report.
@@ -210,4 +215,11 @@ def run_daily_update(
                 da, generated_at=generated_at, sort=False
             ).write.mode("overwrite").parquet(rankings_path)
             summary["rankings_appended"] = True
+
+    if release_path is not None:
+        from .sources import release as release_mod
+
+        summary["release_stats"] = release_mod.release_database(
+            da, release_path
+        )
     return summary

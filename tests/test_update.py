@@ -326,3 +326,47 @@ def test_cli_discover_writes_symbols_file(tmp_path, capsys, monkeypatch):
     assert rest.load_symbols(out, "delivery") == ["BTCUSDT_240329"]
     payload = json.loads(open(out).read())
     assert payload["metadata"]["perpetual_count"] == 2
+
+
+def test_run_daily_update_refreshes_release_artifact(spark, tmp_path):
+    """Step 6 of the cron tick: the updated table ships as the gzip
+    release artifact (reference update-database.yml's publish step), and
+    the shipped stats block equals the live table's."""
+    from binance_futures_availability_spark.sources import release
+
+    fact = str(tmp_path / "fact")
+    rel = str(tmp_path / "availability.duckdb.gz")
+    summary = update_mod.run_daily_update(
+        spark,
+        fact,
+        SYMS,
+        lookback_days=2,
+        today=TODAY,
+        head=det_head,
+        release_path=rel,
+    )
+    assert summary["release_stats"]["total_records"] == 4
+    ok, diffs = release.verify_release(spark.read.parquet(fact), rel)
+    assert ok, diffs
+
+
+def test_cli_update_with_release_flag(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(probe, "_default_head", det_head)
+    fact = str(tmp_path / "fact")
+    rel = str(tmp_path / "rel.duckdb.gz")
+    rc = cli_main(
+        [
+            "update",
+            "--table", fact,
+            "--symbols", ",".join(SYMS),
+            "--today", "2024-03-10",
+            "--release", rel,
+            "--json",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["release_stats"]["total_records"] == 2
+    import os
+
+    assert os.path.exists(rel) and os.path.exists(rel + ".sha256")
