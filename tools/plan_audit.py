@@ -52,7 +52,6 @@ HEADLINERS = {
     "revenue_by_nation": "multi-join rollup: broadcast dim chain (nation/region/customer), date filter pushed to the orders scan, one fact shuffle",
     "knn_join_indexed": "on-disk batch ANN: probe-cell union arrives as PartitionFilters on the cell-partitioned index; memoized union, broadcast query side",
     "apply_mixture": "mixture materialization: stratum-count-sized rate table broadcast over the corpus scan; keep decision is a narrow hash filter",
-    "shipping_priority": "Q3 family: broadcast segment dim into the orders scan, pushed date predicates both sides, group reuses the join key partitioning, TakeOrderedAndProject top-k (no global sort)",
     "large_volume_customers": "Q18 family: HAVING on the order-key aggregate BEFORE any join (one AQE-coalesced shuffle); orders/customer arrive via broadcast",
     "semantic_dedup": "SemDeDup: cached IVF assignment partitioned by cell, one exact GEMM per cell in applyInPandas, dup ids (not pairs) shuffle back, broadcast anti join",
     "kmeans_cells": "Lloyd rounds: assignment is a narrow Arrow pass over the cached quantized table; each update is one (cell, dim) aggregate with a bounded centroid collect",
@@ -73,6 +72,11 @@ HEADLINERS = {
     "bigram_lm_scores": "bigram LM: bigram postings, corpus counts, and |V| are session-cached index artifacts (InMemoryTableScan); a warm call is the scoring join + one per-doc integer nano-nat aggregate",
     "duckdb_import_snapshot": "migration connector read: memoized cached handle over the imported fact (no per-call partition discovery); snapshot filter served from the InMemoryTableScan",
     "daily_update": "composed cron tick read-back: probed window served from the cached committed table; the pipeline itself (probe -> upsert -> validate -> rankings) ran once at build",
+    "release_stats": "release consistency block: ONE partial-aggregated reduction to a single row; the two exact distincts expand over dimension-bounded columns",
+    "pq_codes": "PQ encode: cached codebook broadcast under a per-(vector,subspace) min-reduction; one short-row shuffle, fan-out bounded by the constant k",
+    "pq_topk": "ADC top-k: broadcast m*k lookup table onto the cached code stream, integer sums, TakeOrderedAndProject — raw vectors never touched at query time",
+    "ivf_pq_topk": "IVF-PQ: probed-cell id set broadcast-semi-prunes the ADC stream before the top-k — candidates are ~nprobe/n_cells of the corpus",
+    "shipping_priority": "Q3 family: qualifying orders broadcast twice — semi-join below the revenue aggregate (hash table holds only qualifying keys) and build side of the attribute join; top-k collapses to TakeOrderedAndProject",
 }
 
 
