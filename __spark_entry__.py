@@ -516,7 +516,6 @@ GATE_PRIORITY = [
     # lsh_cosine_pairs / embedding_dedup rotated out r8, all driver-green
     # in r5 AND r7; in come the never-gated PQ family)
     "ann_topk",
-    "cosine_pairs",
     "kmeans_cells",
     "ivf_topk_indexed",
     "ivf_range_indexed",
@@ -526,6 +525,7 @@ GATE_PRIORITY = [
     "pq_topk",
     "ivf_pq_topk",
     "pq_recall_audit",
+    "pq_codes_trained",
     "semantic_dedup",
     "label_centroids",
     "centroid_confusion",
@@ -840,6 +840,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pq_recall_audit": lambda s, d: similarity.pq_recall_audit(
             _emb(s, d), ANN_QUERY_ID, ANN_K
+        ),
+        # trained PQ: one per-subspace Lloyd round, integer-grid centroids
+        "pq_codes_trained": lambda s, d: gathered_sort(
+            similarity.pq_codes(_emb(s, d), iters=1).select(
+                "vec_id",
+                F.col("m").cast("int").alias("m"),
+                F.col("code").cast("int").alias("code"),
+            ),
+            "vec_id",
+            "m",
         ),
         "semantic_dedup": lambda s, d: similarity.semantic_dedup_survivors(
             _emb(s, d), COSINE_THRESHOLD
@@ -1404,6 +1414,9 @@ ORDER BY symbol, event_date"""),
         ),
         "pq_recall_audit": oracles.sql_pq_recall_audit(
             ANN_QUERY_ID, ANN_K, similarity.PQ_M, similarity.PQ_K
+        ),
+        "pq_codes_trained": oracles.sql_pq_codes(
+            similarity.PQ_M, similarity.PQ_K, iters=1
         ),
         "semantic_dedup": oracles.sql_semantic_dedup_survivors(
             COSINE_THRESHOLD, similarity.IVF_N_CELLS

@@ -1446,6 +1446,20 @@ def _pq_subvectors(
     ).withColumn("subnorm", int_dot(F.col("sub"), F.col("sub")))
 
 
+def _round_away(q: float) -> int:
+    """Round-half-away-from-zero of an IEEE double — the SAME single
+    rounding Spark's ``F.round`` and DuckDB's ``round`` apply to the
+    identical double, so a driver-computed centroid component matches the
+    oracle's ``round(CAST(sv AS DOUBLE) / cnt)`` bit-for-bit (Decimal sees
+    the double's exact binary expansion; naive floor(q+0.5) misrounds the
+    largest double below .5)."""
+    import decimal
+
+    return int(
+        decimal.Decimal(q).quantize(0, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
 def pq_codebook(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -1453,30 +1467,98 @@ def pq_codebook(
     m: int = PQ_M,
     k: int = PQ_K,
     dim: int = EMB_DIM,
+    iters: int = 0,
 ) -> DataFrame:
     """The PQ codebook: (m, code, csub, cnorm), ``code`` 0-based by seed
     id order within each subspace. A bounded dimension table (m×k rows) —
     broadcast everywhere it is joined, like every PQ implementation ships
-    its codebook to all workers. Session-cached index artifact."""
+    its codebook to all workers. Session-cached index artifact.
+
+    ``iters`` > 0 runs per-subspace Lloyd refinement (k-means over
+    subvectors — trained PQ): each round re-encodes against the current
+    codebook (exact integer L2, ties to the lowest code) and replaces
+    every centroid component with ``round(SUM(v) / COUNT)`` — snapped
+    BACK to the integer grid with the engines' shared half-away-from-zero
+    double rounding, so the codebook never leaves integer space and the
+    whole downstream (encode, ADC) keeps its exactness guarantees; codes
+    that lose all members retain their previous centroid (the kmeans_cells
+    empty-cluster rule). Scale shape per round: one broadcast-join encode
+    pass + one (m, code, dim) aggregate — m·k·(dim/m) output, the bounded
+    centroid collect every k-means ships between rounds."""
 
     def build() -> DataFrame:
         from pyspark.sql import Window
 
         base = _with_quantized(emb, vec_col)
         seeds = base.orderBy(id_col).limit(k)
-        subs = _pq_subvectors(seeds, id_col, m, dim)
+        subs0 = _pq_subvectors(seeds, id_col, m, dim)
         w = Window.partitionBy("m").orderBy(id_col)
         # m×k rows: the single-partition window is a bounded dimension,
         # not a data-sized sort
-        return subs.select(
+        cb = subs0.select(
             "m",
             (F.row_number().over(w) - 1).alias("code"),
             F.col("sub").alias("csub"),
             F.col("subnorm").alias("cnorm"),
         )
+        if iters == 0:
+            return cb
+        spark = emb.sparkSession
+        subs = _pq_subvectors(base, id_col, m, dim)
+        # driver-held centroid grid: {(m, code): [components]} — bounded
+        cents = {
+            (r["m"], r["code"]): list(r["csub"]) for r in cb.collect()
+        }
+
+        def cb_df():
+            rows = [
+                (mm, cc, v, sum(int(x) * int(x) for x in v))
+                for (mm, cc), v in sorted(cents.items())
+            ]
+            return spark.createDataFrame(
+                rows, "m int, code int, csub array<bigint>, cnorm bigint"
+            )
+
+        for _ in range(iters):
+            enc = (
+                subs.join(F.broadcast(cb_df()), "m")
+                .select(
+                    id_col,
+                    "m",
+                    F.struct(
+                        (
+                            F.col("subnorm")
+                            - 2 * int_dot(F.col("sub"), F.col("csub"))
+                            + F.col("cnorm")
+                        ).alias("l2"),
+                        F.col("code").alias("code"),
+                    ).alias("sc"),
+                )
+                .groupBy(id_col, "m")
+                .agg(F.min("sc").alias("best"))
+                .select(id_col, "m", F.col("best.code").alias("code"))
+            )
+            upd = (
+                subs.join(enc, [id_col, "m"])
+                .select("m", "code", F.posexplode("sub").alias("d", "v"))
+                .groupBy("m", "code", "d")
+                .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            # emptied codes simply have no rows to overwrite
+            touched = {}
+            for r in upd:
+                touched.setdefault((r["m"], r["code"]), {})[r["d"]] = (
+                    _round_away(r["sv"] / r["cnt"])
+                )
+            for key, dims in touched.items():
+                vec = cents[key]
+                for d, v in dims.items():
+                    vec[d] = v
+        return cb_df()
 
     return cached_index(
-        plan_key(emb, "pq_codebook", vec_col, m, k, dim), build
+        plan_key(emb, "pq_codebook", vec_col, m, k, dim, iters), build
     )
 
 
@@ -1487,6 +1569,7 @@ def pq_codes(
     m: int = PQ_M,
     k: int = PQ_K,
     dim: int = EMB_DIM,
+    iters: int = 0,
 ) -> DataFrame:
     """The encoded corpus: (id, m, code) — each subvector replaced by its
     nearest codebook entry (exact integer L2², ties to the lowest code).
@@ -1502,7 +1585,7 @@ def pq_codes(
     def build() -> DataFrame:
         base = _with_quantized(emb, vec_col)
         subs = _pq_subvectors(base, id_col, m, dim)
-        cb = pq_codebook(emb, id_col, vec_col, m, k, dim)
+        cb = pq_codebook(emb, id_col, vec_col, m, k, dim, iters)
         scored = subs.join(F.broadcast(cb), "m").select(
             id_col,
             "m",
@@ -1521,7 +1604,9 @@ def pq_codes(
             .select(id_col, "m", F.col("best.code").alias("code"))
         )
 
-    return cached_index(plan_key(emb, "pq_codes", vec_col, m, k, dim), build)
+    return cached_index(
+        plan_key(emb, "pq_codes", vec_col, m, k, dim, iters), build
+    )
 
 
 def _pq_adc_scores(
@@ -1532,6 +1617,7 @@ def _pq_adc_scores(
     m: int,
     k: int,
     dim: int = EMB_DIM,
+    iters: int = 0,
 ) -> DataFrame:
     """Unranked ADC scores (id, approx_cosine) for every non-query vector.
 
@@ -1544,7 +1630,7 @@ def _pq_adc_scores(
     the entire point of PQ at 100 TB: the codes table is ~64× smaller
     than the float corpus."""
     base = _with_quantized(emb, vec_col)
-    cb = pq_codebook(emb, id_col, vec_col, m, k, dim)
+    cb = pq_codebook(emb, id_col, vec_col, m, k, dim, iters)
     q_row = base.filter(F.col(id_col) == query_id)
     qsubs = _pq_subvectors(q_row, id_col, m, dim).select("m", "sub")
     lut = qsubs.join(cb, "m").select(
@@ -1554,7 +1640,7 @@ def _pq_adc_scores(
         "cnorm",
     )
     qn = q_row.select(F.col("__norm").alias("qn"))
-    codes = pq_codes(emb, id_col, vec_col, m, k, dim)
+    codes = pq_codes(emb, id_col, vec_col, m, k, dim, iters)
     scored = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .groupBy(id_col)
@@ -1584,12 +1670,13 @@ def pq_topk(
     m: int = PQ_M,
     k: int = PQ_K,
     dim: int = EMB_DIM,
+    iters: int = 0,
 ) -> DataFrame:
     """ADC top-k over the PQ-compressed corpus: (id, approx_cosine) —
     the `_pq_adc_scores` stream collapsed to a TakeOrderedAndProject
     (no global sort materializes; ties to the lower id)."""
     return (
-        _pq_adc_scores(emb, query_id, id_col, vec_col, m, k, dim)
+        _pq_adc_scores(emb, query_id, id_col, vec_col, m, k, dim, iters)
         .orderBy(F.desc("approx_cosine"), id_col)
         .limit(topk)
     )
@@ -1647,6 +1734,7 @@ def pq_recall_audit(
     m: int = PQ_M,
     k: int = PQ_K,
     dim: int = EMB_DIM,
+    iters: int = 0,
 ) -> DataFrame:
     """Recall@k of PQ ADC against the exact brute-force ranking: one row
     (k, n_hits, recall) — the audit every compressed-index deployment
@@ -1655,7 +1743,9 @@ def pq_recall_audit(
     exact = ann_topk(emb, query_id, topk, id_col, vec_col).select(
         F.col(id_col).alias("__e")
     )
-    approx = pq_topk(emb, query_id, topk, id_col, vec_col, m, k, dim).select(
+    approx = pq_topk(
+        emb, query_id, topk, id_col, vec_col, m, k, dim, iters
+    ).select(
         F.col(id_col).alias("__a")
     )
     j = exact.join(approx, exact["__e"] == approx["__a"], "left_outer")

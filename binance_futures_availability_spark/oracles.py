@@ -1795,28 +1795,10 @@ SELECT {strata_col}, term, df, rnk FROM ranked WHERE rnk <= {k}"""
 # ---------------------------------------------------------------- PQ / ADC
 
 
-def _pq_ctes(m: int, k: int, dim: int = 64) -> str:
-    """Shared PQ CTEs mirroring similarity.pq_codebook / pq_codes:
-    subvector split, lowest-id codebook (code 0-based by seed id order
-    per subspace), exact-integer-L2 encode with ties to the lowest code.
-    All dot products are integer-exact in doubles (< 2^53)."""
-    sub_d = dim // m
-    return f"""
-pq_subs AS (
-    SELECT n.vec_id, t.m,
-           list_slice(n.q, t.m * {sub_d} + 1, (t.m + 1) * {sub_d}) AS sub
-    FROM normed n CROSS JOIN (SELECT UNNEST(range({m})) AS m) t
-),
-pq_cb AS (
-    SELECT s.m,
-           ROW_NUMBER() OVER (PARTITION BY s.m ORDER BY s.vec_id) - 1 AS code,
-           s.sub AS csub,
-           list_dot_product(s.sub, s.sub) AS cnorm
-    FROM pq_subs s
-    JOIN (SELECT vec_id FROM normed ORDER BY vec_id LIMIT {k}) sd
-      USING (vec_id)
-),
-pq_enc AS (
+def _pq_enc_cte(cb: str) -> str:
+    """Encode CTE body against codebook CTE ``cb`` — exact integer L2²
+    (subnorm − 2·dot + cnorm), ties to the lowest code."""
+    return f"""(
     SELECT vec_id, m, code FROM (
         SELECT s.vec_id, s.m, c.code,
                ROW_NUMBER() OVER (
@@ -1826,10 +1808,74 @@ pq_enc AS (
                             + c.cnorm,
                             c.code
                ) AS rn
-        FROM pq_subs s JOIN pq_cb c ON c.m = s.m
+        FROM pq_subs s JOIN {cb} c ON c.m = s.m
     ) WHERE rn = 1
-)
-""".strip()
+)"""
+
+
+def _pq_ctes(m: int, k: int, dim: int = 64, iters: int = 0) -> str:
+    """Shared PQ CTEs mirroring similarity.pq_codebook / pq_codes:
+    subvector split, lowest-id codebook (code 0-based by seed id order
+    per subspace), exact-integer-L2 encode with ties to the lowest code.
+    All dot products are integer-exact in doubles (< 2^53).
+
+    ``iters`` unrolls per-subspace Lloyd rounds (trained PQ) exactly like
+    sql_kmeans_cells unrolls the spherical rounds: each round re-encodes,
+    then every centroid component becomes round(SUM(v)::DOUBLE / COUNT) —
+    the engines' shared half-away-from-zero rounding back onto the
+    integer grid — with emptied codes retaining their previous component
+    via COALESCE. The chain always ends in ``pq_cb`` / ``pq_enc``."""
+    sub_d = dim // m
+    ctes = [
+        f"""pq_subs AS (
+    SELECT n.vec_id, t.m,
+           list_slice(n.q, t.m * {sub_d} + 1, (t.m + 1) * {sub_d}) AS sub
+    FROM normed n CROSS JOIN (SELECT UNNEST(range({m})) AS m) t
+)""",
+        f"""pq_cb0 AS (
+    SELECT s.m,
+           ROW_NUMBER() OVER (PARTITION BY s.m ORDER BY s.vec_id) - 1 AS code,
+           s.sub AS csub,
+           list_dot_product(s.sub, s.sub) AS cnorm
+    FROM pq_subs s
+    JOIN (SELECT vec_id FROM normed ORDER BY vec_id LIMIT {k}) sd
+      USING (vec_id)
+)""",
+        """pq_subflat AS (
+    SELECT vec_id, m, generate_subscripts(sub, 1) AS d, unnest(sub) AS v
+    FROM pq_subs
+)""",
+    ]
+    for r in range(iters):
+        ctes.append(f"pq_enc{r} AS {_pq_enc_cte(f'pq_cb{r}')}")
+        ctes.append(
+            f"""pq_upd{r} AS (
+    SELECT f.m, e.code, f.d,
+           CAST(round(CAST(SUM(f.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS nv
+    FROM pq_subflat f
+    JOIN pq_enc{r} e ON e.vec_id = f.vec_id AND e.m = f.m
+    GROUP BY 1, 2, 3
+)"""
+        )
+        ctes.append(
+            f"""pq_cb{r + 1} AS (
+    SELECT m, code, csub, list_dot_product(csub, csub) AS cnorm FROM (
+        SELECT c.m, c.code,
+               list(COALESCE(u.nv, c.cv) ORDER BY c.d) AS csub
+        FROM (
+            SELECT m, code, generate_subscripts(csub, 1) AS d,
+                   unnest(csub) AS cv
+            FROM pq_cb{r}
+        ) c
+        LEFT JOIN pq_upd{r} u
+          ON u.m = c.m AND u.code = c.code AND u.d = c.d
+        GROUP BY 1, 2
+    )
+)"""
+        )
+    ctes.append(f"pq_cb AS (SELECT * FROM pq_cb{iters})")
+    ctes.append(f"pq_enc AS {_pq_enc_cte('pq_cb')}")
+    return ",\n".join(ctes)
 
 
 def _pq_adc_ctes(query_vec_id: int) -> str:
@@ -1854,9 +1900,9 @@ adc AS (
 """.strip()
 
 
-def sql_pq_codes(m: int, k: int) -> str:
+def sql_pq_codes(m: int, k: int, iters: int = 0) -> str:
     return f"""WITH {EMB_BASE_CTE},
-{_pq_ctes(m, k)}
+{_pq_ctes(m, k, iters=iters)}
 SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code
 FROM pq_enc ORDER BY vec_id, m"""
 

@@ -1618,3 +1618,29 @@ def test_pq_codes_compression_bound(pq_emb):
     implies."""
     codes = similarity.pq_codes(pq_emb, m=2, k=2, dim=8).collect()
     assert all(0 <= r["code"] < 2 for r in codes)
+
+
+def test_pq_training_improves_recall_and_stays_integer(pq_emb):
+    """One Lloyd round moves the seed codebook toward the cluster means:
+    recall@k must not degrade, centroids stay on the integer grid, and
+    emptied codes retain their previous centroid (codebook stays m×k)."""
+    r0 = similarity.pq_recall_audit(pq_emb, 0, 3, m=2, k=2, dim=8).collect()[0]
+    r1 = similarity.pq_recall_audit(
+        pq_emb, 0, 3, m=2, k=2, dim=8, iters=1
+    ).collect()[0]
+    assert r1["recall"] >= r0["recall"]
+    cb = similarity.pq_codebook(pq_emb, m=2, k=2, dim=8, iters=2).collect()
+    assert len(cb) == 4
+    for r in cb:
+        assert all(isinstance(v, int) for v in r["csub"])
+        assert r["cnorm"] == sum(v * v for v in r["csub"])
+
+
+def test_round_away_matches_engine_semantics():
+    """Half-away-from-zero on the DOUBLE value, including the adversarial
+    largest-double-below-.5 where floor(q+0.5) misrounds."""
+    assert similarity._round_away(1.5) == 2
+    assert similarity._round_away(-1.5) == -2
+    assert similarity._round_away(2.4999999999999996) == 2
+    assert similarity._round_away(0.49999999999999994) == 0
+    assert similarity._round_away(-0.49999999999999994) == 0
