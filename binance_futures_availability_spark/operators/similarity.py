@@ -1520,24 +1520,7 @@ def pq_codebook(
             )
 
         for _ in range(iters):
-            enc = (
-                subs.join(F.broadcast(cb_df()), "m")
-                .select(
-                    id_col,
-                    "m",
-                    F.struct(
-                        (
-                            F.col("subnorm")
-                            - 2 * int_dot(F.col("sub"), F.col("csub"))
-                            + F.col("cnorm")
-                        ).alias("l2"),
-                        F.col("code").alias("code"),
-                    ).alias("sc"),
-                )
-                .groupBy(id_col, "m")
-                .agg(F.min("sc").alias("best"))
-                .select(id_col, "m", F.col("best.code").alias("code"))
-            )
+            enc = pq_encode_with(emb, cb_df(), id_col, vec_col, m, dim)
             upd = (
                 subs.join(enc, [id_col, "m"])
                 .select("m", "code", F.posexplode("sub").alias("d", "v"))
@@ -1583,29 +1566,45 @@ def pq_codes(
     only, the encode is paid once per corpus."""
 
     def build() -> DataFrame:
-        base = _with_quantized(emb, vec_col)
-        subs = _pq_subvectors(base, id_col, m, dim)
         cb = pq_codebook(emb, id_col, vec_col, m, k, dim, iters)
-        scored = subs.join(F.broadcast(cb), "m").select(
-            id_col,
-            "m",
-            F.struct(
-                (
-                    F.col("subnorm")
-                    - 2 * int_dot(F.col("sub"), F.col("csub"))
-                    + F.col("cnorm")
-                ).alias("l2"),
-                F.col("code").alias("code"),
-            ).alias("sc"),
-        )
-        return (
-            scored.groupBy(id_col, "m")
-            .agg(F.min("sc").alias("best"))
-            .select(id_col, "m", F.col("best.code").alias("code"))
-        )
+        return pq_encode_with(emb, cb, id_col, vec_col, m, dim)
 
     return cached_index(
         plan_key(emb, "pq_codes", vec_col, m, k, dim, iters), build
+    )
+
+
+def pq_encode_with(
+    emb: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Encode ``emb`` against an EXPLICIT (m, code, csub, cnorm) codebook
+    — the serving/streaming form, where the quantizer is frozen and new
+    vectors arrive after training (``pq_codes`` derives the codebook from
+    the same corpus and session-caches; this function is the pure encode
+    it shares). Same exact-integer argmin, ties to the lowest code."""
+    base = _with_quantized(emb, vec_col)
+    subs = _pq_subvectors(base, id_col, m, dim)
+    scored = subs.join(F.broadcast(codebook), "m").select(
+        id_col,
+        "m",
+        F.struct(
+            (
+                F.col("subnorm")
+                - 2 * int_dot(F.col("sub"), F.col("csub"))
+                + F.col("cnorm")
+            ).alias("l2"),
+            F.col("code").alias("code"),
+        ).alias("sc"),
+    )
+    return (
+        scored.groupBy(id_col, "m")
+        .agg(F.min("sc").alias("best"))
+        .select(id_col, "m", F.col("best.code").alias("code"))
     )
 
 

@@ -548,3 +548,69 @@ def start_ivf_append_sink(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def start_pq_append_sink(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    m: int | None = None,
+    k: int | None = None,
+    iters: int = 0,
+):
+    """writeStream → foreachBatch(frozen-quantizer PQ encode): the
+    compressed-vector ingest pipeline, the PQ twin of
+    ``start_ivf_append_sink``. The FIRST batch trains the codebook
+    (``pq_codebook`` over the batch — deterministic lowest-id seeds,
+    optional Lloyd ``iters``) and freezes it under
+    ``<store>/codebook``; every later batch encodes against the stored
+    codebook (``pq_encode_with`` — exact integer argmin, so a vector's
+    codes are identical whether it arrived in batch 1 or batch 100) and
+    appends only its own (id, m, code) rows under ``<store>/codes``.
+    Restart-safe via the same per-batch commit markers as the IVF sink;
+    the crash window between append and marker write is closed by a
+    transactional table format on a real deployment."""
+    import os
+
+    from ..operators import similarity
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker_dir = os.path.join(store_path.rstrip("/"), "_committed_batches")
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # checkpoint replay of an already-applied append
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        cb_path = os.path.join(store_path.rstrip("/"), "codebook")
+        codes_path = os.path.join(store_path.rstrip("/"), "codes")
+        kwargs = {}
+        if m is not None:
+            kwargs["m"] = m
+        if k is not None:
+            kwargs["k"] = k
+        try:
+            cb = spark.read.parquet(cb_path)
+            cb.first()
+        except Exception:  # noqa: BLE001 — first batch: train + freeze
+            dim = len(batch.select("embedding").first()[0])
+            cb = similarity.pq_codebook(
+                batch, dim=dim, iters=iters, **kwargs
+            )
+            cb.write.mode("overwrite").parquet(cb_path)
+            cb = spark.read.parquet(cb_path)
+        enc_kwargs = {"m": kwargs["m"]} if "m" in kwargs else {}
+        dim = len(batch.select("embedding").first()[0])
+        similarity.pq_encode_with(
+            batch, cb, dim=dim, **enc_kwargs
+        ).write.mode("append").parquet(codes_path)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

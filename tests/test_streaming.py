@@ -732,3 +732,80 @@ def test_streaming_ivf_append_sink_replay_is_noop(spark, tmp_path):
     run(crashed)
 
     assert spark.read.parquet(idx + "/vectors").count() == n_before
+
+
+def test_streaming_pq_append_sink_batch_equivalence(spark, tmp_path):
+    """First micro-batch trains and freezes the PQ codebook; later
+    batches encode against it — codes are identical to a one-shot batch
+    encode of the union against the same frozen codebook, and a
+    checkpoint replay appends nothing twice."""
+    import math as _math
+    import os
+
+    from binance_futures_availability_spark.operators import similarity
+    from binance_futures_availability_spark.streaming.pipeline import (
+        embedding_stream_source,
+        start_pq_append_sink,
+    )
+
+    def vec(deg):
+        return [
+            float(_math.cos(_math.radians(deg))),
+            float(_math.sin(_math.radians(deg))),
+            0.0,
+            0.0,
+        ]
+
+    schema = "vec_id long, embedding array<float>, label int"
+    incoming = tmp_path / "pq_in"
+    store = str(tmp_path / "pqstore")
+    batch1 = [(i, vec(17 * i), 0) for i in range(8)]
+    batch2 = [(i, vec(17 * i), 0) for i in range(8, 16)]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(
+        str(incoming)
+    )
+
+    def run():
+        q = start_pq_append_sink(
+            embedding_stream_source(spark, str(incoming)),
+            store,
+            str(tmp_path / "pqckpt"),
+            m=2,
+            k=4,
+            iters=1,
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(
+        str(incoming)
+    )
+    run()
+
+    cb = spark.read.parquet(os.path.join(store, "codebook"))
+    union = spark.createDataFrame(batch1 + batch2, schema)
+    want = sorted(
+        (r["vec_id"], r["m"], r["code"])
+        for r in similarity.pq_encode_with(union, cb, m=2, dim=4).collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["m"], r["code"])
+        for r in spark.read.parquet(os.path.join(store, "codes")).collect()
+    )
+    assert got == want
+    # frozen quantizer: the codebook was trained on batch 1 only
+    assert cb.count() == 2 * 4
+
+    # replay: wipe the checkpoint, re-run over the same input — markers
+    # make every re-delivered batch a no-op
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "pqckpt"))
+    run()
+    assert (
+        sorted(
+            (r["vec_id"], r["m"], r["code"])
+            for r in spark.read.parquet(os.path.join(store, "codes")).collect()
+        )
+        == want
+    )
