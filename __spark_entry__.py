@@ -163,6 +163,22 @@ UPDATE_SEED_START = "2001-10-01"
 UPDATE_MAX_SYMBOLS = 100  # bounded probe wave (sorted-symbol prefix)
 
 
+def _update_window() -> tuple[str, str]:
+    import datetime as _dt
+
+    from binance_futures_availability_spark.update import lookback_window
+
+    s, e = lookback_window(
+        _dt.date.fromisoformat(UPDATE_TODAY), UPDATE_LOOKBACK
+    )
+    return s.isoformat(), e.isoformat()
+
+
+#: (start, end) of the gate probe window — the ONE source both the Spark
+#: pipeline call and the oracle SQL derive from
+_UPDATE_WINDOW = _update_window()
+
+
 def _gate_head(url: str, timeout: float) -> tuple[int, dict]:
     """Deterministic synthetic S3 transport for the daily_update gate:
     availability/size are pure md5 functions of (symbol, date) parsed back
@@ -218,9 +234,15 @@ def _daily_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(root, f"{key}_done")
     if fact not in _UPDATE_READY:
         if not os.path.exists(marker):
+            # build in a process-private staging dir and commit with an
+            # atomic rename (the availability_fact discipline): two
+            # harness processes racing on a cold cache both produce
+            # correct results and exactly one commit wins — a direct
+            # overwrite of the shared path would tear the other's write
+            staging = f"{fact}.tmp-{os.getpid()}"
             da = _da(spark, sf_dir)
             writer.write_partitioned(
-                da.filter(F.col("date") >= F.lit(UPDATE_SEED_START)), fact
+                da.filter(F.col("date") >= F.lit(UPDATE_SEED_START)), staging
             )
             syms = sorted(
                 r["symbol"]
@@ -228,16 +250,28 @@ def _daily_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             )[:UPDATE_MAX_SYMBOLS]
             update_mod.run_daily_update(
                 spark,
-                fact,
+                staging,
                 syms,
                 lookback_days=UPDATE_LOOKBACK,
                 today=dt.date.fromisoformat(UPDATE_TODAY),
                 head=_gate_head,
-                rankings_path=os.path.join(root, f"{key}_rankings"),
+                rankings_path=os.path.join(
+                    staging.rstrip("/") + "_rankings"
+                ),
                 generated_at=GEN_TS,
             )
-            with open(marker, "w", encoding="utf-8") as f:
-                f.write("ok")
+            import shutil
+
+            try:
+                os.rename(staging, fact)
+            except OSError:
+                # lost the race — the other process's deterministic
+                # build is byte-equivalent; use it
+                shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(staging + "_rankings", ignore_errors=True)
+            if not os.path.exists(marker):
+                with open(marker, "w", encoding="utf-8") as f:
+                    f.write("ok")
         _UPDATE_READY.add(fact)
     out = _UPDATE_HANDLES.get(fact)
     if out is None:
@@ -991,14 +1025,17 @@ def oracle_sql() -> dict[str, str]:
             FROM da WHERE date = DATE '{SNAP_DATE}' AND available
             ORDER BY symbol"""),
         # the committed probe window is a pure md5 function of
-        # (symbol, date) — the same function _gate_head computes
+        # (symbol, date) — the same function _gate_head computes; the
+        # window bounds are DERIVED from the same constants the Spark
+        # side feeds lookback_window, so changing them can't desync
         "daily_update": with_da(f"""WITH syms AS (
                 SELECT symbol FROM (SELECT DISTINCT symbol FROM da)
                 ORDER BY symbol LIMIT {UPDATE_MAX_SYMBOLS}
             ),
             dates AS (
                 SELECT CAST(g AS DATE) AS date
-                FROM generate_series(DATE '2002-01-01', DATE '2002-01-07',
+                FROM generate_series(DATE '{_UPDATE_WINDOW[0]}',
+                                     DATE '{_UPDATE_WINDOW[1]}',
                                      INTERVAL 1 DAY) t(g)
             ),
             probe AS (

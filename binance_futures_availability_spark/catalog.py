@@ -96,6 +96,11 @@ def load_table_hot(
     filters still prune cached batches via per-batch column stats."""
     path = table_path(sf_dir, name)
     fp = _dir_fingerprint(path)
+    if fp is None:
+        # unfingerprintable (remote/unreadable) paths are never memoized
+        # by load_table either; pinning a snapshot we could not detect
+        # going stale would serve wrong rows after an in-place rewrite
+        return load_table(spark, sf_dir, name)
     key = (spark.sparkContext.applicationId, path, fp, slices)
     df = _HOT_CACHE.get(key)
     if df is None:

@@ -108,9 +108,16 @@ def open_release(release_path: str, verify_checksum: bool = True) -> str:
     out = tempfile.NamedTemporaryFile(
         prefix="release_db_", suffix=".duckdb", delete=False
     )
-    with gzip.open(release_path, "rb") as src:
-        shutil.copyfileobj(src, out, length=1 << 20)
-    out.close()
+    try:
+        with gzip.open(release_path, "rb") as src:
+            shutil.copyfileobj(src, out, length=1 << 20)
+        out.close()
+    except BaseException:
+        # a truncated/corrupt artifact (no sidecar to pre-check) must not
+        # leak the partially-written temp database on every retry
+        out.close()
+        os.unlink(out.name)
+        raise
     return out.name
 
 
@@ -160,18 +167,23 @@ def release_stats(
     asof_lit = F.lit(str(as_of) if as_of is not None else "1970-01-01").cast(
         "date"
     )
+
+    def _cnt(cond):
+        # SUM over an empty frame is NULL; the DuckDB side's COUNT(*)
+        # FILTER is 0 — coalesce so an empty table compares equal and the
+        # CLI's :, formatting never sees None
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0).cast("long"))
+
     return da.agg(
         F.count(F.lit(1)).alias("total_records"),
-        F.sum(F.col("available").cast("long")).alias("available_records"),
-        F.sum((~F.col("available")).cast("long")).alias("unavailable_records"),
-        F.sum(F.col("file_size_bytes").isNotNull().cast("long")).alias(
-            "volume_records"
-        ),
+        _cnt(F.col("available")).alias("available_records"),
+        _cnt(~F.col("available")).alias("unavailable_records"),
+        _cnt(F.col("file_size_bytes").isNotNull()).alias("volume_records"),
         F.min("date").alias("min_date"),
         F.max("date").alias("max_date"),
         F.countDistinct("date").alias("distinct_dates"),
         F.countDistinct("symbol").alias("distinct_symbols"),
-        F.sum((F.col("date") == asof_lit).cast("long")).alias("asof_count"),
+        _cnt(F.col("date") == asof_lit).alias("asof_count"),
     )
 
 

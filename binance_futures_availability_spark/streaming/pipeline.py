@@ -592,7 +592,7 @@ def start_pq_append_sink(
             kwargs["k"] = k
         try:
             cb = spark.read.parquet(cb_path)
-            cb.first()
+            cb_row = cb.first()
         except Exception:  # noqa: BLE001 — first batch: train + freeze
             dim = len(batch.select("embedding").first()[0])
             cb = similarity.pq_codebook(
@@ -600,10 +600,13 @@ def start_pq_append_sink(
             )
             cb.write.mode("overwrite").parquet(cb_path)
             cb = spark.read.parquet(cb_path)
-        enc_kwargs = {"m": kwargs["m"]} if "m" in kwargs else {}
-        dim = len(batch.select("embedding").first()[0])
+            cb_row = cb.first()
+        # dim from the frozen codebook (m subspaces × subvector width) —
+        # no extra per-batch driver job against the data
+        m_eff = kwargs.get("m", similarity.PQ_M)
+        dim = m_eff * len(cb_row["csub"])
         similarity.pq_encode_with(
-            batch, cb, dim=dim, **enc_kwargs
+            batch, cb, m=m_eff, dim=dim
         ).write.mode("append").parquet(codes_path)
         os.makedirs(marker_dir, exist_ok=True)
         with open(marker, "w") as fh:

@@ -171,3 +171,22 @@ def test_read_fact_memoizes_per_path(spark, populated_da, tmp_path):
         for r in duckdb_io.read_fact(spark, dest).collect()
     }
     assert vals == {7.0}
+
+
+def test_read_fact_misses_after_inplace_rewrite(spark, populated_da, tmp_path):
+    """The memoized import handle keys on the directory fingerprint:
+    rewriting the table in place (an upsert touches date-dir mtimes) must
+    serve the NEW rows, not the pinned pre-rewrite snapshot."""
+    import time as _time
+
+    from binance_futures_availability_spark.sources import duckdb_io, writer
+
+    dest = str(tmp_path / "fact")
+    writer.write_partitioned(populated_da, dest)
+    first = duckdb_io.read_fact(spark, dest)
+    assert first.count() == populated_da.count()
+
+    _time.sleep(0.05)  # ensure mtime_ns moves
+    writer.write_partitioned(populated_da.limit(3), dest)
+    again = duckdb_io.read_fact(spark, dest)
+    assert again.count() == 3

@@ -139,3 +139,34 @@ def test_cli_stats_verb(spark, populated_da, tmp_path, capsys):
         {"date": "2024-01-15", "symbol_count": 3},
         {"date": "2024-01-14", "symbol_count": 2},
     ]
+
+
+def test_release_stats_empty_table_is_zero_not_null(spark):
+    """SUM over an empty frame is NULL; the stats block must coalesce to
+    0 so an empty live table compares equal to an empty artifact and the
+    CLI's formatting never sees None."""
+    from binance_futures_availability_spark.schema import DAILY_AVAILABILITY
+
+    empty = spark.createDataFrame([], DAILY_AVAILABILITY)
+    row = release.release_stats(empty).collect()[0]
+    assert row["total_records"] == 0
+    assert row["available_records"] == 0
+    assert row["unavailable_records"] == 0
+    assert row["volume_records"] == 0
+    assert row["asof_count"] == 0
+    assert row["min_date"] is None and row["max_date"] is None
+
+
+def test_open_release_cleans_temp_on_corrupt_artifact(tmp_path):
+    """A corrupt artifact without a sidecar must not leak the
+    partially-written temp database."""
+    import glob
+    import tempfile
+
+    bad = tmp_path / "bad.duckdb.gz"
+    bad.write_bytes(b"\x1f\x8b\x08\x00garbage-not-gzip-body")
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "release_db_*")))
+    with pytest.raises(Exception):
+        release.open_release(str(bad))
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "release_db_*")))
+    assert after == before
