@@ -1653,8 +1653,15 @@ def _pq_adc_scores(
         .crossJoin(F.broadcast(qn))
         .select(
             id_col,
-            cosine_from_quantized(
-                F.col("adot"), F.col("qn"), F.col("rnorm")
+            # a vector whose reconstruction is the zero codeword (or a
+            # zero query) has no defined cosine: NULL, matching DuckDB's
+            # x/0 → NULL where Spark's ANSI division would throw; DESC
+            # ordering puts NULLs last in both engines
+            F.when(
+                (F.col("qn") > 0) & (F.col("rnorm") > 0),
+                cosine_from_quantized(
+                    F.col("adot"), F.col("qn"), F.col("rnorm")
+                ),
             ).alias("approx_cosine"),
         )
     )

@@ -761,3 +761,94 @@ def test_curate_corpus_invariants(spark, texts, thr):
     for i, t, *_ in rows:
         norm[i] = " ".join(t.split()).lower()
     assert len({norm[i] for i in ids}) == len(ids)
+
+
+_vecs = st.lists(
+    st.lists(
+        st.floats(-1.0, 1.0, allow_nan=False, width=32),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=3,
+    max_size=10,
+)
+
+
+@SETTINGS
+@given(vecs=_vecs)
+def test_pq_adc_matches_python_reference(spark, vecs):
+    """The PQ pipeline against a brute-force Python reference on random
+    small corpora: encode picks the argmin integer L2 code (ties low),
+    and every ADC score equals the reconstruction cosine computed
+    independently from the chosen codebook entries."""
+    import math as _math
+
+    from binance_futures_availability_spark.operators import similarity
+
+    m, k, dim = 2, 2, 4
+    rows = [(i, v, 0) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def quant(v):
+        return [int(_math.floor(float(x) * 1e6 + 0.5)) if x >= 0
+                else -int(_math.floor(-float(x) * 1e6 + 0.5)) for x in v]
+
+    q = {i: quant(v) for i, v, _ in rows}
+    sub_d = dim // m
+    seeds = sorted(q)[:k]
+    cb = {}
+    for mm in range(m):
+        for ci, sid in enumerate(seeds):
+            cb[(mm, ci)] = q[sid][mm * sub_d : (mm + 1) * sub_d]
+
+    def encode(vid):
+        out = {}
+        for mm in range(m):
+            sub = q[vid][mm * sub_d : (mm + 1) * sub_d]
+            best = min(
+                range(k),
+                key=lambda ci: (
+                    sum((a - b) ** 2 for a, b in zip(sub, cb[(mm, ci)])),
+                    ci,
+                ),
+            )
+            out[mm] = best
+        return out
+
+    want_codes = {
+        (vid, mm, code)
+        for vid in q
+        for mm, code in encode(vid).items()
+    }
+    got_codes = {
+        (r["vec_id"], r["m"], r["code"])
+        for r in similarity.pq_codes(emb, m=m, k=k, dim=dim).collect()
+    }
+    assert got_codes == want_codes
+
+    qid = 0
+    qn = sum(x * x for x in q[qid])
+    got = {
+        r["vec_id"]: r["approx_cosine"]
+        for r in similarity.pq_topk(
+            emb, qid, len(vecs), m=m, k=k, dim=dim
+        ).collect()
+    }
+    for vid in q:
+        if vid == qid:
+            assert vid not in got
+            continue
+        if qn == 0:
+            assert got[vid] is None  # zero query: every score NULL
+            continue
+        codes = encode(vid)
+        recon = [x for mm in range(m) for x in cb[(mm, codes[mm])]]
+        rnorm = sum(x * x for x in recon)
+        if rnorm == 0:
+            # zero reconstruction: no defined cosine — the operator
+            # yields NULL (mirroring DuckDB's x/0), ranked last
+            assert got[vid] is None
+            continue
+        adot = sum(a * b for a, b in zip(q[qid], recon))
+        want = adot / (_math.sqrt(qn) * _math.sqrt(rnorm))
+        assert abs(got[vid] - want) <= 1e-12
