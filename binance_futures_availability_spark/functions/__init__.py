@@ -189,9 +189,17 @@ def int_dot(a: Column, b: Column) -> Column:
 
 
 def cosine_from_quantized(dot: Column, norm_a: Column, norm_b: Column) -> Column:
-    """cos = dot / (sqrt(na) * sqrt(nb)) — deterministic given exact ints."""
-    return dot.cast("double") / (
-        F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double"))
+    """cos = dot / (sqrt(na) * sqrt(nb)) — deterministic given exact ints.
+
+    A zero-norm side has no defined cosine: NULL, matching DuckDB's
+    x/0 → NULL where Spark's ANSI division would throw DIVIDE_BY_ZERO.
+    NULL fails every threshold WHERE and sorts last under DESC in both
+    engines, so degenerate vectors drop out of pair/top-k results
+    identically instead of crashing the job."""
+    return F.when(
+        (norm_a > 0) & (norm_b > 0),
+        dot.cast("double")
+        / (F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double"))),
     )
 
 

@@ -1653,15 +1653,10 @@ def _pq_adc_scores(
         .crossJoin(F.broadcast(qn))
         .select(
             id_col,
-            # a vector whose reconstruction is the zero codeword (or a
-            # zero query) has no defined cosine: NULL, matching DuckDB's
-            # x/0 → NULL where Spark's ANSI division would throw; DESC
-            # ordering puts NULLs last in both engines
-            F.when(
-                (F.col("qn") > 0) & (F.col("rnorm") > 0),
-                cosine_from_quantized(
-                    F.col("adot"), F.col("qn"), F.col("rnorm")
-                ),
+            # zero reconstruction / zero query → NULL score, ranked last
+            # (cosine_from_quantized's central zero-norm guard)
+            cosine_from_quantized(
+                F.col("adot"), F.col("qn"), F.col("rnorm")
             ).alias("approx_cosine"),
         )
     )

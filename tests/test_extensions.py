@@ -1644,3 +1644,25 @@ def test_round_away_matches_engine_semantics():
     assert similarity._round_away(2.4999999999999996) == 2
     assert similarity._round_away(0.49999999999999994) == 0
     assert similarity._round_away(-0.49999999999999994) == 0
+
+
+def test_zero_norm_vectors_drop_out_instead_of_crashing(spark):
+    """A zero embedding has no defined cosine: under ANSI mode the raw
+    division would throw DIVIDE_BY_ZERO mid-job; the central guard yields
+    NULL (DuckDB's x/0), which fails thresholds and sorts last — the
+    degenerate vector drops out of pair and top-k results."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 0.0, 0.0], 0),  # zero vector
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    top = similarity.ann_topk(emb, 0, 5).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 1 and top[0]["cosine"] == 1.0
+    zero = [r for r in top if r["vec_id"] == 2]
+    assert zero and zero[0]["cosine"] is None  # present, ranked last, NULL
+    pairs = similarity.cosine_pairs(emb, 0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
