@@ -549,7 +549,6 @@ GATE_PRIORITY = [
     # similarity / ANN family (minhash_lsh_pairs / simhash_pairs /
     # lsh_cosine_pairs / embedding_dedup rotated out r8, all driver-green
     # in r5 AND r7; in come the never-gated PQ family)
-    "ann_topk",
     "kmeans_cells",
     "ivf_topk_indexed",
     "ivf_range_indexed",
@@ -566,6 +565,7 @@ GATE_PRIORITY = [
     # text-analysis / curation family (incl. the r8 rotation targets)
     "term_frequencies",
     "bigram_lm_scores",
+    "lm_quality_buckets",
     "curated_corpus",
     "contamination_check",
     "pii_scrub",
@@ -912,6 +912,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "doc_keyterms": lambda s, d: textops.doc_keyterms(_docs(s, d)),
+        "lm_quality_buckets": lambda s, d: gathered_sort(
+            textops.lm_quality_buckets(_docs(s, d)), "doc_id"
+        ),
         "bigram_lm_scores": lambda s, d: textops.bigram_lm_scores(_docs(s, d)),
         "pii_scrub": _pii_scrub,
         "contamination_check": _contamination_check,
@@ -1472,6 +1475,7 @@ ORDER BY symbol, event_date"""),
         "boilerplate_chunks": oracles.sql_boilerplate_chunks(),
         "scrub_boilerplate": oracles.sql_scrub_boilerplate(),
         "doc_keyterms": oracles.sql_doc_keyterms(),
+        "lm_quality_buckets": oracles.sql_lm_quality_buckets() + " ORDER BY doc_id",
         "bigram_lm_scores": oracles.sql_bigram_lm_scores(),
         "pii_scrub": oracles.sql_pii_scrub(PII_SUFFIX),
         "contamination_check": oracles.sql_contamination_check(),

@@ -1086,3 +1086,64 @@ def bigram_lm_scores(
             / F.sum("tf_b")
         ).alias("avg_neg_logprob"),
     )
+
+
+#: scored-doc counts for lm_quality_buckets, keyed like every derived scalar
+_LM_COUNT_CACHE: dict = {}
+
+
+def lm_quality_buckets(
+    docs: DataFrame,
+    n_tiles: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-bucketed corpus split (the CCNet head/middle/tail move,
+    generalized to ``n_tiles``): (doc_id, n_bigrams, avg_neg_logprob,
+    bucket) with ``bucket`` ∈ [1, n_tiles] assigned exactly like
+    ``NTILE(n) OVER (ORDER BY avg_neg_logprob, doc_id)`` — bucket 1 is
+    the most fluent (lowest LM negative log-probability) slice a
+    pre-training mix keeps or upweights.
+
+    Pure composition of two verified pieces: ``bigram_lm_scores``
+    (session-cached LM artifacts; exact integer nano-nat sums, so the
+    ordering key is engine-identical) and the distributed-NTILE
+    arithmetic of ``quality_deciles`` over ``functions.
+    global_row_number`` — no un-partitioned ORDER BY window anywhere.
+    Documents with <2 tokens have no bigrams, hence no score and no
+    bucket (absent, mirrored by the oracle)."""
+    from ..functions import global_row_number
+    from ..index_cache import cached_index, plan_key
+
+    def _build_ranked() -> DataFrame:
+        scored = bigram_lm_scores(docs, id_col, text_col)
+        return global_row_number(
+            scored, ["avg_neg_logprob", id_col], rank_col="__rank"
+        )
+
+    ranked = cached_index(
+        plan_key(docs, "lm_quality_rank", id_col, text_col), _build_ranked
+    )
+    key = plan_key(docs, "lm_scored_n", id_col, text_col)
+    if key is not None and key in _LM_COUNT_CACHE:
+        total = _LM_COUNT_CACHE[key]
+    else:
+        total = ranked.count()
+        if key is not None:
+            _LM_COUNT_CACHE[key] = total
+    q, rem = divmod(total, n_tiles)
+    big = q + 1
+    r0 = F.col("__rank") - 1  # 0-based
+    cut = rem * big
+    if q == 0:  # fewer scored docs than tiles: each row its own tile
+        tile = r0 + 1
+    else:
+        tile = F.when(
+            F.col("__rank") <= cut, F.floor(r0 / F.lit(big)) + 1
+        ).otherwise(F.floor((r0 - cut) / F.lit(q)) + rem + 1)
+    return ranked.select(
+        id_col,
+        "n_bigrams",
+        "avg_neg_logprob",
+        tile.cast("int").alias("bucket"),
+    )

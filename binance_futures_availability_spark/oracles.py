@@ -1966,3 +1966,14 @@ SELECT CAST({topk} AS BIGINT) AS k,
        CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hits,
        COUNT(ap.vec_id) / CAST({topk} AS DOUBLE) AS recall
 FROM exact e LEFT JOIN approx ap USING (vec_id)"""
+
+
+def sql_lm_quality_buckets(n_tiles: int = 10) -> str:
+    """Perplexity buckets — the bigram-LM score query nested as a derived
+    table (DuckDB allows WITH inside a subquery) with the real NTILE on
+    top; the Spark side reproduces NTILE semantics from its distributed
+    global rank."""
+    return f"""SELECT doc_id, n_bigrams, avg_neg_logprob,
+       CAST(NTILE({n_tiles}) OVER (ORDER BY avg_neg_logprob, doc_id) AS INT)
+           AS bucket
+FROM ({sql_bigram_lm_scores()})"""

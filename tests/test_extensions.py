@@ -1666,3 +1666,27 @@ def test_zero_norm_vectors_drop_out_instead_of_crashing(spark):
     assert zero and zero[0]["cosine"] is None  # present, ranked last, NULL
     pairs = similarity.cosine_pairs(emb, 0.5).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_lm_quality_buckets_orders_fluency(spark):
+    """Repetitive/fluent text (high-probability bigrams) lands in bucket
+    1; shuffled noise lands in the last bucket; <2-token docs are absent;
+    buckets partition the scored corpus with NTILE-balanced sizes."""
+    rows = [
+        ("fluent1", "the cat sat on the mat " * 8),
+        ("fluent2", "the cat sat on the mat " * 8),
+        ("noise1", "zq xv jk wp mn bg td cr ls fh"),
+        ("noise2", "qqz vvx kkj ppw nnm ggb ddt rrc ssl hhf"),
+        ("tiny", "one"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in textops.lm_quality_buckets(docs, n_tiles=2).collect()
+    }
+    assert "tiny" not in got and len(got) == 4
+    assert got["fluent1"]["bucket"] == 1 and got["fluent2"]["bucket"] == 1
+    assert got["noise1"]["bucket"] == 2 and got["noise2"]["bucket"] == 2
+    assert (
+        got["fluent1"]["avg_neg_logprob"] < got["noise1"]["avg_neg_logprob"]
+    )
