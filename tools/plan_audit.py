@@ -76,6 +76,7 @@ HEADLINERS = {
     "pq_codes": "PQ encode: cached codebook broadcast under a per-(vector,subspace) min-reduction; one short-row shuffle, fan-out bounded by the constant k",
     "pq_topk": "ADC top-k: broadcast m*k lookup table onto the cached code stream, integer sums, TakeOrderedAndProject — raw vectors never touched at query time",
     "ivf_pq_topk": "IVF-PQ: probed-cell id set broadcast-semi-prunes the ADC stream before the top-k — candidates are ~nprobe/n_cells of the corpus",
+    "lm_quality_buckets": "perplexity split: NTILE arithmetic over the cached LM-ranked artifact (range repartition + per-partition offsets) — no single-partition window",
     "shipping_priority": "Q3 family: qualifying orders broadcast twice — semi-join below the revenue aggregate (hash table holds only qualifying keys) and build side of the attribute join; top-k collapses to TakeOrderedAndProject",
 }
 
