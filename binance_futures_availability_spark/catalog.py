@@ -69,6 +69,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, path, fp)
     df = _TABLE_CACHE.get(key)
     if df is None:
+        # drop superseded fingerprints for this path (plain relation
+        # handles, nothing persisted — eviction just keeps the dict flat
+        # across in-place testdata rewrites)
+        for old_key in [
+            k for k in _TABLE_CACHE if k[:2] == key[:2] and k != key
+        ]:
+            _TABLE_CACHE.pop(old_key)
         df = spark.read.parquet(path)
         _TABLE_CACHE[key] = df
     return df
@@ -101,9 +108,24 @@ def load_table_hot(
         # by load_table either; pinning a snapshot we could not detect
         # going stale would serve wrong rows after an in-place rewrite
         return load_table(spark, sf_dir, name)
-    key = (spark.sparkContext.applicationId, path, fp, slices)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, path, fp, slices)
     df = _HOT_CACHE.get(key)
     if df is None:
+        # Evict-and-unpersist superseded entries for this (app, path):
+        # a testdata rewrite changes the fingerprint, and the pinned
+        # blocks of the stale snapshot would otherwise sit in executor
+        # storage for the life of the session (mirrors duckdb_io's
+        # _invalidate_handle discipline).
+        for old_key in [
+            k
+            for k in _HOT_CACHE
+            if k[0] == app_id and k[1] == path and k != key
+        ]:
+            try:
+                _HOT_CACHE.pop(old_key).unpersist()
+            except Exception:  # noqa: BLE001 — eviction is best-effort
+                pass
         df = load_table(spark, sf_dir, name).repartition(slices).cache()
         _HOT_CACHE[key] = df
     return df

@@ -50,13 +50,80 @@ def plan_key(df: DataFrame, *extra):
     return (files, hashlib.md5(plan.encode()).hexdigest(), *extra)
 
 
+def _local_path(uri: str) -> str | None:
+    """Filesystem path for a ``file:``-scheme input URI, else None."""
+    if uri.startswith("file:"):
+        import urllib.parse
+
+        return urllib.parse.unquote(uri[5:].replace("///", "/", 1)) or None
+    if uri.startswith("/"):
+        return uri
+    return None
+
+
+def sweep_dead_entries(cache: dict) -> int:
+    """Evict (and unpersist) entries whose source files no longer exist.
+
+    Keys follow the ``plan_key`` shape — ``key[0]`` is the sorted tuple of
+    input files. A table rewritten in place gets NEW part-file names, so
+    the superseded snapshot's entries point at deleted files; without this
+    sweep they sit persisted in executor storage for the session. Remote
+    (non-``file:``) inputs are never treated as dead — existence can't be
+    checked cheaply and a false eviction only costs a rebuild anyway.
+    Returns the number of entries evicted. O(live entries) per call; runs
+    only on cache MISS inserts, so steady-state hits pay nothing."""
+    import os
+
+    dead = []
+    for key in cache:
+        files = key[0] if isinstance(key, tuple) and key else ()
+        if not isinstance(files, tuple):
+            continue
+        for uri in files:
+            p = _local_path(uri)
+            if p is not None and not os.path.exists(p):
+                dead.append(key)
+                break
+    for key in dead:
+        handle = cache.pop(key)
+        try:
+            handle.unpersist()
+        except AttributeError:
+            pass  # scalar caches share the key shape but hold plain values
+        except Exception:  # noqa: BLE001 — context may already be stopped
+            pass
+    return len(dead)
+
+
+#: insertion-order bound for scalar caches (counts, vocab sizes) — large
+#: enough that a whole catalog run never evicts, small enough that a
+#: resident service rewriting tables forever stays flat.
+SCALAR_CACHE_CAP = 512
+
+
+def bounded_scalar_put(cache: dict, key, value) -> None:
+    """Insert into a scalar cache with dead-file sweep + hard size bound.
+
+    The sweep reclaims entries for rewritten tables immediately; the cap
+    is the backstop for non-file churn (dicts preserve insertion order,
+    so eviction is oldest-first)."""
+    sweep_dead_entries(cache)
+    while len(cache) >= SCALAR_CACHE_CAP:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+
+
 def cached_index(key, factory: Callable[[], DataFrame]) -> DataFrame:
     """Return the persisted index artifact for ``key``, building it via
-    ``factory`` on first use. ``key=None`` bypasses the cache entirely."""
+    ``factory`` on first use. ``key=None`` bypasses the cache entirely.
+    Every miss first sweeps entries whose source files were deleted by an
+    in-place table rewrite, so superseded snapshots don't accumulate in
+    executor storage on long-lived sessions."""
     if key is None:
         return factory()
     handle = _HANDLES.get(key)
     if handle is None:
+        sweep_dead_entries(_HANDLES)
         handle = factory().persist()
         _HANDLES[key] = handle
     return handle

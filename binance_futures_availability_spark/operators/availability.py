@@ -198,6 +198,26 @@ def availability_fact(
     handle = _FACT_HANDLES.get(path)
     if handle is not None:
         return handle
+    # a new fingerprint supersedes any older materialization of the same
+    # sf_dir — unpersist the stale handle (and its clustered projections)
+    # so a session that regenerates testdata doesn't strand cached blocks
+    stale_prefix = f"{sf_name}-{digest}-"
+    for old_path in [
+        p
+        for p in _FACT_HANDLES
+        if os.path.basename(p).startswith(stale_prefix) and p != path
+    ]:
+        try:
+            _FACT_HANDLES.pop(old_path).unpersist()
+        except Exception:  # noqa: BLE001 — eviction is best-effort
+            pass
+    for old_key in [
+        k for k in _CLUSTERED_HANDLES if k[0][0] == real and k[0][1] != fp
+    ]:
+        try:
+            _CLUSTERED_HANDLES.pop(old_key).unpersist()
+        except Exception:  # noqa: BLE001
+            pass
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         staging = f"{path}.tmp-{os.getpid()}"
@@ -237,7 +257,11 @@ def availability_fact_by_symbol(
     same property across sessions. One narrow-projection copy per column
     set; built lazily on first use and shared for the session.
     """
-    key = (os.path.realpath(sf_dir), tuple(cols))
+    # fingerprint in the key: without it an in-place testdata rewrite
+    # would keep serving the STALE clustered projection (availability_fact
+    # detects the rewrite, but this key wouldn't) — superseded entries are
+    # evicted by availability_fact when the new fingerprint first misses
+    key = ((os.path.realpath(sf_dir), _source_fingerprint(sf_dir)), tuple(cols))
     handle = _CLUSTERED_HANDLES.get(key)
     if handle is None:
         n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

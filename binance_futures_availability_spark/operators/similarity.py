@@ -1531,8 +1531,17 @@ def pq_codebook(
             # emptied codes simply have no rows to overwrite
             touched = {}
             for r in upd:
+                # Mirror the oracle's CAST(SUM(v) AS DOUBLE)/COUNT(*)
+                # exactly: round the integer sum to double FIRST, then
+                # divide. Python's int/int true division is correctly
+                # rounded from the exact rational, which can differ by
+                # 1 ulp once |sv| >= 2^53 and flip the rounded integer.
+                # Component sums stay far below 2^53 at any plausible
+                # corpus scale (|v| ≤ ~2^21 quantized × n docs), but the
+                # explicit float() makes the semantics identical rather
+                # than coincidentally equal.
                 touched.setdefault((r["m"], r["code"]), {})[r["d"]] = (
-                    _round_away(r["sv"] / r["cnt"])
+                    _round_away(float(r["sv"]) / r["cnt"])
                 )
             for key, dims in touched.items():
                 vec = cents[key]

@@ -170,14 +170,14 @@ _NDOCS_CACHE: dict = {}
 
 
 def _corpus_count(docs: DataFrame) -> int:
-    from ..index_cache import plan_key
+    from ..index_cache import bounded_scalar_put, plan_key
 
     key = plan_key(docs, "n_docs")
     if key is not None and key in _NDOCS_CACHE:
         return _NDOCS_CACHE[key]
     n = docs.count()
     if key is not None:
-        _NDOCS_CACHE[key] = n
+        bounded_scalar_put(_NDOCS_CACHE, key, n)
     return n
 
 
@@ -950,14 +950,14 @@ _VOCAB_CACHE: dict = {}
 def _vocab_count(
     docs: DataFrame, uni: DataFrame, id_col: str, text_col: str
 ) -> int:
-    from ..index_cache import plan_key
+    from ..index_cache import bounded_scalar_put, plan_key
 
     key = plan_key(docs, "vocab_n", id_col, text_col)
     if key is not None and key in _VOCAB_CACHE:
         return _VOCAB_CACHE[key]
     n = uni.count()
     if key is not None:
-        _VOCAB_CACHE[key] = n
+        bounded_scalar_put(_VOCAB_CACHE, key, n)
     return n
 
 
@@ -1112,8 +1112,13 @@ def lm_quality_buckets(
     global_row_number`` — no un-partitioned ORDER BY window anywhere.
     Documents with <2 tokens have no bigrams, hence no score and no
     bucket (absent, mirrored by the oracle)."""
+    if n_tiles < 1:
+        # validate before paying the scoring/ranking Spark jobs —
+        # divmod(total, 0) would only raise after the full pipeline ran,
+        # and negative values would assign nonsense buckets silently
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
     from ..functions import global_row_number
-    from ..index_cache import cached_index, plan_key
+    from ..index_cache import bounded_scalar_put, cached_index, plan_key
 
     def _build_ranked() -> DataFrame:
         scored = bigram_lm_scores(docs, id_col, text_col)
@@ -1130,7 +1135,7 @@ def lm_quality_buckets(
     else:
         total = ranked.count()
         if key is not None:
-            _LM_COUNT_CACHE[key] = total
+            bounded_scalar_put(_LM_COUNT_CACHE, key, total)
     q, rem = divmod(total, n_tiles)
     big = q + 1
     r0 = F.col("__rank") - 1  # 0-based

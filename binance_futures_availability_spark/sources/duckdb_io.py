@@ -121,6 +121,11 @@ def read_fact(spark: SparkSession, path: str) -> DataFrame:
     key = _handle_key(spark, path)
     handle = _IMPORT_HANDLES.get(key) if key is not None else None
     if handle is None:
+        if key is not None:
+            # a fingerprint MISS for a path we've seen means the files
+            # were rewritten underneath us — unpersist the superseded
+            # snapshot instead of stranding its blocks for the session
+            _invalidate_handle(path)
         handle = (
             spark.read.parquet(path)
             .select(

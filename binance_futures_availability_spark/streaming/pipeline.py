@@ -590,10 +590,16 @@ def start_pq_append_sink(
             kwargs["m"] = m
         if k is not None:
             kwargs["k"] = k
-        try:
+        # Train-and-freeze ONLY when the codebook genuinely does not
+        # exist yet. Any other read failure (corrupt file, transient
+        # FS/permission error) must propagate so the batch retries —
+        # retraining on the current batch would overwrite the frozen
+        # codebook and silently invalidate every code already appended
+        # against the old one.
+        if os.path.exists(cb_path):
             cb = spark.read.parquet(cb_path)
             cb_row = cb.first()
-        except Exception:  # noqa: BLE001 — first batch: train + freeze
+        else:
             dim = len(batch.select("embedding").first()[0])
             cb = similarity.pq_codebook(
                 batch, dim=dim, iters=iters, **kwargs

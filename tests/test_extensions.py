@@ -1690,3 +1690,13 @@ def test_lm_quality_buckets_orders_fluency(spark):
     assert (
         got["fluent1"]["avg_neg_logprob"] < got["noise1"]["avg_neg_logprob"]
     )
+
+
+def test_lm_quality_buckets_rejects_bad_n_tiles(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="n_tiles"):
+        textops.lm_quality_buckets(docs, n_tiles=0)
+    with pytest.raises(ValueError, match="n_tiles"):
+        textops.lm_quality_buckets(docs, n_tiles=-3)

@@ -583,3 +583,42 @@ def test_availability_pivot_weekday_matrix(populated_da):
     assert r["dow_6"] == 2 and r["dow_0"] == 2 and r["dow_1"] == 2
     # all other weekday columns zero-filled, never NULL
     assert all(r[f"dow_{d}"] == 0 for d in (2, 3, 4, 5))
+
+
+def test_load_table_hot_evicts_superseded_fingerprints(spark, tmp_path):
+    """Rewriting a table changes its fingerprint; the hot-cache must
+    evict-and-unpersist the stale pinned snapshot instead of stranding
+    its blocks in executor storage for the session (ADVICE r8). 100
+    rewrite cycles must not grow the cache monotonically."""
+    import time
+
+    from binance_futures_availability_spark import catalog
+
+    sf_dir = str(tmp_path)
+    path = catalog.table_path(sf_dir, "region")
+
+    def write(v):
+        spark.createDataFrame(
+            [(v, "x", "y")], "r_regionkey long, r_name string, r_comment string"
+        ).write.mode("overwrite").parquet(path)
+        # parquet mtime granularity can be 1s on some filesystems; nudge
+        # the fingerprint by touching the dir contents deterministically
+        time.sleep(0.01)
+
+    before = {k for k in catalog._HOT_CACHE if k[1] == path}
+    assert not before
+    sizes = set()
+    for v in range(8):
+        write(v)
+        df = catalog.load_table_hot(spark, sf_dir, "region", slices=2)
+        assert df.count() == 1
+        live = [k for k in catalog._HOT_CACHE if k[1] == path]
+        sizes.add(len(live))
+    assert sizes == {1}  # never more than one live entry per path
+    # and the survivor is the latest fingerprint's DataFrame
+    assert (
+        catalog.load_table_hot(spark, sf_dir, "region", slices=2)
+        .select("r_regionkey")
+        .first()[0]
+        == 7
+    )

@@ -809,3 +809,74 @@ def test_streaming_pq_append_sink_batch_equivalence(spark, tmp_path):
         )
         == want
     )
+
+
+def test_streaming_pq_sink_corrupt_codebook_raises(spark, tmp_path):
+    """A readable-but-corrupt codebook must FAIL the batch, not silently
+    retrain: retraining would overwrite the frozen codebook while codes
+    from earlier batches remain encoded against the old one (ADVICE r8).
+    Only a genuinely missing <store>/codebook takes the train path."""
+    import math as _math
+    import os
+
+    from binance_futures_availability_spark.streaming.pipeline import (
+        embedding_stream_source,
+        start_pq_append_sink,
+    )
+
+    def vec(deg):
+        return [
+            float(_math.cos(_math.radians(deg))),
+            float(_math.sin(_math.radians(deg))),
+            0.0,
+            0.0,
+        ]
+
+    schema = "vec_id long, embedding array<float>, label int"
+    incoming = tmp_path / "pq_in_corrupt"
+    store = str(tmp_path / "pqstore_corrupt")
+    spark.createDataFrame(
+        [(i, vec(17 * i), 0) for i in range(8)], schema
+    ).write.mode("append").parquet(str(incoming))
+
+    def run(ckpt):
+        q = start_pq_append_sink(
+            embedding_stream_source(spark, str(incoming)),
+            store,
+            str(tmp_path / ckpt),
+            m=2,
+            k=4,
+        ).start()
+        q.awaitTermination(120)
+
+    run("ck1")
+    cb_path = os.path.join(store, "codebook")
+    # corrupt every parquet part file in the frozen codebook
+    for name in os.listdir(cb_path):
+        if name.endswith(".parquet"):
+            with open(os.path.join(cb_path, name), "wb") as fh:
+                fh.write(b"not parquet")
+        crc = os.path.join(cb_path, "." + name + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    spark.createDataFrame(
+        [(i, vec(17 * i), 0) for i in range(8, 16)], schema
+    ).write.mode("append").parquet(str(incoming))
+    # fresh checkpoint restarts batch ids at 0 — drop the old commit
+    # markers so the batch actually processes instead of replay-skipping
+    import shutil
+
+    shutil.rmtree(os.path.join(store, "_committed_batches"))
+    with pytest.raises(Exception):
+        run("ck2")  # corrupt (but present) codebook read must raise
+    # and the corrupt codebook was NOT overwritten by a retrain
+    with open(
+        [
+            os.path.join(cb_path, n)
+            for n in sorted(os.listdir(cb_path))
+            if n.endswith(".parquet")
+        ][0],
+        "rb",
+    ) as fh:
+        assert fh.read() == b"not parquet"
