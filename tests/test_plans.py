@@ -508,3 +508,35 @@ def test_quality_deciles_ntile_remainder_semantics(spark):
     }
     # score increases with doc_id here (longer docs score higher)
     assert [got[i] for i in range(7)] == [1, 1, 1, 2, 2, 3, 3]
+
+
+def test_knn_join_warm_serves_from_ranked_graph(spark, tmp_path_factory):
+    """r8 verdict #4: a WARM knn_join is an InMemoryTableScan over the
+    session-cached kNN-graph artifact plus a rank filter — no Exchange,
+    no ArrowEvalPython, no join above the cache. The probe kernel, the
+    broadcast join, and the per-query rank window all live inside the
+    artifact's one-time build plan."""
+    from binance_futures_availability_spark.operators import similarity
+
+    path = str(tmp_path_factory.mktemp("knncache") / "emb")
+    rows = [(i, [float(i % 5), 2.0, 1.0, 0.5], "a") for i in range(40)]
+    spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).write.parquet(
+        path
+    )
+    emb = spark.read.parquet(path)
+    queries = emb.filter("vec_id % 10 = 0")
+    first = similarity.knn_join(queries, emb, k=3, n_cells=4, nprobe=2)
+    want = sorted(tuple(r) for r in first.collect())  # builds the artifact
+    warm = similarity.knn_join(queries, emb, k=3, n_cells=4, nprobe=2)
+    plan = _plan(warm)
+    live = plan.split("InMemoryRelation", 1)[0]  # everything above the cache
+    assert "InMemoryTableScan" in live, plan
+    assert "Exchange" not in live, plan
+    assert "ArrowEvalPython" not in live, plan
+    assert "Join" not in live, plan
+    assert sorted(tuple(r) for r in warm.collect()) == want
+    # k-independence: a different k slices the SAME artifact (no rebuild)
+    k1 = similarity.knn_join(queries, emb, k=1, n_cells=4, nprobe=2)
+    live1 = _plan(k1).split("InMemoryRelation", 1)[0]
+    assert "Exchange" not in live1, _plan(k1)
+    assert all(r["knn_rank"] == 1 for r in k1.collect())
