@@ -41,6 +41,30 @@ def main() -> None:
         help="write the complete bench artifact (cold+warm+secondary "
         "per-query) here; '' disables",
     )
+    ap.add_argument(
+        "--assert-budget",
+        action="store_true",
+        help="after the warm pass, run the DuckDB oracle catalog in this "
+        "same process and FAIL (exit 2) if the warm Spark total exceeds "
+        "2x the paired oracle total — the BASELINE.md contract — or if "
+        "any query exceeds its entry in --budgets (reference "
+        "scripts/validation/validate_performance.py's latency-target "
+        "assertion harness)",
+    )
+    ap.add_argument(
+        "--budget-ratio",
+        type=float,
+        default=2.0,
+        help="max allowed warm-total / oracle-total ratio (default 2.0)",
+    )
+    ap.add_argument(
+        "--budgets",
+        default=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BUDGETS.json"
+        ),
+        help="per-query warm-latency budget file {name: max_sec}; missing "
+        "file means no per-query assertions",
+    )
     args = ap.parse_args()
     # Session sized to the benchmark scale: shuffle partitions small enough
     # that sub-GB shuffles don't pay 32-task scheduling overhead, and AQE off
@@ -146,6 +170,49 @@ def main() -> None:
     }
     if secondary is not None:
         out["secondary"] = secondary
+    budget_failures: list[str] = []
+    if args.assert_budget:
+        # paired oracle run in the SAME process, immediately after the warm
+        # pass — the only comparison that survives this box's ±3 s ambient
+        # cross-process variance
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        import oracle_bench
+
+        oracle = oracle_bench.run(SF_DIR)
+        ratio = (total / oracle["value"]) if oracle["value"] > 0 else 0.0
+        print(
+            json.dumps(
+                {
+                    "budget_oracle_value": oracle["value"],
+                    "budget_ratio": round(ratio, 3),
+                    "budget_ratio_max": args.budget_ratio,
+                }
+            ),
+            file=sys.stderr,
+        )
+        if oracle["value"] > 0 and ratio > args.budget_ratio:
+            budget_failures.append(
+                f"warm catalog {total}s is {ratio:.2f}x the paired oracle "
+                f"{oracle['value']}s (budget {args.budget_ratio}x)"
+            )
+        if os.path.exists(args.budgets):
+            with open(args.budgets, encoding="utf-8") as f:
+                budgets = json.load(f)
+            for name, limit in sorted(budgets.items()):
+                got = times.get(name)
+                if got is None:
+                    budget_failures.append(f"{name}: budgeted but not in catalog")
+                elif got < 0:
+                    budget_failures.append(f"{name}: errored")
+                elif got > limit:
+                    budget_failures.append(
+                        f"{name}: warm {got}s exceeds budget {limit}s"
+                    )
+        for msg in budget_failures:
+            print(f"BUDGET FAIL: {msg}", file=sys.stderr)
+        sys.stderr.flush()
     if args.out:
         full = {
             **out,
@@ -154,10 +221,14 @@ def main() -> None:
         }
         if secondary is not None:
             full["secondary"] = {**secondary, "queries": sec_times}
+        if args.assert_budget:
+            full["budget_failures"] = budget_failures
         with open(args.out, "w", encoding="utf-8") as f:
             json.dump(full, f, indent=1, sort_keys=True)
             f.write("\n")
     print(json.dumps(out))
+    if budget_failures:
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":

@@ -401,6 +401,55 @@ def cmd_update(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_gaps(args: argparse.Namespace) -> int:
+    """Symbol-gap detection (reference scripts/operations/
+    detect_symbol_gaps.py:89-125): discovered symbols with NO row in the
+    fact table — the set-diff the ops runbook checks before a backfill.
+    The discovered universe comes from a symbols.json artifact
+    (``discover --out``) or an explicit ``--symbols`` list; the diff is
+    ``validation.cross_check.symbols_missing_from_db`` (broadcast
+    left_anti over the distinct symbol universes). Exit 1 with
+    ``--strict`` when gaps exist, else always 0 (warnings-only, like
+    ``validate``)."""
+    from ..ingest import rest
+    from ..validation import cross_check
+
+    eng = _engine(args)
+    if args.symbols:
+        discovered = [s for s in args.symbols.split(",") if s]
+    elif args.symbols_file:
+        discovered = rest.load_symbols(args.symbols_file, args.contract_type)
+    else:
+        raise SystemExit("gaps needs --symbols or --symbols-file")
+    disc_df = eng.spark.createDataFrame(
+        [(s,) for s in sorted(set(discovered))], "symbol string"
+    )
+    missing = [
+        r["symbol"]
+        for r in cross_check.symbols_missing_from_db(
+            disc_df, eng.table()
+        ).collect()
+    ]
+    if args.json:
+        print(
+            json.dumps(
+                {
+                    "discovered": len(set(discovered)),
+                    "missing_count": len(missing),
+                    "missing": missing,
+                }
+            )
+        )
+    else:
+        print(
+            f"Discovered symbols: {len(set(discovered))}; "
+            f"missing from DB: {len(missing)}"
+        )
+        for s in missing[:20]:
+            print(f"  - {s}")
+    return 1 if (missing and args.strict) else 0
+
+
 def cmd_validate(args: argparse.Namespace) -> int:
     """The three-layer validation trio (update.validate_report — reference
     scripts/operations/validate.py): continuity gaps, incomplete dates,
@@ -794,6 +843,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", help="write the symbols.json artifact here")
     p.add_argument("--json", action="store_true")
     p.set_defaults(func=cmd_discover)
+
+    p = sub.add_parser(
+        "gaps", help="Discovered symbols missing from the fact table"
+    )
+    _add_source_args(p)
+    p.add_argument("--symbols", help="comma-separated discovered symbols")
+    p.add_argument("--symbols-file", help="symbols.json artifact to diff")
+    p.add_argument(
+        "--contract-type",
+        choices=["perpetual", "delivery", "all"],
+        default="all",
+    )
+    p.add_argument(
+        "--strict", action="store_true", help="exit 1 when gaps exist"
+    )
+    p.set_defaults(func=cmd_gaps)
 
     p = sub.add_parser(
         "stats", help="Comprehensive database statistics"

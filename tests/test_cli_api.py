@@ -539,3 +539,58 @@ def test_cli_text_lm_score(docs_path, capsys):
     assert main(["pipeline", "text", docs_path, "--op", "lm-score", "--json"]) == 0
     rows = json.loads(capsys.readouterr().out)
     assert rows and {"doc_id", "n_bigrams", "avg_neg_logprob"} <= set(rows[0])
+
+
+def test_cli_gaps_symbols_file(table_path, tmp_path, capsys):
+    """``gaps`` verb (reference detect_symbol_gaps.py:89-125): diff an
+    injected symbols.json discovery fixture against the fact table."""
+    sf = tmp_path / "symbols.json"
+    sf.write_text(
+        json.dumps(
+            {
+                "perpetual_symbols": ["BTCUSDT", "GAPUSDT"],
+                "delivery_symbols": ["GAP2USDT_240628"],
+            }
+        )
+    )
+    rc = main(
+        ["gaps", "--table", table_path, "--symbols-file", str(sf), "--json"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["discovered"] == 3
+    assert rep["missing"] == ["GAP2USDT_240628", "GAPUSDT"]
+    assert rep["missing_count"] == 2
+    # --strict turns gaps into exit 1
+    assert (
+        main(
+            [
+                "gaps",
+                "--table",
+                table_path,
+                "--symbols-file",
+                str(sf),
+                "--strict",
+            ]
+        )
+        == 1
+    )
+    # no gaps: every discovered symbol present → 0 even under --strict
+    assert (
+        main(
+            [
+                "gaps",
+                "--table",
+                table_path,
+                "--symbols",
+                "BTCUSDT,ETHUSDT",
+                "--strict",
+            ]
+        )
+        == 0
+    )
+
+
+def test_cli_gaps_needs_universe(table_path):
+    with pytest.raises(SystemExit):
+        main(["gaps", "--table", table_path])

@@ -25,8 +25,11 @@ from binance_futures_availability_spark.catalog import (  # noqa: E402
 )
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+def run(sf_dir: str) -> dict:
+    """One oracle catalog sweep; returns the bench-shaped dict. Importable
+    so ``bench.py --assert-budget`` can pair Spark and oracle back-to-back
+    in ONE process (cross-process totals vary ±3 s on this box and are not
+    comparable)."""
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         try:
@@ -45,17 +48,18 @@ def main() -> int:
             times[name] = -1.0
     total = round(sum(v for v in times.values() if v >= 0), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "oracle_catalog_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    return {
+        "metric": "oracle_catalog_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    print(json.dumps(run(sf_dir)))
     return 0
 
 
