@@ -93,6 +93,7 @@ KNN_QUERY_MOD = 100  # query set: every 100th vector (5 at sf0.01)
 KNN_K = 5
 FRAME_SIZE, MAX_FRAMES = 64, 4
 RESIZE_TARGET = 256
+RESIZE_IMG_W, RESIZE_IMG_H = 8, 5  # real-pixel resize target (w ≠ h)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -548,8 +549,11 @@ GATE_PRIORITY = [
     "availability_rollup",
     "availability_stats",
     "availability_trend",
-    "first_listing_date",
-    "last_available_date",
+    # new r9 real-pixel codec queries (never gated); first/last_available
+    # point lookups yield their slots — availability_timeline exercises
+    # the same single-symbol machinery
+    "image_decode_roundtrip",
+    "image_resize_dims",
     "new_listings",
     "delistings",
     "transition_events",
@@ -940,6 +944,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 multimodal.documents_as_media(_docs(s, d)), RESIZE_TARGET
             )
             .select("asset_id", "n_bytes_in", "n_bytes_out")
+            .orderBy("asset_id")
+        ),
+        # real-pixel codec path (vendored pure-Python PNG codec, PIL when
+        # importable): encode every doc as a grayscale PNG, decode it
+        # back, hash the pixels — the oracle's md5(text) only matches if
+        # the zlib+filter round-trip is bit-exact
+        "image_decode_roundtrip": lambda s, d: multimodal.decode_image_roundtrip(
+            multimodal.documents_as_png(_docs(s, d))
+        ).orderBy("asset_id"),
+        "image_resize_dims": lambda s, d: (
+            multimodal.resize_image(
+                multimodal.documents_as_png(_docs(s, d)),
+                RESIZE_IMG_W,
+                RESIZE_IMG_H,
+            )
+            .select(
+                "asset_id", "width_in", "height_in", "width_out", "height_out"
+            )
             .orderBy("asset_id")
         ),
     }
@@ -1491,4 +1513,10 @@ ORDER BY symbol, event_date"""),
         "multimodal_features": oracles.sql_multimodal_features(),
         "multimodal_frames": oracles.sql_multimodal_frames(FRAME_SIZE, MAX_FRAMES),
         "multimodal_resize": oracles.sql_multimodal_resize(RESIZE_TARGET),
+        "image_decode_roundtrip": oracles.sql_image_decode_roundtrip(
+            multimodal.PNG_DOC_WIDTH
+        ),
+        "image_resize_dims": oracles.sql_image_resize_dims(
+            multimodal.PNG_DOC_WIDTH, RESIZE_IMG_W, RESIZE_IMG_H
+        ),
     }

@@ -621,6 +621,38 @@ def sql_multimodal_resize(target_bytes: int) -> str:
 FROM documents ORDER BY asset_id"""
 
 
+def sql_image_decode_roundtrip(width: int) -> str:
+    """Mirror of multimodal.documents_as_png → decode_image_roundtrip:
+    each doc becomes a ``width``-wide 8-bit gray PNG of its UTF-8 bytes
+    (zero-padded final row, ≥1 row), so the expected dims are pure
+    arithmetic — and the decoded-pixel md5 (trailing NUL padding
+    stripped) must equal md5 of the ORIGINAL text. A hash match therefore
+    proves the engine's real encode→deflate→inflate→unfilter→pixels
+    round-trip, not just the schema."""
+    ln = "octet_length(encode(text))"
+    return f"""SELECT doc_id AS asset_id,
+       CAST({width} AS INT) AS width,
+       CAST(CEIL(GREATEST({ln}, 1) / {width}.0) AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       'L' AS mode,
+       md5(text) AS content_md5
+FROM documents ORDER BY asset_id"""
+
+
+def sql_image_resize_dims(width: int, tw: int, th: int) -> str:
+    """Dims contract of multimodal.resize_image over documents_as_png
+    assets (the resized PIXEL bytes are pinned exactly in pytest — SQL
+    can't re-run zlib, but it can assert the decode really happened by
+    requiring the measured input dims)."""
+    ln = "octet_length(encode(text))"
+    return f"""SELECT doc_id AS asset_id,
+       CAST({width} AS INT) AS width_in,
+       CAST(CEIL(GREATEST({ln}, 1) / {width}.0) AS INT) AS height_in,
+       CAST({tw} AS INT) AS width_out,
+       CAST({th} AS INT) AS height_out
+FROM documents ORDER BY asset_id"""
+
+
 def sql_pii_scrub(
     inject_suffix: str | None = None, inject_mod: int = 7
 ) -> str:

@@ -361,29 +361,18 @@ def test_resize_media_bounds_and_roundtrip(spark):
     assert got[3]["n_bytes_out"] == 0
 
 
-@pytest.mark.skipif(
-    multimodal.has_image_codec(), reason="PIL present: real decode path active"
-)
-def test_decode_image_fails_fast_without_codec(spark):
-    df = spark.createDataFrame([(1, "z", "s")], ["doc_id", "text", "source"])
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(multimodal.documents_as_media(df))
-
-
-@pytest.mark.skipif(
-    not multimodal.has_image_codec(), reason="no image codec in environment"
-)
 def test_decode_image_real_path(spark):
-    """With PIL available: real decode of a generated PNG, NULL row for
+    """Real decode of a generated PNG (vendored codec, PIL when present —
+    ``has_image_codec()`` is always true since r9), NULL row for
     undecodable bytes (corrupt assets must not kill the batch)."""
-    import io
+    import numpy as np
 
-    from PIL import Image
+    from binance_futures_availability_spark.functions import png
 
-    buf = io.BytesIO()
-    Image.new("RGB", (4, 3)).save(buf, format="PNG")
+    assert multimodal.has_image_codec()
+    data = png.encode_png(np.arange(36, dtype=np.uint8).reshape(3, 4, 3))
     assets = spark.createDataFrame(
-        [(1, bytearray(buf.getvalue()), "image/png", len(buf.getvalue()), "s"),
+        [(1, bytearray(data), "image/png", len(data), "s"),
          (2, bytearray(b"not an image"), "image/png", 12, "s")],
         multimodal.MEDIA_ASSET,
     )
@@ -391,6 +380,114 @@ def test_decode_image_real_path(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (4, 3, 3)
     assert got[1]["mode"] == "RGB"
     assert got[2]["width"] is None and got[2]["mode"] is None
+
+
+def test_resize_image_exact_pixels(spark):
+    """resize_image produces EXACTLY the nearest-neighbor resample: the
+    output PNG bytes equal the deterministic encode of independently
+    computed expected pixels (dims, bytes, and pixel values all pinned)."""
+    import numpy as np
+
+    from binance_futures_availability_spark.functions import png
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 256, size=(6, 10, 3), dtype=np.uint8)
+    data = png.encode_png(src)
+    assets = spark.createDataFrame(
+        [(7, bytearray(data), "image/png", len(data), "s"),
+         (8, bytearray(b"junk"), "image/png", 4, "s")],
+        multimodal.MEDIA_ASSET,
+    )
+    got = {
+        r["asset_id"]: r
+        for r in multimodal.resize_image(assets, target_w=4, target_h=3).collect()
+    }
+    # independent nearest-neighbor reference: src[floor(y*6/3)][floor(x*10/4)]
+    exp = src[(np.arange(3) * 6) // 3][:, (np.arange(4) * 10) // 4]
+    assert (got[7]["width_in"], got[7]["height_in"]) == (10, 6)
+    assert (got[7]["width_out"], got[7]["height_out"]) == (4, 3)
+    assert bytes(got[7]["media"]) == png.encode_png(exp)
+    assert got[7]["n_bytes_out"] == len(png.encode_png(exp))
+    assert got[8]["media"] is None and got[8]["width_in"] is None
+
+
+def test_png_roundtrip_and_foreign_filters():
+    """Vendored codec: encode→decode identity for every supported channel
+    count, deterministic bytes, and correct decode of a PNG written with
+    ALL FIVE scanline filters (the shape external encoders like PIL emit)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from binance_futures_availability_spark.functions import png
+
+    rng = np.random.RandomState(7)
+    for shape in [(1, 1), (3, 5), (7, 3, 3), (5, 4, 4), (6, 2, 2)]:
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        data = png.encode_png(arr)
+        w, h, c, mode, px = png.decode_png(data)
+        exp = arr if arr.ndim == 3 else arr[:, :, None]
+        assert px.shape == exp.shape and (px == exp).all()
+        assert png.encode_png(arr) == data  # byte-deterministic
+
+    # hand-build an RGB PNG using filter y%5 on row y, check exact decode
+    arr = rng.randint(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    h, w, c = arr.shape
+    stride = w * c
+    rows, prev = [], np.zeros(stride, dtype=np.int32)
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+
+    for y in range(h):
+        line = arr[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        filt = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            left = line[i - c] if i >= c else 0
+            up = prev[i]
+            ul = prev[i - c] if i >= c else 0
+            pred = {
+                0: 0,
+                1: left,
+                2: up,
+                3: (left + up) // 2,
+                4: paeth(left, up, ul),
+            }[f]
+            filt[i] = (line[i] - pred) % 256
+        rows.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prev = line
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    w2, h2, c2, mode, px = png.decode_png(data)
+    assert (w2, h2, c2, mode) == (8, 6, 3, "RGB")
+    assert (px == arr).all()
+    # unsupported variants are clean errors, not garbage pixels
+    with pytest.raises(ValueError):
+        png.decode_png(b"not a png")
+    with pytest.raises(ValueError):
+        png.decode_png(
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
 
 
 def test_clear_indexes_returns_storage_to_baseline(spark, tmp_path_factory):
