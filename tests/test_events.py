@@ -259,3 +259,48 @@ def test_interval_join_containment_and_bucketing(spark):
     assert set(got) == {1, 2}
     assert got[2]["session_end"] == T(2024, 1, 1, 12, 0)  # inclusive end
     assert got[1]["session_start"] == T(2024, 1, 1, 10, 0)
+
+
+def test_salted_enrich_skew_stress_90pct_hot_key(spark):
+    """Skew stress (r8 verdict #8): a 90%-hot-key corpus through
+    salted_first_seen_enrich must (a) equal the plain-join enrichment
+    exactly and (b) actually SPREAD the hot key — the salted big side's
+    largest (user, salt) group stays near total_hot/n_salts instead of
+    one task swallowing all 9,000 hot rows.
+
+    The spread assertion is on deterministic group sizes (the salt is
+    pmod(xxhash64(row), n) — stable across runs/retries), not wall-clock
+    task times, which local-mode schedulers make flaky."""
+    from pyspark.sql import functions as F
+
+    n_hot, n_salts = 9_000, 16
+    rows = [(i, T(2024, 1, 1, 0, 0, i % 60), 7, "view", 0.0, "{}") for i in range(n_hot)]
+    rows += [
+        (n_hot + i, T(2024, 1, 2, 0, 0, i % 60), 100 + i % 100, "view", 0.0, "{}")
+        for i in range(1_000)
+    ]
+    df = _events(spark, rows)
+
+    got = ev.salted_first_seen_enrich(df, n_salts=n_salts)
+    first = df.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    plain = df.select("event_id", "user_id", "ts").join(first, "user_id").select(
+        "event_id", "user_id", "ts", "first_ts"
+    )
+    assert got.exceptAll(plain).isEmpty() and plain.exceptAll(got).isEmpty()
+
+    big = df.select("event_id", "user_id", "ts")
+    salted = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)),
+    )
+    hot = (
+        salted.filter(F.col("user_id") == 7)
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    sizes = [r["count"] for r in hot]
+    ideal = n_hot / n_salts
+    # every salt bucket populated, none more than 1.5x the even split
+    assert len(sizes) == n_salts, f"hot key hit only {len(sizes)}/{n_salts} salts"
+    assert max(sizes) <= 1.5 * ideal, f"max bucket {max(sizes)} vs ideal {ideal}"
