@@ -83,6 +83,11 @@ CAP_K = 10
 #: pytest (test_apply_mixture_hits_budget_and_caps)
 MIX_BUDGET_TOKENS = 10_000
 
+#: BM25 retrieval: one rare term ('dup' — df ≈ 0.5% of docs, high idf)
+#: plus three common ones, so the gate exercises both idf extremes
+BM25_TERMS = ("dup", "hash", "join", "vector")
+BM25_K = 25
+
 NGRAM_THRESHOLD = 0.8
 LSH_JACCARD_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 5
@@ -917,6 +922,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             textops.lm_quality_buckets(_docs(s, d)), "doc_id"
         ),
         "bigram_lm_scores": lambda s, d: textops.bigram_lm_scores(_docs(s, d)),
+        "bm25_topk": lambda s, d: textops.bm25_topk(
+            _docs(s, d), list(BM25_TERMS), BM25_K
+        ),
         "pii_scrub": _pii_scrub,
         "contamination_check": _contamination_check,
         "stratified_sample": lambda s, d: sampling.stratified_sample(
@@ -1496,6 +1504,7 @@ ORDER BY symbol, event_date"""),
         "doc_keyterms": oracles.sql_doc_keyterms(),
         "lm_quality_buckets": oracles.sql_lm_quality_buckets() + " ORDER BY doc_id",
         "bigram_lm_scores": oracles.sql_bigram_lm_scores(),
+        "bm25_topk": oracles.sql_bm25_topk(BM25_TERMS, BM25_K),
         "pii_scrub": oracles.sql_pii_scrub(PII_SUFFIX),
         "contamination_check": oracles.sql_contamination_check(),
         "stratified_sample": oracles.sql_stratified_sample(

@@ -2009,3 +2009,46 @@ def sql_lm_quality_buckets(n_tiles: int = 10) -> str:
        CAST(NTILE({n_tiles}) OVER (ORDER BY avg_neg_logprob, doc_id) AS INT)
            AS bucket
 FROM ({sql_bigram_lm_scores()})"""
+
+
+def sql_bm25_topk(
+    terms: tuple[str, ...], k: int = 20, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Top-k BM25 retrieval — mirrors textops.bm25_topk term-for-term:
+    same tokenizer, same left-to-right double association, per-term score
+    snapped to integer nano-units before the (order-free) per-doc integer
+    sum (the sql_bigram_lm_scores discipline), final score rounded to 9
+    decimals, ties broken by doc_id ascending."""
+    qvals = ", ".join("('" + t.replace("'", "''") + "')" for t in terms)
+    k1p1, k1r, br = repr(k1 + 1.0), repr(k1), repr(b)
+    return rf"""WITH terms AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS INT) AS tf
+    FROM terms WHERE term <> '' GROUP BY doc_id, term
+),
+q(term) AS (VALUES {qvals}),
+qtf AS (SELECT tf.* FROM tf JOIN q USING (term)),
+df AS (SELECT term, CAST(COUNT(*) AS INT) AS df FROM qtf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS INT) AS n_docs FROM documents),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+avg AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sdl FROM dl),
+scored AS (
+    SELECT qtf.doc_id,
+           CAST(round(
+               (ln(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * ((qtf.tf * {k1p1})
+                   / (qtf.tf + {k1r}
+                      * (1.0 - {br}
+                         + {br} * (dl.dl / (avg.sdl / n.n_docs))))))
+               * 1000000000) AS BIGINT) AS iscore
+    FROM qtf JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN n CROSS JOIN avg
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_hit,
+       round(CAST(SUM(iscore) AS DOUBLE) / 1000000000, 9) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {int(k)}"""

@@ -1797,3 +1797,80 @@ def test_lm_quality_buckets_rejects_bad_n_tiles(spark):
         textops.lm_quality_buckets(docs, n_tiles=0)
     with pytest.raises(ValueError, match="n_tiles"):
         textops.lm_quality_buckets(docs, n_tiles=-3)
+
+
+def test_bm25_scores_formula_and_ordering(spark):
+    """BM25 on a hand-checkable corpus: n_hit counts matched query terms,
+    the rare term outscores the common one at equal tf (idf monotone in
+    1/df), longer documents are penalized at equal tf (dl normalization),
+    and bm25_topk cuts at k with the (score DESC, doc_id ASC) tie-break."""
+    import math
+
+    rows = [
+        (0, "rare common filler filler"),
+        (1, "common filler filler filler"),
+        (2, "common filler filler filler filler filler filler filler"),
+        (3, "filler filler filler filler"),
+        (4, "common filler filler filler"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in textops.bm25_scores(docs, ["rare", "common"]).collect()
+    }
+    assert set(got) == {0, 1, 2, 4}  # doc 3 matches nothing
+    assert got[0]["n_hit"] == 2 and got[1]["n_hit"] == 1
+
+    n, k1, b = 5, 1.2, 0.75
+    avgdl = (4 + 4 + 8 + 4 + 4) / n
+
+    def score(tf_df_dl):
+        s = 0.0
+        for tf, df, dl in tf_df_dl:
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            comp = (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * (dl / avgdl))
+            )
+            s += round(idf * comp * 1e9) / 1e9
+        return s
+
+    want0 = score([(1, 1, 4), (1, 4, 4)])  # rare df=1, common df=4
+    want1 = score([(1, 4, 4)])
+    want2 = score([(1, 4, 8)])
+    assert got[0]["score"] == pytest.approx(want0, abs=1e-6)
+    assert got[1]["score"] == pytest.approx(want1, abs=1e-6)
+    assert got[0]["score"] > got[1]["score"]          # rare term dominates
+    assert got[1]["score"] > got[2]["score"]          # length penalty
+    assert got[1]["score"] == got[4]["score"]         # identical docs tie
+
+    top = textops.bm25_topk(docs, ["rare", "common"], k=2).collect()
+    assert [r["doc_id"] for r in top] == [0, 1]       # tie 1-vs-4 → lower id
+    assert got[2]["score"] == pytest.approx(want2, abs=1e-6)
+
+
+def test_bm25_oracle_parity_small_world(spark):
+    """Spark BM25 and the DuckDB oracle agree bit-for-bit (the nano-unit
+    integer sum makes the per-doc aggregation order-free on both engines)."""
+    import duckdb
+    import pandas as pd
+
+    from binance_futures_availability_spark.oracles import sql_bm25_topk
+
+    rows = [
+        (i, ("alpha " * (i % 3 + 1) + "beta gamma " * (i % 5) + "delta").strip())
+        for i in range(40)
+    ] + [(100, ""), (101, "   ")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    terms = ("alpha", "gamma", "nosuchterm")
+    got = [
+        (r["doc_id"], r["n_hit"], r["score"])
+        for r in textops.bm25_topk(docs, list(terms), k=15).collect()
+    ]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = [
+        (int(d), int(h), float(s))
+        for d, h, s in con.execute(sql_bm25_topk(terms, 15)).fetchall()
+    ]
+    assert got == want

@@ -540,3 +540,31 @@ def test_knn_join_warm_serves_from_ranked_graph(spark, tmp_path_factory):
     live1 = _plan(k1).split("InMemoryRelation", 1)[0]
     assert "Exchange" not in live1, _plan(k1)
     assert all(r["knn_rank"] == 1 for r in k1.collect())
+
+
+def test_bm25_topk_plan_take_ordered_over_cached_index(spark, tmp_path):
+    """bm25_topk's 100 TB shape: the query terms filter INTO the session-
+    cached inverted-index scan (no tokenizer re-run on the warm path), df
+    and avgdl ride as broadcasts, and the k-cut is TakeOrderedAndProject —
+    per-partition top-k + a k-row driver merge, never a global sort."""
+    from binance_futures_availability_spark.operators import textops
+
+    path = str(tmp_path / "docs")
+    rows = [(i, f"alpha beta w{i % 7} filler text") for i in range(50)]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    textops.bm25_scores(docs, ["alpha", "beta"]).collect()  # build artifacts
+    warm = textops.bm25_topk(docs, ["alpha", "beta"], k=5)
+    plan = _plan(warm)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the live section (above the first cached relation's printed build
+    # plan): scores come off InMemoryTableScans — no raw corpus re-scan,
+    # no tokenizer re-run, no Python, and the only wide exchanges are the
+    # per-doc score shuffle + the dl join
+    live = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in live, plan
+    assert "BroadcastHashJoin" in live, plan
+    assert "FileScan" not in live, plan
+    assert "ArrowEvalPython" not in live and "BatchEvalPython" not in live
+    assert live.count("hashpartitioning") <= 3, plan
