@@ -1874,3 +1874,62 @@ def test_bm25_oracle_parity_small_world(spark):
         for d, h, s in con.execute(sql_bm25_topk(terms, 15)).fetchall()
     ]
     assert got == want
+
+
+def test_prefix_filtered_pairs_equal_naive_pairs(spark):
+    """The PPJoin-style prefix/positional candidate path is EXACTLY the
+    thresholded naive posting-join: randomized corpora (seeded), both
+    metrics, several thresholds, with and without a binding df cap —
+    the two pipelines must produce identical pair sets and values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from binance_futures_availability_spark.operators.dedup import (
+        _pair_jaccard,
+        _prefix_filtered_pairs,
+        shingle_arrays,
+        shingles,
+    )
+
+    rng = random.Random(4242)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab → dense overlaps
+    rows = []
+    for i in range(120):
+        length = rng.randint(3, 18)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(length))))
+    # planted near-dups and containments
+    rows += [(200, rows[5][1]), (201, rows[5][1] + " extra tail"),
+             (202, " ".join(rows[7][1].split()[:4]))]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sh = shingles(docs, n=2)
+    sizes = shingle_arrays(docs, n=2).select(
+        F.col("doc_id"), F.size("__sa").alias("sz")
+    )
+    for cap in (None, 8):
+        naive = _pair_jaccard(sh, "doc_id", cap, sizes=sizes, postings_key=None)
+        for t in (0.3, 0.5, 0.8):
+            for metric in ("jaccard", "containment"):
+                pref = _prefix_filtered_pairs(
+                    sh, "doc_id", t, metric, cap, sizes=sizes, postings_key=None
+                )
+                col = (
+                    F.col("jaccard")
+                    if metric == "jaccard"
+                    else F.col("inter").cast("double")
+                    / F.least(F.col("sz_a"), F.col("sz_b"))
+                )
+                want = sorted(
+                    (r["id_a"], r["id_b"], r["inter"], r["sz_a"], r["sz_b"])
+                    for r in naive.withColumn("m", col)
+                    .filter(F.col("m") >= t)
+                    .collect()
+                )
+                got = sorted(
+                    (r["id_a"], r["id_b"], r["inter"], r["sz_a"], r["sz_b"])
+                    for r in pref.withColumn("m", col)
+                    .filter(F.col("m") >= t)
+                    .collect()
+                )
+                assert got == want, (cap, t, metric, got[:5], want[:5])
