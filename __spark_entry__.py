@@ -87,6 +87,10 @@ MIX_BUDGET_TOKENS = 10_000
 #: plus three common ones, so the gate exercises both idf extremes
 BM25_TERMS = ("dup", "hash", "join", "vector")
 BM25_K = 25
+#: substring-dedup window width: 6 tokens → ~1k duplicated spans at the
+#: gate SF (planted exact dups + chance 6-gram repeats in the synthetic
+#: vocabulary) — both census and occurrence paths gate-exercised
+SPAN_WIDTH = 6
 
 NGRAM_THRESHOLD = 0.8
 LSH_JACCARD_THRESHOLD = 0.5
@@ -793,6 +797,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- LLM-pipeline extension operators over documents/embeddings ---
         "exact_duplicates": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
+        "duplicated_spans": lambda s, d: dedup.duplicated_spans(
+            _docs(s, d), SPAN_WIDTH
+        ),
+        "duplicated_span_occurrences": lambda s, d: (
+            dedup.duplicated_span_occurrences(_docs(s, d), SPAN_WIDTH)
+        ),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
             _docs(s, d), NGRAM_THRESHOLD
         ),
@@ -1424,6 +1434,10 @@ ORDER BY symbol, event_date"""),
         # --- extension-suite oracles (generators in oracles.py keep the
         # md5/quantization constants in one place so Spark and SQL can't drift)
         "exact_duplicates": oracles.sql_exact_dup_groups(),
+        "duplicated_spans": oracles.sql_duplicated_spans(SPAN_WIDTH),
+        "duplicated_span_occurrences": (
+            oracles.sql_duplicated_span_occurrences(SPAN_WIDTH)
+        ),
         "ngram_jaccard_pairs": oracles.sql_ngram_jaccard_pairs(
             NGRAM_THRESHOLD, dedup.DEFAULT_MAX_SHINGLE_FREQ
         ),

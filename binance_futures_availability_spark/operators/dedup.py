@@ -1093,3 +1093,93 @@ def neardup_survivors(
     clusters = duplicate_clusters(docs, pairs, id_col)
     keep = clusters.filter(F.col("cluster_id") == F.col(id_col)).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def _span_fold(text_col, width: int):
+    """Column expression: array of ALL ``width``-token spans, POSITIONAL —
+    element i (0-based) is the span starting at token i, null for the
+    ragged tail (starts with < ``width`` tokens left).
+
+    Same measured zip_with-fold shape as ``shingle_array`` (a lambda must
+    never reference an outer expression — interpreted HOFs re-evaluate
+    captured children per element), but WITHOUT array_distinct/compact:
+    position identity is the point here, so the tail nulls are kept in
+    place and filtered after the posexplode."""
+    toks = tokens(text_col)
+    cur = toks
+    for i in range(2, width + 1):
+        shifted = F.slice(toks, i, F.size(toks))
+        cur = F.zip_with(cur, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return cur
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    width: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplication census — the Lee et al. ("Deduplicating
+    Training Data Makes Language Models Better") operator class: every
+    ``width``-token window that occurs more than once ANYWHERE in the
+    corpus, as (span_md5, n_docs, n_occurrences). Document-level dedup
+    misses these: boilerplate headers, license blocks, and quoted passages
+    duplicate at the substring level inside otherwise-unique documents.
+
+    Scale shape: the span fold is a narrow O(tokens·width) per-row
+    projection (no shuffle), the census is ONE groupBy on the span hash
+    (map-side partial agg; a duplicated span's occurrences meet in one
+    task), and the duplicated subset is sparse by construction — this is
+    the same one-shuffle profile as ``exact_duplicates``, just at window
+    rather than document granularity. At 100 TB the only hot spot is a
+    pathologically viral span (one hash key's count), which partial
+    aggregation already absorbs.
+    """
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(_span_fold(F.col(text_col), width)).alias("pos0", "span"),
+    ).filter(F.col("span").isNotNull())
+    return gathered_sort(
+        spans.groupBy(F.md5("span").alias("span_md5"))
+        .agg(
+            F.countDistinct(id_col).cast("int").alias("n_docs"),
+            F.count(F.lit(1)).cast("int").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 1),
+        "span_md5",
+    )
+
+
+def duplicated_span_occurrences(
+    docs: DataFrame,
+    width: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Every occurrence of a corpus-duplicated ``width``-token span —
+    (doc_id, pos, span_md5), pos 1-based — the scrub-targeting companion
+    of ``duplicated_spans``: a span-level scrubber cuts exactly these
+    (doc, offset) windows.
+
+    The duplicated-hash set is sparse, so it broadcasts back onto the
+    span stream (semi-join shape): the corpus is scanned once more but
+    never shuffled — occurrence extraction stays embarrassingly parallel.
+    """
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(_span_fold(F.col(text_col), width)).alias("pos0", "span"),
+    ).filter(F.col("span").isNotNull())
+    hashed = spans.select(
+        F.col(id_col),
+        (F.col("pos0") + F.lit(1)).cast("int").alias("pos"),
+        F.md5("span").alias("span_md5"),
+    )
+    dup = F.broadcast(
+        hashed.groupBy("span_md5")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("span_md5")
+    )
+    return gathered_sort(hashed.join(dup, "span_md5").select(
+        id_col, "pos", "span_md5"
+    ), id_col, "pos", "span_md5")

@@ -2052,3 +2052,40 @@ SELECT doc_id, CAST(COUNT(*) AS INT) AS n_hit,
 FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT {int(k)}"""
+
+
+def _span_cte(width: int) -> str:
+    """Shared CTE list ending in ``sp(doc_id, pos, span_md5)`` — mirrors
+    dedup._span_fold + posexplode: same whitespace tokenizer, spans are
+    the ``width``-token windows joined by single spaces, pos is 1-based."""
+    return rf"""toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents
+),
+pos AS (SELECT doc_id, t, generate_subscripts(t, 1) AS p FROM toks),
+sp AS (
+    SELECT doc_id, CAST(p AS INT) AS pos,
+           md5(array_to_string(list_slice(t, p, p + {width} - 1), ' '))
+               AS span_md5
+    FROM pos WHERE p + {width} - 1 <= len(t)
+)"""
+
+
+def sql_duplicated_spans(width: int = 6) -> str:
+    """Substring-duplication census — mirrors dedup.duplicated_spans."""
+    return f"""WITH {_span_cte(width)}
+SELECT span_md5, CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+       CAST(COUNT(*) AS INT) AS n_occurrences
+FROM sp GROUP BY span_md5 HAVING COUNT(*) > 1
+ORDER BY span_md5"""
+
+
+def sql_duplicated_span_occurrences(width: int = 6) -> str:
+    """Occurrence rows of corpus-duplicated spans — mirrors
+    dedup.duplicated_span_occurrences."""
+    return f"""WITH {_span_cte(width)}
+SELECT doc_id, pos, span_md5 FROM sp
+WHERE span_md5 IN (
+    SELECT span_md5 FROM sp GROUP BY span_md5 HAVING COUNT(*) > 1
+)
+ORDER BY doc_id, pos, span_md5"""

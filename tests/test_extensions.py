@@ -1933,3 +1933,42 @@ def test_prefix_filtered_pairs_equal_naive_pairs(spark):
                     .collect()
                 )
                 assert got == want, (cap, t, metric, got[:5], want[:5])
+
+
+def test_duplicated_spans_semantics(spark):
+    """Substring-level dedup census: a 6-token window shared by two docs
+    is found with n_docs=2; an IN-DOC repetition counts as duplicated with
+    n_docs=1; unique windows are absent; occurrences carry 1-based token
+    positions; docs shorter than the window yield nothing."""
+    from binance_futures_availability_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, shared + " one two three"),
+        (1, "zero " + shared),
+        (2, "r1 r2 r3 r4 r5 r6 x r1 r2 r3 r4 r5 r6"),  # in-doc repeat
+        (3, "too short"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats = {
+        r["span_md5"]: (r["n_docs"], r["n_occurrences"])
+        for r in dedup.duplicated_spans(docs, width=6).collect()
+    }
+    import hashlib
+
+    h_shared = hashlib.md5(shared.encode()).hexdigest()
+    h_repeat = hashlib.md5(b"r1 r2 r3 r4 r5 r6").hexdigest()
+    assert stats[h_shared] == (2, 2)
+    assert stats[h_repeat] == (1, 2)
+    # only genuinely duplicated windows survive — doc 0/1's unique
+    # windows ('beta gamma delta epsilon zeta one', ...) must not appear
+    assert len(stats) == 2
+
+    occ = sorted(
+        (r["doc_id"], r["pos"], r["span_md5"])
+        for r in dedup.duplicated_span_occurrences(docs, width=6).collect()
+    )
+    assert occ == sorted(
+        [(0, 1, h_shared), (1, 2, h_shared), (2, 1, h_repeat), (2, 8, h_repeat)]
+    )
