@@ -39,6 +39,7 @@ from binance_futures_availability_spark.operators import (
     snapshots,
     textops,
     timelines,
+    vocab,
     volume,
     warehouse,
 )
@@ -87,6 +88,11 @@ MIX_BUDGET_TOKENS = 10_000
 #: plus three common ones, so the gate exercises both idf extremes
 BM25_TERMS = ("dup", "hash", "join", "vector")
 BM25_K = 25
+#: BPE round-0 statistics: top-k adjacent character pairs
+BPE_PAIRS_K = 40
+#: BPE trainer rounds for the rows-only gate (iterative — pytest-pinned
+#: against an independent pure-Python reference, not SQL-expressible)
+BPE_N_MERGES = 12
 #: substring-dedup window width: 6 tokens → ~1k duplicated spans at the
 #: gate SF (planted exact dups + chance 6-gram repeats in the synthetic
 #: vocabulary) — both census and occurrence paths gate-exercised
@@ -935,6 +941,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": lambda s, d: textops.bm25_topk(
             _docs(s, d), list(BM25_TERMS), BM25_K
         ),
+        "classifier_weights": lambda s, d: textops.classifier_weights(_docs(s, d)),
+        "classifier_scores": lambda s, d: textops.classifier_scores(_docs(s, d)),
+        "classifier_eval": lambda s, d: textops.classifier_eval(_docs(s, d)),
+        "bpe_pair_counts": lambda s, d: vocab.bpe_pair_counts(
+            _docs(s, d), BPE_PAIRS_K
+        ),
+        # iterative trainer — rows-only gate (no SQL oracle); exactness is
+        # pinned by tests/test_extensions.py vs an independent reference
+        "bpe_merges": lambda s, d: vocab.bpe_merges(_docs(s, d), BPE_N_MERGES),
         "pii_scrub": _pii_scrub,
         "contamination_check": _contamination_check,
         "stratified_sample": lambda s, d: sampling.stratified_sample(
@@ -1519,6 +1534,10 @@ ORDER BY symbol, event_date"""),
         "lm_quality_buckets": oracles.sql_lm_quality_buckets() + " ORDER BY doc_id",
         "bigram_lm_scores": oracles.sql_bigram_lm_scores(),
         "bm25_topk": oracles.sql_bm25_topk(BM25_TERMS, BM25_K),
+        "classifier_weights": oracles.sql_classifier_weights(),
+        "classifier_scores": oracles.sql_classifier_scores(),
+        "classifier_eval": oracles.sql_classifier_eval(),
+        "bpe_pair_counts": oracles.sql_bpe_pair_counts(BPE_PAIRS_K),
         "pii_scrub": oracles.sql_pii_scrub(PII_SUFFIX),
         "contamination_check": oracles.sql_contamination_check(),
         "stratified_sample": oracles.sql_stratified_sample(

@@ -1268,3 +1268,155 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(int(k))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained discriminative quality classifier (fasttext-lite)
+# ---------------------------------------------------------------------------
+
+#: held-out hash split for classifier training: 80% train / 20% eval
+CLS_SPLITS = (("train", 800), ("eval", 1000))
+CLS_SALT = "cls-v1"
+#: weak-supervision label: good iff stopwords * factor >= words (ratio >= 1/16)
+CLS_STOP_FACTOR = 16
+#: drop terms seen in fewer than this many train documents
+CLS_MIN_DF = 2
+
+
+def classifier_doc_meta(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, label_good, split): the weak-supervision label (integer
+    stopword-density rule — no float anywhere) plus the deterministic
+    per-mille hash split (same md5 bucketing as ``corpus_split``, its own
+    salt so the 80/20 classifier split is independent of the pipeline's
+    980/10/10 split). Narrow projection — scan-speed at any corpus size."""
+    t = F.col(text_col)
+    bucket = (
+        md5_int60(F.concat(F.lit(CLS_SALT), F.lit(":"), F.col(id_col).cast("string")))
+        % 1000
+    )
+    return docs.select(
+        F.col(id_col),
+        (_stop_count(t, "en") * CLS_STOP_FACTOR >= token_count(t))
+        .cast("int")
+        .alias("label_good"),
+        F.when(bucket < F.lit(CLS_SPLITS[0][1]), F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+
+
+def classifier_weights(
+    docs: DataFrame,
+    min_df: int = CLS_MIN_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-term discriminative weights trained on the train split:
+    (term, n_good, n_bad, weight) with weight ∈ {-1, 0, +1} by the EXACT
+    integer cross-ratio sign:  sign(n_good·total_bad − n_bad·total_good)
+    — the sign of the log-odds lift without computing any float log, so
+    the trained model is bit-identical on every engine (safe from i64
+    overflow to ~3e9 train docs per class).
+
+    This is the fasttext-lite / DSIR-style pattern: a cheap heuristic
+    labels a held-in split, token-level lift statistics become the model,
+    and the model generalizes the heuristic to held-out data.
+
+    Scale shape: postings come from the session-cached ``tf_index`` (the
+    corpus explode+shuffle is paid once per session); the label/split
+    table is a narrow scan joined on doc_id; the per-term aggregate is
+    vocabulary-sized with map-side partial aggregation; the class-total
+    aggregate is 1 row, broadcast."""
+    meta = classifier_doc_meta(docs, id_col, text_col)
+    train = meta.filter(F.col("split") == "train").drop("split")
+    posting = tf_index(docs, id_col, text_col).select(id_col, "term")
+    tot = train.agg(
+        F.coalesce(F.sum("label_good"), F.lit(0)).cast("long").alias("n_good_docs"),
+        F.coalesce(F.sum(F.lit(1) - F.col("label_good")), F.lit(0))
+        .cast("long")
+        .alias("n_bad_docs"),
+    )
+    stats = (
+        posting.join(train, id_col)
+        .groupBy("term")
+        .agg(
+            F.sum("label_good").cast("long").alias("n_good"),
+            F.sum(F.lit(1) - F.col("label_good")).cast("long").alias("n_bad"),
+        )
+        .filter((F.col("n_good") + F.col("n_bad")) >= F.lit(int(min_df)))
+    )
+    lift = F.col("n_good") * F.col("n_bad_docs") - F.col("n_bad") * F.col("n_good_docs")
+    return stats.join(F.broadcast(tot)).select(
+        "term",
+        "n_good",
+        "n_bad",
+        F.when(lift > 0, F.lit(1))
+        .when(lift < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("weight"),
+    )
+
+
+def classifier_scores(
+    docs: DataFrame,
+    min_df: int = CLS_MIN_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Held-out scoring: (doc_id, n_pos, n_neg, logit, pred_good,
+    label_good) for every EVAL-split document. The logit is the integer
+    sum of ±1 term weights over the document's distinct terms; eval docs
+    with no weighted terms score 0 via the left join (never silently
+    dropped).
+
+    ``broadcast_weights`` (default True) fits natural-language
+    vocabularies; pass False for open vocabularies (URLs/code tokens) —
+    the join then reuses the posting table's hash partitioning on term,
+    the same knob rationale as ``term_frequencies.broadcast_df``."""
+    meta = classifier_doc_meta(docs, id_col, text_col)
+    eval_meta = meta.filter(F.col("split") == "eval").drop("split")
+    w = classifier_weights(docs, min_df, id_col, text_col).select("term", "weight")
+    if broadcast_weights:
+        w = F.broadcast(w)
+    posting = tf_index(docs, id_col, text_col).select(id_col, "term")
+    per_doc = (
+        posting.join(w, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("weight") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("weight") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_neg"),
+            F.sum("weight").cast("long").alias("logit"),
+        )
+    )
+    return eval_meta.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_pos", F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce("n_neg", F.lit(0)).cast("long").alias("n_neg"),
+        F.coalesce("logit", F.lit(0)).cast("long").alias("logit"),
+        (F.coalesce("logit", F.lit(0)) > 0).cast("int").alias("pred_good"),
+        "label_good",
+    )
+
+
+def classifier_eval(
+    docs: DataFrame,
+    min_df: int = CLS_MIN_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Held-out confusion matrix: (label_good, pred_good, n_docs) — the
+    exact-integer evaluation of the trained classifier on the eval split.
+    Four rows at most; accuracy/precision/recall derive from them."""
+    return (
+        classifier_scores(docs, min_df, id_col, text_col)
+        .groupBy("label_good", "pred_good")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -1,0 +1,156 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary training.
+
+North-star extension (no reference counterpart): the tokenizer-training
+pass a pre-training corpus pipeline runs before packing/budgeting. The
+classic BPE trainer shape maps exactly onto Spark's strengths:
+
+- ONE corpus-scale pass builds the word-frequency table (token explode +
+  map-side-combined groupBy — the same aggregate shape as ``tf_index``);
+  100 TB of text collapses to a vocabulary-sized table (natural-language
+  word types: ~1e6-1e8 rows), which every merge round then iterates on.
+- Each merge round is two bounded jobs over that cached table: a pair-count
+  aggregate (map-side combine, result is pair-vocabulary-sized) and a
+  single-row argmax collect (count desc, then lexicographic — fully
+  deterministic), followed by a narrow higher-order-function rewrite of the
+  symbol arrays. No corpus re-scan, no shuffle growth with rounds.
+- Lineage is truncated with ``localCheckpoint`` every few rounds so a
+  500-merge training run doesn't accumulate a 1000-stage plan.
+
+``bpe_pair_counts`` (round-0 statistics) is exactly SQL-expressible and
+oracle-gated; the iterative ``bpe_merges`` is gated rows-only plus an exact
+pytest comparison against an independent pure-Python BPE reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: truncate lineage every this many merge rounds
+_CHECKPOINT_EVERY = 4
+
+MERGE_SCHEMA = T.StructType(
+    [
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("left", T.StringType(), False),
+        T.StructField("right", T.StringType(), False),
+        T.StructField("merged", T.StringType(), False),
+        T.StructField("pair_count", T.LongType(), False),
+    ]
+)
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): the corpus's word-frequency table — the ONLY
+    corpus-scale pass in BPE training (same whitespace tokenizer as
+    ``tf_index``; empty tokens dropped)."""
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency over a
+    (syms: array<string>, freq) table. ``transform(sequence(...))``
+    keeps pair generation a narrow codegen expression — the aggregate is
+    pair-vocabulary-sized with map-side combine."""
+    # IF guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], so a
+    # single-symbol word would fabricate a (syms[0], NULL) pair without it
+    pairs = syms.select(
+        F.col("freq"),
+        F.explode(
+            F.expr(
+                "IF(size(syms) < 2, array(), "
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(syms[i-1] AS left, syms[i] AS right)))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.left", "p.right").agg(
+        F.sum("freq").cast("long").alias("pair_count")
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Top-k adjacent character-pair counts over the word-frequency table —
+    BPE round 0, the exactly-SQL-expressible statistic the oracle gates.
+
+    Deterministic order: count desc, then (left, right) lexicographic.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    wf = word_freqs(docs, text_col)
+    syms = wf.select(F.split("word", "").alias("syms"), "freq")
+    counts = _pair_counts(syms)
+    return (
+        counts.orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+        .limit(k)
+        .select("left", "right", "pair_count")
+    )
+
+
+def _merge_expr(left: str, right: str):
+    """Left-to-right non-overlapping merge of the adjacent pair
+    (left, right) in a symbol array, as a fold: standard BPE application
+    semantics (after a merge the new token does not immediately re-merge
+    with the following symbol within the same round)."""
+    merged = left + right
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Train ``n_merges`` BPE merge rules: (rank, left, right, merged,
+    pair_count), rank 1 = first (most frequent) merge.
+
+    Iterative by nature (each round's counts depend on the previous
+    round's merge), so not oracle-gated as SQL — correctness is pinned by
+    an exact pytest against an independent pure-Python BPE reference
+    (tests/test_extensions.py). The per-round argmax collect is ONE row;
+    the corpus is scanned exactly once (``word_freqs``)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = spark or docs.sparkSession
+    wf = word_freqs(docs, text_col)
+    syms = wf.select(F.split("word", "").alias("syms"), "freq").persist()
+    merges: list[tuple] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            best = (
+                _pair_counts(syms)
+                .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not best:  # every word is a single symbol — vocabulary done
+                break
+            left, right, cnt = best[0]["left"], best[0]["right"], best[0]["pair_count"]
+            merges.append((rank, left, right, left + right, cnt))
+            nxt = syms.select(_merge_expr(left, right).alias("syms"), "freq")
+            if rank % _CHECKPOINT_EVERY == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist()
+                nxt.count()  # materialize before dropping the parent
+            syms.unpersist()
+            syms = nxt
+    finally:
+        syms.unpersist()
+    return spark.createDataFrame(merges, MERGE_SCHEMA)

@@ -2089,3 +2089,131 @@ WHERE span_md5 IN (
     SELECT span_md5 FROM sp GROUP BY span_md5 HAVING COUNT(*) > 1
 )
 ORDER BY doc_id, pos, span_md5"""
+
+
+# -- corpus-trained discriminative classifier (textops.classifier_*) --------
+
+_CLS_META = (
+    "meta AS (\n"
+    "    SELECT doc_id,\n"
+    "           CASE WHEN len(regexp_extract_all(text,"
+    " '\\b(the|and|of|to|in|is|a)\\b', 0)) * {factor}\n"
+    "                >= len(regexp_split_to_array(trim(text), '\\s+'))\n"
+    "                THEN 1 ELSE 0 END AS label_good,\n"
+    "           CASE WHEN " + MD5_INT.format(
+        x="'{salt}:' || CAST(doc_id AS VARCHAR)"
+    ) + " % 1000 < {upper}\n"
+    "                THEN 'train' ELSE 'eval' END AS split\n"
+    "    FROM documents\n"
+    ")"
+)
+
+_CLS_CTES = (
+    "terms AS (\n"
+    "    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term\n"
+    "    FROM documents\n"
+    "),\n"
+    "posting AS (SELECT DISTINCT doc_id, term FROM terms WHERE term <> ''),\n"
+    "train AS (SELECT doc_id, label_good FROM meta WHERE split = 'train'),\n"
+    "tot AS (\n"
+    "    SELECT CAST(COALESCE(SUM(label_good), 0) AS BIGINT) AS n_good_docs,\n"
+    "           CAST(COALESCE(SUM(1 - label_good), 0) AS BIGINT) AS n_bad_docs\n"
+    "    FROM train\n"
+    "),\n"
+    "stats AS (\n"
+    "    SELECT p.term,\n"
+    "           CAST(SUM(m.label_good) AS BIGINT) AS n_good,\n"
+    "           CAST(SUM(1 - m.label_good) AS BIGINT) AS n_bad\n"
+    "    FROM posting p JOIN train m USING (doc_id)\n"
+    "    GROUP BY p.term\n"
+    "    HAVING COUNT(*) >= {min_df}\n"
+    "),\n"
+    "weights AS (\n"
+    "    SELECT s.term, s.n_good, s.n_bad,\n"
+    "           CAST(CASE WHEN s.n_good * t.n_bad_docs > s.n_bad * t.n_good_docs THEN 1\n"
+    "                     WHEN s.n_good * t.n_bad_docs < s.n_bad * t.n_good_docs THEN -1\n"
+    "                     ELSE 0 END AS INT) AS weight\n"
+    "    FROM stats s CROSS JOIN tot t\n"
+    ")"
+)
+
+
+def _cls_prefix(factor: int, salt: str, upper: int, min_df: int) -> str:
+    meta = _CLS_META.format(factor=factor, salt=salt, upper=upper)
+    return meta + ",\n" + _CLS_CTES.format(min_df=min_df)
+
+
+def sql_classifier_weights(
+    factor: int = 16, salt: str = "cls-v1", upper: int = 800, min_df: int = 2
+) -> str:
+    """Trained ±1 lift-sign weight table — mirrors
+    textops.classifier_weights (exact integer cross-ratio sign)."""
+    return (
+        f"WITH {_cls_prefix(factor, salt, upper, min_df)}\n"
+        "SELECT term, n_good, n_bad, weight FROM weights"
+    )
+
+
+def sql_classifier_scores(
+    factor: int = 16, salt: str = "cls-v1", upper: int = 800, min_df: int = 2
+) -> str:
+    """Held-out per-document logits — mirrors textops.classifier_scores
+    (eval docs with no weighted terms kept at logit 0)."""
+    return (
+        f"WITH {_cls_prefix(factor, salt, upper, min_df)},\n"
+        "per_doc AS (\n"
+        "    SELECT p.doc_id,\n"
+        "           CAST(SUM(CASE WHEN w.weight > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,\n"
+        "           CAST(SUM(CASE WHEN w.weight < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,\n"
+        "           CAST(SUM(w.weight) AS BIGINT) AS logit\n"
+        "    FROM posting p JOIN weights w USING (term)\n"
+        "    GROUP BY p.doc_id\n"
+        ")\n"
+        "SELECT m.doc_id,\n"
+        "       COALESCE(d.n_pos, 0) AS n_pos,\n"
+        "       COALESCE(d.n_neg, 0) AS n_neg,\n"
+        "       COALESCE(d.logit, 0) AS logit,\n"
+        "       CAST(CASE WHEN COALESCE(d.logit, 0) > 0 THEN 1 ELSE 0 END AS INT)\n"
+        "           AS pred_good,\n"
+        "       m.label_good\n"
+        "FROM meta m LEFT JOIN per_doc d USING (doc_id)\n"
+        "WHERE m.split = 'eval'"
+    )
+
+
+def sql_classifier_eval(
+    factor: int = 16, salt: str = "cls-v1", upper: int = 800, min_df: int = 2
+) -> str:
+    """Held-out confusion matrix — mirrors textops.classifier_eval."""
+    return (
+        f"WITH scored AS ({sql_classifier_scores(factor, salt, upper, min_df)})\n"
+        "SELECT label_good, pred_good, CAST(COUNT(*) AS BIGINT) AS n_docs\n"
+        "FROM scored GROUP BY label_good, pred_good"
+    )
+
+
+# -- BPE round-0 pair statistics (vocab.bpe_pair_counts) --------------------
+
+
+def sql_bpe_pair_counts(k: int = 20) -> str:
+    """Top-k adjacent character-pair counts over the word-frequency table
+    — mirrors vocab.bpe_pair_counts (count desc, lexicographic
+    tie-break)."""
+    return (
+        "WITH words AS (\n"
+        "    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word\n"
+        "    FROM documents\n"
+        "),\n"
+        "wf AS (\n"
+        "    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq\n"
+        "    FROM words WHERE word <> '' GROUP BY word\n"
+        "),\n"
+        "syms AS (SELECT string_split(word, '') AS s, freq FROM wf),\n"
+        "pairs AS (\n"
+        "    SELECT s[i] AS \"left\", s[i + 1] AS \"right\", freq\n"
+        "    FROM syms, UNNEST(range(1, len(s))) AS t(i)\n"
+        ")\n"
+        "SELECT \"left\", \"right\", CAST(SUM(freq) AS BIGINT) AS pair_count\n"
+        "FROM pairs GROUP BY 1, 2\n"
+        f"ORDER BY pair_count DESC, \"left\", \"right\" LIMIT {int(k)}"
+    )

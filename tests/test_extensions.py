@@ -1972,3 +1972,191 @@ def test_duplicated_spans_semantics(spark):
     assert occ == sorted(
         [(0, 1, h_shared), (1, 2, h_shared), (2, 1, h_repeat), (2, 8, h_repeat)]
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-trained discriminative classifier
+# ---------------------------------------------------------------------------
+
+
+def _cls_reference(rows, factor=16, upper=800, min_df=2):
+    """Independent brute-force reference for the classifier family."""
+    import hashlib
+    import re
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"cls-v1:{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16) % 1000
+
+    stop_re = re.compile(r"\b(the|and|of|to|in|is|a)\b")
+    meta = {}
+    postings = {}
+    for doc_id, text in rows:
+        toks = re.split(r"\s+", text.strip())
+        n_words = len(toks)  # note: [''] for empty text -> 1, like the engines
+        n_stop = len(stop_re.findall(text))
+        meta[doc_id] = (
+            1 if n_stop * factor >= n_words else 0,
+            "train" if bucket(doc_id) < upper else "eval",
+        )
+        postings[doc_id] = {t for t in toks if t}
+    tg = sum(l for l, s in meta.values() if s == "train")
+    tb = sum(1 - l for l, s in meta.values() if s == "train")
+    stats = {}
+    for doc_id, terms in postings.items():
+        label, split = meta[doc_id]
+        if split != "train":
+            continue
+        for t in terms:
+            g, b = stats.get(t, (0, 0))
+            stats[t] = (g + label, b + (1 - label))
+    weights = {}
+    for t, (g, b) in stats.items():
+        if g + b < min_df:
+            continue
+        lift = g * tb - b * tg
+        weights[t] = (g, b, 1 if lift > 0 else (-1 if lift < 0 else 0))
+    scores = {}
+    for doc_id, terms in postings.items():
+        label, split = meta[doc_id]
+        if split != "eval":
+            continue
+        ws = [weights[t][2] for t in terms if t in weights]
+        scores[doc_id] = (
+            sum(1 for w in ws if w > 0),
+            sum(1 for w in ws if w < 0),
+            sum(ws),
+            1 if sum(ws) > 0 else 0,
+            label,
+        )
+    return weights, scores
+
+
+def test_classifier_matches_reference(spark):
+    """classifier_weights / classifier_scores agree exactly with an
+    independent brute-force reference, including: min_df filtering, the
+    cross-ratio sign rule, eval docs with no weighted terms (logit 0 via
+    the left join), and empty documents."""
+    from binance_futures_availability_spark.operators import textops
+
+    rows = [
+        (i, f"the cat is a good w{i} " + ("spam " * (i % 3)) + "common")
+        for i in range(40)
+    ] + [(40, ""), (41, "zz-unique-term")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    ref_w, ref_s = _cls_reference(rows)
+    got_w = {
+        r["term"]: (r["n_good"], r["n_bad"], r["weight"])
+        for r in textops.classifier_weights(docs).collect()
+    }
+    assert got_w == ref_w
+    got_s = {
+        r["doc_id"]: (r["n_pos"], r["n_neg"], r["logit"], r["pred_good"], r["label_good"])
+        for r in textops.classifier_scores(docs).collect()
+    }
+    assert got_s == ref_s
+
+    conf = {
+        (r["label_good"], r["pred_good"]): r["n_docs"]
+        for r in textops.classifier_eval(docs).collect()
+    }
+    from collections import Counter
+
+    ref_conf = Counter((label, pred) for _, _, _, pred, label in ref_s.values())
+    assert conf == dict(ref_conf)
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(rows, n_merges):
+    """Independent pure-Python BPE trainer (word-frequency table, argmax
+    with (count desc, lexicographic) tie-break, leftmost non-overlapping
+    merge application)."""
+    import re
+    from collections import Counter
+
+    wf = Counter(
+        t for _, text in rows for t in re.split(r"\s+", text.strip()) if t
+    )
+    vocab = {tuple(word): freq for word, freq in wf.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = Counter()
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += freq
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, left + right, cnt))
+        new_vocab = {}
+        for syms, freq in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_reference(spark):
+    """bpe_merges reproduces the independent reference trainer exactly —
+    merged tokens must keep merging in later rounds (multi-char pairs),
+    ties break lexicographically, and single-char words contribute no
+    pairs."""
+    from binance_futures_availability_spark.operators import vocab
+
+    rows = [
+        (0, "lower lower lowest low low low"),
+        (1, "newer newest new new"),
+        (2, "x y z"),  # single-symbol words: no pairs
+        (3, ""),
+        (4, "wider wide wider"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in vocab.bpe_merges(docs, 10).orderBy("rank").collect()
+    ]
+    assert got == _bpe_reference(rows, 10)
+    # multi-char merges happened (the trainer goes beyond char bigrams)
+    assert any(len(left) > 1 or len(right) > 1 for _, left, right, _, _ in got)
+
+
+def test_bpe_exhaustion_stops_early(spark):
+    """When every word collapses to a single symbol, training stops —
+    no NULL-pair fabrication from the descending-sequence gotcha."""
+    from binance_futures_availability_spark.operators import vocab
+
+    docs = spark.createDataFrame([(0, "ab ab cd")], ["doc_id", "text"])
+    got = vocab.bpe_merges(docs, 50).collect()
+    # round 1 merges (a,b) count 2; round 2 merges (c,d) count 1; done
+    assert [(r["left"], r["right"], r["pair_count"]) for r in got] == [
+        ("a", "b", 2),
+        ("c", "d", 1),
+    ]
+
+
+def test_bpe_pair_counts_and_validation(spark):
+    from binance_futures_availability_spark.operators import vocab
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(0, "aab aab b")], ["doc_id", "text"])
+    rows = {
+        (r["left"], r["right"]): r["pair_count"]
+        for r in vocab.bpe_pair_counts(docs, 10).collect()
+    }
+    assert rows == {("a", "a"): 2, ("a", "b"): 2}
+    with _pytest.raises(ValueError):
+        vocab.bpe_pair_counts(docs, 0)
+    with _pytest.raises(ValueError):
+        vocab.bpe_merges(docs, 0)
