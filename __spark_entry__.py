@@ -950,6 +950,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative trainer — rows-only gate (no SQL oracle); exactness is
         # pinned by tests/test_extensions.py vs an independent reference
         "bpe_merges": lambda s, d: vocab.bpe_merges(_docs(s, d), BPE_N_MERGES),
+        # train → encode composition (rows-only; same pytest pinning)
+        "bpe_encode": lambda s, d: vocab.bpe_encode(
+            _docs(s, d),
+            [
+                (r["left"], r["right"])
+                for r in vocab.bpe_merges(_docs(s, d), BPE_N_MERGES)
+                .orderBy("rank")
+                .collect()
+            ],
+        ),
         "pii_scrub": _pii_scrub,
         "contamination_check": _contamination_check,
         "stratified_sample": lambda s, d: sampling.stratified_sample(

@@ -154,3 +154,43 @@ def bpe_merges(
     finally:
         syms.unpersist()
     return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply trained BPE merge rules: (doc_id, n_words, n_bpe_tokens) —
+    the corpus token-budget measurement a trained tokenizer exists for
+    (packing / mixture budgeting read exactly this).
+
+    ``merges`` is the bounded trained artifact ((left, right) in rank
+    order — e.g. ``[(r["left"], r["right"]) for r in bpe_merges(...)
+    .orderBy("rank").collect()]``), applied the way BPE encoding is
+    defined: each rule rewrites the whole corpus's symbol arrays in rank
+    order, leftmost-first non-overlapping within a rule.
+
+    Scale shape: rules are applied to the DISTINCT-WORD table (vocabulary-
+    sized — the same collapse that makes the trainer cheap), one narrow
+    higher-order-function projection per rule; the per-word token count
+    then broadcast-joins back onto the corpus word stream, which never
+    shuffles on anything wider than the final per-doc aggregate."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    uniq = words.select("word").distinct()
+    syms = uniq.select("word", F.split("word", "").alias("syms"))
+    for left, right in merges:
+        syms = syms.select("word", _merge_expr(left, right).alias("syms"))
+    tok_counts = syms.select("word", F.size("syms").cast("long").alias("n_tok"))
+    return (
+        words.join(F.broadcast(tok_counts), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+    )

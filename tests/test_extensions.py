@@ -2160,3 +2160,49 @@ def test_bpe_pair_counts_and_validation(spark):
         vocab.bpe_pair_counts(docs, 0)
     with _pytest.raises(ValueError):
         vocab.bpe_merges(docs, 0)
+
+
+def test_bpe_encode_matches_reference(spark):
+    """bpe_encode applies trained rules exactly: rank order matters
+    (later rules see earlier rules' merged symbols), and counts aggregate
+    per document over the broadcast word map."""
+    from binance_futures_availability_spark.operators import vocab
+
+    rows = [
+        (0, "lower lower lowest low low low"),
+        (1, "newer newest new new"),
+        (2, "x lowest"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    trained = [
+        (r["left"], r["right"])
+        for r in vocab.bpe_merges(docs, 6).orderBy("rank").collect()
+    ]
+
+    def encode(word):
+        syms = list(word)
+        for left, right in trained:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    import re
+
+    expected = {}
+    for doc_id, text in rows:
+        ws = [t for t in re.split(r"\s+", text.strip()) if t]
+        expected[doc_id] = (len(ws), sum(encode(w) for w in ws))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in vocab.bpe_encode(docs, trained).collect()
+    }
+    assert got == expected
+    # merging strictly compresses: token count below char count, above word count
+    for doc_id, text in rows:
+        n_chars = sum(len(t) for t in re.split(r"\s+", text.strip()) if t)
+        assert expected[doc_id][0] <= got[doc_id][1] <= n_chars
