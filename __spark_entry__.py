@@ -546,6 +546,18 @@ def _knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: declaration order and stays covered by the identical self-harness
 #: (tools/check.py) + pytest.
 GATE_PRIORITY = [
+    # never-gated r9 additions first — every catalog query must get a
+    # driver-green row in some round (the 8 r5-era event queries they
+    # displace from the 50-window stay next in line for r10)
+    "bm25_topk",
+    "duplicated_spans",
+    "duplicated_span_occurrences",
+    "classifier_weights",
+    "classifier_scores",
+    "classifier_eval",
+    "bpe_pair_counts",
+    "bpe_merges",
+    "bpe_encode",
     # r3-era rows — the 7 oldest in the catalog
     "doc_fingerprints",
     "language_id",

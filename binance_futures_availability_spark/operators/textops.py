@@ -1360,6 +1360,64 @@ def classifier_weights(
     )
 
 
+def _weighted_term_agg(
+    posting: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Shared scoring core: distinct (doc, term) postings × a trained
+    (term, weight) table → per-doc (n_pos, n_neg, logit). Used by the
+    batch held-out scorer and the streaming frozen-weights sink."""
+    w = weights.select("term", "weight")
+    if broadcast_weights:
+        w = F.broadcast(w)
+    return (
+        posting.join(w, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("weight") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("weight") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_neg"),
+            F.sum("weight").cast("long").alias("logit"),
+        )
+    )
+
+
+def classifier_score_with(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Score ARBITRARY documents against an already-trained weight table:
+    (doc_id, n_pos, n_neg, logit, pred_good) — the serving/streaming form
+    of the classifier (no split filter, no label column, no dependence on
+    the session-cached training index; tokenization is inline because the
+    scored batch is typically transient). Docs with no weighted terms
+    score 0 through the left join — never silently dropped."""
+    posting = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    per_doc = _weighted_term_agg(posting, weights, id_col, broadcast_weights)
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_pos", F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce("n_neg", F.lit(0)).cast("long").alias("n_neg"),
+        F.coalesce("logit", F.lit(0)).cast("long").alias("logit"),
+        (F.coalesce("logit", F.lit(0)) > 0).cast("int").alias("pred_good"),
+    )
+
+
 def classifier_scores(
     docs: DataFrame,
     min_df: int = CLS_MIN_DF,
@@ -1379,23 +1437,9 @@ def classifier_scores(
     the same knob rationale as ``term_frequencies.broadcast_df``."""
     meta = classifier_doc_meta(docs, id_col, text_col)
     eval_meta = meta.filter(F.col("split") == "eval").drop("split")
-    w = classifier_weights(docs, min_df, id_col, text_col).select("term", "weight")
-    if broadcast_weights:
-        w = F.broadcast(w)
+    w = classifier_weights(docs, min_df, id_col, text_col)
     posting = tf_index(docs, id_col, text_col).select(id_col, "term")
-    per_doc = (
-        posting.join(w, "term")
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.when(F.col("weight") > 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_pos"),
-            F.sum(F.when(F.col("weight") < 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_neg"),
-            F.sum("weight").cast("long").alias("logit"),
-        )
-    )
+    per_doc = _weighted_term_agg(posting, w, id_col, broadcast_weights)
     return eval_meta.join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce("n_pos", F.lit(0)).cast("long").alias("n_pos"),

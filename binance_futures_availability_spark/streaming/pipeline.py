@@ -623,3 +623,62 @@ def start_pq_append_sink(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def start_classifier_score_sink(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    min_df: int | None = None,
+):
+    """writeStream → foreachBatch(frozen-weights quality scoring): the
+    streaming twin of the corpus-trained classifier
+    (``textops.classifier_weights`` / ``classifier_score_with``) —
+    incoming documents are scored against a FROZEN trained weight table
+    and their (doc_id, n_pos, n_neg, logit, pred_good) rows appended, so
+    a document's score is identical whether it arrived in batch 1 or
+    batch 100 (the same frozen-artifact invariant as the PQ/IVF sinks).
+
+    The FIRST batch cold-starts the model: it trains the weight table on
+    itself (its own train hash-split) and freezes it under
+    ``<store>/weights``. A production pipeline would normally pre-seed
+    that path from the batch trainer over the historical corpus; the
+    cold-start exists so the sink is self-contained. As with the PQ sink,
+    only a genuinely-missing weights path trains — any other read error
+    propagates so the batch retries instead of silently re-training and
+    splitting the score stream across two models."""
+    import os
+
+    from ..operators import textops
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker_dir = os.path.join(store_path.rstrip("/"), "_committed_batches")
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # checkpoint replay of an already-applied append
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        weights_path = os.path.join(store_path.rstrip("/"), "weights")
+        scores_path = os.path.join(store_path.rstrip("/"), "scores")
+        if os.path.exists(weights_path):
+            weights = spark.read.parquet(weights_path)
+        else:
+            kwargs = {} if min_df is None else {"min_df": min_df}
+            textops.classifier_weights(batch, **kwargs).write.mode(
+                "overwrite"
+            ).parquet(weights_path)
+            weights = spark.read.parquet(weights_path)
+        textops.classifier_score_with(batch, weights).write.mode(
+            "append"
+        ).parquet(scores_path)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

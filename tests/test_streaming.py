@@ -880,3 +880,76 @@ def test_streaming_pq_sink_corrupt_codebook_raises(spark, tmp_path):
         "rb",
     ) as fh:
         assert fh.read() == b"not parquet"
+
+
+def test_streaming_classifier_score_sink_batch_equivalence(spark, tmp_path):
+    """First micro-batch trains and freezes the classifier weight table;
+    later batches score against it — appended scores are identical to a
+    one-shot batch score of the union with the same frozen weights, and a
+    checkpoint replay appends nothing twice."""
+    import datetime as _dt
+    import os
+    import shutil
+
+    from binance_futures_availability_spark.operators import textops
+    from binance_futures_availability_spark.streaming.pipeline import (
+        document_stream_source,
+        start_classifier_score_sink,
+    )
+
+    ts = _dt.datetime(2024, 1, 1)
+    texts = [
+        "the cat is a good one",
+        "spam spam junk junk junk",
+        "the dog is a fine one",
+        "junk spam junk noise",
+    ]
+    batch1 = [(i, texts[i % 4] + f" w{i}", ts) for i in range(12)]
+    batch2 = [(i, texts[i % 4] + f" w{i}", ts) for i in range(12, 20)]
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    incoming = tmp_path / "cls_in"
+    store = str(tmp_path / "clsstore")
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(
+        str(incoming)
+    )
+
+    def run():
+        q = start_classifier_score_sink(
+            document_stream_source(spark, str(incoming)),
+            store,
+            str(tmp_path / "clsckpt"),
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(
+        str(incoming)
+    )
+    run()
+
+    weights = spark.read.parquet(os.path.join(store, "weights"))
+    union = spark.createDataFrame(batch1 + batch2, schema)
+    want = sorted(
+        tuple(r)
+        for r in textops.classifier_score_with(union, weights).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(store, "scores")).collect()
+    )
+    assert got == want
+    # frozen model: weights trained on batch 1 only — batch 2's novel
+    # terms (w12..w19) are absent from the table
+    wterms = {r["term"] for r in weights.collect()}
+    assert "w12" not in wterms and "w1" not in wterms  # min_df=2 drops singletons
+
+    # replay: wipe the checkpoint — markers make re-delivery a no-op
+    shutil.rmtree(str(tmp_path / "clsckpt"))
+    run()
+    assert (
+        sorted(
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(store, "scores")).collect()
+        )
+        == want
+    )
