@@ -552,6 +552,7 @@ GATE_PRIORITY = [
     "bm25_topk",
     "duplicated_spans",
     "duplicated_span_occurrences",
+    "span_novelty_scores",
     "classifier_weights",
     "classifier_scores",
     "classifier_eval",
@@ -820,6 +821,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "duplicated_span_occurrences": lambda s, d: (
             dedup.duplicated_span_occurrences(_docs(s, d), SPAN_WIDTH)
+        ),
+        "span_novelty_scores": lambda s, d: dedup.span_novelty_scores(
+            _docs(s, d), SPAN_WIDTH
         ),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
             _docs(s, d), NGRAM_THRESHOLD
@@ -1475,6 +1479,7 @@ ORDER BY symbol, event_date"""),
         "duplicated_span_occurrences": (
             oracles.sql_duplicated_span_occurrences(SPAN_WIDTH)
         ),
+        "span_novelty_scores": oracles.sql_span_novelty_scores(SPAN_WIDTH),
         "ngram_jaccard_pairs": oracles.sql_ngram_jaccard_pairs(
             NGRAM_THRESHOLD, dedup.DEFAULT_MAX_SHINGLE_FREQ
         ),

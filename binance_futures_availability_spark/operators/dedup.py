@@ -1183,3 +1183,58 @@ def duplicated_span_occurrences(
     return gathered_sort(hashed.join(dup, "span_md5").select(
         id_col, "pos", "span_md5"
     ), id_col, "pos", "span_md5")
+
+
+def span_novelty_scores(
+    docs: DataFrame,
+    width: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document novelty from the substring census — (doc_id, n_spans,
+    n_dup_spans, novelty_ppm): the fraction of a document's
+    ``width``-token windows NOT duplicated anywhere in the corpus
+    (integer parts-per-million; NULL when the document is shorter than
+    the window). The RefinedWeb/Lee-et-al. quality signal at document
+    grain: low novelty = boilerplate-heavy or heavily-quoted text, a
+    direct memorization-risk ranking for curation.
+
+    A window counts as duplicated if its hash occurs more than once in
+    the corpus — including twice within the SAME document (in-doc
+    repetition is the same memorization risk), consistent with
+    ``duplicated_spans``.
+
+    Scale shape: the span stream is the same narrow no-shuffle fold as
+    the census; the duplicated-hash set is sparse and broadcasts into a
+    left join (occurrence flagging never shuffles the corpus); the only
+    exchange is the final per-doc aggregate. All-integer output — exact
+    on any engine.
+    """
+    spans = docs.select(
+        F.col(id_col),
+        F.explode(_span_fold(F.col(text_col), width)).alias("span"),
+    ).filter(F.col("span").isNotNull())
+    hashed = spans.select(F.col(id_col), F.md5("span").alias("span_md5"))
+    dup = (
+        hashed.groupBy("span_md5")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("span_md5")
+    )
+    per_doc = (
+        hashed.join(F.broadcast(dup.withColumn("is_dup", F.lit(1))), "span_md5", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_spans"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("int").alias("n_dup_spans"),
+        )
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
+        F.when(
+            F.coalesce("n_spans", F.lit(0)) > 0,
+            F.expr("(CAST(n_spans AS BIGINT) - n_dup_spans) * 1000000 div n_spans"),
+        ).alias("novelty_ppm"),
+    )

@@ -1328,35 +1328,49 @@ def classifier_weights(
     corpus explode+shuffle is paid once per session); the label/split
     table is a narrow scan joined on doc_id; the per-term aggregate is
     vocabulary-sized with map-side partial aggregation; the class-total
-    aggregate is 1 row, broadcast."""
-    meta = classifier_doc_meta(docs, id_col, text_col)
-    train = meta.filter(F.col("split") == "train").drop("split")
-    posting = tf_index(docs, id_col, text_col).select(id_col, "term")
-    tot = train.agg(
-        F.coalesce(F.sum("label_good"), F.lit(0)).cast("long").alias("n_good_docs"),
-        F.coalesce(F.sum(F.lit(1) - F.col("label_good")), F.lit(0))
-        .cast("long")
-        .alias("n_bad_docs"),
-    )
-    stats = (
-        posting.join(train, id_col)
-        .groupBy("term")
-        .agg(
-            F.sum("label_good").cast("long").alias("n_good"),
-            F.sum(F.lit(1) - F.col("label_good")).cast("long").alias("n_bad"),
+    aggregate is 1 row, broadcast. The trained table is itself a
+    session-cached index artifact (a model is trained once and served,
+    not re-fit per scoring query)."""
+    from ..index_cache import cached_index, plan_key
+
+    def _build() -> DataFrame:
+        meta = classifier_doc_meta(docs, id_col, text_col)
+        train = meta.filter(F.col("split") == "train").drop("split")
+        posting = tf_index(docs, id_col, text_col).select(id_col, "term")
+        tot = train.agg(
+            F.coalesce(F.sum("label_good"), F.lit(0))
+            .cast("long")
+            .alias("n_good_docs"),
+            F.coalesce(F.sum(F.lit(1) - F.col("label_good")), F.lit(0))
+            .cast("long")
+            .alias("n_bad_docs"),
         )
-        .filter((F.col("n_good") + F.col("n_bad")) >= F.lit(int(min_df)))
-    )
-    lift = F.col("n_good") * F.col("n_bad_docs") - F.col("n_bad") * F.col("n_good_docs")
-    return stats.join(F.broadcast(tot)).select(
-        "term",
-        "n_good",
-        "n_bad",
-        F.when(lift > 0, F.lit(1))
-        .when(lift < 0, F.lit(-1))
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("weight"),
+        stats = (
+            posting.join(train, id_col)
+            .groupBy("term")
+            .agg(
+                F.sum("label_good").cast("long").alias("n_good"),
+                F.sum(F.lit(1) - F.col("label_good")).cast("long").alias("n_bad"),
+            )
+            .filter((F.col("n_good") + F.col("n_bad")) >= F.lit(int(min_df)))
+        )
+        lift = (
+            F.col("n_good") * F.col("n_bad_docs")
+            - F.col("n_bad") * F.col("n_good_docs")
+        )
+        return stats.join(F.broadcast(tot)).select(
+            "term",
+            "n_good",
+            "n_bad",
+            F.when(lift > 0, F.lit(1))
+            .when(lift < 0, F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("weight"),
+        )
+
+    return cached_index(
+        plan_key(docs, "classifier_weights", int(min_df), id_col, text_col), _build
     )
 
 

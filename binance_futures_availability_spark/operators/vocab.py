@@ -30,6 +30,12 @@ from pyspark.sql import types as T
 #: truncate lineage every this many merge rounds
 _CHECKPOINT_EVERY = 4
 
+#: trained merge tables per (source files, plan, n_merges) — the merge
+#: list is a bounded driver-side artifact (n_merges rows), so re-serving
+#: a trained tokenizer costs nothing (same discipline as the LM count
+#: caches; bounded_scalar_put sweeps dead files and caps size)
+_MERGES_CACHE: dict = {}
+
 MERGE_SCHEMA = T.StructType(
     [
         T.StructField("rank", T.IntegerType(), False),
@@ -128,6 +134,11 @@ def bpe_merges(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     spark = spark or docs.sparkSession
+    from ..index_cache import bounded_scalar_put, plan_key
+
+    key = plan_key(docs, "bpe_merges", n_merges, text_col)
+    if key is not None and key in _MERGES_CACHE:
+        return spark.createDataFrame(_MERGES_CACHE[key], MERGE_SCHEMA)
     wf = word_freqs(docs, text_col)
     syms = wf.select(F.split("word", "").alias("syms"), "freq").persist()
     merges: list[tuple] = []
@@ -153,6 +164,8 @@ def bpe_merges(
             syms = nxt
     finally:
         syms.unpersist()
+    if key is not None:
+        bounded_scalar_put(_MERGES_CACHE, key, merges)
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 

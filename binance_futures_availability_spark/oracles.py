@@ -2217,3 +2217,29 @@ def sql_bpe_pair_counts(k: int = 20) -> str:
         "FROM pairs GROUP BY 1, 2\n"
         f"ORDER BY pair_count DESC, \"left\", \"right\" LIMIT {int(k)}"
     )
+
+
+def sql_span_novelty_scores(width: int = 6) -> str:
+    """Per-document substring novelty — mirrors
+    dedup.span_novelty_scores (ppm integer division, NULL for docs
+    shorter than the window)."""
+    return f"""WITH {_span_cte(width)},
+census AS (
+    SELECT span_md5 FROM sp GROUP BY span_md5 HAVING COUNT(*) > 1
+),
+per AS (
+    SELECT sp.doc_id,
+           CAST(COUNT(*) AS INT) AS n_spans,
+           CAST(SUM(CASE WHEN c.span_md5 IS NOT NULL THEN 1 ELSE 0 END)
+                AS INT) AS n_dup_spans
+    FROM sp LEFT JOIN census c USING (span_md5)
+    GROUP BY sp.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN NULL
+            ELSE (CAST(p.n_spans AS BIGINT) - p.n_dup_spans) * 1000000
+                 // p.n_spans
+       END AS novelty_ppm
+FROM documents d LEFT JOIN per p USING (doc_id)"""

@@ -2206,3 +2206,34 @@ def test_bpe_encode_matches_reference(spark):
     for doc_id, text in rows:
         n_chars = sum(len(t) for t in re.split(r"\s+", text.strip()) if t)
         assert expected[doc_id][0] <= got[doc_id][1] <= n_chars
+
+
+def test_span_novelty_scores_semantics(spark):
+    """novelty_ppm counts corpus-duplicated windows out of each doc's
+    windows: shared spans and in-doc repeats are non-novel, unique
+    windows are novel, sub-window docs get NULL novelty with zero
+    counts."""
+    from binance_futures_availability_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta"  # exactly one 6-window
+    rows = [
+        (0, shared),                       # 1 span, duplicated -> novelty 0
+        (1, "zero " + shared),             # 2 spans, 1 duplicated -> 500000
+        (2, "r1 r2 r3 r4 r5 r6 x r1 r2 r3 r4 r5 r6"),  # in-doc repeat
+        (3, "too short"),                  # no window
+        (4, "u1 u2 u3 u4 u5 u6 u7"),       # 2 spans, both unique -> 1000000
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["novelty_ppm"])
+        for r in dedup.span_novelty_scores(docs, width=6).collect()
+    }
+    # doc 2: 8 windows; the repeated 'r1..r6' window occurs at pos 1 and 8
+    # (2 dup occurrences); windows crossing the 'x' are unique
+    assert got == {
+        0: (1, 1, 0),
+        1: (2, 1, 500000),
+        2: (8, 2, 750000),
+        3: (0, 0, None),
+        4: (2, 0, 1000000),
+    }

@@ -78,6 +78,10 @@ HEADLINERS = {
     "ivf_pq_topk": "IVF-PQ: probed-cell id set broadcast-semi-prunes the ADC stream before the top-k — candidates are ~nprobe/n_cells of the corpus",
     "lm_quality_buckets": "perplexity split: NTILE arithmetic over the cached LM-ranked artifact (range repartition + per-partition offsets) — no single-partition window",
     "shipping_priority": "Q3 family: qualifying orders broadcast twice — semi-join below the revenue aggregate (hash table holds only qualifying keys) and build side of the attribute join; top-k collapses to TakeOrderedAndProject",
+    "bm25_topk": "BM25 retrieval: query-term table broadcast onto the session-cached inverted index; integer nano-quantized score aggregate; order+limit collapses to TakeOrderedAndProject — no global sort",
+    "duplicated_spans": "substring-duplication census: positional span windows from a narrow codegen transform (corpus never shuffles for span generation); ONE span-hash partial-agg exchange",
+    "classifier_scores": "trained-classifier scoring: vocabulary-sized ±1 weight table broadcast onto the cached posting stream; one per-doc aggregate; left join keeps zero-term docs",
+    "bpe_pair_counts": "BPE round 0: the corpus collapses to the word-frequency table in one map-side-combined aggregate; pair explode runs over vocab-sized rows; top-k is TakeOrderedAndProject",
 }
 
 
