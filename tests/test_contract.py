@@ -22,10 +22,17 @@ TABLES = (
 )
 
 
+#: queries deliberately gated rows-only (iterative algorithms with no
+#: single-SQL oracle; each is exactness-pinned in pytest against an
+#: independent Python reference — see tests/test_extensions.py)
+ROWS_ONLY = {"bpe_merges", "bpe_encode"}
+
+
 def test_queries_and_oracles_key_aligned():
     q = set(entry.queries())
     o = set(entry.oracle_sql())
-    assert q == o, (sorted(q - o), sorted(o - q))
+    assert q - o == ROWS_ONLY, sorted((q - o) ^ ROWS_ONLY)
+    assert not (o - q), sorted(o - q)
     assert len(q) >= 83
 
 
