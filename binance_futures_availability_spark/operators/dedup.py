@@ -1113,6 +1113,69 @@ def _span_fold(text_col, width: int):
     return cur
 
 
+def span_index(
+    docs: DataFrame,
+    width: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus's hashed positional span stream — (doc_id, pos,
+    span_md5), pos 1-based, one row per ``width``-token window — built
+    ONCE per (source files, plan, params) and session-persisted
+    (index_cache discipline, the substring-grain twin of ``tf_index``).
+
+    This is the shared artifact the whole span-dedup family derives from
+    (``duplicated_spans`` aggregates it, ``duplicated_span_occurrences``
+    semi-joins back onto it, ``span_novelty_scores`` folds it per doc), so
+    the O(tokens·width) fold + md5 stream is paid once per corpus, not
+    once per query. It is the engine analogue of Lee et al.'s suffix
+    structure: corpus-sized, built as an index, served to many queries.
+    MEMORY_AND_DISK persist — at corpus scales past storage memory the
+    stream spills instead of recomputing.
+    """
+    key = plan_key(docs, "span_index", width, id_col, text_col)
+
+    def _build() -> DataFrame:
+        spans = docs.select(
+            F.col(id_col),
+            F.posexplode(
+                _span_fold(F.col(text_col), width)
+            ).alias("pos0", "span"),
+        ).filter(F.col("span").isNotNull())
+        return spans.select(
+            F.col(id_col),
+            (F.col("pos0") + F.lit(1)).cast("int").alias("pos"),
+            F.md5("span").alias("span_md5"),
+        )
+
+    return cached_index(key, _build)
+
+
+def _span_census(
+    docs: DataFrame, width: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Duplicated-span census artifact — (span_md5, n_docs,
+    n_occurrences) for every span occurring >1× corpus-wide. Sparse by
+    construction (most windows are unique), so it is cheap to persist and
+    broadcast; session-cached one level above ``span_index`` with the
+    source-frame key threaded down (plan_key on a cached handle would be
+    None — see index_cache.plan_key's pitfall note)."""
+    idx = span_index(docs, width, id_col, text_col)
+    key = plan_key(docs, "span_census", width, id_col, text_col)
+
+    def _build() -> DataFrame:
+        return (
+            idx.groupBy("span_md5")
+            .agg(
+                F.countDistinct(id_col).cast("int").alias("n_docs"),
+                F.count(F.lit(1)).cast("int").alias("n_occurrences"),
+            )
+            .filter(F.col("n_occurrences") > 1)
+        )
+
+    return cached_index(key, _build)
+
+
 def duplicated_spans(
     docs: DataFrame,
     width: int = 6,
@@ -1133,20 +1196,12 @@ def duplicated_spans(
     the same one-shuffle profile as ``exact_duplicates``, just at window
     rather than document granularity. At 100 TB the only hot spot is a
     pathologically viral span (one hash key's count), which partial
-    aggregation already absorbs.
+    aggregation already absorbs. Both the span stream and the census are
+    session-cached index artifacts shared with the occurrence extractor
+    and the novelty scorer (``span_index`` / ``_span_census``).
     """
-    spans = docs.select(
-        F.col(id_col),
-        F.posexplode(_span_fold(F.col(text_col), width)).alias("pos0", "span"),
-    ).filter(F.col("span").isNotNull())
     return gathered_sort(
-        spans.groupBy(F.md5("span").alias("span_md5"))
-        .agg(
-            F.countDistinct(id_col).cast("int").alias("n_docs"),
-            F.count(F.lit(1)).cast("int").alias("n_occurrences"),
-        )
-        .filter(F.col("n_occurrences") > 1),
-        "span_md5",
+        _span_census(docs, width, id_col, text_col), "span_md5"
     )
 
 
@@ -1161,24 +1216,14 @@ def duplicated_span_occurrences(
     of ``duplicated_spans``: a span-level scrubber cuts exactly these
     (doc, offset) windows.
 
-    The duplicated-hash set is sparse, so it broadcasts back onto the
-    span stream (semi-join shape): the corpus is scanned once more but
-    never shuffled — occurrence extraction stays embarrassingly parallel.
+    The duplicated-hash set (the shared census artifact) is sparse, so it
+    broadcasts back onto the cached span stream (semi-join shape): the
+    stream is scanned once more but never shuffled — occurrence
+    extraction stays embarrassingly parallel.
     """
-    spans = docs.select(
-        F.col(id_col),
-        F.posexplode(_span_fold(F.col(text_col), width)).alias("pos0", "span"),
-    ).filter(F.col("span").isNotNull())
-    hashed = spans.select(
-        F.col(id_col),
-        (F.col("pos0") + F.lit(1)).cast("int").alias("pos"),
-        F.md5("span").alias("span_md5"),
-    )
+    hashed = span_index(docs, width, id_col, text_col)
     dup = F.broadcast(
-        hashed.groupBy("span_md5")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .select("span_md5")
+        _span_census(docs, width, id_col, text_col).select("span_md5")
     )
     return gathered_sort(hashed.join(dup, "span_md5").select(
         id_col, "pos", "span_md5"
@@ -1204,23 +1249,14 @@ def span_novelty_scores(
     repetition is the same memorization risk), consistent with
     ``duplicated_spans``.
 
-    Scale shape: the span stream is the same narrow no-shuffle fold as
-    the census; the duplicated-hash set is sparse and broadcasts into a
-    left join (occurrence flagging never shuffles the corpus); the only
-    exchange is the final per-doc aggregate. All-integer output — exact
-    on any engine.
+    Scale shape: the span stream is the shared session-cached artifact
+    (``span_index``); the duplicated-hash set is the shared census,
+    sparse, broadcast into a left join (occurrence flagging never
+    shuffles the corpus); the only exchange is the final per-doc
+    aggregate. All-integer output — exact on any engine.
     """
-    spans = docs.select(
-        F.col(id_col),
-        F.explode(_span_fold(F.col(text_col), width)).alias("span"),
-    ).filter(F.col("span").isNotNull())
-    hashed = spans.select(F.col(id_col), F.md5("span").alias("span_md5"))
-    dup = (
-        hashed.groupBy("span_md5")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") > 1)
-        .select("span_md5")
-    )
+    hashed = span_index(docs, width, id_col, text_col)
+    dup = _span_census(docs, width, id_col, text_col).select("span_md5")
     per_doc = (
         hashed.join(F.broadcast(dup.withColumn("is_dup", F.lit(1))), "span_md5", "left")
         .groupBy(id_col)

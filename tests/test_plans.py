@@ -568,3 +568,34 @@ def test_bm25_topk_plan_take_ordered_over_cached_index(spark, tmp_path):
     assert "FileScan" not in live, plan
     assert "ArrowEvalPython" not in live and "BatchEvalPython" not in live
     assert live.count("hashpartitioning") <= 3, plan
+
+
+def test_span_family_serves_from_shared_cached_stream(spark, tmp_path):
+    """The span-dedup family's 100 TB shape: all three queries derive from
+    ONE session-cached hashed span stream (span_index) plus one cached
+    sparse census — a warm occurrence extraction reads InMemoryTableScans
+    (no text re-fold, no md5 re-hash), the census rides as a broadcast,
+    and the stream itself is never re-shuffled."""
+    from binance_futures_availability_spark.operators import dedup
+
+    path = str(tmp_path / "docs")
+    rows = [(i, "common header line " + " ".join(f"w{i}x{j}" for j in range(8)))
+            for i in range(40)]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    dedup.duplicated_spans(docs, width=4).collect()  # build both artifacts
+    warm = dedup.duplicated_span_occurrences(docs, width=4)
+    plan = _plan(warm)
+    live = plan.split("InMemoryRelation", 1)[0]  # above the cached build plans
+    assert "InMemoryTableScan" in live, plan
+    assert "BroadcastHashJoin" in live, plan
+    assert "FileScan" not in live, plan  # no raw corpus re-scan on warm path
+    assert "hashpartitioning" not in live, plan  # stream never re-shuffled
+
+    novelty = dedup.span_novelty_scores(docs, width=4)
+    nplan = _plan(novelty)
+    nlive = nplan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in nlive, nplan
+    # only exchange on the live path: the final per-doc aggregate
+    assert nlive.count("hashpartitioning") <= 2, nplan
