@@ -969,12 +969,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # train → encode composition (rows-only; same pytest pinning)
         "bpe_encode": lambda s, d: vocab.bpe_encode(
             _docs(s, d),
-            [
-                (r["left"], r["right"])
-                for r in vocab.bpe_merges(_docs(s, d), BPE_N_MERGES)
-                .orderBy("rank")
-                .collect()
-            ],
+            vocab.bpe_merge_rules(_docs(s, d), BPE_N_MERGES),
         ),
         "pii_scrub": _pii_scrub,
         "contamination_check": _contamination_check,
