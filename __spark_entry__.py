@@ -559,6 +559,9 @@ GATE_PRIORITY = [
     "bpe_pair_counts",
     "bpe_merges",
     "bpe_encode",
+    "rp_embeddings",
+    "rp_topk",
+    "rp_recall_audit",
     # r3-era rows — the 7 oldest in the catalog
     "doc_fingerprints",
     "language_id",
@@ -911,6 +914,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), ANN_QUERY_ID, ANN_K
         ),
         "pq_recall_audit": lambda s, d: similarity.pq_recall_audit(
+            _emb(s, d), ANN_QUERY_ID, ANN_K
+        ),
+        # JL random-projection family: 64-d → RP_DIM-d exact-integer
+        # compression (the dense-rotation counterpart of PQ), projected-
+        # space top-k, and the measured-distortion recall audit
+        "rp_embeddings": lambda s, d: (
+            similarity.rp_embeddings(_emb(s, d))
+            .select("vec_id", F.posexplode("rp").alias("pos0", "rp_i"))
+            .select(
+                "vec_id",
+                (F.col("pos0") + 1).cast("int").alias("i"),
+                "rp_i",
+            )
+        ),
+        "rp_topk": lambda s, d: similarity.rp_topk(
+            _emb(s, d), ANN_QUERY_ID, ANN_K
+        ),
+        "rp_recall_audit": lambda s, d: similarity.rp_recall_audit(
             _emb(s, d), ANN_QUERY_ID, ANN_K
         ),
         # trained PQ: one per-subspace Lloyd round, integer-grid centroids
@@ -1532,6 +1553,13 @@ ORDER BY symbol, event_date"""),
         ),
         "pq_recall_audit": oracles.sql_pq_recall_audit(
             ANN_QUERY_ID, ANN_K, similarity.PQ_M, similarity.PQ_K
+        ),
+        "rp_embeddings": oracles.sql_rp_embeddings(similarity.RP_DIM),
+        "rp_topk": oracles.sql_rp_topk(
+            ANN_QUERY_ID, ANN_K, similarity.RP_DIM
+        ),
+        "rp_recall_audit": oracles.sql_rp_recall_audit(
+            ANN_QUERY_ID, ANN_K, similarity.RP_DIM
         ),
         "pq_codes_trained": oracles.sql_pq_codes(
             similarity.PQ_M, similarity.PQ_K, iters=1

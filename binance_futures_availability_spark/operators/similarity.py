@@ -1843,3 +1843,147 @@ def pq_recall_audit(
         F.count("__a").cast("long").alias("n_hits"),
         (F.count("__a") / F.lit(float(topk))).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Random-projection (Johnson–Lindenstrauss) compression
+# --------------------------------------------------------------------------
+
+#: default projected width: 64-d embeddings → 16-d (4× compression). The JL
+#: lemma bounds pairwise-distance distortion by O(sqrt(ln n / m)); the audit
+#: operator turns that bound into a measured recall number per corpus.
+RP_DIM = 16
+
+_RP_BATCH: dict = {}
+
+
+def _rp_batch(m: int):
+    """Arrow-batched JL projection: quantized vector → ``m`` exact integer
+    plane dots, re-quantized to the input grid by TRUNCATING division
+    (DuckDB ``//`` semantics — numpy's ``//`` floors, so the kernel
+    truncates explicitly via sign·(|x|//s)).
+
+    Same GEMM-not-fold rationale as ``_bucket_batch``: every plane dot is
+    an integer < 2^53 so the float64 matmul is exact; the division keeps
+    the projected components (and therefore their m-term dots and norms)
+    inside BIGINT without losing cross-engine exactness. The plane matrix
+    is the same prefix-stable seed-42 family the LSH operators use —
+    ``planes(m)`` — so the oracle regenerates it verbatim."""
+    if m in _RP_BATCH:
+        return _RP_BATCH[m]
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions import EMB_SCALE
+
+    plane_rows = planes(m)
+    scale = int(EMB_SCALE)
+
+    @pandas_udf("array<long>")
+    def rp_batch(q: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(q) == 0:
+            return pd.Series([], dtype="object")
+        qm = np.asarray(q.tolist(), dtype=np.float64)
+        pm = np.asarray(plane_rows, dtype=np.float64)[:, : qm.shape[1]]
+        dots = (qm @ pm.T).astype(np.int64)  # exact: every dot < 2^53
+        proj = np.sign(dots) * (np.abs(dots) // scale)
+        return pd.Series(list(proj))
+
+    _RP_BATCH[m] = rp_batch
+    return rp_batch
+
+
+def _with_projected(emb: DataFrame, vec_col: str, m: int) -> DataFrame:
+    """Projected-vector store — (…, __rp, __rpnorm) — the RP twin of
+    ``_with_quantized``: session-cached per (source, column, width), so
+    the projection GEMM is paid once per corpus and every RP consumer
+    (export, top-k, audit) serves from the in-memory columnar form."""
+
+    def build() -> DataFrame:
+        base = _with_quantized(emb, vec_col)
+        proj = base.withColumn("__rp", _rp_batch(m)(F.col("__q")))
+        return proj.withColumn("__rpnorm", int_dot(F.col("__rp"), F.col("__rp")))
+
+    return cached_index(plan_key(emb, "rp_projected", vec_col, m), build)
+
+
+def rp_embeddings(
+    emb: DataFrame,
+    m: int = RP_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The compressed corpus: (vec_id, rp) with ``rp`` an ``m``-element
+    exact-integer projection of the embedding — the storage artifact a
+    100 TB pipeline writes once and serves similarity queries from at
+    dim/m of the scan cost (the dense-rotation counterpart of PQ's
+    codebook compression; Achlioptas-style integer planes instead of
+    Gaussian). Engine-exact end to end: quantize → integer plane dots →
+    truncating re-quantization, so the oracle reproduces every element
+    bit for bit."""
+    return _with_projected(emb, vec_col, m).select(
+        F.col(id_col), F.col("__rp").alias("rp")
+    )
+
+
+def rp_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    m: int = RP_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k in the PROJECTED space — the query shape a
+    JL-compressed store serves: same TakeOrderedAndProject plan as
+    ``ann_topk`` but scanning m-wide integer vectors instead of dim-wide
+    ones (the scan/compute cost falls by dim/m; recall is the audited JL
+    distortion). Ties break on id; zero-norm projections yield NULL
+    cosine and drop to the bottom, matching the exact path's convention.
+    """
+    base = _with_projected(emb, vec_col, m)
+    qrow = base.filter(F.col(id_col) == query_vec_id).select(
+        F.col("__rp").alias("__qq"), F.col("__rpnorm").alias("__qnorm")
+    )
+    joined = base.filter(F.col(id_col) != query_vec_id).crossJoin(
+        F.broadcast(qrow)
+    )
+    dot = int_dot(F.col("__rp"), F.col("__qq"))
+    return (
+        joined.select(
+            F.col(id_col),
+            cosine_from_quantized(
+                dot, F.col("__rpnorm"), F.col("__qnorm")
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def rp_recall_audit(
+    emb: DataFrame,
+    query_id: int,
+    topk: int,
+    m: int = RP_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the projected-space ranking against the exact
+    brute-force ranking: one row (k, n_hits, recall) — the measured form
+    of the JL distortion bound for this corpus and width (the RP twin of
+    pq_recall_audit / lsh_recall_audit: never trust a compression knob
+    you haven't audited)."""
+    exact = ann_topk(emb, query_id, topk, id_col, vec_col).select(
+        F.col(id_col).alias("__e")
+    )
+    approx = rp_topk(emb, query_id, topk, m, id_col, vec_col).select(
+        F.col(id_col).alias("__a")
+    )
+    j = exact.join(approx, exact["__e"] == approx["__a"], "left_outer")
+    return j.agg(
+        F.lit(topk).cast("long").alias("k"),
+        F.count("__a").cast("long").alias("n_hits"),
+        (F.count("__a") / F.lit(float(topk))).alias("recall"),
+    )

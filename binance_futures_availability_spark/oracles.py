@@ -2243,3 +2243,79 @@ SELECT d.doc_id,
                  // p.n_spans
        END AS novelty_ppm
 FROM documents d LEFT JOIN per p USING (doc_id)"""
+
+
+def _rp_list_sql(m: int) -> str:
+    """The m-element projected-vector expression over ``normed.q`` —
+    integer plane dots truncating-divided back to the input grid
+    (DuckDB ``//`` on BIGINT truncates toward zero, matching the Spark
+    kernel's sign·(|x|//scale)). Same seed-42 ``planes`` family as LSH."""
+    comps = ", ".join(
+        "(CAST(list_dot_product(q, ["
+        + ", ".join(str(v) for v in plane)
+        + f"]::BIGINT[]) AS BIGINT) // {EMB_SCALE})"
+        for plane in planes(m)
+    )
+    return f"[{comps}]::BIGINT[]"
+
+
+def rp_cte(m: int) -> str:
+    return f"""rp AS (
+    SELECT vec_id, {_rp_list_sql(m)} AS r FROM normed
+),
+rpn AS (
+    SELECT vec_id, r, CAST(list_dot_product(r, r) AS BIGINT) AS rnrm FROM rp
+)"""
+
+
+def sql_rp_embeddings(m: int) -> str:
+    """Flattened (vec_id, i, rp_i), i 1-based — the gate-friendly form of
+    the projected store (array columns hash differently between pandas
+    conversions; scalars are engine-neutral)."""
+    return f"""WITH {EMB_BASE_CTE},
+{rp_cte(m)}
+SELECT vec_id, CAST(generate_subscripts(r, 1) AS INT) AS i,
+       unnest(r) AS rp_i
+FROM rp"""
+
+
+def sql_rp_topk(query_vec_id: int, k: int, m: int) -> str:
+    return f"""WITH {EMB_BASE_CTE},
+{rp_cte(m)},
+qv AS (SELECT r AS qq, rnrm AS qn FROM rpn WHERE vec_id = {query_vec_id})
+SELECT n.vec_id,
+       CASE WHEN n.rnrm > 0 AND qv.qn > 0
+            THEN list_dot_product(n.r, qv.qq) / (sqrt(n.rnrm) * sqrt(qv.qn))
+       END AS cosine
+FROM rpn n, qv
+WHERE n.vec_id <> {query_vec_id}
+ORDER BY cosine DESC NULLS LAST, n.vec_id
+LIMIT {k}"""
+
+
+def sql_rp_recall_audit(query_vec_id: int, topk: int, m: int) -> str:
+    return f"""WITH {EMB_BASE_CTE},
+{rp_cte(m)},
+qv AS (SELECT q AS qq, nrm AS qn FROM normed WHERE vec_id = {query_vec_id}),
+rqv AS (SELECT r AS qq, rnrm AS qn FROM rpn WHERE vec_id = {query_vec_id}),
+exact AS (
+    SELECT n.vec_id FROM normed n, qv
+    WHERE n.vec_id <> {query_vec_id}
+    ORDER BY list_dot_product(n.q, qv.qq) / (sqrt(n.nrm) * sqrt(qv.qn)) DESC,
+             n.vec_id
+    LIMIT {topk}
+),
+approx AS (
+    SELECT n.vec_id FROM rpn n, rqv
+    WHERE n.vec_id <> {query_vec_id}
+    ORDER BY CASE WHEN n.rnrm > 0 AND rqv.qn > 0
+                  THEN list_dot_product(n.r, rqv.qq)
+                       / (sqrt(n.rnrm) * sqrt(rqv.qn))
+             END DESC NULLS LAST,
+             n.vec_id
+    LIMIT {topk}
+)
+SELECT CAST({topk} AS BIGINT) AS k,
+       CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hits,
+       COUNT(ap.vec_id) / CAST({topk} AS DOUBLE) AS recall
+FROM exact e LEFT JOIN approx ap USING (vec_id)"""

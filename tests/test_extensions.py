@@ -2237,3 +2237,74 @@ def test_span_novelty_scores_semantics(spark):
         3: (0, 0, None),
         4: (2, 0, 1000000),
     }
+
+
+# --------------------------------------------------------------------------
+# random-projection (JL) family
+# --------------------------------------------------------------------------
+
+
+def _rp_reference(vecs, m):
+    """Independent pure-Python RP: quantize -> integer plane dots ->
+    TRUNCATING division (DuckDB // semantics), no numpy."""
+    from binance_futures_availability_spark.functions import EMB_SCALE
+    from binance_futures_availability_spark.operators.similarity import planes
+
+    out = {}
+    for vid, v in vecs:
+        q = [round(float(e) * EMB_SCALE) for e in v]
+        row = []
+        for plane in planes(m):
+            d = sum(a * b for a, b in zip(q, plane[: len(q)]))
+            t = abs(d) // EMB_SCALE
+            row.append(-t if d < 0 else t)
+        out[vid] = row
+    return out
+
+
+def test_rp_embeddings_match_independent_reference(spark):
+    from binance_futures_availability_spark.operators import similarity
+
+    # includes negative components -> negative plane dots, so the
+    # truncation-vs-floor distinction is actually exercised
+    vecs = [
+        (1, [0.25, -0.5, 0.125, 0.99]),
+        (2, [-0.33, 0.66, -0.99, 0.01]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, -1.0, 1.0, -1.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs], ["vec_id", "embedding", "label"]
+    )
+    got = {
+        r["vec_id"]: list(r["rp"])
+        for r in similarity.rp_embeddings(emb, m=6).collect()
+    }
+    assert got == _rp_reference(vecs, 6)
+    # negative projected components must actually occur for the test to
+    # prove truncation semantics
+    assert any(c < 0 for row in got.values() for c in row)
+
+
+def test_rp_topk_and_recall_audit_semantics(spark):
+    from binance_futures_availability_spark.operators import similarity
+
+    rng_vecs = [
+        (i, [((i * 37 + j * 11) % 17 - 8) / 8.0 for j in range(8)])
+        for i in range(1, 31)
+    ]
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in rng_vecs], ["vec_id", "embedding", "label"]
+    )
+    top = similarity.rp_topk(emb, 1, k=5, m=6).collect()
+    assert len(top) == 5
+    assert all(r["vec_id"] != 1 for r in top)
+    cosines = [r["cosine"] for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+    audit = similarity.rp_recall_audit(emb, 1, 5, m=6).collect()[0]
+    assert audit["k"] == 5
+    assert 0 <= audit["n_hits"] <= 5
+    assert audit["recall"] == audit["n_hits"] / 5.0
+    # m = full width with no rescaling loss would be recall 1; at m=6 over
+    # 8 dims the projection is near-isometric on this small set
+    assert audit["n_hits"] >= 1
