@@ -87,6 +87,9 @@ MIX_BUDGET_TOKENS = 10_000
 #: BM25 retrieval: one rare term ('dup' — df ≈ 0.5% of docs, high idf)
 #: plus three common ones, so the gate exercises both idf extremes
 BM25_TERMS = ("dup", "hash", "join", "vector")
+#: reference slice for cross-corpus LM scoring (CCNet shape: LM trained on
+#: a trusted half of the sources, every document scored under it)
+XLM_REF_SOURCES = tuple(f"src{i}" for i in range(10))
 BM25_K = 25
 #: BPE round-0 statistics: top-k adjacent character pairs
 BPE_PAIRS_K = 40
@@ -562,6 +565,7 @@ GATE_PRIORITY = [
     "rp_embeddings",
     "rp_topk",
     "rp_recall_audit",
+    "cross_lm_scores",
     # r3-era rows — the 7 oldest in the catalog
     "doc_fingerprints",
     "language_id",
@@ -975,6 +979,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             textops.lm_quality_buckets(_docs(s, d)), "doc_id"
         ),
         "bigram_lm_scores": lambda s, d: textops.bigram_lm_scores(_docs(s, d)),
+        "cross_lm_scores": lambda s, d: textops.cross_lm_scores(
+            _docs(s, d), XLM_REF_SOURCES
+        ),
         "bm25_topk": lambda s, d: textops.bm25_topk(
             _docs(s, d), list(BM25_TERMS), BM25_K
         ),
@@ -1583,6 +1590,7 @@ ORDER BY symbol, event_date"""),
         "doc_keyterms": oracles.sql_doc_keyterms(),
         "lm_quality_buckets": oracles.sql_lm_quality_buckets() + " ORDER BY doc_id",
         "bigram_lm_scores": oracles.sql_bigram_lm_scores(),
+        "cross_lm_scores": oracles.sql_cross_lm_scores(XLM_REF_SOURCES),
         "bm25_topk": oracles.sql_bm25_topk(BM25_TERMS, BM25_K),
         "classifier_weights": oracles.sql_classifier_weights(),
         "classifier_scores": oracles.sql_classifier_scores(),

@@ -1088,6 +1088,95 @@ def bigram_lm_scores(
     )
 
 
+def cross_lm_scores(
+    docs: DataFrame,
+    ref_sources,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """CCNet-style CROSS-corpus LM filtering: score every document under a
+    bigram model trained ONLY on the reference slice (``source_col`` ∈
+    ``ref_sources``) — (doc_id, n_bigrams, avg_neg_logprob). This is the
+    actual CCNet/importance-filter deployment shape (``bigram_lm_scores``
+    is the self-trained degenerate case): the LM is fit on a trusted
+    corpus (Wikipedia in CCNet) and candidate web text is ranked by how
+    surprising it is under that model — in-domain text scores low,
+    out-of-domain/gibberish scores high.
+
+    Unseen mass is where cross-corpus differs from self-scoring: a scored
+    bigram absent from the reference gets cb = 0 and an unseen context
+    word cu = 0, so Laplace smoothing — p = (cb+1)/(cu+|V_ref|) with
+    |V_ref| the REFERENCE vocabulary — must ride on LEFT joins with
+    integer COALESCE, never inner joins (the self-trained operator can use
+    inner joins because every scored bigram was counted). Scores stay
+    engine-exact via the same integer nano-nat quantization before the
+    per-doc sum.
+
+    Scale shape: the reference counts are (small-corpus) session-cached
+    index artifacts; the scored stream is the whole-corpus ``bigram_index``
+    (shared with the self-trained scorer — no new corpus pass); both count
+    tables broadcast (or, with ``broadcast_counts=False``, reuse the
+    index's hash partitioning for open vocabularies). Documents with <2
+    tokens have no bigrams and are absent, mirrored by the oracle.
+    """
+    from ..index_cache import cached_index, plan_key
+
+    ref = docs.filter(F.col(source_col).isin(list(ref_sources)))
+    bigrams = bigram_index(docs, id_col, text_col)
+    ref_tag = tuple(sorted(ref_sources))
+    bc = cached_index(
+        plan_key(docs, "xlm_bigram_counts", source_col, ref_tag, id_col, text_col),
+        lambda: bigram_index(ref, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.sum("tf_b").alias("cb")),
+    )
+    uni = cached_index(
+        plan_key(docs, "xlm_unigram_counts", source_col, ref_tag, id_col, text_col),
+        lambda: tf_index(ref, id_col, text_col)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cu"))
+        .withColumnRenamed("term", "w1"),
+    )
+    vocab_n = _vocab_count(ref, uni, id_col, text_col)
+    if vocab_n < 1:
+        raise ValueError(
+            "cross_lm_scores: reference slice has an empty vocabulary — "
+            "the Laplace denominator would be zero; check ref_sources"
+        )
+    if broadcast_counts:
+        bc = F.broadcast(bc)
+        uni = F.broadcast(uni)
+    scored = (
+        bigrams.join(bc, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .select(
+            id_col,
+            "tf_b",
+            (
+                F.col("tf_b")
+                * F.round(
+                    F.log(
+                        (F.coalesce("cb", F.lit(0)) + F.lit(1.0))
+                        / (
+                            F.coalesce("cu", F.lit(0))
+                            + F.lit(float(vocab_n))
+                        )
+                    )
+                    * F.lit(1e9)
+                ).cast("long")
+            ).alias("__ilp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf_b").cast("long").alias("n_bigrams"),
+        (
+            -F.sum("__ilp").cast("double") / F.lit(1e9) / F.sum("tf_b")
+        ).alias("avg_neg_logprob"),
+    )
+
+
 #: scored-doc counts for lm_quality_buckets, keyed like every derived scalar
 _LM_COUNT_CACHE: dict = {}
 

@@ -2319,3 +2319,45 @@ SELECT CAST({topk} AS BIGINT) AS k,
        CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hits,
        COUNT(ap.vec_id) / CAST({topk} AS DOUBLE) AS recall
 FROM exact e LEFT JOIN approx ap USING (vec_id)"""
+
+
+def sql_cross_lm_scores(ref_sources) -> str:
+    """Cross-corpus LM scores — mirrors textops.cross_lm_scores: bigram
+    counts / unigram counts / |V| from the REFERENCE slice only, every
+    document scored with Laplace smoothing over LEFT joins (unseen bigram
+    → cb 0, unseen context word → cu 0), nano-nat integer quantization
+    before the order-independent sum."""
+    src_list = ", ".join(f"'{s}'" for s in ref_sources)
+    return rf"""WITH toks AS (
+    SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents
+),
+flat AS (
+    SELECT doc_id, source, generate_subscripts(t, 1) AS pos, unnest(t) AS w
+    FROM toks
+),
+uni AS (
+    SELECT w, COUNT(*) AS cu FROM flat
+    WHERE w <> '' AND source IN ({src_list}) GROUP BY w
+),
+v AS (SELECT COUNT(*) AS vn FROM uni),
+bi AS (
+    SELECT f1.doc_id, f1.source, f1.w AS w1, f2.w AS w2
+    FROM flat f1 JOIN flat f2
+      ON f1.doc_id = f2.doc_id AND f2.pos = f1.pos + 1
+),
+bc AS (
+    SELECT w1, w2, COUNT(*) AS cb FROM bi
+    WHERE source IN ({src_list}) GROUP BY 1, 2
+),
+scored AS (
+    SELECT b.doc_id,
+           CAST(round(ln((COALESCE(bc.cb, 0) + 1.0)
+                         / (COALESCE(u.cu, 0) + v.vn)) * 1000000000)
+                AS BIGINT) AS ilp
+    FROM bi b LEFT JOIN bc USING (w1, w2) LEFT JOIN uni u ON u.w = b.w1
+    CROSS JOIN v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       -CAST(SUM(ilp) AS DOUBLE) / 1000000000 / COUNT(*) AS avg_neg_logprob
+FROM scored GROUP BY doc_id"""

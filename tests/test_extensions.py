@@ -2308,3 +2308,71 @@ def test_rp_topk_and_recall_audit_semantics(spark):
     # m = full width with no rescaling loss would be recall 1; at m=6 over
     # 8 dims the projection is near-isometric on this small set
     assert audit["n_hits"] >= 1
+
+
+def test_cross_lm_scores_vs_python_reference(spark):
+    """Cross-corpus LM: counts from the reference slice only; unseen
+    bigrams/contexts smoothed as (0+1)/(0+|V_ref|); every doc scored."""
+    import math
+
+    from binance_futures_availability_spark.operators import textops
+
+    rows = [
+        (1, "the cat sat", "ref"),
+        (2, "the cat ran", "ref"),
+        (3, "the dog barked loudly", "web"),   # bigrams unseen in ref
+        (4, "cat sat", "web"),                 # bigram seen in ref
+        (5, "one", "web"),                     # <2 tokens -> absent
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neg_logprob"])
+        for r in textops.cross_lm_scores(docs, ["ref"]).collect()
+    }
+
+    # independent reference
+    ref_texts = [t for _, t, s in rows if s == "ref"]
+    uni: dict = {}
+    bc: dict = {}
+    for t in ref_texts:
+        ws = t.split()
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+    vn = len(uni)
+    exp = {}
+    for did, t, _s in rows:
+        ws = t.split()
+        if len(ws) < 2:
+            continue
+        ilps = [
+            round(
+                math.log(
+                    (bc.get((a, b), 0) + 1.0) / (uni.get(a, 0) + vn)
+                )
+                * 1e9
+            )
+            for a, b in zip(ws, ws[1:])
+        ]
+        exp[did] = (len(ilps), -sum(ilps) / 1e9 / len(ilps))
+
+    assert set(got) == set(exp)
+    for did, (nb, score) in exp.items():
+        assert got[did][0] == nb
+        assert abs(got[did][1] - score) < 1e-12, (did, got[did], score)
+    assert 5 not in got
+    # unseen-everything doc must score strictly worse than the in-ref doc
+    assert got[3][1] > got[1][1]
+
+
+def test_cross_lm_scores_empty_reference_raises(spark):
+    import pytest as _pytest
+
+    from binance_futures_availability_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "web")], ["doc_id", "text", "source"]
+    )
+    with _pytest.raises(ValueError, match="empty vocabulary"):
+        textops.cross_lm_scores(docs, ["nope"])
