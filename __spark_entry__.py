@@ -90,6 +90,8 @@ BM25_TERMS = ("dup", "hash", "join", "vector")
 #: reference slice for cross-corpus LM scoring (CCNet shape: LM trained on
 #: a trusted half of the sources, every document scored under it)
 XLM_REF_SOURCES = tuple(f"src{i}" for i in range(10))
+#: group-split thresholds sized so ~20 domains actually spread over splits
+GSPLIT = (("train", 700), ("val", 850), ("test", 1000))
 BM25_K = 25
 #: BPE round-0 statistics: top-k adjacent character pairs
 BPE_PAIRS_K = 40
@@ -566,6 +568,7 @@ GATE_PRIORITY = [
     "rp_topk",
     "rp_recall_audit",
     "cross_lm_scores",
+    "grouped_split",
     # r3-era rows — the 7 oldest in the catalog
     "doc_fingerprints",
     "language_id",
@@ -963,6 +966,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tfidf", F.round("tfidf", 9)
         ),
         "corpus_split": lambda s, d: textops.corpus_split(_docs(s, d)),
+        "grouped_split": lambda s, d: textops.grouped_split(
+            _docs(s, d), splits=GSPLIT
+        ),
         "top_terms": lambda s, d: textops.top_terms(_docs(s, d)),
         "source_overlap": lambda s, d: textops.source_overlap(_docs(s, d)),
         "quality_deciles": lambda s, d: textops.quality_deciles(_docs(s, d)),
@@ -1580,6 +1586,7 @@ ORDER BY symbol, event_date"""),
         "term_frequencies": oracles.sql_term_frequencies(),
         "tfidf_weights": oracles.sql_tfidf_weights(),
         "corpus_split": oracles.sql_corpus_split(),
+        "grouped_split": oracles.sql_grouped_split(GSPLIT),
         "top_terms": oracles.sql_top_terms(),
         "source_overlap": oracles.sql_source_overlap(),
         "quality_deciles": oracles.sql_quality_deciles(),

@@ -504,6 +504,43 @@ def corpus_split(
     return docs.select(F.col(id_col), expr.alias("split"))
 
 
+def grouped_split(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    splits: tuple = DEFAULT_SPLITS,
+    salt: str = "gsplit-v1",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment at GROUP granularity:
+    (doc_id, group, split) where every document of a group (source
+    domain, site, book, repository) lands in the SAME split — the split
+    discipline contamination-aware pipelines use, because near-duplicates
+    concentrate within a domain: a per-document hash split (``corpus_split``)
+    puts one boilerplate variant in train and its twin in test, silently
+    inflating eval. Hashing the group key instead makes cross-split
+    near-dup pairs structurally impossible for within-group duplication.
+
+    Same per-mille md5 bucketing as ``corpus_split`` (pure function of the
+    group key: stable across runs/engines, new groups never reshuffle old
+    ones), same full-range validation. Still a narrow zero-shuffle
+    projection — the group key is already on the row.
+    """
+    uppers = [upper for _, upper in splits]
+    if any(b <= a for a, b in zip(uppers, uppers[1:])) or uppers[-1] != 1000 or uppers[0] <= 0:
+        raise ValueError(
+            f"splits uppers must be strictly increasing in (0, 1000] and end at "
+            f"exactly 1000 to cover the hash range; got {uppers}"
+        )
+    bucket = md5_int60(
+        F.concat(F.lit(salt), F.lit(":"), F.col(group_col).cast("string"))
+    ) % 1000
+    expr = None
+    for name, upper in splits:
+        cond = bucket < F.lit(upper)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return docs.select(F.col(id_col), F.col(group_col), expr.alias("split"))
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 2048,

@@ -2361,3 +2361,23 @@ scored AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        -CAST(SUM(ilp) AS DOUBLE) / 1000000000 / COUNT(*) AS avg_neg_logprob
 FROM scored GROUP BY doc_id"""
+
+
+def sql_grouped_split(
+    splits: tuple = (("train", 700), ("val", 850), ("test", 1000)),
+    group_col: str = "source",
+    salt: str = "gsplit-v1",
+) -> str:
+    """Group-granular hash split — same md5 per-mille bucketing as
+    textops.grouped_split, keyed on the group column."""
+    bucket = (
+        MD5_INT.format(x=f"'{salt}:' || CAST({group_col} AS VARCHAR)")
+        + " % 1000"
+    )
+    cases = " ".join(
+        f"WHEN {bucket} < {upper} THEN '{name}'" for name, upper in splits
+    )
+    return (
+        f"SELECT doc_id, {group_col}, CASE {cases} END AS split "
+        f"FROM documents"
+    )

@@ -2376,3 +2376,31 @@ def test_cross_lm_scores_empty_reference_raises(spark):
     )
     with _pytest.raises(ValueError, match="empty vocabulary"):
         textops.cross_lm_scores(docs, ["nope"])
+
+
+def test_grouped_split_keeps_groups_together(spark):
+    from binance_futures_availability_spark.operators import textops
+
+    rows = [(i, f"text {i}", f"dom{i % 7}") for i in range(70)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = textops.grouped_split(
+        docs, splits=(("train", 600), ("val", 800), ("test", 1000))
+    ).collect()
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["source"], set()).add(r["split"])
+    # leakage-safety: every group maps to exactly one split
+    assert all(len(s) == 1 for s in by_group.values()), by_group
+    assert len(out) == 70
+    # determinism: a second run assigns identically
+    again = {
+        (r["doc_id"]): r["split"]
+        for r in textops.grouped_split(
+            docs, splits=(("train", 600), ("val", 800), ("test", 1000))
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["split"] for r in out}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strictly increasing"):
+        textops.grouped_split(docs, splits=(("a", 500), ("b", 400)))
