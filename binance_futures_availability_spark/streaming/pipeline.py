@@ -682,3 +682,78 @@ def start_classifier_score_sink(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def start_span_census_sink(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    width: int = 6,
+):
+    """writeStream → foreachBatch(incremental substring-duplication
+    census): the streaming twin of ``operators.dedup.duplicated_spans``.
+
+    Each batch folds ITS OWN documents into hashed ``width``-token spans
+    and appends one partial-aggregate parquet — (span_md5, n_docs,
+    n_occurrences) over just that batch — under ``<store>/parts``. The
+    census is never rewritten: per-batch work ∝ batch size, and the
+    merge (sum of partials, filter > 1) happens at READ time via
+    ``read_span_census`` — the log-append/compact-on-read shape that
+    stays O(batch) at any corpus size (a serving deployment would
+    periodically compact parts with the same aggregate).
+
+    Correctness contract: a document's rows arrive within one batch
+    (append-only corpus, whole-document records — the same assumption
+    every sink here makes), so summing per-batch ``COUNT(DISTINCT
+    doc_id)`` partials equals the global distinct count. Restart-safe via
+    the same per-batch commit markers as the IVF/PQ sinks.
+    """
+    import os
+
+    from ..operators.dedup import _span_fold
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker_dir = os.path.join(store_path.rstrip("/"), "_committed_batches")
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # checkpoint replay of an already-applied append
+        if not batch_df.take(1):
+            return
+        parts_path = os.path.join(store_path.rstrip("/"), "parts")
+        spans = batch_df.select(
+            "doc_id",
+            F.explode(_span_fold(F.col("text"), width)).alias("span"),
+        ).filter(F.col("span").isNotNull())
+        partial = spans.groupBy(F.md5("span").alias("span_md5")).agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        partial.write.mode("append").parquet(parts_path)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_span_census(spark: SparkSession, store_path: str) -> DataFrame:
+    """Merge the appended per-batch census partials into the corpus-wide
+    duplicated-span census — (span_md5, n_docs, n_occurrences), spans
+    occurring > 1× only — exactly ``duplicated_spans`` over the union of
+    every batch ingested so far. One groupBy over the (sparse) partial
+    log; map-side combine absorbs the per-batch fan-in."""
+    import os
+
+    parts = spark.read.parquet(os.path.join(store_path.rstrip("/"), "parts"))
+    return (
+        parts.groupBy("span_md5")
+        .agg(
+            F.sum("n_docs").cast("int").alias("n_docs"),
+            F.sum("n_occurrences").cast("int").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
