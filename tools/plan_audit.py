@@ -82,6 +82,11 @@ HEADLINERS = {
     "duplicated_spans": "substring-duplication census: positional span windows from a narrow codegen transform (corpus never shuffles for span generation); ONE span-hash partial-agg exchange",
     "classifier_scores": "trained-classifier scoring: vocabulary-sized ±1 weight table broadcast onto the cached posting stream; one per-doc aggregate; left join keeps zero-term docs",
     "bpe_pair_counts": "BPE round 0: the corpus collapses to the word-frequency table in one map-side-combined aggregate; pair explode runs over vocab-sized rows; top-k is TakeOrderedAndProject",
+    "span_novelty_scores": "substring novelty: cached span stream (InMemoryTableScan, no text re-fold) + broadcast sparse census into a left join; only exchange is the per-doc aggregate",
+    "rp_topk": "JL-projected top-k: cached 16-d integer projection store scanned instead of 64-d vectors; broadcast single query row; TakeOrderedAndProject",
+    "cross_lm_scores": "cross-corpus LM: reference counts are bounded broadcast artifacts; whole-corpus bigram stream served from the shared cached index; LEFT joins carry the unseen-mass smoothing",
+    "grouped_split": "leakage-safe split: pure narrow projection on the group key — zero shuffles at any corpus size",
+    "image_decode_roundtrip": "real-pixel decode audit: cached PNG asset table (parallel partitions) through one Arrow mapInPandas pass; no sort, no shuffle",
 }
 
 
