@@ -102,6 +102,10 @@ BPE_N_MERGES = 12
 #: gate SF (planted exact dups + chance 6-gram repeats in the synthetic
 #: vocabulary) — both census and occurrence paths gate-exercised
 SPAN_WIDTH = 6
+#: winnowing window + overlap-report threshold (guarantee: any shared run
+#: of SPAN_WIDTH + WINNOW_W - 1 tokens surfaces at least one fingerprint)
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
 
 NGRAM_THRESHOLD = 0.8
 LSH_JACCARD_THRESHOLD = 0.5
@@ -569,6 +573,8 @@ GATE_PRIORITY = [
     "rp_recall_audit",
     "cross_lm_scores",
     "grouped_split",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
     # r3-era rows — the 7 oldest in the catalog
     "doc_fingerprints",
     "language_id",
@@ -831,6 +837,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "duplicated_span_occurrences": lambda s, d: (
             dedup.duplicated_span_occurrences(_docs(s, d), SPAN_WIDTH)
+        ),
+        # winnowing (MOSS) fingerprints over the shared span stream
+        "winnow_fingerprints": lambda s, d: dedup.winnow_fingerprints(
+            _docs(s, d), SPAN_WIDTH, WINNOW_W
+        ),
+        "winnow_overlap_pairs": lambda s, d: dedup.winnow_overlap_pairs(
+            _docs(s, d), SPAN_WIDTH, WINNOW_W, WINNOW_MIN_SHARED
         ),
         "span_novelty_scores": lambda s, d: dedup.span_novelty_scores(
             _docs(s, d), SPAN_WIDTH
@@ -1509,6 +1522,12 @@ ORDER BY symbol, event_date"""),
             oracles.sql_duplicated_span_occurrences(SPAN_WIDTH)
         ),
         "span_novelty_scores": oracles.sql_span_novelty_scores(SPAN_WIDTH),
+        "winnow_fingerprints": oracles.sql_winnow_fingerprints(
+            SPAN_WIDTH, WINNOW_W
+        ),
+        "winnow_overlap_pairs": oracles.sql_winnow_overlap_pairs(
+            SPAN_WIDTH, WINNOW_W, WINNOW_MIN_SHARED
+        ),
         "ngram_jaccard_pairs": oracles.sql_ngram_jaccard_pairs(
             NGRAM_THRESHOLD, dedup.DEFAULT_MAX_SHINGLE_FREQ
         ),

@@ -1274,3 +1274,106 @@ def span_novelty_scores(
             F.expr("(CAST(n_spans AS BIGINT) - n_dup_spans) * 1000000 div n_spans"),
         ).alias("novelty_ppm"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 6,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken —
+    the MOSS selection rule): slide a ``w``-window over each document's
+    positional ``k``-gram hash stream and keep the MINIMAL hash of every
+    window, rightmost position on ties — (doc_id, pos, fingerprint),
+    pos 1-based. Winnowing guarantees any shared substring of length
+    ≥ k + w − 1 contributes at least one shared fingerprint, while
+    thinning the stream by ~2/(w+1) — the document-sketch primitive for
+    plagiarism/overlap detection that survives insertions and deletions
+    (unlike positional equality).
+
+    Selection is ONE window pass over the shared cached span stream
+    (``span_index`` — no text re-fold): the (min hash, rightmost pos) of
+    each forward window is the string-min of ``hash ∥ zero-padded
+    (10⁸−1−pos)`` (fixed-width, so lexicographic = (hash asc, pos desc)),
+    a trick both engines order identically; incomplete tail windows are
+    dropped by a count-over-window guard, and duplicate selections
+    (adjacent windows picking the same position) collapse via distinct.
+    Documents with fewer than k + w − 1 tokens have no complete window
+    and are absent, mirrored by the oracle. Scale: one shuffle on doc id
+    (the window partitioning), then narrow ops — fingerprint volume is
+    ~2/(w+1) of the span stream.
+    """
+    idx = span_index(docs, k, id_col, text_col)
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    key = F.concat(
+        F.col("span_md5"),
+        F.format_string("%08d", F.lit(99999999) - F.col("pos")),
+    )
+    sel = idx.select(
+        F.col(id_col),
+        F.min(key).over(win).alias("__sel"),
+        F.count(F.lit(1)).over(win).alias("__cnt"),
+    ).filter(F.col("__cnt") == w)
+    return (
+        sel.select(
+            F.col(id_col),
+            (
+                F.lit(99999999)
+                - F.substring("__sel", 33, 8).cast("int")
+            ).alias("pos"),
+            F.substring("__sel", 1, 32).alias("fingerprint"),
+        )
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = 6,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprint
+    VALUES — (id_a, id_b, n_shared), id_a < id_b: the MOSS overlap
+    report. By the winnowing guarantee a shared run of k + w − 1 tokens
+    always surfaces, so this catches partial/plagiarized overlap that
+    whole-document MinHash dilutes away on long documents.
+
+    Shape: fingerprint the corpus (one window pass over the cached span
+    stream), collapse to distinct (doc, fingerprint) — position does not
+    matter for overlap counting — then the standard capped-posting
+    self-join: fingerprints shared by more than ``max_fp_df`` documents
+    are boilerplate (license headers) and are excluded from pair
+    generation, the same documented df-cap discipline as
+    ``ngram_jaccard_pairs``; pass None to disable. Pair volume is
+    Σ_fp df² over the capped sparse fingerprint postings.
+    """
+    fps = winnow_fingerprints(docs, k, w, id_col, text_col).select(
+        id_col, "fingerprint"
+    ).distinct()
+    if max_fp_df is not None:
+        dfc = F.broadcast(
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_fp_df)
+            .select("fingerprint")
+        )
+        fps = fps.join(dfc, "fingerprint")
+    a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -2381,3 +2381,52 @@ def sql_grouped_split(
         f"SELECT doc_id, {group_col}, CASE {cases} END AS split "
         f"FROM documents"
     )
+
+
+def winnow_cte(k: int, w: int) -> str:
+    """CTE list ending in ``fp(doc_id, pos, fingerprint)`` — mirrors
+    dedup.winnow_fingerprints: string-min of hash ∥ zero-padded
+    (10⁸−1−pos) over the forward w-window (lexicographic = hash asc,
+    pos desc → rightmost minimal hash), complete windows only,
+    duplicate selections collapsed."""
+    return f"""{_span_cte(k)},
+sel AS (
+    SELECT doc_id,
+           MIN(span_md5 || printf('%08d', 99999999 - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
+           ) AS selkey,
+           COUNT(*) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
+           ) AS wcnt
+    FROM sp
+),
+fp AS (
+    SELECT DISTINCT doc_id,
+           CAST(99999999 - CAST(substr(selkey, 33, 8) AS INT) AS INT) AS pos,
+           substr(selkey, 1, 32) AS fingerprint
+    FROM sel WHERE wcnt = {w}
+)"""
+
+
+def sql_winnow_fingerprints(k: int = 6, w: int = 4) -> str:
+    return f"""WITH {winnow_cte(k, w)}
+SELECT doc_id, pos, fingerprint FROM fp"""
+
+
+def sql_winnow_overlap_pairs(
+    k: int = 6, w: int = 4, min_shared: int = 2, max_fp_df: int = 64
+) -> str:
+    return f"""WITH {winnow_cte(k, w)},
+fpv AS (SELECT DISTINCT doc_id, fingerprint FROM fp),
+kept AS (
+    SELECT fingerprint FROM fpv GROUP BY fingerprint
+    HAVING COUNT(*) <= {max_fp_df}
+),
+capped AS (SELECT f.* FROM fpv f JOIN kept USING (fingerprint))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS INT) AS n_shared
+FROM capped a JOIN capped b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}"""

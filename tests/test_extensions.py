@@ -2404,3 +2404,73 @@ def test_grouped_split_keeps_groups_together(spark):
 
     with _pytest.raises(ValueError, match="strictly increasing"):
         textops.grouped_split(docs, splits=(("a", 500), ("b", 400)))
+
+
+def _winnow_reference(rows, k, w):
+    """Independent pure-Python winnowing (Schleimer et al. fig. 5 rule:
+    min hash per window, rightmost on ties), on md5-hex k-gram hashes."""
+    import hashlib
+
+    out = set()
+    for did, text in rows:
+        toks = text.strip().split()
+        hs = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            for i in range(len(toks) - k + 1)
+        ]
+        for i in range(len(hs) - w + 1):
+            window = hs[i : i + w]
+            mn = min(window)
+            # rightmost occurrence of the minimum
+            j = max(idx for idx, h in enumerate(window) if h == mn)
+            out.add((did, i + j + 1, mn))  # pos 1-based
+    return out
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    from binance_futures_availability_spark.operators import dedup
+
+    rows = [
+        (1, "a quick brown fox jumps over the lazy dog today again"),
+        (2, "the lazy dog today again sat on a quick brown fox"),
+        (3, "completely different words without any shared runs here"),
+        (4, "tiny doc"),  # < k + w - 1 tokens -> no complete window
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["pos"], r["fingerprint"])
+        for r in dedup.winnow_fingerprints(docs, k=3, w=3).collect()
+    }
+    assert got == _winnow_reference(rows, 3, 3)
+    assert not any(d == 4 for d, _p, _f in got)
+
+
+def test_winnow_overlap_pairs_guarantee_and_cap(spark):
+    from binance_futures_availability_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = k + w - 1
+    rows = [
+        (1, f"{shared} unique1 filler1 more1"),
+        (2, f"start2 other2 {shared} tail2"),
+        (3, "nothing in common with anyone here at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dedup.winnow_overlap_pairs(
+            docs, k=3, w=4, min_shared=1
+        ).collect()
+    }
+    # winnowing guarantee: a shared run of k+w-1 tokens MUST surface
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
+    # df cap: a fingerprint present in every doc is excluded from pairing
+    rows_boiler = [(i, f"license header common text {i}") for i in range(6)]
+    docs_b = spark.createDataFrame(rows_boiler, ["doc_id", "text"])
+    capped = dedup.winnow_overlap_pairs(
+        docs_b, k=3, w=2, min_shared=1, max_fp_df=2
+    ).collect()
+    uncapped = dedup.winnow_overlap_pairs(
+        docs_b, k=3, w=2, min_shared=1, max_fp_df=None
+    ).collect()
+    assert len(capped) < len(uncapped)
