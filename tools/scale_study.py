@@ -1,0 +1,144 @@
+"""Cross-SF scaling study — the measured answer to "would this still work
+at 100×?".
+
+Times a representative heavy-query slice (every dedup/similarity/text
+family's scale path plus the composition heavies) at two or more scale
+factors in ONE session, then reports each query's growth factor and the
+implied scaling exponent  alpha = log(t_hi / t_lo) / log(sf_hi / sf_lo)
+(alpha ≈ 1 → linear in data, alpha ≈ 2 → quadratic; sub-0 values mean the
+query is scheduling-floor-bound and hasn't hit data scale yet).
+
+Usage: python tools/scale_study.py [out.json] [sf_dir ...]
+  default: SCALING.json /root/repo/testdata_sf1 /root/repo/testdata_sf10
+
+The full-catalog Spark/DuckDB pairing lives in BENCH_*/ORACLE_BENCH_*; this
+tool exists because a full DuckDB oracle sweep is wall-clock infeasible at
+sf10 (its sf1 sweep already takes 1 382 s), so the sf10 evidence is Spark
+growth factors, not an oracle ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from binance_futures_availability_spark.session import get_session
+
+#: one representative per scale-relevant family; names match queries()
+SLICE = [
+    # document dedup family
+    "exact_duplicates",
+    "ngram_jaccard_pairs",
+    "containment_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "duplicate_clusters",
+    "neardup_survivors",
+    # substring grain
+    "duplicated_spans",
+    "duplicated_span_occurrences",
+    "span_novelty_scores",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    # text statistics / LM / retrieval / classifier
+    "token_counts",
+    "tfidf_weights",
+    "bigram_lm_scores",
+    "cross_lm_scores",
+    "lm_quality_buckets",
+    "bm25_topk",
+    "classifier_scores",
+    "pii_scrub",
+    "curated_corpus",
+    # vectors
+    "kmeans_cells",
+    "pq_topk",
+    "ivf_pq_topk",
+    "rp_topk",
+    # multimodal
+    "image_decode_roundtrip",
+    # warehouse / events
+    "volume_rankings",
+    "gap_filled_volumes",
+    "event_sessions",
+    "event_interval_join",
+]
+
+
+def run_df(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    out_path = args[0] if args else "SCALING.json"
+    sf_dirs = args[1:] or [
+        "/root/repo/testdata_sf1",
+        "/root/repo/testdata_sf10",
+    ]
+    spark = get_session(
+        "scale-study",
+        shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE", "32")),
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.locality.wait": "0",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    results: dict[str, dict[str, float]] = {}
+    sfs: dict[str, float] = {}
+    for sf_dir in sf_dirs:
+        tag = sf_dir.rstrip("/").split("sf")[-1]
+        sfs[tag] = float(tag) if tag.replace(".", "").isdigit() else 0.0
+        times: dict[str, float] = {}
+        for name in SLICE:  # cold pass: index builds + codegen
+            try:
+                run_df(qs[name](spark, sf_dir))
+            except Exception:  # noqa: BLE001
+                pass
+        for _ in range(2):  # warm passes, per-query min
+            for name in SLICE:
+                t0 = time.time()
+                try:
+                    run_df(qs[name](spark, sf_dir))
+                    t = round(time.time() - t0, 3)
+                    times[name] = min(times.get(name, t), t)
+                except Exception:  # noqa: BLE001
+                    times[name] = -1.0
+        results[tag] = times
+        print(
+            json.dumps({"sf": tag, "warm_total": round(sum(v for v in times.values() if v >= 0), 2)}),
+            file=sys.stderr,
+        )
+
+    import math
+
+    tags = sorted(sfs, key=lambda t: sfs[t])
+    report: dict = {"sfs": tags, "warm": results, "growth": {}}
+    if len(tags) >= 2:
+        lo, hi = tags[0], tags[-1]
+        ratio_sf = sfs[hi] / sfs[lo]
+        for name in SLICE:
+            a, b = results[lo].get(name, -1), results[hi].get(name, -1)
+            if a > 0 and b > 0:
+                report["growth"][name] = {
+                    "t_lo": a,
+                    "t_hi": b,
+                    "factor": round(b / a, 2),
+                    "alpha": round(math.log(b / a) / math.log(ratio_sf), 2),
+                }
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+    print(json.dumps({"wrote": out_path, "n": len(report["growth"])}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
