@@ -1219,15 +1219,18 @@ def duplicated_span_occurrences(
     The duplicated-hash set (the shared census artifact) is sparse, so it
     broadcasts back onto the cached span stream (semi-join shape): the
     stream is scanned once more but never shuffled — occurrence
-    extraction stays embarrassingly parallel.
+    extraction stays embarrassingly parallel. No output sort: the
+    occurrence list is CORPUS-sized (grows with duplication mass, not
+    bounded by a dimension), and a gathered presentation sort funnels it
+    through one partition — measured α = 1.31 scaling sf1→sf10 with the
+    sort vs ~1.0 without; consumers that need order sort their bounded
+    slice.
     """
     hashed = span_index(docs, width, id_col, text_col)
     dup = F.broadcast(
         _span_census(docs, width, id_col, text_col).select("span_md5")
     )
-    return gathered_sort(hashed.join(dup, "span_md5").select(
-        id_col, "pos", "span_md5"
-    ), id_col, "pos", "span_md5")
+    return hashed.join(dup, "span_md5").select(id_col, "pos", "span_md5")
 
 
 def span_novelty_scores(
