@@ -49,13 +49,16 @@ def volume_rankings(
     Market share uses the exact DECIMAL(18,2) per-date total (order-stable)
     instead of a DOUBLE window sum; see operators/volume.py for why.
 
-    ``sort=True`` (the reference's ORDER BY date, rank, symbol) is served
-    GATHERED: the archive is dimension-bounded (#dates × #symbols, never
-    fact-row-bounded), so one round-robin exchange + a local sort beats a
-    range exchange, whose sampling pass re-executes the window pipeline.
-    Consumers that re-shuffle anyway (rank_gaps, partitioned writes) pass
-    ``sort=False`` — a range sort below an exchange would be eliminated,
-    but a gather would not, so skipping it here keeps full parallelism.
+    ``sort=True`` (the reference's ORDER BY date, rank, symbol) is a
+    DISTRIBUTED range sort: the archive is #dates × #symbols rows, which
+    saturates toward fact cardinality on dense markets (21.4M rows at the
+    sf10 fixture), so a gathered single-partition sort — correct for
+    presentation-bounded results — goes super-linear exactly when the
+    archive grows (measured at sf10: windows alone 5.6 s, gathered sort
+    37.7 s, range sort 8.7 s INCLUDING its sampling re-execution of the
+    window pipeline; sf1→sf10 α fell 1.36 → ~1.0). Consumers that
+    re-shuffle anyway (rank_gaps, partitioned writes) pass
+    ``sort=False`` — Catalyst eliminates a range sort below an exchange.
     """
     cohort = da.filter(F.col("available") & F.col("quote_volume_usdt").isNotNull())
     if start_date is not None:
@@ -124,9 +127,7 @@ def volume_rankings(
     )
     if not sort:
         return out
-    from ..functions import gathered_sort
-
-    return gathered_sort(out, "date", "rank", "symbol")
+    return out.orderBy("date", "rank", "symbol")
 
 
 def incremental_append(
