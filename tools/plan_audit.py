@@ -87,6 +87,7 @@ HEADLINERS = {
     "cross_lm_scores": "cross-corpus LM: reference counts are bounded broadcast artifacts; whole-corpus bigram stream served from the shared cached index; LEFT joins carry the unseen-mass smoothing",
     "grouped_split": "leakage-safe split: pure narrow projection on the group key — zero shuffles at any corpus size",
     "image_decode_roundtrip": "real-pixel decode audit: cached PNG asset table (parallel partitions) through one Arrow mapInPandas pass; no sort, no shuffle",
+    "winnow_fingerprints": "MOSS winnowing: ONE doc-key window pass over the cached span stream (string-min trick fuses min-hash + rightmost-tie into a single aggregate); fingerprint volume ~2/(w+1) of spans",
 }
 
 
