@@ -575,6 +575,7 @@ GATE_PRIORITY = [
     "grouped_split",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    "vocab_growth",
     # r3-era rows — the 7 oldest in the catalog
     "doc_fingerprints",
     "language_id",
@@ -979,6 +980,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tfidf", F.round("tfidf", 9)
         ),
         "corpus_split": lambda s, d: textops.corpus_split(_docs(s, d)),
+        "vocab_growth": lambda s, d: textops.vocab_growth(_docs(s, d)),
         "grouped_split": lambda s, d: textops.grouped_split(
             _docs(s, d), splits=GSPLIT
         ),
@@ -1606,6 +1608,7 @@ ORDER BY symbol, event_date"""),
         "tfidf_weights": oracles.sql_tfidf_weights(),
         "corpus_split": oracles.sql_corpus_split(),
         "grouped_split": oracles.sql_grouped_split(GSPLIT),
+        "vocab_growth": oracles.sql_vocab_growth(),
         "top_terms": oracles.sql_top_terms(),
         "source_overlap": oracles.sql_source_overlap(),
         "quality_deciles": oracles.sql_quality_deciles(),

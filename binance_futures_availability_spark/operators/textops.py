@@ -504,6 +504,45 @@ def corpus_split(
     return docs.select(F.col(id_col), expr.alias("split"))
 
 
+def vocab_growth(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source vocabulary statistics — (source, n_docs, n_tokens,
+    n_types, ttr_ppm): the Heaps'-law audit a corpus-composition report
+    runs per slice. n_types vs n_tokens is the vocabulary-growth curve
+    (V ≈ K·Nᵝ); ttr_ppm (type-token ratio in integer parts-per-million)
+    flags degenerate slices — very low = template/boilerplate-dominated,
+    very high = noise/IDs — before they reach the training mix.
+
+    All-integer output (exact on any engine). Shape: the per-doc term
+    table is the shared cached inverted index (``tf_index`` — no extra
+    corpus pass); the doc→group map broadcasts onto it; one group-level
+    aggregate with two exact distincts, each expanding over the
+    group-bounded (group, term)/(group, doc) column pairs.
+    """
+    tf = tf_index(docs, id_col, text_col)
+    groups = F.broadcast(docs.select(F.col(id_col), F.col(group_col)))
+    return (
+        tf.join(groups, id_col)
+        .groupBy(group_col)
+        .agg(
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.countDistinct("term").cast("long").alias("n_types"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            F.expr("n_types * 1000000 div n_tokens").alias("ttr_ppm"),
+        )
+    )
+
+
 def grouped_split(
     docs: DataFrame,
     group_col: str = "source",

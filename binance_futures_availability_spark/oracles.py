@@ -2430,3 +2430,20 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM capped a JOIN capped b
   ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}"""
+
+
+def sql_vocab_growth(group_col: str = "source") -> str:
+    """Per-group vocabulary stats — mirrors textops.vocab_growth: counts
+    over the non-empty whitespace token stream (a document with no tokens
+    has no inverted-index rows, so it contributes to no group's n_docs)."""
+    return rf"""WITH flat AS (
+    SELECT doc_id, {group_col},
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+    FROM documents
+), f AS (SELECT * FROM flat WHERE w <> '')
+SELECT {group_col},
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
+       (CAST(COUNT(DISTINCT w) AS BIGINT) * 1000000) // COUNT(*) AS ttr_ppm
+FROM f GROUP BY {group_col}"""

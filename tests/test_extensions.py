@@ -2474,3 +2474,23 @@ def test_winnow_overlap_pairs_guarantee_and_cap(spark):
         docs_b, k=3, w=2, min_shared=1, max_fp_df=None
     ).collect()
     assert len(capped) < len(uncapped)
+
+
+def test_vocab_growth_semantics(spark):
+    from binance_futures_availability_spark.operators import textops
+
+    rows = [
+        (1, "a b a", "s1"),        # 3 tokens, 2 types
+        (2, "a c", "s1"),          # s1 total: 5 tokens, 3 types, 2 docs
+        (3, "x x x x", "s2"),      # s2: 4 tokens, 1 type, 1 doc
+        (4, "   ", "s3"),          # no tokens -> s3 absent entirely
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["n_types"], r["ttr_ppm"])
+        for r in textops.vocab_growth(docs).collect()
+    }
+    assert got == {
+        "s1": (2, 5, 3, 600000),
+        "s2": (1, 4, 1, 250000),
+    }
