@@ -1012,10 +1012,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": lambda s, d: vocab.bpe_pair_counts(
             _docs(s, d), BPE_PAIRS_K
         ),
-        # iterative trainer — rows-only gate (no SQL oracle); exactness is
+        # iterative trainer — gated via the unrolled per-round CTE oracle
+        # (oracles.sql_bpe_merges, the kmeans_cells precedent); ALSO
         # pinned by tests/test_extensions.py vs an independent reference
         "bpe_merges": lambda s, d: vocab.bpe_merges(_docs(s, d), BPE_N_MERGES),
-        # train → encode composition (rows-only; same pytest pinning)
+        # train → encode composition (same unrolled oracle + pytest)
         "bpe_encode": lambda s, d: vocab.bpe_encode(
             _docs(s, d),
             vocab.bpe_merge_rules(_docs(s, d), BPE_N_MERGES),
@@ -1625,6 +1626,8 @@ ORDER BY symbol, event_date"""),
         "classifier_scores": oracles.sql_classifier_scores(),
         "classifier_eval": oracles.sql_classifier_eval(),
         "bpe_pair_counts": oracles.sql_bpe_pair_counts(BPE_PAIRS_K),
+        "bpe_merges": oracles.sql_bpe_merges(BPE_N_MERGES),
+        "bpe_encode": oracles.sql_bpe_encode(BPE_N_MERGES),
         "pii_scrub": oracles.sql_pii_scrub(PII_SUFFIX),
         "contamination_check": oracles.sql_contamination_check(),
         "stratified_sample": oracles.sql_stratified_sample(

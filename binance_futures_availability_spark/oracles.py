@@ -2204,7 +2204,7 @@ def sql_bpe_pair_counts(k: int = 20) -> str:
         "    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word\n"
         "    FROM documents\n"
         "),\n"
-        "wf AS (\n"
+        "wf AS MATERIALIZED (\n"
         "    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq\n"
         "    FROM words WHERE word <> '' GROUP BY word\n"
         "),\n"
@@ -2217,6 +2217,118 @@ def sql_bpe_pair_counts(k: int = 20) -> str:
         "FROM pairs GROUP BY 1, 2\n"
         f"ORDER BY pair_count DESC, \"left\", \"right\" LIMIT {int(k)}"
     )
+
+
+def _bpe_train_ctes(n_merges: int) -> str:
+    """Unrolled BPE trainer as chained CTEs — the ``kmeans_cells``
+    precedent (iterative trainer → per-round CTE unroll) applied to
+    vocab.bpe_merges. Per round r: pair-count aggregate over syms{r-1},
+    deterministic argmax (count desc, then lexicographic — DuckDB's
+    binary collation matches Spark's UTF-8 ordering on this corpus),
+    then the left-to-right NON-OVERLAPPING rewrite.
+
+    The rewrite mirrors Spark's fold semantics (vocab._merge_expr)
+    exactly via run-alternation: candidate positions i (s[i]=l,
+    s[i+1]=r) are only ever adjacent when l = r, and the fold takes
+    every OTHER candidate within each consecutive run starting from the
+    run head — so taken = odd rank within (i - row_number) run groups.
+    Position i is dropped when i-1 was taken (it was absorbed as the
+    right half of that merge).
+
+    Assumes the corpus supports all ``n_merges`` rounds (a round with no
+    remaining pairs would produce empty CTEs downstream — the Spark
+    trainer breaks out instead; the gate fixture trains all rounds)."""
+    ctes = [
+        "words AS (\n"
+        "    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word\n"
+        "    FROM documents\n"
+        ")",
+        "wf AS MATERIALIZED (\n"
+        "    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq\n"
+        "    FROM words WHERE word <> '' GROUP BY word\n"
+        ")",
+        "syms0 AS MATERIALIZED (SELECT word, freq, string_split(word, '')"
+        " AS s FROM wf)",
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        ctes.append(
+            f"""pc{r} AS MATERIALIZED (
+    SELECT s[i] AS l, s[i + 1] AS r2, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM syms{p}, UNNEST(range(1, len(s))) AS t(i)
+    GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"best{r} AS MATERIALIZED (SELECT l, r2, cnt FROM pc{r}"
+            " ORDER BY cnt DESC, l, r2 LIMIT 1)"
+        )
+        ctes.append(
+            f"""pos{r} AS MATERIALIZED (
+    SELECT y.word, y.freq, t.i, y.s[t.i] AS sym,
+           (t.i < len(y.s) AND y.s[t.i] = b.l AND y.s[t.i + 1] = b.r2)
+               AS cand
+    FROM syms{p} y, best{r} b, UNNEST(range(1, len(y.s) + 1)) AS t(i)
+)"""
+        )
+        ctes.append(
+            f"""take{r} AS MATERIALIZED (
+    SELECT word, i FROM (
+        SELECT word, i,
+               ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) AS k
+        FROM (
+            SELECT word, i,
+                   i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i)
+                       AS grp
+            FROM pos{r} WHERE cand
+        )
+    ) WHERE k % 2 = 1
+)"""
+        )
+        ctes.append(
+            f"""syms{r} AS MATERIALIZED (
+    SELECT p.word, p.freq,
+           list(CASE WHEN tk.word IS NOT NULL THEN b.l || b.r2
+                     ELSE p.sym END ORDER BY p.i) AS s
+    FROM pos{r} p CROSS JOIN best{r} b
+    LEFT JOIN take{r} tk ON p.word = tk.word AND p.i = tk.i
+    LEFT JOIN take{r} pv ON p.word = pv.word AND p.i = pv.i + 1
+    WHERE pv.word IS NULL
+    GROUP BY p.word, p.freq
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+def sql_bpe_merges(n_merges: int) -> str:
+    """Trained merge table (rank, left, right, merged, pair_count) —
+    mirrors vocab.bpe_merges via the unrolled per-round CTE chain."""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS rank, l AS \"left\", r2 AS \"right\","
+        f" l || r2 AS merged, cnt AS pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_train_ctes(n_merges)}\n{rows}"
+
+
+def sql_bpe_encode(n_merges: int) -> str:
+    """Per-document BPE token budget (doc_id, n_words, n_bpe_tokens) —
+    mirrors vocab.bpe_encode. After ``n_merges`` training rounds the
+    trainer's symbol table IS the encoded form of every distinct word
+    (encode replays the same rules in rank order over the same corpus),
+    so the count is one join back onto the word stream."""
+    return f"""WITH {_bpe_train_ctes(n_merges)},
+docwords AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(y.s)) AS BIGINT) AS n_bpe_tokens
+FROM docwords w JOIN syms{n_merges} y USING (word)
+WHERE w.word <> ''
+GROUP BY w.doc_id"""
 
 
 def sql_span_novelty_scores(width: int = 6) -> str:
