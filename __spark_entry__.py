@@ -544,96 +544,74 @@ def _knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Driver-gate priority: the harness verifies only the FIRST 50 entries of
 #: ``queries()`` against the DuckDB oracle, so the iteration order below is
-#: ROTATED each round toward the STALEST driver rows. Round 9 (per r8
-#: verdict #2): every r8-gated query rotates out (all driver-green last
-#: round); in come the 50 queries whose most recent driver CORRECTNESS row
-#: is r3–r5 — the availability / volume / TPC-H-warehouse / event-analytics
-#: families plus the r3-era text/multimodal singles — because r8 changed
-#: session-wide machinery (codegen cache sizing, hot handles) underneath
-#: them. Computed from CORRECTNESS_r01–r08 rows_match history; all 50
-#: selected rows predate r6. Everything not listed follows in original
-#: declaration order and stays covered by the identical self-harness
-#: (tools/check.py) + pytest.
+#: ROTATED each round toward the STALEST driver rows. Round 10 (per r9
+#: verdict #2): first the two rows that have never been hash-green
+#: (bpe_merges/bpe_encode — r10 adds their unrolled-CTE oracle), then the
+#: 20 queries whose most recent hash-green driver row is r5 (the event /
+#: TPC-H-warehouse / volume-scalar families the r9 rotation displaced),
+#: then the 18 r7-era dedup/ANN/text rows, then the 10 queries r10 itself
+#: touches (ADVICE fixes + regex-throughput pass + recall-audit sampling)
+#: so every behavior change this round lands a fresh driver row. Computed
+#: from CORRECTNESS_r01–r09 hash_match history. Everything not listed
+#: follows in original declaration order and stays covered by the
+#: identical self-harness (tools/check.py full catalog, CHECK_r10.txt) +
+#: pytest.
 GATE_PRIORITY = [
-    # never-gated r9 additions first — every catalog query must get a
-    # driver-green row in some round (the 8 r5-era event queries they
-    # displace from the 50-window stay next in line for r10)
-    "bm25_topk",
-    "duplicated_spans",
-    "duplicated_span_occurrences",
-    "span_novelty_scores",
-    "classifier_weights",
-    "classifier_scores",
-    "classifier_eval",
-    "bpe_pair_counts",
+    # never hash-green: first gated round with the new unrolled BPE oracle
     "bpe_merges",
     "bpe_encode",
-    "rp_embeddings",
-    "rp_topk",
-    "rp_recall_audit",
-    "cross_lm_scores",
-    "grouped_split",
-    "winnow_fingerprints",
-    "winnow_overlap_pairs",
-    "vocab_growth",
-    # r3-era rows — the 7 oldest in the catalog
-    "doc_fingerprints",
-    "language_id",
-    "multimodal_features",
-    "multimodal_frames",
-    "quality_scores",
-    "ivf_cells",
-    "lsh_buckets",
-    # availability family (last driver row r5)
-    "availability_snapshot",
-    "availability_range_distinct",
-    "availability_timeline",
-    "availability_intervals",
-    "availability_by_nation",
-    "availability_pivot",
-    "availability_rollup",
-    "availability_stats",
-    "availability_trend",
-    # new r9 real-pixel codec queries (never gated); first/last_available
-    # point lookups yield their slots — availability_timeline exercises
-    # the same single-symbol machinery
-    "image_decode_roundtrip",
-    "image_resize_dims",
-    "new_listings",
-    "delistings",
-    "transition_events",
-    "incomplete_dates",
-    "missing_volume",
-    "symbol_classification",
-    "symbol_set_compare",
-    "dataset_diff",
-    "rank_gaps",
-    "rankings_incremental",
-    # volume family (last driver row r5)
-    "top_by_volume",
-    "top_by_volume_filtered",
-    "average_volume",
-    "volume_histogram",
+    # r5-era rows (20): availability scalars + volume + warehouse + events
+    "first_listing_date",
+    "last_available_date",
+    "market_summary",
+    "symbol_volume_profile",
     "volume_percentile",
     "volume_trend",
-    "symbol_volume_profile",
-    "market_summary",
-    # TPC-H warehouse family (last driver row r4/r5)
+    "large_volume_customers",
     "pricing_summary",
-    "shipping_priority",
-    "revenue_by_nation",
     "promo_revenue",
     "returned_item_customers",
-    "large_volume_customers",
-    # event analytics (last driver row r5)
-    "event_window_counts",
-    "event_sliding_counts",
-    "event_sessions",
-    "event_funnel",
-    "event_retention",
-    "event_topk_users",
+    "revenue_by_nation",
+    "shipping_priority",
     "event_asof_pairs",
+    "event_funnel",
     "event_json_rollup",
+    "event_retention",
+    "event_sessions",
+    "event_sliding_counts",
+    "event_topk_users",
+    "event_window_counts",
+    # r7-era rows (18): dedup/ANN/text families
+    "ann_topk",
+    "containment_pairs",
+    "corpus_split",
+    "cosine_pairs",
+    "embedding_dedup",
+    "exact_duplicates",
+    "ivf_topk",
+    "knn_join",
+    "lsh_cosine_pairs",
+    "lsh_cosine_pairs_multi",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "tfidf_weights",
+    "token_counts",
+    # r10-touched rows (10): ADVICE fixes, regex pass, audit sampling,
+    # span-family diagnosis
+    "vocab_growth",
+    "winnow_fingerprints",
+    "grouped_split",
+    "language_id",
+    "pii_scrub",
+    "duplicated_spans",
+    "lsh_recall_audit",
+    "pq_recall_audit",
+    "rp_recall_audit",
+    "duplicated_span_occurrences",
 ]
 
 

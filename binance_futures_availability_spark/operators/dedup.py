@@ -1167,8 +1167,8 @@ def _span_census(
         return (
             idx.groupBy("span_md5")
             .agg(
-                F.countDistinct(id_col).cast("int").alias("n_docs"),
-                F.count(F.lit(1)).cast("int").alias("n_occurrences"),
+                F.countDistinct(id_col).cast("long").alias("n_docs"),
+                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
             )
             .filter(F.col("n_occurrences") > 1)
         )
@@ -1299,7 +1299,9 @@ def winnow_fingerprints(
     Selection is ONE window pass over the shared cached span stream
     (``span_index`` — no text re-fold): the (min hash, rightmost pos) of
     each forward window is the string-min of ``hash ∥ zero-padded
-    (10⁸−1−pos)`` (fixed-width, so lexicographic = (hash asc, pos desc)),
+    (10¹²−1−pos)`` (fixed-width, so lexicographic = (hash asc, pos desc)
+    for every possible int32 position — the 12-digit complement cannot
+    go negative or overflow its width, since pos ≤ 2³¹−1 < 10¹²),
     a trick both engines order identically; incomplete tail windows are
     dropped by a count-over-window guard, and duplicate selections
     (adjacent windows picking the same position) collapse via distinct.
@@ -1316,7 +1318,7 @@ def winnow_fingerprints(
     )
     key = F.concat(
         F.col("span_md5"),
-        F.format_string("%08d", F.lit(99999999) - F.col("pos")),
+        F.format_string("%012d", F.lit(999999999999) - F.col("pos")),
     )
     sel = idx.select(
         F.col(id_col),
@@ -1327,9 +1329,9 @@ def winnow_fingerprints(
         sel.select(
             F.col(id_col),
             (
-                F.lit(99999999)
-                - F.substring("__sel", 33, 8).cast("int")
-            ).alias("pos"),
+                F.lit(999999999999)
+                - F.substring("__sel", 33, 12).cast("long")
+            ).cast("int").alias("pos"),
             F.substring("__sel", 1, 32).alias("fingerprint"),
         )
         .distinct()

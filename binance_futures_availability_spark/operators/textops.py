@@ -509,6 +509,7 @@ def vocab_growth(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_groups: bool = False,
 ) -> DataFrame:
     """Per-source vocabulary statistics — (source, n_docs, n_tokens,
     n_types, ttr_ppm): the Heaps'-law audit a corpus-composition report
@@ -519,12 +520,21 @@ def vocab_growth(
 
     All-integer output (exact on any engine). Shape: the per-doc term
     table is the shared cached inverted index (``tf_index`` — no extra
-    corpus pass); the doc→group map broadcasts onto it; one group-level
+    corpus pass); the doc→group map joins onto it; one group-level
     aggregate with two exact distincts, each expanding over the
     group-bounded (group, term)/(group, doc) column pairs.
+
+    The doc→group map scales with DOCUMENT count (not a bounded
+    dimension), so it is NOT broadcast by default — the equi-join
+    shuffles on ``id_col``, which the cached index is already hashed on.
+    Pass ``broadcast_groups=True`` only when the corpus slice is known
+    to be driver-bounded (same opt-in discipline as
+    ``bigram_lm_scores(broadcast_counts=)``).
     """
     tf = tf_index(docs, id_col, text_col)
-    groups = F.broadcast(docs.select(F.col(id_col), F.col(group_col)))
+    groups = docs.select(F.col(id_col), F.col(group_col))
+    if broadcast_groups:
+        groups = F.broadcast(groups)
     return (
         tf.join(groups, id_col)
         .groupBy(group_col)

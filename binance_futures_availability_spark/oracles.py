@@ -27,6 +27,7 @@ from .operators.dedup import (
     minhash_params,
 )
 from .operators.similarity import N_PLANES, planes
+from .operators.textops import DEFAULT_SPLITS
 from .functions import EMB_SCALE, MINHASH_P
 
 MD5_INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
@@ -747,11 +748,11 @@ FROM train d LEFT JOIN matched m USING (doc_id)"""
 
 
 def sql_corpus_split(
-    splits: tuple = (("train", 980), ("val", 990), ("test", 1000)),
+    splits: tuple = DEFAULT_SPLITS,
     salt: str = "split-v1",
 ) -> str:
     """Deterministic hash split — same md5 per-mille bucketing as
-    textops.corpus_split."""
+    textops.corpus_split (defaults shared via DEFAULT_SPLITS)."""
     bucket = MD5_INT.format(x=f"'{salt}:' || CAST(doc_id AS VARCHAR)") + " % 1000"
     cases = " ".join(
         f"WHEN {bucket} < {upper} THEN '{name}'" for name, upper in splits
@@ -2074,8 +2075,8 @@ sp AS (
 def sql_duplicated_spans(width: int = 6) -> str:
     """Substring-duplication census — mirrors dedup.duplicated_spans."""
     return f"""WITH {_span_cte(width)}
-SELECT span_md5, CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
-       CAST(COUNT(*) AS INT) AS n_occurrences
+SELECT span_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
 FROM sp GROUP BY span_md5 HAVING COUNT(*) > 1
 ORDER BY span_md5"""
 
@@ -2476,12 +2477,14 @@ FROM scored GROUP BY doc_id"""
 
 
 def sql_grouped_split(
-    splits: tuple = (("train", 700), ("val", 850), ("test", 1000)),
+    splits: tuple = DEFAULT_SPLITS,
     group_col: str = "source",
     salt: str = "gsplit-v1",
 ) -> str:
     """Group-granular hash split — same md5 per-mille bucketing as
-    textops.grouped_split, keyed on the group column."""
+    textops.grouped_split, keyed on the group column. Defaults derive
+    from the operator's DEFAULT_SPLITS so an oracle/operator mismatch
+    cannot creep in through divergent literals."""
     bucket = (
         MD5_INT.format(x=f"'{salt}:' || CAST({group_col} AS VARCHAR)")
         + " % 1000"
@@ -2498,13 +2501,13 @@ def sql_grouped_split(
 def winnow_cte(k: int, w: int) -> str:
     """CTE list ending in ``fp(doc_id, pos, fingerprint)`` — mirrors
     dedup.winnow_fingerprints: string-min of hash ∥ zero-padded
-    (10⁸−1−pos) over the forward w-window (lexicographic = hash asc,
-    pos desc → rightmost minimal hash), complete windows only,
-    duplicate selections collapsed."""
+    (10¹²−1−pos) over the forward w-window (lexicographic = hash asc,
+    pos desc → rightmost minimal hash; 12 digits cover every int32
+    position), complete windows only, duplicate selections collapsed."""
     return f"""{_span_cte(k)},
 sel AS (
     SELECT doc_id,
-           MIN(span_md5 || printf('%08d', 99999999 - pos)) OVER (
+           MIN(span_md5 || printf('%012d', 999999999999 - pos)) OVER (
                PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
            ) AS selkey,
@@ -2516,7 +2519,8 @@ sel AS (
 ),
 fp AS (
     SELECT DISTINCT doc_id,
-           CAST(99999999 - CAST(substr(selkey, 33, 8) AS INT) AS INT) AS pos,
+           CAST(999999999999 - CAST(substr(selkey, 33, 12) AS BIGINT)
+                AS INT) AS pos,
            substr(selkey, 1, 32) AS fingerprint
     FROM sel WHERE wcnt = {w}
 )"""

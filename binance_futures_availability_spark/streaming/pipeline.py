@@ -566,10 +566,11 @@ def start_pq_append_sink(
     ``<store>/codebook``; every later batch encodes against the stored
     codebook (``pq_encode_with`` — exact integer argmin, so a vector's
     codes are identical whether it arrived in batch 1 or batch 100) and
-    appends only its own (id, m, code) rows under ``<store>/codes``.
-    Restart-safe via the same per-batch commit markers as the IVF sink;
-    the crash window between append and marker write is closed by a
-    transactional table format on a real deployment."""
+    writes only its own (id, m, code) rows under
+    ``<store>/codes/batch-<id>``. Restart-safe via the same per-batch
+    commit markers as the IVF sink, and exactly-once on output: a
+    replayed batch overwrites its own batch directory, and
+    ``read_pq_codes`` reads only marker-committed dirs."""
     import os
 
     from ..operators import similarity
@@ -584,7 +585,9 @@ def start_pq_append_sink(
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint(eager=True)
         cb_path = os.path.join(store_path.rstrip("/"), "codebook")
-        codes_path = os.path.join(store_path.rstrip("/"), "codes")
+        codes_path = os.path.join(
+            store_path.rstrip("/"), "codes", f"batch-{batch_id}"
+        )
         kwargs = {}
         if m is not None:
             kwargs["m"] = m
@@ -613,7 +616,7 @@ def start_pq_append_sink(
         dim = m_eff * len(cb_row["csub"])
         similarity.pq_encode_with(
             batch, cb, m=m_eff, dim=dim
-        ).write.mode("append").parquet(codes_path)
+        ).write.mode("overwrite").parquet(codes_path)
         os.makedirs(marker_dir, exist_ok=True)
         with open(marker, "w") as fh:
             fh.write("committed")
@@ -646,7 +649,14 @@ def start_classifier_score_sink(
     cold-start exists so the sink is self-contained. As with the PQ sink,
     only a genuinely-missing weights path trains — any other read error
     propagates so the batch retries instead of silently re-training and
-    splitting the score stream across two models."""
+    splitting the score stream across two models.
+
+    Exactly-once output: each batch's scores land in their OWN
+    batch-id-derived directory with overwrite semantics, so a replayed
+    batch (crash after the output commit but before the marker) rewrites
+    the same directory instead of appending duplicates; readers
+    (``read_classifier_scores``) see only marker-committed batch dirs, so
+    a half-written orphan is invisible until its replay completes."""
     import os
 
     from ..operators import textops
@@ -655,13 +665,15 @@ def start_classifier_score_sink(
         marker_dir = os.path.join(store_path.rstrip("/"), "_committed_batches")
         marker = os.path.join(marker_dir, f"batch-{batch_id}")
         if os.path.exists(marker):
-            return  # checkpoint replay of an already-applied append
+            return  # checkpoint replay of an already-applied batch
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint(eager=True)
         weights_path = os.path.join(store_path.rstrip("/"), "weights")
-        scores_path = os.path.join(store_path.rstrip("/"), "scores")
+        batch_out = os.path.join(
+            store_path.rstrip("/"), "scores", f"batch-{batch_id}"
+        )
         if os.path.exists(weights_path):
             weights = spark.read.parquet(weights_path)
         else:
@@ -671,8 +683,8 @@ def start_classifier_score_sink(
             ).parquet(weights_path)
             weights = spark.read.parquet(weights_path)
         textops.classifier_score_with(batch, weights).write.mode(
-            "append"
-        ).parquet(scores_path)
+            "overwrite"
+        ).parquet(batch_out)
         os.makedirs(marker_dir, exist_ok=True)
         with open(marker, "w") as fh:
             fh.write("committed")
@@ -682,6 +694,46 @@ def start_classifier_score_sink(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def _committed_batch_paths(store_path: str, sub: str) -> list:
+    """Batch output directories under ``<store>/<sub>`` whose commit
+    marker exists — the committed prefix of a per-batch-dir sink's log.
+    Marker order is irrelevant (readers aggregate/union)."""
+    import os
+
+    base = store_path.rstrip("/")
+    marker_dir = os.path.join(base, "_committed_batches")
+    if not os.path.isdir(marker_dir):
+        return []
+    return [
+        os.path.join(base, sub, name)
+        for name in sorted(os.listdir(marker_dir))
+        if os.path.isdir(os.path.join(base, sub, name))
+    ]
+
+
+def read_pq_codes(spark: SparkSession, store_path: str) -> DataFrame:
+    """Union of every marker-committed batch's PQ code rows — the read
+    side of ``start_pq_append_sink``'s per-batch-dir layout."""
+    paths = _committed_batch_paths(store_path, "codes")
+    if not paths:
+        raise FileNotFoundError(
+            f"no committed code batches under {store_path}"
+        )
+    return spark.read.parquet(*paths)
+
+
+def read_classifier_scores(spark: SparkSession, store_path: str) -> DataFrame:
+    """Union of every marker-committed batch's score rows — the read side
+    of ``start_classifier_score_sink``'s per-batch-dir exactly-once
+    layout (uncommitted orphan dirs are excluded by construction)."""
+    paths = _committed_batch_paths(store_path, "scores")
+    if not paths:
+        raise FileNotFoundError(
+            f"no committed score batches under {store_path}"
+        )
+    return spark.read.parquet(*paths)
 
 
 def start_span_census_sink(
@@ -705,8 +757,12 @@ def start_span_census_sink(
     Correctness contract: a document's rows arrive within one batch
     (append-only corpus, whole-document records — the same assumption
     every sink here makes), so summing per-batch ``COUNT(DISTINCT
-    doc_id)`` partials equals the global distinct count. Restart-safe via
-    the same per-batch commit markers as the IVF/PQ sinks.
+    doc_id)`` partials equals the global distinct count.
+
+    Exactly-once output: each batch's partial lands in its OWN
+    batch-id-derived directory with overwrite semantics (replay after a
+    crash rewrites, never double-appends), and ``read_span_census``
+    merges only marker-committed batch dirs.
     """
     import os
 
@@ -716,10 +772,12 @@ def start_span_census_sink(
         marker_dir = os.path.join(store_path.rstrip("/"), "_committed_batches")
         marker = os.path.join(marker_dir, f"batch-{batch_id}")
         if os.path.exists(marker):
-            return  # checkpoint replay of an already-applied append
+            return  # checkpoint replay of an already-applied batch
         if not batch_df.take(1):
             return
-        parts_path = os.path.join(store_path.rstrip("/"), "parts")
+        batch_out = os.path.join(
+            store_path.rstrip("/"), "parts", f"batch-{batch_id}"
+        )
         spans = batch_df.select(
             "doc_id",
             F.explode(_span_fold(F.col("text"), width)).alias("span"),
@@ -728,7 +786,7 @@ def start_span_census_sink(
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
             F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         )
-        partial.write.mode("append").parquet(parts_path)
+        partial.write.mode("overwrite").parquet(batch_out)
         os.makedirs(marker_dir, exist_ok=True)
         with open(marker, "w") as fh:
             fh.write("committed")
@@ -741,19 +799,25 @@ def start_span_census_sink(
 
 
 def read_span_census(spark: SparkSession, store_path: str) -> DataFrame:
-    """Merge the appended per-batch census partials into the corpus-wide
+    """Merge the per-batch census partials into the corpus-wide
     duplicated-span census — (span_md5, n_docs, n_occurrences), spans
     occurring > 1× only — exactly ``duplicated_spans`` over the union of
     every batch ingested so far. One groupBy over the (sparse) partial
-    log; map-side combine absorbs the per-batch fan-in."""
-    import os
-
-    parts = spark.read.parquet(os.path.join(store_path.rstrip("/"), "parts"))
+    log (marker-committed batch dirs only); map-side combine absorbs the
+    per-batch fan-in. Counts stay LONG end-to-end — a viral span's
+    occurrences across batches exceed int32 at the corpus scales this
+    sink targets."""
+    paths = _committed_batch_paths(store_path, "parts")
+    if not paths:
+        raise FileNotFoundError(
+            f"no committed census batches under {store_path}"
+        )
+    parts = spark.read.parquet(*paths)
     return (
         parts.groupBy("span_md5")
         .agg(
-            F.sum("n_docs").cast("int").alias("n_docs"),
-            F.sum("n_occurrences").cast("int").alias("n_occurrences"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_occurrences").cast("long").alias("n_occurrences"),
         )
         .filter(F.col("n_occurrences") > 1)
     )

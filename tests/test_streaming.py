@@ -745,6 +745,7 @@ def test_streaming_pq_append_sink_batch_equivalence(spark, tmp_path):
     from binance_futures_availability_spark.operators import similarity
     from binance_futures_availability_spark.streaming.pipeline import (
         embedding_stream_source,
+        read_pq_codes,
         start_pq_append_sink,
     )
 
@@ -790,7 +791,7 @@ def test_streaming_pq_append_sink_batch_equivalence(spark, tmp_path):
     )
     got = sorted(
         (r["vec_id"], r["m"], r["code"])
-        for r in spark.read.parquet(os.path.join(store, "codes")).collect()
+        for r in read_pq_codes(spark, store).collect()
     )
     assert got == want
     # frozen quantizer: the codebook was trained on batch 1 only
@@ -805,7 +806,7 @@ def test_streaming_pq_append_sink_batch_equivalence(spark, tmp_path):
     assert (
         sorted(
             (r["vec_id"], r["m"], r["code"])
-            for r in spark.read.parquet(os.path.join(store, "codes")).collect()
+            for r in read_pq_codes(spark, store).collect()
         )
         == want
     )
@@ -882,6 +883,18 @@ def test_streaming_pq_sink_corrupt_codebook_raises(spark, tmp_path):
         assert fh.read() == b"not parquet"
 
 
+def _rm_commit(ckpt: str, batch_id: str) -> None:
+    """Erase one batch's entry from a checkpoint's commit log (the crash
+    simulation: offsets written, commit lost) — including the local-FS
+    CRC shadow file, which would otherwise fail the re-commit rename."""
+    import os
+
+    for name in (batch_id, f".{batch_id}.crc"):
+        path = os.path.join(ckpt, "commits", name)
+        if os.path.exists(path):
+            os.remove(path)
+
+
 def test_streaming_classifier_score_sink_batch_equivalence(spark, tmp_path):
     """First micro-batch trains and freezes the classifier weight table;
     later batches score against it — appended scores are identical to a
@@ -894,6 +907,7 @@ def test_streaming_classifier_score_sink_batch_equivalence(spark, tmp_path):
     from binance_futures_availability_spark.operators import textops
     from binance_futures_availability_spark.streaming.pipeline import (
         document_stream_source,
+        read_classifier_scores,
         start_classifier_score_sink,
     )
 
@@ -933,24 +947,30 @@ def test_streaming_classifier_score_sink_batch_equivalence(spark, tmp_path):
         tuple(r)
         for r in textops.classifier_score_with(union, weights).collect()
     )
-    got = sorted(
-        tuple(r)
-        for r in spark.read.parquet(os.path.join(store, "scores")).collect()
-    )
+    got = sorted(tuple(r) for r in read_classifier_scores(spark, store).collect())
     assert got == want
     # frozen model: weights trained on batch 1 only — batch 2's novel
     # terms (w12..w19) are absent from the table
     wterms = {r["term"] for r in weights.collect()}
     assert "w12" not in wterms and "w1" not in wterms  # min_df=2 drops singletons
 
+    # crash window: drop the last batch's marker + stream commit entry —
+    # the same-id replay overwrites its batch dir (exactly-once scores)
+    committed = sorted(os.listdir(os.path.join(store, "_committed_batches")))
+    last_id = committed[-1].rsplit("-", 1)[1]
+    os.remove(os.path.join(store, "_committed_batches", committed[-1]))
+    _rm_commit(str(tmp_path / "clsckpt"), last_id)
+    run()
+    assert (
+        sorted(tuple(r) for r in read_classifier_scores(spark, store).collect())
+        == want
+    )
+
     # replay: wipe the checkpoint — markers make re-delivery a no-op
     shutil.rmtree(str(tmp_path / "clsckpt"))
     run()
     assert (
-        sorted(
-            tuple(r)
-            for r in spark.read.parquet(os.path.join(store, "scores")).collect()
-        )
+        sorted(tuple(r) for r in read_classifier_scores(spark, store).collect())
         == want
     )
 
@@ -1009,6 +1029,35 @@ def test_streaming_span_census_matches_batch_and_replays_safely(spark, tmp_path)
     )
     assert got == want
     assert len(want) > 0  # the cross-batch duplicated span actually exists
+    # the partial log holds one committed batch dir per non-empty batch
+    committed = os.listdir(os.path.join(store, "_committed_batches"))
+    assert len(committed) == len(batches)
+    parts = spark.read.parquet(
+        *(os.path.join(store, "parts", m) for m in committed)
+    )
+    assert parts.count() >= len(want)
+
+    # crash window: output written but marker lost before the stream's
+    # commit — drop the marker AND the checkpoint commit entry so
+    # Structured Streaming replays THAT batch with the SAME id; the
+    # replay must OVERWRITE the batch dir, not append a duplicate
+    # partial (exactly-once), and until it does the orphan dir is
+    # invisible to the reader
+    last = sorted(committed)[-1]
+    last_id = last.rsplit("-", 1)[1]
+    os.remove(os.path.join(store, "_committed_batches", last))
+    _rm_commit(str(tmp_path / "spanckpt"), last_id)
+    partial_crash = sorted(
+        (r["span_md5"], r["n_docs"], r["n_occurrences"])
+        for r in read_span_census(spark, store).collect()
+    )
+    assert partial_crash != want  # orphan excluded until recommitted
+    run()
+    after_crash = sorted(
+        (r["span_md5"], r["n_docs"], r["n_occurrences"])
+        for r in read_span_census(spark, store).collect()
+    )
+    assert after_crash == want
 
     # replay: wipe the checkpoint and re-run — markers no-op every batch
     shutil.rmtree(str(tmp_path / "spanckpt"))
@@ -1018,6 +1067,3 @@ def test_streaming_span_census_matches_batch_and_replays_safely(spark, tmp_path)
         for r in read_span_census(spark, store).collect()
     )
     assert again == want
-    # the partial log holds exactly one parquet append per non-empty batch
-    parts = spark.read.parquet(os.path.join(store, "parts"))
-    assert parts.count() >= len(want)
