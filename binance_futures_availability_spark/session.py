@@ -70,6 +70,16 @@ def get_session(
         # Compiled classes are small; 5000 entries is a few hundred MB at
         # the absolute worst and applies per-JVM (driver and executors).
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # File-split floor: Spark sizes scan splits as
+        # max(openCostInBytes, bytes/defaultParallelism) capped by
+        # maxPartitionBytes. The 4 MB default floor caps a 15 MB corpus
+        # at 4 tasks on 32 cores — half-idle for regex/codec-heavy text
+        # scans whose cost is per-byte CPU, not IO. 512 KB lets small
+        # working sets fan out to the core count while leaving big-file
+        # splits governed by bytes/cores exactly as before. (Row-group
+        # starts gate actual row production — see tools/gen_sf.py
+        # _ROW_GROUP_ROWS.)
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # local-mode friendliness; harmless on a cluster
         .config("spark.ui.enabled", "false")
     )

@@ -70,16 +70,19 @@ SLICE = [
 ]
 
 
-#: pair-ENUMERATION queries skipped above this sf: the synthetic fixture's
-#: 31-word vocabulary admits only ~31³ ≈ 30k distinct 3-gram shingles, so at
-#: sf10 (500k docs × ~52 shingles) mean shingle df ≈ 870 and the TRUE
-#: near-dup pair count itself grows ~quadratically — enumerating a
-#: quadratic answer is output-bound, not a plan-scalability defect (real
-#: web corpora have power-law df with a dominant rare tail, which is what
-#: the prefix/banded joins exploit). Measured consequence of including
-#: them: a single cold pass spills >70 GB of shuffle and fills the
-#: sandbox disk. The sparse-output dedup operators (census, winnowing
-#:  with its df cap, exact hash dedup) stay in at every sf.
+#: pair-ENUMERATION queries skipped above this sf ON THE LEGACY uniform
+#: 31-word-vocabulary fixture ONLY: that vocabulary admits ~31³ ≈ 30k
+#: distinct 3-gram shingles, so at sf10 (500k docs × ~52 shingles) mean
+#: shingle df ≈ 870 and the TRUE near-dup pair count itself grows
+#: ~quadratically — enumerating a quadratic answer is output-bound, not a
+#: plan-scalability defect; including them spilled >70 GB of shuffle.
+#: The DEFAULT fixture (gen_sf.py, r10+) draws Zipf(s=1.07) text over a
+#: 50 000-word vocabulary (measured mean 3-gram df ≈ 1.1) with planted
+#: linear-rate near-duplicates, which is the regime the prefix/banded
+#: joins are built for — on it the family is INCLUDED at every sf. The
+#: fixture advertises its mode in ``_fixture.json`` (written by
+#: gen_sf.py); a missing file is treated as the legacy tiny-vocab
+#: fixture so stale directories can't silently re-trigger the spill.
 PAIR_SATURATED = {
     "ngram_jaccard_pairs",
     "containment_pairs",
@@ -89,6 +92,14 @@ PAIR_SATURATED = {
     "neardup_survivors",
 }
 PAIR_SATURATION_SF = 2.0
+
+
+def fixture_vocab(sf_dir: str) -> str:
+    meta = os.path.join(sf_dir, "_fixture.json")
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            return json.load(fh).get("vocab", "tiny")
+    return "tiny"
 
 
 def run_df(df) -> None:
@@ -115,15 +126,21 @@ def main() -> int:
     qs = entrymod.queries()
     results: dict[str, dict[str, float]] = {}
     sfs: dict[str, float] = {}
+    vocabs: dict[str, str] = {}
+    excluded: dict[str, list] = {}
     for sf_dir in sf_dirs:
         tag = sf_dir.rstrip("/").split("sf")[-1]
         sfs[tag] = float(tag) if tag.replace(".", "").isdigit() else 0.0
+        vocabs[tag] = fixture_vocab(sf_dir)
+        saturated = (
+            vocabs[tag] == "tiny" and sfs[tag] >= PAIR_SATURATION_SF
+        )
+        if saturated:
+            excluded[tag] = sorted(PAIR_SATURATED)
         queries = [
             n
             for n in SLICE
-            if not (
-                sfs[tag] >= PAIR_SATURATION_SF and n in PAIR_SATURATED
-            )
+            if not (saturated and n in PAIR_SATURATED)
         ]
         times: dict[str, float] = {}
         for name in queries:  # cold pass: index builds + codegen
@@ -159,18 +176,21 @@ def main() -> int:
     tags = sorted(sfs, key=lambda t: sfs[t])
     report: dict = {
         "sfs": tags,
+        "fixture_vocab": vocabs,
         "warm": results,
         "growth": {},
-        "excluded_at_high_sf": {
-            "queries": sorted(PAIR_SATURATED),
-            "reason": (
-                "pair-ENUMERATION output is ~quadratic on the synthetic "
-                "31-word-vocabulary fixture above sf2 (mean shingle df "
-                "~870 at sf10) — output-bound, not a plan defect; see "
-                "PAIR_SATURATED comment"
-            ),
-        },
     }
+    if excluded:
+        report["excluded_at_high_sf"] = {
+            "queries": excluded,
+            "reason": (
+                "pair-ENUMERATION output is ~quadratic on the LEGACY "
+                "uniform 31-word-vocabulary fixture above sf2 (mean "
+                "shingle df ~870 at sf10) — output-bound, not a plan "
+                "defect; the default Zipf fixture includes the family "
+                "at every sf (see PAIR_SATURATED comment)"
+            ),
+        }
     if len(tags) >= 2:
         lo, hi = tags[0], tags[-1]
         ratio_sf = sfs[hi] / sfs[lo]
