@@ -32,6 +32,7 @@ from ..functions import (
     cosine_from_quantized,
     gathered_sort,
     int_dot,
+    md5_int60,
     quantize_embedding,
 )
 from ..index_cache import cached_index, plan_key, tracked_persist
@@ -1272,12 +1273,46 @@ def kmeans_cells(
     ).select(id_col, "cell")
 
 
+def audit_sample(
+    emb: DataFrame,
+    sample_ppm: int | None,
+    id_col: str = "vec_id",
+    salt: str = "audit-v1",
+    keep_id: int | None = None,
+) -> DataFrame:
+    """Deterministic hash-bucket sample of the vector corpus for the
+    recall audits — the same salted-md5 per-million discipline as
+    ``textops.corpus_split`` (pure function of the id: run-stable,
+    growth-stable, engine-portable), so an audit whose exact baseline
+    is quadratic (LSH) or full-rank (PQ/RP) stays runnable at
+    production corpus sizes. ``keep_id`` survives the filter
+    unconditionally (the probe vector of a top-k audit must stay in
+    its own corpus). ``None`` = no sampling (the full audit)."""
+    if sample_ppm is None:
+        return emb
+    if not 0 < sample_ppm <= 1_000_000:
+        raise ValueError(
+            f"sample_ppm must be in (0, 1000000], got {sample_ppm}"
+        )
+    bucket = (
+        md5_int60(
+            F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+        )
+        % 1_000_000
+    )
+    cond = bucket < F.lit(sample_ppm)
+    if keep_id is not None:
+        cond = cond | (F.col(id_col) == F.lit(keep_id))
+    return emb.filter(cond)
+
+
 def lsh_recall_audit(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    sample_ppm: int | None = None,
 ) -> DataFrame:
     """Recall measurement for the LSH scale path: one row — (n_exact,
     n_lsh, n_matched, recall) comparing ``lsh_cosine_pairs`` against the
@@ -1291,9 +1326,15 @@ def lsh_recall_audit(
     by construction — the audit asserts it as n_matched == n_lsh) and
     recall = n_lsh / n_exact. Shape: both pair pipelines run once (each
     with its own documented scale shape), joined on the (sparse) pair
-    key; the audit output is a single aggregate row. Run at a sampled
-    scale — the exact baseline is the quadratic one being audited.
+    key; the audit output is a single aggregate row.
+
+    The exact baseline is the quadratic one being audited, so at
+    production scale pass ``sample_ppm`` (``audit_sample`` — salted-md5
+    hash bucket of the corpus): the audit then measures recall over the
+    sampled sub-corpus, an unbiased estimate because the hash sample is
+    independent of both the plane family and the vector geometry.
     """
+    emb = audit_sample(emb, sample_ppm, id_col)
     e = cosine_pairs(emb, threshold, id_col, vec_col).select(
         "id_a", "id_b", F.lit(1).alias("__e")
     )
@@ -1824,11 +1865,16 @@ def pq_recall_audit(
     k: int = PQ_K,
     dim: int = EMB_DIM,
     iters: int = 0,
+    sample_ppm: int | None = None,
 ) -> DataFrame:
     """Recall@k of PQ ADC against the exact brute-force ranking: one row
     (k, n_hits, recall) — the audit every compressed-index deployment
     runs before trusting a (m, k) compression setting (the PQ twin of
-    lsh_recall_audit)."""
+    lsh_recall_audit). At production scale pass ``sample_ppm``
+    (``audit_sample``; the probe vector always survives the filter) —
+    the full-rank exact baseline then runs on the hash-sampled
+    sub-corpus."""
+    emb = audit_sample(emb, sample_ppm, id_col, keep_id=query_id)
     exact = ann_topk(emb, query_id, topk, id_col, vec_col).select(
         F.col(id_col).alias("__e")
     )
@@ -1969,12 +2015,15 @@ def rp_recall_audit(
     m: int = RP_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_ppm: int | None = None,
 ) -> DataFrame:
     """Recall@k of the projected-space ranking against the exact
     brute-force ranking: one row (k, n_hits, recall) — the measured form
     of the JL distortion bound for this corpus and width (the RP twin of
     pq_recall_audit / lsh_recall_audit: never trust a compression knob
-    you haven't audited)."""
+    you haven't audited). ``sample_ppm`` hash-samples the corpus for
+    production-scale audits (``audit_sample``; the probe survives)."""
+    emb = audit_sample(emb, sample_ppm, id_col, keep_id=query_id)
     exact = ann_topk(emb, query_id, topk, id_col, vec_col).select(
         F.col(id_col).alias("__e")
     )

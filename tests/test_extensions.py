@@ -1528,6 +1528,42 @@ def test_lsh_recall_audit_precision_one_and_recall(emb, spark):
     assert 0 < r2["recall"] <= 1.0  # single-table 8-plane LSH: low but >0
 
 
+def test_recall_audits_sampled_mode(spark):
+    """Production-scale sampling: the hash-bucket sampled audit is (a)
+    deterministic, (b) precision-1 like the full audit, and (c) a recall
+    ESTIMATE within an honest tolerance of the full number — the sampled
+    sub-corpus is chosen independently of the vector geometry, so the
+    estimate is unbiased (tolerance covers small-sample variance at this
+    fixture size)."""
+    emb_big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    full = similarity.lsh_recall_audit(emb_big, 0.3).collect()[0]
+    half = similarity.lsh_recall_audit(
+        emb_big, 0.3, sample_ppm=500_000
+    ).collect()[0]
+    again = similarity.lsh_recall_audit(
+        emb_big, 0.3, sample_ppm=500_000
+    ).collect()[0]
+    assert tuple(half) == tuple(again)  # deterministic hash sample
+    assert 0 < half["n_exact"] < full["n_exact"]  # genuinely sampled
+    assert half["n_matched"] == half["n_lsh"]  # precision 1 survives
+    assert abs(half["recall"] - full["recall"]) <= 0.15
+    # identity: ppm=1e6 keeps every vector -> exactly the full audit
+    everything = similarity.lsh_recall_audit(
+        emb_big, 0.3, sample_ppm=1_000_000
+    ).collect()[0]
+    assert tuple(everything) == tuple(full)
+
+    # pq/rp: the probe vector survives the filter unconditionally, and
+    # the sampled exact baseline ranks the same sub-corpus as the
+    # approximate side (recall stays a like-for-like measurement)
+    sr = similarity.rp_recall_audit(
+        emb_big, 1, 10, sample_ppm=250_000
+    ).collect()[0]
+    assert sr["k"] == 10 and 0 <= sr["recall"] <= 1.0
+    with pytest.raises(ValueError):
+        similarity.lsh_recall_audit(emb_big, 0.3, sample_ppm=0)
+
+
 def test_bigram_lm_scores_fluency_ordering(spark):
     import math as _math
 
