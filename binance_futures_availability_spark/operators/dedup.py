@@ -746,26 +746,40 @@ def minhash_lsh_pairs(
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """60-bit SimHash per document from token-count-weighted md5 bit votes.
+    """60-bit SimHash per document from 3-gram SHINGLE-set md5 bit votes —
+    the feature choice of the web-dedup deployment the operator models
+    (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web
+    Crawling", WWW'07: phrase/shingle features, not bag-of-words).
 
-    bit b of the fingerprint = 1 iff Σ_tokens count·(2·bit_b(hash)−1) > 0.
-    One explode(tokens) → ONE hash aggregation carrying 60 per-bit sum
-    expressions (all whole-stage-codegen'd), then a width-60 projection
-    folds the signs into the fingerprint. Earlier shape exploded a bit-index
-    row per token (60× the rows, two extra shuffles); this keeps shuffle
-    input at token cardinality and was measured ~3× faster. Summing votes
-    over token *occurrences* equals the count-weighted per-distinct-token
-    sum, so no pre-count pass is needed. The fingerprint table is a
-    session-cached index artifact (index_cache) shared with simhash_pairs.
+    bit b of the fingerprint = 1 iff Σ_shingles (2·bit_b(hash)−1) > 0,
+    over the document's DISTINCT word 3-grams. Unigram token votes (the
+    previous feature set) make fingerprints of SHORT documents over a
+    head-heavy vocabulary nearly collinear — two random 10-token Zipf
+    documents share most of their mass in the same few stopwords, so the
+    hamming-≤d pair count is quadratic in the corpus even with zero real
+    near-duplicates (measured: 14.8 M pairs at sf1 on the Zipf fixture,
+    ~90× the sf0.1 count, while LSH/Jaccard found ~10²). Shingle sets of
+    unrelated documents are near-disjoint, so their fingerprints are
+    independent uniform bits (P[hamming ≤ 5 of 60] ≈ 2⁻³⁸) and the pair
+    list contains exactly the planted/real near-dups — output linear in
+    the corpus, which is the property that lets the banded join scale.
+
+    One explode of the session-cached shingle-set index (shared with the
+    MinHash/Jaccard family — no extra corpus pass) → ONE hash aggregation
+    carrying 60 per-bit sum expressions (whole-stage-codegen'd), then a
+    width-60 projection folds the signs. Documents with fewer than 3
+    tokens have no shingles and are absent, mirrored by the oracle (the
+    same short-doc rule as the span/winnow family). The fingerprint
+    table is a session-cached index artifact shared with simhash_pairs.
     """
     key = plan_key(docs, "simhash", id_col, text_col)
     return cached_index(key, lambda: _simhash_build(docs, id_col, text_col))
 
 
 def _simhash_build(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    hashed = docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).select(F.col(id_col), md5_int60(F.col("tok")).alias("h"))
+    hashed = shingles(docs, id_col, text_col, n=3).select(
+        F.col(id_col), md5_int60(F.col("shingle")).alias("h")
+    )
     # The 60 vote sums and the 60-term sign fold are built as SQL strings:
     # assembled as Column objects (one py4j round-trip per operator, ~360
     # calls) this plan cost ~1 s of driver time per invocation — more than

@@ -229,13 +229,14 @@ WHERE containment >= {threshold} ORDER BY id_a, id_b"""
 
 
 def simhash_ctes() -> str:
-    """Shared CTE list ending in ``s(doc_id, simhash)``."""
-    x = MD5_INT.format(x="tok")
+    """Shared CTE list ending in ``s(doc_id, simhash)`` — distinct-3-gram
+    shingle features (mirrors dedup.simhash; docs with <3 tokens have no
+    shingles and are absent)."""
+    x = MD5_INT.format(x="shingle")
     return f"""{SHINGLE_CTES},
-tokc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
-hashed AS (SELECT doc_id, cnt, {x} AS h FROM tokc),
+hashed AS (SELECT doc_id, {x} AS h FROM sh),
 bits AS (
-    SELECT doc_id, b, SUM(cnt * (2 * ((h >> b) & 1) - 1)) AS v
+    SELECT doc_id, b, SUM(2 * ((h >> b) & 1) - 1) AS v
     FROM hashed, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS t(b)
     GROUP BY 1, 2
 ),
