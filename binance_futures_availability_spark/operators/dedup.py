@@ -803,16 +803,33 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    block_pairs: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with simhash hamming distance ≤ max_hamming.
 
-    Pigeonhole banding (lossless): split the 60-bit fingerprint into
-    ``max_hamming + 1`` chunks — any pair within distance d must agree
-    EXACTLY on at least one chunk, so a self-equi-join on (chunk_id, chunk
-    value) produces every qualifying pair and the cross join disappears.
-    Collisions are then verified with the true bit_count(xor) distance, so
-    results equal brute force. Shuffle is bounded by chunk-bucket sizes
-    (16-bit-ish buckets over near-uniform hash bits ⇒ skew-free).
+    CHUNK-PAIR pigeonhole banding (lossless): split the 60-bit
+    fingerprint into ``max_hamming + 2`` chunks — ≤ d differing bits
+    touch at most d chunks, so every pair within distance d agrees
+    EXACTLY on at least TWO chunks, i.e. on at least one of the
+    C(d+2, 2) unordered chunk COMBINATIONS. A self-equi-join on
+    (combination id, concatenated two-chunk value) therefore produces
+    every qualifying pair, and the doubled key width is the scale
+    lever: single-chunk banding (d+1 chunks of 60/(d+1) bits) leaves
+    candidate volume ∝ n²/2^(60/(d+1)) — measured α = 1.41 sf1→sf10 at
+    d=5 (10-bit buckets: 500 k docs / 1024 values ⇒ ~500-doc buckets) —
+    while the ~17-bit pair keys cut expected candidates ~2^8× at the
+    cost of C(d+2,2) ≈ 21 vs d+1 = 6 exploded rows per doc. Collisions
+    are verified with the true bit_count(xor) distance, so results
+    equal brute force (property-tested). Same escalation as Manku, Jain
+    & Das Sarma's permuted-table blocking: as the corpus grows, widen
+    the block key, never the bucket.
+
+    ``block_pairs`` picks the blocking (a PHYSICAL strategy — output is
+    identical): False = single-chunk (d+1 chunks, d+1 exploded rows/doc
+    — cheaper while buckets stay small), True = chunk pairs, None
+    (default) = auto on the fingerprint count (the table is persisted
+    for the join anyway, so the count is a cheap cached-scan job) —
+    the same size-triggered strategy switch as a broadcast threshold.
 
     Cache lifecycle: the fingerprint table stays persisted as long as the
     returned (lazy) DataFrame is referenced — it backs both join sides, so
@@ -821,19 +838,53 @@ def simhash_pairs(
     releases it — there is no GC fallback for SQL caches.
     """
     # one fingerprint per doc, persisted: both self-join sides scan it, and
-    # without materialization each side re-runs the full token aggregation
+    # without materialization each side re-runs the full shingle aggregation
     s = tracked_persist(simhash(docs, id_col, text_col))
-    n_chunks = max_hamming + 1
-    chunk_bits = -(-SIMHASH_BITS // n_chunks)  # ceil
-    mask = (1 << chunk_bits) - 1
-    # one row per (doc, chunk) via a single explode — no per-band union;
-    # one parsed expression string (see _signatures_from_shingles)
+    if block_pairs is None:
+        # single-chunk buckets hold ~n/2^(60/(d+1)) docs; beyond ~100k
+        # docs (d=3-5: ~100-docs-per-bucket) the candidate join passes
+        # the crossover measured at sf1/sf10 (1.7 vs 0.6 s / 13.5 vs
+        # 16.6 s warm) — switch to the wide key. The count rides the
+        # shared per-corpus scalar cache (no job when warm).
+        cnt_key = plan_key(docs, "simhash_ndocs", id_col, text_col)
+        if cnt_key is not None and cnt_key in _NDOC_CACHE:
+            n_docs = _NDOC_CACHE[cnt_key]
+        else:
+            n_docs = s.count()
+            if cnt_key is not None:
+                bounded_scalar_put(_NDOC_CACHE, cnt_key, n_docs)
+        block_pairs = n_docs > 100_000
+    if block_pairs:
+        n_chunks = max_hamming + 2
+        chunk_bits = max(1, SIMHASH_BITS // n_chunks)
+        if n_chunks * chunk_bits > SIMHASH_BITS:
+            raise ValueError(
+                f"max_hamming={max_hamming} needs {n_chunks} non-empty "
+                f"chunks of {SIMHASH_BITS} bits"
+            )
+        mask = (1 << chunk_bits) - 1
+        chunk = (
+            lambda i: f"(shiftright(simhash, {i * chunk_bits}) & {mask})"
+        )
+        keys = [
+            f"{chunk(i)} * {1 << chunk_bits} + {chunk(j)}"
+            for i in range(n_chunks)
+            for j in range(i + 1, n_chunks)
+        ]
+    else:
+        n_chunks = max_hamming + 1
+        chunk_bits = -(-SIMHASH_BITS // n_chunks)  # ceil
+        mask = (1 << chunk_bits) - 1
+        keys = [
+            f"(shiftright(simhash, {i * chunk_bits}) & {mask})"
+            for i in range(n_chunks)
+        ]
+    # one row per (doc, block key) via a single explode — no per-band
+    # union; one parsed expression string (see _signatures_from_shingles)
     chunk_structs = F.expr(
         "array("
         + ", ".join(
-            f"struct({i} AS band, "
-            f"shiftright(simhash, {i * chunk_bits}) & {mask} AS chunk)"
-            for i in range(n_chunks)
+            f"struct({b} AS band, {k} AS chunk)" for b, k in enumerate(keys)
         )
         + ")"
     )
