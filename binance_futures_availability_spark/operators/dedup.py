@@ -1431,13 +1431,23 @@ def winnow_overlap_pairs(
         id_col, "fingerprint"
     ).distinct()
     if max_fp_df is not None:
-        dfc = F.broadcast(
-            fps.groupBy("fingerprint")
-            .agg(F.count(F.lit(1)).alias("__df"))
+        # df cap as a WINDOW count over the fingerprint (the
+        # hashed_jaccard_pairs discipline): one shuffle that leaves the
+        # postings hash-partitioned on the self-join key. The previous
+        # shape BROADCAST the under-cap fingerprint list — nearly every
+        # distinct fingerprint (most have df=1), i.e. a broadcast that
+        # grows with the corpus, the exact anti-pattern the df cap
+        # exists to avoid.
+        fps = (
+            fps.withColumn(
+                "__df",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("fingerprint")
+                ),
+            )
             .filter(F.col("__df") <= max_fp_df)
-            .select("fingerprint")
+            .drop("__df")
         )
-        fps = fps.join(dfc, "fingerprint")
     a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
     return (
