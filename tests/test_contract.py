@@ -22,10 +22,11 @@ TABLES = (
 )
 
 
-#: queries deliberately gated rows-only (iterative algorithms with no
-#: single-SQL oracle; each is exactness-pinned in pytest against an
-#: independent Python reference — see tests/test_extensions.py)
-ROWS_ONLY = {"bpe_merges", "bpe_encode"}
+#: every catalog query has a SQL oracle since r10 closed the last two
+#: (bpe_merges/bpe_encode — unrolled per-round CTE trainer, the
+#: kmeans_cells precedent); iterative algorithms stay DOUBLY pinned by
+#: pytest against independent Python references (tests/test_extensions.py)
+ROWS_ONLY: set = set()
 
 
 def test_queries_and_oracles_key_aligned():
