@@ -660,6 +660,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_perm: int = 8,
     n_bands: int = 4,
+    max_bucket_pop: int | None = 512,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified with exact Jaccard ≥ threshold.
 
@@ -673,6 +674,23 @@ def minhash_lsh_pairs(
     population stays one task's worth. The DuckDB oracle takes the same
     parameters (oracles.sql_minhash_lsh_pairs) and regenerates the
     identical prefix-stable permutation family.
+
+    ``max_bucket_pop`` caps band-bucket POPULATION, the same documented
+    df-cap discipline as ``ngram_jaccard_pairs``' stop-shingle cap: a
+    band-bucket shared by more documents than the cap is a boilerplate
+    signature (every document opening with the same license header puts
+    its band minima inside the shared prefix — measured on the sf10 Zipf
+    fixture ONE such bucket held 3 199 of the 10 084 boilerplate-opening
+    docs, 5.1 M of the 5.8 M candidate pairs, while true output grew
+    linearly) and is excluded from pair generation wholesale. Pairs whose
+    EVERY colliding bucket is over-cap are missed; such pairs share
+    boilerplate minima, not document bodies (a 13-token shared header on
+    a 53-shingle median doc is Jaccard ≈ 0.12 — far under any sensible
+    threshold), and genuinely near-duplicate pairs keep colliding in
+    their other, body-driven bands. Capping makes candidate volume
+    ≤ n·cap/2 — linear in the corpus with the cap held fixed. Pass None
+    to restore unbounded banding; the oracle implements the identical
+    cap so exact parity holds at any setting.
     """
     sigs = minhash_signatures(docs, id_col, text_col, n, num_perm)
     bands_spec = band_partition(num_perm, n_bands)
@@ -693,6 +711,19 @@ def minhash_lsh_pairs(
     bands = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    if max_bucket_pop is not None:
+        # window count over the SELF-JOIN key (band, bucket): one shuffle
+        # that leaves the surviving band rows hash-partitioned exactly as
+        # the candidate join needs them (the winnow_overlap_pairs df-cap
+        # shape — never a corpus-sized broadcast list).
+        bands = (
+            bands.withColumn(
+                "__pop",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+            )
+            .filter(F.col("__pop") <= max_bucket_pop)
+            .drop("__pop")
+        )
     left = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
     candidates = (
@@ -1103,6 +1134,7 @@ def cross_dedup_pairs(
     n: int = 3,
     num_perm: int = 8,
     n_bands: int = 4,
+    max_bucket_pop: int | None = 512,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN two corpora: (id_a ∈ A, id_b ∈ B,
     jaccard ≥ threshold) — the near-dup form of benchmark decontamination
@@ -1125,7 +1157,7 @@ def cross_dedup_pairs(
     )
     uni = a.select(F.col(id_col), F.col(text_col)).unionByName(bu)
     pairs = minhash_lsh_pairs(
-        uni, threshold, id_col, text_col, n, num_perm, n_bands
+        uni, threshold, id_col, text_col, n, num_perm, n_bands, max_bucket_pop
     )
     return pairs.filter(
         (F.col("id_a") < CROSS_ID_OFFSET) & (F.col("id_b") >= CROSS_ID_OFFSET)

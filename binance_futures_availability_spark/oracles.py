@@ -113,19 +113,54 @@ def sql_minhash_signatures(num_perm: int = 8) -> str:
     return f"WITH {SHINGLE_CTES},\n{minhash_sig_cte(num_perm)}\nSELECT * FROM sig"
 
 
-def sql_minhash_lsh_pairs(
-    threshold: float, num_perm: int = 8, n_bands: int = 4
+def lsh_cand_ctes(
+    num_perm: int = 8,
+    n_bands: int = 4,
+    max_bucket_pop: int | None = 512,
 ) -> str:
-    band_cond = " OR ".join(
-        "(" + " AND ".join(f"a.h{c} = b.h{c}" for c in cols) + ")"
-        for cols in band_partition(num_perm, n_bands)
+    """CTE chain ``lsh_bands``(, ``lsh_capped``), ``cand`` mirroring the
+    operator's banding EXACTLY: one row per (doc, band) keyed by that
+    band's signature columns, the band-bucket population cap as a window
+    count (dedup.minhash_lsh_pairs' ``max_bucket_pop``), candidates as the
+    bucket self-join. Consumes the ``sig`` CTE from minhash_sig_cte."""
+    parts = band_partition(num_perm, n_bands)
+    r = len(parts[0])
+    selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band, {keys} FROM sig".format(
+            b=band_id,
+            keys=", ".join(f"h{c} AS k{j}" for j, c in enumerate(cols)),
+        )
+        for band_id, cols in enumerate(parts)
     )
-    return f"""WITH {jaccard_ctes()},
-{minhash_sig_cte(num_perm)},
+    keys = ", ".join(f"k{j}" for j in range(r))
+    src = "lsh_bands"
+    cap_cte = ""
+    if max_bucket_pop is not None:
+        cap_cte = f""",
+lsh_capped AS (
+    SELECT doc_id, band, {keys} FROM lsh_bands
+    QUALIFY COUNT(*) OVER (PARTITION BY band, {keys}) <= {max_bucket_pop}
+)"""
+        src = "lsh_capped"
+    return f"""lsh_bands AS (
+    {selects}
+){cap_cte},
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
-)
+    FROM {src} a JOIN {src} b USING (band, {keys})
+    WHERE a.doc_id < b.doc_id
+)"""
+
+
+def sql_minhash_lsh_pairs(
+    threshold: float,
+    num_perm: int = 8,
+    n_bands: int = 4,
+    max_bucket_pop: int | None = 512,
+) -> str:
+    return f"""WITH {jaccard_ctes()},
+{minhash_sig_cte(num_perm)},
+{lsh_cand_ctes(num_perm, n_bands, max_bucket_pop)}
 SELECT j.id_a, j.id_b, j.jaccard
 FROM cand JOIN jac j USING (id_a, id_b)
 WHERE j.jaccard >= {threshold}
@@ -133,21 +168,17 @@ ORDER BY id_a, id_b"""
 
 
 def sql_duplicate_clusters(
-    threshold: float, num_perm: int = 8, n_bands: int = 4
+    threshold: float,
+    num_perm: int = 8,
+    n_bands: int = 4,
+    max_bucket_pop: int | None = 512,
 ) -> str:
     """Connected components over the minhash-LSH pair set via a recursive
     CTE (transitive reachability → min reachable id), mirroring the Spark
     min-label-propagation fixpoint exactly."""
-    band_cond = " OR ".join(
-        "(" + " AND ".join(f"a.h{c} = b.h{c}" for c in cols) + ")"
-        for cols in band_partition(num_perm, n_bands)
-    )
     return f"""WITH RECURSIVE {jaccard_ctes()},
 {minhash_sig_cte(num_perm)},
-cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
-),
+{lsh_cand_ctes(num_perm, n_bands, max_bucket_pop)},
 prs AS (
     SELECT j.id_a, j.id_b FROM cand JOIN jac j USING (id_a, id_b)
     WHERE j.jaccard >= {threshold}
@@ -1207,15 +1238,12 @@ def sql_cross_dedup_pairs(
     num_perm: int = 8,
     n_bands: int = 4,
     offset: int = 1 << 40,
+    max_bucket_pop: int | None = 512,
 ) -> str:
     """Cross-corpus MinHash-LSH near-dup pairs — mirrors
     dedup.cross_dedup_pairs: same offset-union, same banding, same
     exact-Jaccard verify; the cross filter is the id_a < offset ≤ id_b
     range predicate."""
-    band_cond = " OR ".join(
-        "(" + " AND ".join(f"a.h{c} = b.h{c}" for c in cols) + ")"
-        for cols in band_partition(num_perm, n_bands)
-    )
     return f"""WITH uni AS (
     SELECT doc_id, text FROM documents WHERE {a_where}
     UNION ALL
@@ -1238,10 +1266,7 @@ jac AS (
     JOIN sizes sb ON sb.doc_id = id_b
 ),
 {minhash_sig_cte(num_perm)},
-cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
-)
+{lsh_cand_ctes(num_perm, n_bands, max_bucket_pop)}
 SELECT j.id_a, j.id_b - {offset} AS id_b, j.jaccard
 FROM cand JOIN jac j USING (id_a, id_b)
 WHERE j.jaccard >= {threshold}

@@ -133,6 +133,48 @@ def test_minhash_lsh_no_unbounded_pair_agg(docs):
             assert "id_a" not in line and "id_b" not in line
 
 
+def test_minhash_bucket_pop_cap_semantics(spark):
+    """max_bucket_pop drops over-populated band buckets wholesale:
+    identical docs collide in EVERY band, so with cap < n_docs every
+    bucket is over-cap and no pairs survive; cap=None restores them.
+    The DuckDB oracle applies the identical cap (same QUALIFY count)."""
+    import duckdb
+    import pandas as pd
+
+    from binance_futures_availability_spark.oracles import (
+        sql_minhash_lsh_pairs,
+    )
+
+    rows = [(i, "a b c d e f") for i in range(4)] + [
+        (10, "p q r s t u v w"),
+        (11, "p q r s t u v x"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, 0.5, max_bucket_pop=3).collect()
+    }
+    # the 4-clone buckets (pop 4 > 3) vanish; the pair-only buckets stay
+    assert capped == {(10, 11)}
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, 0.5, max_bucket_pop=None).collect()
+    }
+    assert {(a, b) for a in range(4) for b in range(4) if a < b} <= uncapped
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    for cap, want in ((3, capped), (None, uncapped)):
+        got = {
+            (int(a), int(b))
+            for a, b, _ in con.execute(
+                sql_minhash_lsh_pairs(0.5, max_bucket_pop=cap)
+            ).fetchall()
+        }
+        assert got == want
+    con.close()
+
+
 def test_simhash_banded_equals_brute_force(docs):
     s = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     brute = {
