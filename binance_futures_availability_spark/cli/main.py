@@ -607,6 +607,43 @@ def cmd_verify_release(args: argparse.Namespace) -> int:
     return 0 if ok else 1
 
 
+def cmd_publish(args: argparse.Namespace) -> int:
+    """Publish a built release artifact to GitHub Releases (the upload half
+    of the reference's update-database workflow). Stats for the release
+    notes come from the artifact itself — what is described is exactly what
+    ships. ``--dry-run`` renders the notes and the upload plan without a
+    network dependency."""
+    from ..sources import release
+
+    db = release.open_release(args.artifact)
+    try:
+        stats = release.database_stats(db, as_of=args.as_of)
+    finally:
+        os.unlink(db)
+    as_of = args.as_of or str(stats["max_date"])
+    notes = release.render_release_notes(
+        stats, repo=args.repo, as_of=as_of, trigger="cli", mode=args.mode
+    )
+    files = [args.artifact]
+    sidecar = f"{args.artifact}.sha256"
+    if os.path.exists(sidecar):
+        files.append(sidecar)
+    if args.dry_run:
+        plan = {
+            "repo": args.repo,
+            "tag": args.tag,
+            "files": [os.path.basename(f) for f in files],
+            "notes": notes,
+        }
+        print(json.dumps(plan, indent=2) if args.json else notes)
+        return 0
+    out = release.publish_release(
+        args.repo, files, notes, tag=args.tag
+    )
+    print(json.dumps(out) if args.json else f"published: {out}")
+    return 0
+
+
 def cmd_warehouse(args: argparse.Namespace) -> int:
     from ..catalog import load_table
     from ..operators import warehouse as wh
@@ -882,6 +919,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--artifact", required=True, help="release .duckdb.gz path")
     p.add_argument("--as-of", help="expected most-recent update date YYYY-MM-DD")
     p.set_defaults(func=cmd_verify_release)
+
+    p = sub.add_parser(
+        "publish",
+        help="Publish a release artifact (+sidecar) to GitHub Releases",
+    )
+    p.add_argument("--artifact", required=True, help="release .duckdb.gz path")
+    p.add_argument("--repo", required=True, help="owner/name")
+    p.add_argument("--tag", default="latest", help="rolling release tag")
+    p.add_argument("--mode", default="daily", help="update mode for the notes")
+    p.add_argument("--as-of", help="notes date; default = artifact max_date")
+    p.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="render notes + upload plan without network",
+    )
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(func=cmd_publish)
 
     mnt = sub.add_parser("maintain", help="Table maintenance (stats/compact/expire/zorder)")
     msub = mnt.add_subparsers(dest="maintain_command")

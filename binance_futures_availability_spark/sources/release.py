@@ -209,3 +209,212 @@ def verify_release(
         if a != b:
             differences.append(f"{k}: live={a}, release={b}")
     return (not differences, differences)
+
+
+# --------------------------------------------------------------------------
+# Publishing (the upload half of S19)
+#
+# The reference publishes via softprops/action-gh-release@v2 (workflow
+# .github/workflows/update-database.yml:523-541): a rolling `latest` tag
+# whose release body is regenerated markdown and whose assets are REPLACED
+# in place (same-name upload on an existing release fails unless the stale
+# asset is deleted first). The client below speaks the same GitHub Releases
+# REST surface through an injectable transport — the probe module's HeadFn
+# discipline (ingest/probe.py) — so tests pin the exact call sequence and
+# production swaps in urllib with a token, and nothing in the engine ever
+# hard-depends on network access.
+# --------------------------------------------------------------------------
+
+#: (method, url, headers, body) -> (http status, decoded-JSON dict or {}).
+#: Raise for transport-level failures; HTTP-level errors return the status.
+TransportFn = "Callable[[str, str, dict, bytes | None], tuple[int, dict]]"
+
+_API = "https://api.github.com"
+_UPLOADS = "https://uploads.github.com"
+
+
+def _urllib_transport(token: str):
+    """Default GitHub transport: urllib + bearer token. Kept tiny — callers
+    with retry/pooling needs inject their own."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    def transport(
+        method: str, url: str, headers: dict, body: bytes | None
+    ) -> tuple[int, dict]:
+        req = urllib.request.Request(url, data=body, method=method)
+        req.add_header("Authorization", f"Bearer {token}")
+        req.add_header("Accept", "application/vnd.github+json")
+        for k, v in headers.items():
+            req.add_header(k, v)
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                raw = resp.read()
+                status = resp.status
+        except urllib.error.HTTPError as e:
+            raw = e.read()
+            status = e.code
+        try:
+            return status, _json.loads(raw) if raw else {}
+        except ValueError:
+            return status, {}
+
+    return transport
+
+
+def render_release_notes(
+    stats: dict,
+    repo: str,
+    as_of: str,
+    trigger: str = "manual",
+    mode: str = "daily",
+    validation_warnings: list[str] | None = None,
+    extra_files: dict[str, str] | None = None,
+) -> str:
+    """The release-body markdown, generated from the SAME stats block the
+    consistency check uses (reference workflow "Generate release notes",
+    update-database.yml:411-521: statistics, update details, validation
+    status, file listing, usage snippet). Deterministic: the caller passes
+    the timestamp-like ``as_of`` instead of wall clock."""
+    validation_line = (
+        "All checks passed"
+        if not validation_warnings
+        else "Completed with warnings (see below)"
+    )
+    lines = [
+        f"## Database Update - {as_of}",
+        "",
+        "### Statistics",
+        f"- **Latest Date**: {stats.get('max_date')}",
+        f"- **Total Records**: {stats['total_records']:,}",
+        f"- **Available Files**: {stats['available_records']:,}",
+        f"- **Unavailable Files**: {stats['unavailable_records']:,}",
+        "",
+        "### Update Details",
+        f"- **Trigger**: {trigger}",
+        f"- **Mode**: {mode}",
+        f"- **Validation**: {validation_line}",
+    ]
+    if validation_warnings:
+        lines += ["", "### Validation Warnings", "", "```"]
+        lines += list(validation_warnings)
+        lines += ["```"]
+    lines += [
+        "",
+        "### Files",
+        "- `availability.duckdb.gz` - Compressed database"
+        " (recommended for download)",
+        "- `availability.duckdb.gz.sha256` - Integrity sidecar",
+    ]
+    for name, desc in (extra_files or {}).items():
+        lines.append(f"- `{name}` - {desc}")
+    lines += [
+        "",
+        "### Usage",
+        "```bash",
+        f"wget https://github.com/{repo}/releases/download/latest/"
+        "availability.duckdb.gz",
+        "gunzip availability.duckdb.gz",
+        "```",
+    ]
+    return "\n".join(lines) + "\n"
+
+
+def publish_release(
+    repo: str,
+    files: list[str],
+    body: str,
+    tag: str = "latest",
+    name: str = "Latest Database Snapshot",
+    token: str | None = None,
+    transport=None,
+) -> dict:
+    """Create-or-update the rolling release and replace its assets — the
+    action-gh-release contract (update-database.yml:523-541: tag_name
+    `latest`, make_latest, files replaced each run).
+
+    Sequence (pinned by tests/test_release.py):
+      1. GET  /repos/{repo}/releases/tags/{tag}
+      2. 404 → POST /repos/{repo}/releases  (create, make_latest)
+         200 → PATCH /repos/{repo}/releases/{id}  (refresh name/body)
+      3. per file: DELETE any existing same-name asset, then POST the
+         binary to uploads.github.com.
+
+    Returns {"release_id": ..., "uploaded": [names], "replaced": [names]}.
+    Pure driver-side control flow over bounded artifacts — never a Spark
+    job; the distributed work ended at release_database()."""
+    import json as _json
+
+    if transport is None:
+        if token is None:
+            token = os.environ.get("GITHUB_TOKEN", "")
+        if not token:
+            raise ValueError(
+                "publish_release needs a token or an injected transport"
+            )
+        transport = _urllib_transport(token)
+
+    status, rel = transport(
+        "GET", f"{_API}/repos/{repo}/releases/tags/{tag}", {}, None
+    )
+    if status == 404:
+        payload = {
+            "tag_name": tag,
+            "name": name,
+            "body": body,
+            "draft": False,
+            "prerelease": False,
+            "make_latest": "true",
+        }
+        status, rel = transport(
+            "POST",
+            f"{_API}/repos/{repo}/releases",
+            {"Content-Type": "application/json"},
+            _json.dumps(payload).encode(),
+        )
+        if status not in (200, 201):
+            raise RuntimeError(f"release create failed: HTTP {status} {rel}")
+    elif status == 200:
+        status2, rel2 = transport(
+            "PATCH",
+            f"{_API}/repos/{repo}/releases/{rel['id']}",
+            {"Content-Type": "application/json"},
+            _json.dumps({"name": name, "body": body}).encode(),
+        )
+        if status2 == 200:
+            rel = rel2
+    else:
+        raise RuntimeError(f"release lookup failed: HTTP {status} {rel}")
+
+    existing = {
+        a["name"]: a["id"] for a in rel.get("assets", []) if "name" in a
+    }
+    uploaded, replaced = [], []
+    for path in files:
+        fname = os.path.basename(path)
+        if fname in existing:
+            transport(
+                "DELETE",
+                f"{_API}/repos/{repo}/releases/assets/{existing[fname]}",
+                {},
+                None,
+            )
+            replaced.append(fname)
+        with open(path, "rb") as f:
+            data = f.read()
+        status, _ = transport(
+            "POST",
+            f"{_UPLOADS}/repos/{repo}/releases/{rel['id']}/assets"
+            f"?name={fname}",
+            {"Content-Type": "application/octet-stream"},
+            data,
+        )
+        if status not in (200, 201):
+            raise RuntimeError(f"asset upload failed for {fname}: {status}")
+        uploaded.append(fname)
+    return {
+        "release_id": rel.get("id"),
+        "uploaded": uploaded,
+        "replaced": replaced,
+    }

@@ -170,3 +170,130 @@ def test_open_release_cleans_temp_on_corrupt_artifact(tmp_path):
         release.open_release(str(bad))
     after = set(glob.glob(os.path.join(tempfile.gettempdir(), "release_db_*")))
     assert after == before
+
+
+class _FakeGitHub:
+    """Records the publish_release call sequence and emulates the GitHub
+    Releases API: a rolling release that may pre-exist with assets."""
+
+    def __init__(self, existing_release: dict | None = None):
+        self.release = existing_release
+        self.calls: list[tuple[str, str]] = []
+        self.uploads: dict[str, bytes] = {}
+        self.deleted: list[int] = []
+        self.next_id = 100
+
+    def __call__(self, method, url, headers, body):
+        import json as json_mod
+
+        self.calls.append((method, url))
+        if method == "GET" and "/releases/tags/" in url:
+            if self.release is None:
+                return 404, {"message": "Not Found"}
+            return 200, self.release
+        if method == "POST" and url.endswith("/releases"):
+            payload = json_mod.loads(body)
+            assert payload["tag_name"] and payload["make_latest"] == "true"
+            self.release = {"id": self.next_id, "assets": [],
+                            "body": payload["body"], "name": payload["name"]}
+            return 201, self.release
+        if method == "PATCH":
+            payload = json_mod.loads(body)
+            self.release.update(payload)
+            return 200, self.release
+        if method == "DELETE":
+            self.deleted.append(int(url.rsplit("/", 1)[1]))
+            return 204, {}
+        if method == "POST" and "uploads.github.com" in url:
+            name = url.split("?name=")[1]
+            self.uploads[name] = body
+            return 201, {"name": name}
+        raise AssertionError(f"unexpected call {method} {url}")
+
+
+def test_publish_release_creates_and_uploads(tmp_path):
+    """Fresh repo (tag 404): create-release then upload artifact+sidecar —
+    the action-gh-release first-run path."""
+    art = tmp_path / "availability.duckdb.gz"
+    art.write_bytes(b"gzbytes")
+    side = tmp_path / "availability.duckdb.gz.sha256"
+    side.write_text("abc  availability.duckdb.gz\n")
+    gh = _FakeGitHub()
+    out = release.publish_release(
+        "owner/repo", [str(art), str(side)], "notes body", transport=gh
+    )
+    assert out["release_id"] == 100
+    assert out["uploaded"] == [
+        "availability.duckdb.gz",
+        "availability.duckdb.gz.sha256",
+    ]
+    assert out["replaced"] == []
+    assert gh.uploads["availability.duckdb.gz"] == b"gzbytes"
+    assert gh.release["body"] == "notes body"
+    # sequence: lookup, create, two uploads — nothing else
+    methods = [m for m, _ in gh.calls]
+    assert methods == ["GET", "POST", "POST", "POST"]
+
+
+def test_publish_release_replaces_stale_assets(tmp_path):
+    """Existing rolling release: PATCH the body, DELETE the same-name
+    asset before re-upload (GitHub rejects duplicate asset names)."""
+    art = tmp_path / "availability.duckdb.gz"
+    art.write_bytes(b"v2")
+    gh = _FakeGitHub(
+        existing_release={
+            "id": 7,
+            "assets": [{"name": "availability.duckdb.gz", "id": 55},
+                       {"name": "unrelated.parquet", "id": 56}],
+        }
+    )
+    out = release.publish_release(
+        "owner/repo", [str(art)], "new body", transport=gh
+    )
+    assert out == {
+        "release_id": 7,
+        "uploaded": ["availability.duckdb.gz"],
+        "replaced": ["availability.duckdb.gz"],
+    }
+    assert gh.deleted == [55]  # only the colliding asset
+    assert gh.release["body"] == "new body"
+
+
+def test_publish_release_requires_token_or_transport(monkeypatch):
+    monkeypatch.delenv("GITHUB_TOKEN", raising=False)
+    with pytest.raises(ValueError, match="token"):
+        release.publish_release("o/r", [], "b")
+
+
+def test_render_release_notes_block(spark, populated_da):
+    """Notes derive from the verified stats block and carry the workflow's
+    sections (statistics / update details / files / usage)."""
+    row = release.release_stats(populated_da).collect()[0]
+    stats = {k: row[k] for k in release.STAT_KEYS}
+    notes = release.render_release_notes(
+        stats, repo="owner/repo", as_of="2024-03-01",
+        validation_warnings=["2024-02-29: 97 symbols (<100)"],
+    )
+    assert f"**Total Records**: {stats['total_records']:,}" in notes
+    assert "## Database Update - 2024-03-01" in notes
+    assert "Completed with warnings" in notes
+    assert "97 symbols" in notes
+    assert "owner/repo/releases/download/latest" in notes
+
+
+def test_cli_publish_dry_run(spark, populated_da, tmp_path, capsys):
+    """`bfa-spark publish --dry-run` renders the plan from the artifact
+    itself — stats in the notes describe exactly what ships."""
+    import json as json_mod
+
+    from binance_futures_availability_spark.cli.main import main as cli_main
+
+    out = str(tmp_path / "rel.duckdb.gz")
+    release.release_database(populated_da, out)
+    rc = cli_main(
+        ["publish", "--artifact", out, "--repo", "o/r", "--dry-run", "--json"]
+    )
+    assert rc == 0
+    plan = json_mod.loads(capsys.readouterr().out)
+    assert plan["files"] == ["rel.duckdb.gz", "rel.duckdb.gz.sha256"]
+    assert f"**Total Records**: {populated_da.count():,}" in plan["notes"]
