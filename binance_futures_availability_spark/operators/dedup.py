@@ -62,6 +62,17 @@ MINHASH_B = [1009, 2003, 3001, 4001, 5003, 6007, 7001, 8009]
 LSH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
 SIMHASH_BITS = 60
 
+#: simhash_pairs auto-blocking crossover: switch from single-chunk to
+#: chunk-PAIR keys when the MEASURED single-chunk candidate count exceeds
+#: this many pairs per document. Below it the verify stage (one bit_count
+#: per candidate) is cheaper than the wide key's ~2.5× explode/shuffle
+#: volume; above it the quadratic candidate term dominates. 64 puts the
+#: uniform-fingerprint crossover near 1 M docs for d=3 (n·(d+1)/2^15)
+#: while collinear-fingerprint corpora (bucket saturation) trip it at any
+#: size — measured: sf10 Zipf 500 k docs stays single-chunk (2.6 s vs
+#: 4.4 s warm), the 31-word legacy fixture switches at sf1.
+BLOCK_CAND_PER_DOC = 64
+
 
 def minhash_params(num_perm: int) -> list[tuple[int, int]]:
     """(a_i, b_i) permutation constants for a ``num_perm``-wide signature.
@@ -858,9 +869,18 @@ def simhash_pairs(
     ``block_pairs`` picks the blocking (a PHYSICAL strategy — output is
     identical): False = single-chunk (d+1 chunks, d+1 exploded rows/doc
     — cheaper while buckets stay small), True = chunk pairs, None
-    (default) = auto on the fingerprint count (the table is persisted
-    for the join anyway, so the count is a cheap cached-scan job) —
-    the same size-triggered strategy switch as a broadcast threshold.
+    (default) = auto on MEASURED single-chunk candidate volume: one
+    bounded aggregation over the persisted fingerprint table (output ≤
+    (d+1)·2^(60/(d+1)) bucket rows) sums pop·(pop−1)/2 and switches to
+    the wide key when candidates exceed ``BLOCK_CAND_PER_DOC`` per doc.
+    A doc-count threshold gets this wrong in both directions — uniform
+    fingerprints keep single-chunk buckets small far past any fixed
+    count (measured sf10/500 k docs: single 2.6 s vs pair 4.4 s warm,
+    shuffle volume dominates while verify stays cheap), while collinear
+    fingerprints (the pre-shingle-feature failure) saturate buckets at
+    ANY count. Measuring the actual quadratic term decides on data, the
+    way AQE decides skew joins; the probe result rides the per-corpus
+    scalar cache so warm invocations pay no extra job.
 
     Cache lifecycle: the fingerprint table stays persisted as long as the
     returned (lazy) DataFrame is referenced — it backs both join sides, so
@@ -872,19 +892,48 @@ def simhash_pairs(
     # without materialization each side re-runs the full shingle aggregation
     s = tracked_persist(simhash(docs, id_col, text_col))
     if block_pairs is None:
-        # single-chunk buckets hold ~n/2^(60/(d+1)) docs; beyond ~100k
-        # docs (d=3-5: ~100-docs-per-bucket) the candidate join passes
-        # the crossover measured at sf1/sf10 (1.7 vs 0.6 s / 13.5 vs
-        # 16.6 s warm) — switch to the wide key. The count rides the
-        # shared per-corpus scalar cache (no job when warm).
-        cnt_key = plan_key(docs, "simhash_ndocs", id_col, text_col)
-        if cnt_key is not None and cnt_key in _NDOC_CACHE:
-            n_docs = _NDOC_CACHE[cnt_key]
+        probe_key = plan_key(
+            docs, "simhash_blockprobe", id_col, text_col, max_hamming
+        )
+        if probe_key is not None and probe_key in _NDOC_CACHE:
+            n_docs, single_cands = _NDOC_CACHE[probe_key]
         else:
-            n_docs = s.count()
-            if cnt_key is not None:
-                bounded_scalar_put(_NDOC_CACHE, cnt_key, n_docs)
-        block_pairs = n_docs > 100_000
+            sc_chunks = max_hamming + 1
+            sc_bits = -(-SIMHASH_BITS // sc_chunks)  # ceil, as below
+            sc_mask = (1 << sc_bits) - 1
+            probe_structs = F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({i} AS band, (shiftright(simhash, "
+                    f"{i * sc_bits}) & {sc_mask}) AS chunk)"
+                    for i in range(sc_chunks)
+                )
+                + ")"
+            )
+            row = (
+                s.select(F.explode(probe_structs).alias("bc"))
+                .groupBy("bc.band", "bc.chunk")
+                .agg(F.count(F.lit(1)).alias("pop"))
+                .agg(
+                    F.coalesce(
+                        F.sum(
+                            F.col("pop") * (F.col("pop") - 1) / F.lit(2)
+                        ),
+                        F.lit(0.0),
+                    ).alias("cand"),
+                    F.coalesce(
+                        (F.sum("pop") / F.lit(sc_chunks)).cast("long"),
+                        F.lit(0).cast("long"),
+                    ).alias("n"),
+                )
+                .collect()[0]
+            )
+            n_docs, single_cands = int(row["n"]), float(row["cand"])
+            if probe_key is not None:
+                bounded_scalar_put(
+                    _NDOC_CACHE, probe_key, (n_docs, single_cands)
+                )
+        block_pairs = single_cands > BLOCK_CAND_PER_DOC * max(n_docs, 1)
     if block_pairs:
         n_chunks = max_hamming + 2
         chunk_bits = max(1, SIMHASH_BITS // n_chunks)
