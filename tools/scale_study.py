@@ -113,6 +113,16 @@ def main() -> int:
         "/root/repo/testdata_sf1",
         "/root/repo/testdata_sf10",
     ]
+    # sf10 holds ~2 GB of parquet and the session-persisted index
+    # artifacts (shingle index, span stream, token tables) several GB
+    # deserialized — at the 8g engine default the storage pool (~4.5 GB)
+    # EVICTS one query's index while another's builds, so "warm" passes
+    # re-pay index derivation and the measured exponents carry thrash
+    # noise (simhash_pairs: 13.0 s in-study vs 2.7 s isolated warm at
+    # sf10). The study box has 128 GiB; a 24g heap sizes the storage
+    # pool to the artifact working set, which is the per-executor regime
+    # a real cluster run would provision anyway (storage ∝ data share).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_session(
         "scale-study",
         shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE", "32")),
