@@ -290,15 +290,21 @@ def retention_cohorts(
     (cohort), counted distinct per week offset —
     (cohort_week, week_offset, active_users).
 
-    Shape: one per-user MIN aggregate builds the cohort map (user-count
-    sized — broadcast), one join tags every event, one (cohort, offset)
-    aggregate rolls up. Weeks are Monday-truncated dates; the offset is
-    integer day-difference // 7 — all-integer, engine-exact.
+    Shape: one per-user MIN aggregate builds the cohort map, one join
+    tags every event, one (cohort, offset) aggregate rolls up. The
+    cohort map is USER-count sized — not a bounded dimension — so the
+    join carries NO broadcast hint: the optimizer broadcasts while the
+    map fits the threshold and falls back to a hash join on ``user_col``
+    at billion-user scale, where both sides already partition by the
+    same key (the map was BUILT by a user-keyed aggregation, so the
+    shuffle is exchange-reused, the vocab_growth discipline from the r9
+    advisor). Weeks are Monday-truncated dates; the offset is integer
+    day-difference // 7 — all-integer, engine-exact.
     """
     first = events.groupBy(user_col).agg(
         F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
     )
-    tagged = events.join(F.broadcast(first), user_col).select(
+    tagged = events.join(first, user_col).select(
         F.col(user_col),
         "cohort_week",
         (
