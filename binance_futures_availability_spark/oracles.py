@@ -1018,10 +1018,19 @@ flat AS (
 ),
 uni AS (SELECT w, COUNT(*) AS cu FROM flat WHERE w <> '' GROUP BY w),
 v AS (SELECT COUNT(*) AS vn FROM uni),
+-- consecutive pairs by LIST INDEX, not a positional self-join: DuckDB
+-- plans flat⋈flat as a doc_id hash join with the pos arithmetic as a
+-- post-filter, i.e. Σ len(doc)² intermediate rows — on a 50 k-vocab
+-- Zipf corpus at sf1 that spilled >70 GB and ran >15 min (the NTILE
+-- variant), while this lateral unnest is one linear pass (measured:
+-- lm_quality_buckets >900 s → 27 s, cross_lm_scores 24 → 7 s at sf1)
 bi AS (
-    SELECT f1.doc_id, f1.w AS w1, f2.w AS w2
-    FROM flat f1 JOIN flat f2
-      ON f1.doc_id = f2.doc_id AND f2.pos = f1.pos + 1
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks
+    )
 ),
 bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
 scored AS (
@@ -2481,9 +2490,14 @@ uni AS (
 ),
 v AS (SELECT COUNT(*) AS vn FROM uni),
 bi AS (
-    SELECT f1.doc_id, f1.source, f1.w AS w1, f2.w AS w2
-    FROM flat f1 JOIN flat f2
-      ON f1.doc_id = f2.doc_id AND f2.pos = f1.pos + 1
+    -- list-index pairs, not a positional self-join (see
+    -- sql_bigram_lm_scores for the measured blowup rationale)
+    SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+    FROM (
+        SELECT doc_id, source, t,
+               unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks
+    )
 ),
 bc AS (
     SELECT w1, w2, COUNT(*) AS cb FROM bi
