@@ -48,39 +48,6 @@ sh0 AS (
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)
 """.strip()
 
-def jaccard_ctes(max_shingle_freq: int | None = None) -> str:
-    """Jaccard CTEs; ``max_shingle_freq`` mirrors the Spark posting-list cap
-    (dedup.DEFAULT_MAX_SHINGLE_FREQ) — sizes stay uncapped, intersections use
-    capped postings, exactly like operators/dedup._pair_jaccard."""
-    postings = "sh"
-    cap_cte = ""
-    if max_shingle_freq is not None:
-        cap_cte = f"""
-capped AS (
-    SELECT doc_id, shingle FROM sh
-    WHERE shingle IN (
-        SELECT shingle FROM sh GROUP BY shingle
-        HAVING COUNT(*) <= {max_shingle_freq})
-),""".strip() + "\n"
-        postings = "capped"
-    return f"""
-{SHINGLE_CTES},
-{cap_cte}sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-    FROM {postings} a JOIN {postings} b USING (shingle)
-    WHERE a.doc_id < b.doc_id
-    GROUP BY 1, 2
-),
-jac AS (
-    SELECT id_a, id_b,
-           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-)
-""".strip()
-
 QUANT = (
     "list_transform(embedding, e -> "
     f"CAST(round(CAST(e AS DOUBLE) * {EMB_SCALE}) AS BIGINT))"
@@ -152,18 +119,44 @@ cand AS (
 )"""
 
 
+def lsh_jac_cte() -> str:
+    """CTE pair ``arrs``, ``jac``: exact Jaccard restricted to the LSH
+    candidate set, via per-doc shingle LISTS + list_intersect — the same
+    verify-only-survivors shape as the Spark side's array_intersect join.
+    The alternative (the all-pairs ``jaccard_ctes`` posting self-join)
+    enumerates Σ df² rows BEFORE any candidate restriction, which a
+    boilerplate shingle (df ≈ 10⁴ on the sf10 fixture's planted 2 %
+    prefix) turns into ~10⁹ intermediate rows — the sf10 gate's oracle
+    grew past 100 GB RSS on exactly that. Candidate-first is linear in
+    corpus + candidates. Consumes ``sh`` (distinct doc/shingle) and
+    ``cand``."""
+    return """arrs AS (
+    SELECT doc_id, list(shingle) AS ls FROM sh GROUP BY doc_id
+),
+jac AS (
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.ls, b.ls)) AS DOUBLE)
+               / (len(a.ls) + len(b.ls) - len(list_intersect(a.ls, b.ls)))
+               AS jaccard
+    FROM cand c
+    JOIN arrs a ON a.doc_id = c.id_a
+    JOIN arrs b ON b.doc_id = c.id_b
+)"""
+
+
 def sql_minhash_lsh_pairs(
     threshold: float,
     num_perm: int = 8,
     n_bands: int = 4,
     max_bucket_pop: int | None = 512,
 ) -> str:
-    return f"""WITH {jaccard_ctes()},
+    return f"""WITH {SHINGLE_CTES},
 {minhash_sig_cte(num_perm)},
-{lsh_cand_ctes(num_perm, n_bands, max_bucket_pop)}
-SELECT j.id_a, j.id_b, j.jaccard
-FROM cand JOIN jac j USING (id_a, id_b)
-WHERE j.jaccard >= {threshold}
+{lsh_cand_ctes(num_perm, n_bands, max_bucket_pop)},
+{lsh_jac_cte()}
+SELECT id_a, id_b, jaccard
+FROM jac
+WHERE jaccard >= {threshold}
 ORDER BY id_a, id_b"""
 
 
@@ -176,12 +169,12 @@ def sql_duplicate_clusters(
     """Connected components over the minhash-LSH pair set via a recursive
     CTE (transitive reachability → min reachable id), mirroring the Spark
     min-label-propagation fixpoint exactly."""
-    return f"""WITH RECURSIVE {jaccard_ctes()},
+    return f"""WITH RECURSIVE {SHINGLE_CTES},
 {minhash_sig_cte(num_perm)},
 {lsh_cand_ctes(num_perm, n_bands, max_bucket_pop)},
+{lsh_jac_cte()},
 prs AS (
-    SELECT j.id_a, j.id_b FROM cand JOIN jac j USING (id_a, id_b)
-    WHERE j.jaccard >= {threshold}
+    SELECT id_a, id_b FROM jac WHERE jaccard >= {threshold}
 ),
 edges AS (
     SELECT id_a AS src, id_b AS dst FROM prs
@@ -1260,26 +1253,13 @@ def sql_cross_dedup_pairs(
 ),
 {ngram_cte(3, "uni", "u")},
 sh AS (SELECT doc_id, gram AS shingle FROM ush),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-    FROM sh a JOIN sh b USING (shingle)
-    WHERE a.doc_id < b.doc_id
-    GROUP BY 1, 2
-),
-jac AS (
-    SELECT id_a, id_b,
-           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-),
 {minhash_sig_cte(num_perm)},
-{lsh_cand_ctes(num_perm, n_bands, max_bucket_pop)}
-SELECT j.id_a, j.id_b - {offset} AS id_b, j.jaccard
-FROM cand JOIN jac j USING (id_a, id_b)
-WHERE j.jaccard >= {threshold}
-  AND j.id_a < {offset} AND j.id_b >= {offset}
+{lsh_cand_ctes(num_perm, n_bands, max_bucket_pop)},
+{lsh_jac_cte()}
+SELECT id_a, id_b - {offset} AS id_b, jaccard
+FROM jac
+WHERE jaccard >= {threshold}
+  AND id_a < {offset} AND id_b >= {offset}
 ORDER BY id_a, id_b"""
 
 

@@ -10,6 +10,7 @@ Usage: python tools/check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -97,6 +98,14 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_session("check")
     con = duckdb.connect()
+    # DuckDB defaults its memory_limit to 80% of PHYSICAL RAM, blind to
+    # the Spark driver JVM sharing the process — at sf10 one hungry
+    # oracle grew the process to 106 GB RSS and the kernel OOM-killed
+    # the whole gate. Cap the oracle side so it spills to disk instead;
+    # override with CHECK_DUCKDB_MEM for bigger boxes.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('CHECK_DUCKDB_MEM', '48GB')}'"
+    )
     for t in TESTDATA_TABLES:
         try:
             con.execute(
