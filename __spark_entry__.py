@@ -557,7 +557,13 @@ def _knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: identical self-harness (tools/check.py full catalog, CHECK_r10.txt) +
 #: pytest.
 GATE_PRIORITY = [
-    # never hash-green: first gated round with the new unrolled BPE oracle
+    # never gated at all: operators NEW in r10 (each needs its first
+    # driver row; full self-check covers them too)
+    "sq_codes",
+    "sq_topk",
+    "sq_recall_audit",
+    # never hash-green before r10: first gated round with the new
+    # unrolled BPE oracle
     "bpe_merges",
     "bpe_encode",
     # r5-era rows (20): availability scalars + volume + warehouse + events
@@ -931,6 +937,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), ANN_QUERY_ID, ANN_K
         ),
         "rp_recall_audit": lambda s, d: similarity.rp_recall_audit(
+            _emb(s, d), ANN_QUERY_ID, ANN_K
+        ),
+        # SQ8 family: per-dimension uint8 scalar quantization (the third
+        # compression family next to PQ and RP), asymmetric top-k, audit
+        "sq_codes": lambda s, d: similarity.sq_codes(_emb(s, d)),
+        "sq_topk": lambda s, d: similarity.sq_topk(
+            _emb(s, d), ANN_QUERY_ID, ANN_K
+        ),
+        "sq_recall_audit": lambda s, d: similarity.sq_recall_audit(
             _emb(s, d), ANN_QUERY_ID, ANN_K
         ),
         # trained PQ: one per-subspace Lloyd round, integer-grid centroids
@@ -1574,6 +1589,9 @@ ORDER BY symbol, event_date"""),
         "rp_recall_audit": oracles.sql_rp_recall_audit(
             ANN_QUERY_ID, ANN_K, similarity.RP_DIM
         ),
+        "sq_codes": oracles.sql_sq_codes(),
+        "sq_topk": oracles.sql_sq_topk(ANN_QUERY_ID, ANN_K),
+        "sq_recall_audit": oracles.sql_sq_recall_audit(ANN_QUERY_ID, ANN_K),
         "pq_codes_trained": oracles.sql_pq_codes(
             similarity.PQ_M, similarity.PQ_K, iters=1
         ),

@@ -2036,3 +2036,171 @@ def rp_recall_audit(
         F.count("__a").cast("long").alias("n_hits"),
         (F.count("__a") / F.lit(float(topk))).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar quantization (SQ8): per-dimension uint8 compression
+# --------------------------------------------------------------------------
+
+#: SQ8 code range: codes live in [0, SQ_LEVELS] (256 levels → 1 byte/dim,
+#: an 8× compression of the int64 quantized store and 4× of float32).
+SQ_LEVELS = 255
+
+_SQ_GRID_CACHE: dict = {}
+
+
+def _collect_sq_grid(base: DataFrame, cache_key=None):
+    """The SQ8 training pass: per-DIMENSION min/max over the quantized
+    corpus — the whole "codebook" of scalar quantization (FAISS SQ8 /
+    Milvus SQ8 keep exactly this: 2 numbers per dimension).
+
+    Plan shape: posexplode → groupBy(dim) MIN/MAX — one map-side-combined
+    aggregate whose post-shuffle cardinality is the embedding WIDTH, then
+    a dim-row bounded collect (the `_collect_seeds` class: a codebook is
+    shipped to every worker by construction, it is not corpus-sized).
+    Session-cached per file set so the training scan runs once.
+    """
+    if cache_key is not None and cache_key in _SQ_GRID_CACHE:
+        return _SQ_GRID_CACHE[cache_key]
+    rows = (
+        base.select(F.posexplode("__q").alias("__i", "__v"))
+        .groupBy("__i")
+        .agg(F.min("__v").alias("mn"), F.max("__v").alias("mx"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("SQ8 grid over an empty embeddings table")
+    by_i = {r["__i"]: (r["mn"], r["mx"]) for r in rows}
+    mins = [by_i[i][0] for i in sorted(by_i)]
+    maxs = [by_i[i][1] for i in sorted(by_i)]
+    if cache_key is not None:
+        _SQ_GRID_CACHE[cache_key] = (mins, maxs)
+    return mins, maxs
+
+
+def _with_sq(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """SQ8 store — (…, __sq codes, __sr reconstruction, __srnorm) — the
+    SQ twin of ``_with_quantized``/``_with_projected``, session-cached.
+
+    Encode:      c_i = floor((q_i − mn_i)·255 / (mx_i − mn_i))   (0 if flat)
+    Reconstruct: r_i = mn_i + floor(c_i·(mx_i − mn_i) / 255)
+
+    Both floors are taken over an IEEE-double division of exact integers
+    (< 2^53) on BOTH engines — Spark's `/` on longs and DuckDB's `/` on
+    BIGINTs are the same double divide — so codes and reconstructions are
+    bit-identical cross-engine with no integer-division semantics to
+    match. Codes are dimension-local, so encode is a narrow projection:
+    the grid is a broadcast literal (2 numbers/dim), no shuffle, no UDF.
+    """
+
+    def build() -> DataFrame:
+        base = _with_quantized(emb, vec_col)
+        mins, maxs = _collect_sq_grid(
+            base, _seed_cache_key(emb, id_col, vec_col, -1)
+        )
+        mn_arr = F.array(*[F.lit(int(v)).cast("long") for v in mins])
+        rng_arr = F.array(
+            *[F.lit(int(mx - mn)).cast("long") for mn, mx in zip(mins, maxs)]
+        )
+
+        def code_of(x, i):
+            mn = F.element_at(mn_arr, i + 1)
+            rng = F.element_at(rng_arr, i + 1)
+            return F.when(
+                rng > 0, F.floor((x - mn) * SQ_LEVELS / rng)
+            ).otherwise(F.lit(0).cast("long"))
+
+        def recon_of(c, i):
+            mn = F.element_at(mn_arr, i + 1)
+            rng = F.element_at(rng_arr, i + 1)
+            return mn + F.when(rng > 0, F.floor(c * rng / SQ_LEVELS)).otherwise(
+                F.lit(0).cast("long")
+            )
+
+        coded = base.withColumn(
+            "__sq", F.transform(F.col("__q"), code_of)
+        ).withColumn("__sr", F.transform(F.col("__sq"), recon_of))
+        return coded.withColumn("__srnorm", int_dot(F.col("__sr"), F.col("__sr")))
+
+    return cached_index(plan_key(emb, "sq8", vec_col), build)
+
+
+def sq_codes(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The SQ8-compressed corpus, exploded to (vec_id, i, code) with
+    1-based dimension index — the byte-per-dimension storage artifact
+    (the scalar counterpart of ``pq_codes``' sub-vector codebooks and
+    ``rp_embeddings``' dense rotation; all three compression families are
+    audited by their own recall operators). Engine-exact: see _with_sq.
+    """
+    return (
+        _with_sq(emb, id_col, vec_col)
+        .select(F.col(id_col), F.posexplode("__sq").alias("__p", "code"))
+        .select(
+            F.col(id_col),
+            (F.col("__p") + 1).cast("int").alias("i"),
+            F.col("code").cast("int").alias("code"),
+        )
+    )
+
+
+def sq_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric SQ8 top-k: the query keeps its EXACT quantized vector,
+    the corpus is scored from its uint8 reconstruction (the standard
+    asymmetric-distance trade — query precision is free, corpus bytes are
+    the cost). Same broadcast + TakeOrderedAndProject plan as ``ann_topk``;
+    ties break on id; zero-norm reconstructions yield NULL cosine and
+    sink, matching the family convention."""
+    base = _with_sq(emb, id_col, vec_col)
+    qrow = base.filter(F.col(id_col) == query_vec_id).select(
+        F.col("__q").alias("__qq"), F.col("__norm").alias("__qnorm")
+    )
+    joined = base.filter(F.col(id_col) != query_vec_id).crossJoin(
+        F.broadcast(qrow)
+    )
+    dot = int_dot(F.col("__sr"), F.col("__qq"))
+    return (
+        joined.select(
+            F.col(id_col),
+            cosine_from_quantized(
+                dot, F.col("__srnorm"), F.col("__qnorm")
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sq_recall_audit(
+    emb: DataFrame,
+    query_id: int,
+    topk: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_ppm: int | None = None,
+) -> DataFrame:
+    """Recall@k of the SQ8 asymmetric ranking against the exact ranking —
+    one row (k, n_hits, recall), the audit that prices the byte-per-dim
+    compression for THIS corpus (the SQ member of the
+    lsh/pq/rp_recall_audit family; same ``sample_ppm`` hash-sampling for
+    production-scale runs)."""
+    emb = audit_sample(emb, sample_ppm, id_col, keep_id=query_id)
+    exact = ann_topk(emb, query_id, topk, id_col, vec_col).select(
+        F.col(id_col).alias("__e")
+    )
+    approx = sq_topk(emb, query_id, topk, id_col, vec_col).select(
+        F.col(id_col).alias("__a")
+    )
+    j = exact.join(approx, exact["__e"] == approx["__a"], "left_outer")
+    return j.agg(
+        F.lit(topk).cast("long").alias("k"),
+        F.count("__a").cast("long").alias("n_hits"),
+        (F.count("__a") / F.lit(float(topk))).alias("recall"),
+    )

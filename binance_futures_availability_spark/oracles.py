@@ -2583,3 +2583,92 @@ SELECT {group_col},
        CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
        (CAST(COUNT(DISTINCT w) AS BIGINT) * 1000000) // COUNT(*) AS ttr_ppm
 FROM f GROUP BY {group_col}"""
+
+
+# -- SQ8 scalar quantization (similarity.sq_codes / sq_topk / audit) --------
+
+
+def sq_ctes() -> str:
+    """CTE chain ending in ``sqn(vec_id, r, rnrm)`` — mirrors
+    similarity._with_sq bit-for-bit: per-dimension min/max grid, encode
+    floor((v−mn)·255/rng), reconstruct mn+floor(c·rng/255). Both floors
+    are over DOUBLE division of exact integers — the same IEEE ops Spark
+    runs — so no integer-division semantics need to agree."""
+    return f"""sqflat AS (
+    SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM normed
+),
+sqmm AS (
+    SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM sqflat GROUP BY i
+),
+sqc AS (
+    SELECT f.vec_id, f.i, m.mn, m.mx - m.mn AS rng,
+           CASE WHEN m.mx > m.mn
+                THEN CAST(FLOOR((f.v - m.mn) * {255} / (m.mx - m.mn)) AS BIGINT)
+                ELSE 0 END AS code
+    FROM sqflat f JOIN sqmm m USING (i)
+),
+sqrec AS (
+    SELECT vec_id, i,
+           mn + CASE WHEN rng > 0
+                     THEN CAST(FLOOR(code * rng / {255}) AS BIGINT)
+                     ELSE 0 END AS r
+    FROM sqc
+),
+sqv AS (
+    SELECT vec_id, list(r ORDER BY i) AS r FROM sqrec GROUP BY vec_id
+),
+sqn AS (
+    SELECT vec_id, r, CAST(list_dot_product(r, r) AS BIGINT) AS rnrm FROM sqv
+)"""
+
+
+def sql_sq_codes() -> str:
+    """Flattened (vec_id, i, code), i 1-based — mirrors similarity.sq_codes."""
+    return f"""WITH {EMB_BASE_CTE},
+{sq_ctes()}
+SELECT vec_id, CAST(i AS INT) AS i, CAST(code AS INT) AS code FROM sqc"""
+
+
+def sql_sq_topk(query_vec_id: int, k: int) -> str:
+    """Asymmetric SQ8 top-k — exact query vector vs reconstructed corpus,
+    mirrors similarity.sq_topk (ties on id, NULL-norm sinks)."""
+    return f"""WITH {EMB_BASE_CTE},
+{sq_ctes()},
+qv AS (SELECT q AS qq, nrm AS qn FROM normed WHERE vec_id = {query_vec_id})
+SELECT n.vec_id,
+       CASE WHEN n.rnrm > 0 AND qv.qn > 0
+            THEN list_dot_product(n.r, qv.qq) / (sqrt(n.rnrm) * sqrt(qv.qn))
+       END AS cosine
+FROM sqn n, qv
+WHERE n.vec_id <> {query_vec_id}
+ORDER BY cosine DESC NULLS LAST, n.vec_id
+LIMIT {k}"""
+
+
+def sql_sq_recall_audit(query_vec_id: int, topk: int) -> str:
+    """Recall@k of the SQ8 ranking vs exact — mirrors
+    similarity.sq_recall_audit (the rp_recall_audit shape)."""
+    return f"""WITH {EMB_BASE_CTE},
+{sq_ctes()},
+qv AS (SELECT q AS qq, nrm AS qn FROM normed WHERE vec_id = {query_vec_id}),
+exact AS (
+    SELECT n.vec_id FROM normed n, qv
+    WHERE n.vec_id <> {query_vec_id}
+    ORDER BY list_dot_product(n.q, qv.qq) / (sqrt(n.nrm) * sqrt(qv.qn)) DESC,
+             n.vec_id
+    LIMIT {topk}
+),
+approx AS (
+    SELECT n.vec_id FROM sqn n, qv
+    WHERE n.vec_id <> {query_vec_id}
+    ORDER BY CASE WHEN n.rnrm > 0 AND qv.qn > 0
+                  THEN list_dot_product(n.r, qv.qq)
+                       / (sqrt(n.rnrm) * sqrt(qv.qn))
+             END DESC NULLS LAST,
+             n.vec_id
+    LIMIT {topk}
+)
+SELECT CAST({topk} AS BIGINT) AS k,
+       CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hits,
+       COUNT(ap.vec_id) / CAST({topk} AS DOUBLE) AS recall
+FROM exact e LEFT JOIN approx ap USING (vec_id)"""

@@ -2572,3 +2572,103 @@ def test_vocab_growth_semantics(spark):
         "s1": (2, 5, 3, 600000),
         "s2": (1, 4, 1, 250000),
     }
+
+
+def _sq_reference(vecs):
+    """Independent pure-Python SQ8: quantize, per-dim min/max grid,
+    floor((v-mn)*255/rng) codes, mn+floor(c*rng/255) reconstruction."""
+    import math
+
+    from binance_futures_availability_spark.functions import EMB_SCALE
+
+    q = {
+        vid: [round(float(e) * EMB_SCALE) for e in v] for vid, v in vecs
+    }
+    dim = len(next(iter(q.values())))
+    mins = [min(q[v][i] for v in q) for i in range(dim)]
+    maxs = [max(q[v][i] for v in q) for i in range(dim)]
+    codes, recon = {}, {}
+    for vid, qv in q.items():
+        c, r = [], []
+        for i, x in enumerate(qv):
+            rng = maxs[i] - mins[i]
+            ci = math.floor((x - mins[i]) * 255 / rng) if rng > 0 else 0
+            c.append(ci)
+            r.append(mins[i] + (math.floor(ci * rng / 255) if rng > 0 else 0))
+        codes[vid], recon[vid] = c, r
+    return codes, recon
+
+
+def test_sq_codes_match_independent_reference(spark):
+    from binance_futures_availability_spark.operators import similarity
+
+    vecs = [
+        (1, [0.25, -0.5, 0.125, 0.99]),
+        (2, [-0.33, 0.66, -0.99, 0.01]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, -1.0, 1.0, 0.01]),  # last dim: tiny range, not flat
+    ]
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs], ["vec_id", "embedding", "label"]
+    )
+    ref_codes, _ = _sq_reference(vecs)
+    got = {}
+    for r in similarity.sq_codes(emb).collect():
+        got.setdefault(r["vec_id"], {})[r["i"]] = r["code"]
+    assert {
+        v: [row[i] for i in sorted(row)] for v, row in got.items()
+    } == ref_codes
+    # codes are bytes: within [0, 255], and both endpoints are hit
+    flat = [c for row in ref_codes.values() for c in row]
+    assert min(flat) == 0 and max(flat) == 255
+
+
+def test_sq_topk_and_recall_audit_semantics(spark):
+    from binance_futures_availability_spark.operators import similarity
+
+    rng_vecs = [
+        (i, [((i * 37 + j * 11) % 17 - 8) / 8.0 for j in range(8)])
+        for i in range(1, 31)
+    ]
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in rng_vecs], ["vec_id", "embedding", "label"]
+    )
+    top = similarity.sq_topk(emb, 1, k=5).collect()
+    assert len(top) == 5
+    assert all(r["vec_id"] != 1 for r in top)
+    cosines = [r["cosine"] for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+    audit = similarity.sq_recall_audit(emb, 1, 5).collect()[0]
+    assert audit["k"] == 5
+    assert 0 <= audit["n_hits"] <= 5
+    assert audit["recall"] == audit["n_hits"] / 5.0
+    # 255 levels over an 8-dim grid of 17 distinct values loses almost
+    # nothing: the asymmetric ranking should agree near-perfectly
+    assert audit["n_hits"] >= 4
+
+
+def test_sq_reconstruction_error_bounded(spark):
+    """Every reconstructed component sits within one quantization step of
+    its input: |r_i - q_i| <= ceil(rng_i / 255) (the SQ8 contract that
+    makes the asymmetric ranking trustworthy)."""
+    from binance_futures_availability_spark.functions import EMB_SCALE
+    from binance_futures_availability_spark.operators import similarity
+
+    vecs = [
+        (i, [((i * 53 + j * 29) % 23 - 11) / 11.0 for j in range(6)])
+        for i in range(1, 41)
+    ]
+    _, ref_recon = _sq_reference(vecs)
+    q = {vid: [round(float(e) * EMB_SCALE) for e in v] for vid, v in vecs}
+    dim = 6
+    mins = [min(q[v][i] for v in q) for i in range(dim)]
+    maxs = [max(q[v][i] for v in q) for i in range(dim)]
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs], ["vec_id", "embedding", "label"]
+    )
+    base = similarity._with_sq(emb, "vec_id", "embedding")
+    for row in base.select("vec_id", "__q", "__sr").collect():
+        for i, (x, r) in enumerate(zip(row["__q"], row["__sr"])):
+            step = -(-(maxs[i] - mins[i]) // 255)  # ceil
+            assert abs(r - x) <= step
+            assert r == ref_recon[row["vec_id"]][i]
