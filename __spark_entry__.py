@@ -562,6 +562,8 @@ GATE_PRIORITY = [
     "sq_codes",
     "sq_topk",
     "sq_recall_audit",
+    "knn_label_propagation",
+    "knn_label_accuracy",
     # never hash-green before r10: first gated round with the new
     # unrolled BPE oracle
     "bpe_merges",
@@ -884,6 +886,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "knn_join_indexed": _knn_join_indexed,
         "knn_join": lambda s, d: similarity.knn_join(
+            _emb(s, d).filter(F.col("vec_id") % KNN_QUERY_MOD == 0),
+            _emb(s, d),
+            KNN_K,
+        ),
+        # label transfer over the same cached kNN graph: majority vote +
+        # leave-one-out accuracy audit
+        "knn_label_propagation": lambda s, d: similarity.knn_label_propagation(
+            _emb(s, d).filter(F.col("vec_id") % KNN_QUERY_MOD == 0),
+            _emb(s, d),
+            KNN_K,
+        ),
+        "knn_label_accuracy": lambda s, d: similarity.knn_label_accuracy(
             _emb(s, d).filter(F.col("vec_id") % KNN_QUERY_MOD == 0),
             _emb(s, d),
             KNN_K,
@@ -1562,6 +1576,12 @@ ORDER BY symbol, event_date"""),
             KNN_QUERY_MOD, KNN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
         ),
         "knn_join": oracles.sql_knn_join(
+            KNN_QUERY_MOD, KNN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
+        ),
+        "knn_label_propagation": oracles.sql_knn_label_propagation(
+            KNN_QUERY_MOD, KNN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
+        ),
+        "knn_label_accuracy": oracles.sql_knn_label_accuracy(
             KNN_QUERY_MOD, KNN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
         ),
         "lsh_buckets": oracles.sql_lsh_buckets(),

@@ -2204,3 +2204,96 @@ def sq_recall_audit(
         F.count("__a").cast("long").alias("n_hits"),
         (F.count("__a") / F.lit(float(topk))).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# kNN label propagation: semi-supervised label transfer over the kNN graph
+# --------------------------------------------------------------------------
+
+
+def knn_label_propagation(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = IVF_N_CELLS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Majority-vote kNN classification: each query vector takes the most
+    common label among its ``k`` nearest corpus neighbors — (query_id,
+    predicted_label, n_votes, true_label, correct). The standard
+    label-transfer pass a curation pipeline runs to spread scarce human /
+    classifier labels across an unlabeled corpus (leave-one-out when the
+    query set is drawn from the corpus, as self-matches are excluded —
+    ``correct`` then scores the propagation against the held-out truth).
+
+    Scale shape: rides the session-cached kNN GRAPH (``_knn_ranked`` —
+    the IVF-probed candidate ranking built once per query batch); the
+    label join is a narrow projection of the corpus; the vote aggregate
+    and the winner window are per-query bounded (≤ k rows each), keyed
+    and distributed by query_id. Deterministic winner: (votes DESC,
+    label ASC) — engine-neutral, no RNG.
+    """
+    from pyspark.sql import Window
+
+    nn = knn_join(queries, corpus, k, n_cells, nprobe, id_col, vec_col)
+    labels = corpus.select(F.col(id_col), F.col(label_col))
+    votes = (
+        nn.join(labels, id_col)
+        .groupBy("query_id", label_col)
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col(label_col)
+    )
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col(label_col).cast("int").alias("predicted_label"),
+            "n_votes",
+        )
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("int").alias("true_label"),
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "predicted_label",
+        "n_votes",
+        "true_label",
+        (F.col("predicted_label") == F.col("true_label"))
+        .cast("int")
+        .alias("correct"),
+    )
+
+
+def knn_label_accuracy(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = IVF_N_CELLS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """One-row accuracy summary of ``knn_label_propagation`` —
+    (n_queries, n_correct, accuracy): the audit number that decides
+    whether propagated labels are trustworthy enough to filter on (the
+    classifier_eval counterpart for the embedding-space label path)."""
+    prop = knn_label_propagation(
+        queries, corpus, k, n_cells, nprobe, id_col, vec_col, label_col
+    )
+    return prop.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.coalesce(F.sum("correct"), F.lit(0)).cast("long").alias("n_correct"),
+        (
+            F.coalesce(F.sum("correct"), F.lit(0))
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
+    )

@@ -2672,3 +2672,51 @@ SELECT CAST({topk} AS BIGINT) AS k,
        CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hits,
        COUNT(ap.vec_id) / CAST({topk} AS DOUBLE) AS recall
 FROM exact e LEFT JOIN approx ap USING (vec_id)"""
+
+
+# -- kNN label propagation (similarity.knn_label_propagation) ---------------
+
+
+def sql_knn_label_propagation(
+    query_mod: int, k: int, n_cells: int, nprobe: int
+) -> str:
+    """Majority-vote label transfer over the kNN graph — mirrors
+    similarity.knn_label_propagation: the sql_knn_join candidate ranking
+    as a CTE, per-query label votes, winner by (votes DESC, label ASC),
+    truth joined back from the query rows themselves."""
+    return f"""WITH knn AS (
+{sql_knn_join(query_mod, k, n_cells, nprobe)}
+),
+votes AS (
+    SELECT kn.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS n_votes
+    FROM knn kn JOIN embeddings e ON e.vec_id = kn.vec_id
+    GROUP BY kn.query_id, e.label
+),
+pred AS (
+    SELECT query_id, label, n_votes,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY n_votes DESC, label) AS rn
+    FROM votes
+)
+SELECT p.query_id,
+       CAST(p.label AS INT) AS predicted_label,
+       p.n_votes,
+       CAST(t.label AS INT) AS true_label,
+       CAST(CASE WHEN p.label = t.label THEN 1 ELSE 0 END AS INT) AS correct
+FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+WHERE p.rn = 1"""
+
+
+def sql_knn_label_accuracy(
+    query_mod: int, k: int, n_cells: int, nprobe: int
+) -> str:
+    """One-row accuracy of the propagation — mirrors
+    similarity.knn_label_accuracy."""
+    return f"""WITH prop AS (
+{sql_knn_label_propagation(query_mod, k, n_cells, nprobe)}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COALESCE(SUM(correct), 0) AS BIGINT) AS n_correct,
+       CAST(COALESCE(SUM(correct), 0) AS BIGINT)
+           / CAST(COUNT(*) AS BIGINT) AS accuracy
+FROM prop"""

@@ -2672,3 +2672,40 @@ def test_sq_reconstruction_error_bounded(spark):
             step = -(-(maxs[i] - mins[i]) // 255)  # ceil
             assert abs(r - x) <= step
             assert r == ref_recon[row["vec_id"]][i]
+
+
+def test_knn_label_propagation_votes_and_tiebreak(spark):
+    from pyspark.sql import functions as F
+
+    from binance_futures_availability_spark.operators import similarity
+
+    u = [1.0, 0.0, 0.0, 0.0]
+    v = [0.0, 1.0, 0.0, 0.0]
+    # interleaved labels on identical vectors: a 2-2 vote at k=4 must
+    # break to the LOWER label
+    corpus = [
+        (1, u, 0), (2, u, 1), (3, u, 0), (4, u, 1),
+        (7, v, 1), (8, v, 1), (9, v, 1), (10, v, 1),
+    ]
+    queries = [(100, u, 0), (101, v, 0)]
+    emb = spark.createDataFrame(
+        corpus + queries, ["vec_id", "embedding", "label"]
+    )
+    qdf = emb.filter(F.col("vec_id") >= 100)
+    got = {
+        r["query_id"]: (r["predicted_label"], r["n_votes"], r["correct"])
+        for r in similarity.knn_label_propagation(
+            qdf, emb, k=4, n_cells=2, nprobe=2
+        ).collect()
+    }
+    # query 100: 4 nearest are ids 1-4 (cos 1, id tie-break) -> 2 votes
+    # label 0 vs 2 votes label 1 -> tie broken to label 0 -> correct
+    assert got[100] == (0, 2, 1)
+    # query 101: 4 nearest are the v-cluster (all label 1) -> wrong
+    assert got[101] == (1, 4, 0)
+    acc = similarity.knn_label_accuracy(
+        qdf, emb, k=4, n_cells=2, nprobe=2
+    ).collect()[0]
+    assert acc["n_queries"] == 2
+    assert acc["n_correct"] == 1
+    assert acc["accuracy"] == 0.5
