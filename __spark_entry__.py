@@ -564,6 +564,7 @@ GATE_PRIORITY = [
     "sq_recall_audit",
     "knn_label_propagation",
     "knn_label_accuracy",
+    "token_budget_selection",
     # never hash-green before r10: first gated round with the new
     # unrolled BPE oracle
     "bpe_merges",
@@ -995,6 +996,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": lambda s, d: textops.source_overlap(_docs(s, d)),
         "quality_deciles": lambda s, d: textops.quality_deciles(_docs(s, d)),
         "curated_corpus": lambda s, d: textops.curate_corpus(_docs(s, d)),
+        # quality-first selection under a token budget (half the corpus):
+        # distributed running sum, no un-partitioned window
+        "token_budget_selection": lambda s, d: textops.token_budget_selection(
+            _docs(s, d)
+        ),
         "chunked_documents": lambda s, d: textops.chunk_documents(_docs(s, d)),
         "boilerplate_chunks": lambda s, d: textops.boilerplate_chunks(
             _docs(s, d)
@@ -1630,6 +1636,7 @@ ORDER BY symbol, event_date"""),
         "source_overlap": oracles.sql_source_overlap(),
         "quality_deciles": oracles.sql_quality_deciles(),
         "curated_corpus": oracles.sql_curate_corpus(),
+        "token_budget_selection": oracles.sql_token_budget_selection(),
         "chunked_documents": oracles.sql_chunk_documents(),
         "boilerplate_chunks": oracles.sql_boilerplate_chunks(),
         "scrub_boilerplate": oracles.sql_scrub_boilerplate(),

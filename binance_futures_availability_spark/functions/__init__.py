@@ -309,3 +309,85 @@ def interleave_bits(a, b, bits: int = 16):
             )
         )
     return z
+
+
+def global_running_sum(
+    df,
+    order_cols,
+    value_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+):
+    """Distributed INCLUSIVE prefix sum of an integer column over a total
+    order — the scale-safe replacement for ``SUM(v) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)``, which Catalyst plans as a
+    SINGLE-partition window (the one shape that cannot survive a
+    corpus-sized input). The running-sum sibling of ``global_row_number``:
+    range-repartition on the order columns, one bounded driver collect of
+    per-partition SUMS (#partitions rows), then a narrow Arrow pass that
+    adds each partition's prefix offset to its local cumulative sum.
+
+    ``value_col`` must be integral (the offsets and local cumsums are
+    exact int64 adds in any order); ``order_cols`` must end in a unique
+    tie-breaking key so the prefix depends only on the total order, not
+    on sampled partition boundaries. Same localCheckpoint discipline as
+    ``global_row_number``: the sum pass and the output read the SAME
+    materialized blocks.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    parts = (
+        df.repartitionByRange(n_part, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+    def _part_sums(batches):
+        import pandas as pd
+
+        pid, tot = None, 0
+        for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["__pid"].iat[0])
+                tot += int(pdf["__v"].sum())
+        if pid is not None:
+            yield pd.DataFrame({"__pid": [pid], "tot": [tot]})
+
+    sums = {
+        r["__pid"]: r["tot"]
+        for r in parts.select(
+            "__pid", F.col(value_col).cast("long").alias("__v")
+        )
+        .mapInPandas(_part_sums, "__pid int, tot long")
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    out_schema = ",".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in parts.schema.fields]
+        + [f"{out_col} long"]
+    )
+
+    def running(batches):
+        import pandas as pd  # noqa: F401 — Arrow batch interface
+
+        carry = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["__pid"].iat[0])]
+            csum = pdf[value_col].astype("int64").cumsum()
+            pdf[out_col] = base + carry + csum
+            carry += int(pdf[value_col].astype("int64").sum())
+            yield pdf
+
+    return parts.mapInPandas(running, out_schema).drop("__pid")

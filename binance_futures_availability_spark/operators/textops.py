@@ -1697,3 +1697,46 @@ def classifier_eval(
         .groupBy("label_good", "pred_good")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def token_budget_selection(
+    docs: DataFrame,
+    budget_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget: rank
+    every document by (quality_score DESC, doc_id), take documents while
+    the INCLUSIVE running token total stays ≤ ``budget_tokens`` —
+    (doc_id, n_tokens, quality_score, cum_tokens). This is the "fill a
+    100 B-token pre-training budget with the best data first" pass every
+    LLM data pipeline ends with; the boundary document that would cross
+    the budget is excluded (deterministic, engine-neutral cut).
+
+    ``budget_tokens=None`` targets half the corpus total (one scalar
+    aggregate — a bounded 1-row collect, the same class as the IVF seed
+    table). Scale shape: the global order + running total come from
+    ``functions.global_running_sum`` (range repartition + bounded
+    per-partition sum collect + narrow Arrow cumsum — NO un-partitioned
+    window anywhere); the order key is the negated quality double
+    (negation is IEEE-exact, so ascending(-q) ≡ descending(q) with
+    identical ties), and the budget filter is a narrow predicate.
+    """
+    from ..functions import global_running_sum
+
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        token_count(t).cast("long").alias("n_tokens"),
+        quality_score_expr(t).alias("quality_score"),
+    ).withColumn("__negq", -F.col("quality_score"))
+    if budget_tokens is None:
+        budget_tokens = int(
+            base.agg(F.coalesce(F.sum("n_tokens"), F.lit(0))).collect()[0][0]
+        ) // 2
+    run = global_running_sum(
+        base, ["__negq", id_col], "n_tokens", out_col="cum_tokens"
+    )
+    return run.filter(F.col("cum_tokens") <= int(budget_tokens)).select(
+        id_col, "n_tokens", "quality_score", "cum_tokens"
+    )

@@ -2720,3 +2720,39 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(COALESCE(SUM(correct), 0) AS BIGINT)
            / CAST(COUNT(*) AS BIGINT) AS accuracy
 FROM prop"""
+
+
+# -- token-budget corpus selection (textops.token_budget_selection) ---------
+
+
+def sql_token_budget_selection(budget_tokens: int | None = None) -> str:
+    """Greedy quality-first selection under a token budget — mirrors
+    textops.token_budget_selection: same score expression, inclusive
+    running token sum over (quality DESC, doc_id), boundary document
+    excluded. ``None`` budget = half the corpus token total."""
+    wc = r"len(regexp_split_to_array(trim(text), '\s+'))"
+    stop = f"len(regexp_extract_all(text, '{STOPWORDS_SQL['en']}', 0))"
+    score = (
+        f"0.4 * LEAST(CAST({wc} AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.4 * (CAST({stop} AS DOUBLE) / {wc})"
+        f" + 0.2 * LEAST((CAST(length(regexp_replace(text, '\\s', '', 'g'))"
+        f" AS DOUBLE) / {wc}) / 10.0, 1.0)"
+    )
+    budget = (
+        str(int(budget_tokens))
+        if budget_tokens is not None
+        else "(SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 FROM base)"
+    )
+    return f"""WITH base AS (
+    SELECT doc_id, CAST({wc} AS BIGINT) AS n_tokens, {score} AS quality_score
+    FROM documents
+),
+run AS (
+    SELECT doc_id, n_tokens, quality_score,
+           CAST(SUM(n_tokens) OVER (
+               ORDER BY quality_score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM base
+)
+SELECT doc_id, n_tokens, quality_score, cum_tokens
+FROM run WHERE cum_tokens <= {budget}"""

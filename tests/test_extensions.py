@@ -2709,3 +2709,57 @@ def test_knn_label_propagation_votes_and_tiebreak(spark):
     assert acc["n_queries"] == 2
     assert acc["n_correct"] == 1
     assert acc["accuracy"] == 0.5
+
+
+def test_global_running_sum_matches_window_reference(spark):
+    from pyspark.sql import functions as F
+
+    from binance_futures_availability_spark.functions import global_running_sum
+
+    rows = [(i, (i * 7919) % 101, (i * 37) % 13 + 1) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, ["id", "key", "v"])
+    got = {
+        r["id"]: r["rt"]
+        for r in global_running_sum(
+            df, ["key", "id"], "v", out_col="rt", num_partitions=7
+        ).collect()
+    }
+    # independent reference: python cumsum over the same total order
+    acc, ref = 0, {}
+    for _id, _key, _v in sorted(rows, key=lambda t: (t[1], t[0])):
+        acc += _v
+        ref[_id] = acc
+    assert got == ref
+
+
+def test_token_budget_selection_semantics(spark):
+    from binance_futures_availability_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            # quality ordering is driven by stopword density here
+            (1, "the and of to in is a the and of"),      # high quality
+            (2, "zz qq ww ee rr tt yy uu ii oo"),          # low quality
+            (3, "the cat is on the mat and happy now ok"),  # mid
+            (4, "the the the the the the the the the the"),  # high
+        ],
+        ["doc_id", "text"],
+    )
+    out = textops.token_budget_selection(docs, budget_tokens=25).collect()
+    take = {r["doc_id"]: (r["n_tokens"], r["cum_tokens"]) for r in out}
+    # every doc is 10 tokens; budget 25 -> exactly the 2 best-quality
+    # docs fit (cum 10, 20); the third would cross 25 and is excluded
+    assert len(take) == 2
+    assert sorted(r["cum_tokens"] for r in out) == [10, 20]
+    # default budget = half the corpus total (40 // 2 = 20): same 2 docs
+    half = textops.token_budget_selection(docs).collect()
+    assert sorted(r["cum_tokens"] for r in half) == [10, 20]
+    # selected docs are the quality-ordered prefix: every selected doc's
+    # quality >= every excluded doc's quality
+    sel_q = [r["quality_score"] for r in out]
+    all_q = {
+        r["doc_id"]: r["quality_score"]
+        for r in textops.quality_scores(docs).collect()
+    }
+    excluded = set(all_q) - set(take)
+    assert min(sel_q) >= max(all_q[d] for d in excluded)
