@@ -565,6 +565,7 @@ GATE_PRIORITY = [
     "knn_label_propagation",
     "knn_label_accuracy",
     "token_budget_selection",
+    "hybrid_rrf_topk",
     # never hash-green before r10: first gated round with the new
     # unrolled BPE oracle
     "bpe_merges",
@@ -1018,6 +1019,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bm25_topk": lambda s, d: textops.bm25_topk(
             _docs(s, d), list(BM25_TERMS), BM25_K
+        ),
+        # hybrid retrieval: BM25 list ∪ ANN list under reciprocal-rank
+        # fusion (both lists bounded, fusion touches 2·n_each rows)
+        "hybrid_rrf_topk": lambda s, d: similarity.hybrid_rrf_topk(
+            _docs(s, d), _emb(s, d), list(BM25_TERMS), ANN_QUERY_ID
         ),
         "classifier_weights": lambda s, d: textops.classifier_weights(_docs(s, d)),
         "classifier_scores": lambda s, d: textops.classifier_scores(_docs(s, d)),
@@ -1645,6 +1651,9 @@ ORDER BY symbol, event_date"""),
         "bigram_lm_scores": oracles.sql_bigram_lm_scores(),
         "cross_lm_scores": oracles.sql_cross_lm_scores(XLM_REF_SOURCES),
         "bm25_topk": oracles.sql_bm25_topk(BM25_TERMS, BM25_K),
+        "hybrid_rrf_topk": oracles.sql_hybrid_rrf_topk(
+            BM25_TERMS, ANN_QUERY_ID
+        ),
         "classifier_weights": oracles.sql_classifier_weights(),
         "classifier_scores": oracles.sql_classifier_scores(),
         "classifier_eval": oracles.sql_classifier_eval(),

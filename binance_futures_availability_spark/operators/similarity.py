@@ -2297,3 +2297,73 @@ def knn_label_accuracy(
             / F.count(F.lit(1))
         ).alias("accuracy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ∪ ANN under reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+#: the standard RRF dampening constant (Cormack et al.: 60 works across
+#: collections; larger flattens the rank contribution).
+RRF_C = 60
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    n_each: int = 25,
+    c: int = RRF_C,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid top-k: fuse a lexical BM25 list and a semantic cosine list
+    with reciprocal-rank fusion — score(d) = Σ 1/(c + rank_i(d)) over
+    the lists containing d — (doc_id, lex_rank, sem_rank, rrf_score).
+    The retrieval shape modern curation/RAG pipelines actually serve:
+    keyword recall catches what the embedding misses and vice versa,
+    and RRF needs no score calibration between the two spaces.
+
+    Embeddings are keyed by ``vec_id = doc_id`` where present; documents
+    without a vector (the corpus can be partially embedded) simply never
+    appear in the semantic list and fuse from the lexical side alone.
+
+    Scale shape: both candidate lists are top-``n_each`` engine plans
+    (BM25 rides the session-cached inverted index +
+    TakeOrderedAndProject; ANN is the broadcast-query scan) — the fusion
+    itself touches 2·n_each rows, so the re-rank windows and the full
+    outer join are bounded by construction, not by data size. All rank
+    arithmetic is 1.0/(c+rank) on identical IEEE doubles cross-engine.
+    """
+    from pyspark.sql import Window
+
+    from .textops import bm25_topk
+
+    lex = bm25_topk(docs, query_terms, n_each, id_col=doc_id_col,
+                    text_col=text_col)
+    wl = Window.orderBy(F.col("score").desc(), F.col(doc_id_col))
+    lexr = lex.select(
+        F.col(doc_id_col),
+        F.row_number().over(wl).cast("int").alias("lex_rank"),
+    )
+    sem = ann_topk(emb, query_vec_id, n_each, vec_id_col, vec_col)
+    ws = Window.orderBy(F.col("cosine").desc_nulls_last(), F.col(vec_id_col))
+    semr = sem.select(
+        F.col(vec_id_col).alias(doc_id_col),
+        F.row_number().over(ws).cast("int").alias("sem_rank"),
+    )
+    fused = lexr.join(semr, doc_id_col, "full_outer")
+    one = F.lit(1.0)
+    rrf = F.coalesce(one / (F.lit(c) + F.col("lex_rank")), F.lit(0.0)) + \
+        F.coalesce(one / (F.lit(c) + F.col("sem_rank")), F.lit(0.0))
+    return (
+        fused.select(
+            doc_id_col, "lex_rank", "sem_rank", rrf.alias("rrf_score")
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(doc_id_col))
+        .limit(int(k))
+    )

@@ -2756,3 +2756,39 @@ run AS (
 )
 SELECT doc_id, n_tokens, quality_score, cum_tokens
 FROM run WHERE cum_tokens <= {budget}"""
+
+
+# -- hybrid RRF retrieval (similarity.hybrid_rrf_topk) ----------------------
+
+
+def sql_hybrid_rrf_topk(
+    terms: tuple[str, ...],
+    query_vec_id: int,
+    k: int = 10,
+    n_each: int = 25,
+    c: int = 60,
+) -> str:
+    """BM25 ∪ ANN reciprocal-rank fusion — mirrors
+    similarity.hybrid_rrf_topk: both candidate lists re-ranked by their
+    own (score DESC, id) order, full outer join on doc_id = vec_id,
+    score = Σ 1/(c + rank), ties on doc_id."""
+    return f"""WITH lex AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS lex_rank
+    FROM ({sql_bm25_topk(terms, n_each)})
+),
+sem AS (
+    SELECT vec_id AS doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC NULLS LAST, vec_id)
+                AS INT) AS sem_rank
+    FROM ({sql_ann_topk(query_vec_id, n_each)})
+)
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       l.lex_rank, s.sem_rank,
+       COALESCE(CAST(1 AS DOUBLE) / ({c} + l.lex_rank), CAST(0 AS DOUBLE))
+       + COALESCE(CAST(1 AS DOUBLE) / ({c} + s.sem_rank), CAST(0 AS DOUBLE))
+           AS rrf_score
+FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+ORDER BY rrf_score DESC, COALESCE(l.doc_id, s.doc_id)
+LIMIT {int(k)}"""

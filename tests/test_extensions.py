@@ -2763,3 +2763,46 @@ def test_token_budget_selection_semantics(spark):
     }
     excluded = set(all_q) - set(take)
     assert min(sel_q) >= max(all_q[d] for d in excluded)
+
+
+def test_hybrid_rrf_topk_fusion_semantics(spark):
+    from binance_futures_availability_spark.operators import similarity
+
+    # docs 1-6: doc 1 and 2 match the query terms; embeddings exist for
+    # ids 2,3,4 only (partially embedded corpus) with id 3 the query
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha delta"),
+            (3, "unrelated words here"),
+            (4, "other text entirely"),
+            (5, "noise noise noise"),
+            (6, "more filler text"),
+        ],
+        ["doc_id", "text"],
+    )
+    u = [1.0, 0.0, 0.0, 0.0]
+    near = [0.9, 0.1, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(2, near, 0), (3, u, 0), (4, far, 0)],
+        ["vec_id", "embedding", "label"],
+    )
+    out = similarity.hybrid_rrf_topk(
+        docs, emb, ["alpha"], 3, k=5, n_each=3
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # doc 2 appears in BOTH lists -> two reciprocal terms -> top fused
+    assert out[0]["doc_id"] == 2
+    assert rows[2]["lex_rank"] is not None and rows[2]["sem_rank"] is not None
+    assert rows[2]["rrf_score"] == 1.0 / (60 + rows[2]["lex_rank"]) + 1.0 / (
+        60 + rows[2]["sem_rank"]
+    )
+    # doc 1: lexical only; doc 4: semantic only; both present with one term
+    assert rows[1]["sem_rank"] is None
+    assert rows[1]["rrf_score"] == 1.0 / (60 + rows[1]["lex_rank"])
+    assert rows[4]["lex_rank"] is None
+    assert rows[4]["rrf_score"] == 1.0 / (60 + rows[4]["sem_rank"])
+    # fused order is (rrf DESC, doc_id)
+    scores = [(r["rrf_score"], r["doc_id"]) for r in out]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
