@@ -1161,13 +1161,13 @@ def bigram_lm_scores(
     other index-backed textops (r7 cached only tf_index and re-paid the
     bigram explode, two count shuffles, and a count() action per call).
 
-    ``broadcast_counts`` (default True) hints both count tables for the
-    broadcast join — right for natural-language corpora, where the
+    ``broadcast_counts`` (default True) hints the folded SCORE table for
+    the broadcast join — right for natural-language corpora, where the
     bigram vocabulary is bounded (~|V|·k, millions at worst) and the
     planner cannot estimate the aggregates' size. For open vocabularies
-    (web-crawl scale, 10⁹+ distinct bigrams) pass False: the totals then
-    reuse the bigram index's hash partitioning and the join plans
-    exchange-free on the count side.
+    (web-crawl scale, 10⁹+ distinct bigrams) pass False: the score table
+    then reuses the bigram index's hash partitioning and the join plans
+    exchange-free on the score side.
 
     Documents with <2 tokens have no bigrams and are absent, mirrored by
     the oracle.
@@ -1187,26 +1187,34 @@ def bigram_lm_scores(
         .withColumnRenamed("term", "w1"),
     )
     vocab_n = _vocab_count(docs, uni, id_col, text_col)
+    # fold the ln into a VOCABULARY-sized score table (one nano-nat value
+    # per distinct bigram, cached like the counts): the corpus-sized
+    # scoring stream then does a hash probe + integer multiply per row
+    # instead of a double divide + log — the ln count drops from
+    # per-doc-bigram rows to distinct bigrams (r10: 1.60 s → sub-second
+    # at sf1). Same doubles in, same ln op, so scores are bit-identical.
+    ilp = cached_index(
+        plan_key(docs, "lm_ilp", id_col, text_col),
+        lambda: bc.join(uni, "w1").select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("cb") + F.lit(1.0))
+                    / (F.col("cu") + F.lit(float(vocab_n)))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("__ilp1"),
+        ),
+    )
     if broadcast_counts:
-        bc = F.broadcast(bc)
-        uni = F.broadcast(uni)
-    scored = (
-        bigrams.join(bc, ["w1", "w2"])
-        .join(uni, "w1")
-        .select(
-            id_col,
-            "tf_b",
-            (
-                F.col("tf_b")
-                * F.round(
-                    F.log(
-                        (F.col("cb") + F.lit(1.0))
-                        / (F.col("cu") + F.lit(float(vocab_n)))
-                    )
-                    * F.lit(1e9)
-                ).cast("long")
-            ).alias("__ilp"),
-        )
+        ilp = F.broadcast(ilp)
+    scored = bigrams.join(ilp, ["w1", "w2"]).select(
+        id_col,
+        "tf_b",
+        (F.col("tf_b") * F.col("__ilp1")).alias("__ilp"),
     )
     return scored.groupBy(id_col).agg(
         F.sum("tf_b").cast("long").alias("n_bigrams"),
@@ -1275,27 +1283,62 @@ def cross_lm_scores(
             "cross_lm_scores: reference slice has an empty vocabulary — "
             "the Laplace denominator would be zero; check ref_sources"
         )
+    # the three Laplace cases fold into reference-sized score tables (the
+    # lm_ilp trick, split by miss level): seen bigram → per-(w1,w2) value;
+    # unseen bigram with seen context → per-w1 value ln(1/(cu+V)); both
+    # unseen → the constant ln(1/V) (a literal expression Catalyst
+    # constant-folds — still the JVM ln on the same double). The
+    # corpus-sized stream does two broadcast probes + COALESCE + integer
+    # multiply, no per-row divide/log.
+    ilp_ref = cached_index(
+        plan_key(docs, "xlm_ilp_ref", source_col, ref_tag, id_col, text_col),
+        lambda: bc.join(uni, "w1").select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("cb") + F.lit(1.0))
+                    / (F.col("cu") + F.lit(float(vocab_n)))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("__ilpr"),
+        ),
+    )
+    ilp_ctx = cached_index(
+        plan_key(docs, "xlm_ilp_ctx", source_col, ref_tag, id_col, text_col),
+        lambda: uni.select(
+            "w1",
+            F.round(
+                F.log(
+                    (F.lit(0) + F.lit(1.0))
+                    / (F.col("cu") + F.lit(float(vocab_n)))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("__ilpc"),
+        ),
+    )
     if broadcast_counts:
-        bc = F.broadcast(bc)
-        uni = F.broadcast(uni)
+        ilp_ref = F.broadcast(ilp_ref)
+        ilp_ctx = F.broadcast(ilp_ctx)
+    ilp_unseen = F.round(
+        F.log(
+            (F.lit(0) + F.lit(1.0)) / (F.lit(0) + F.lit(float(vocab_n)))
+        )
+        * F.lit(1e9)
+    ).cast("long")
     scored = (
-        bigrams.join(bc, ["w1", "w2"], "left")
-        .join(uni, "w1", "left")
+        bigrams.join(ilp_ref, ["w1", "w2"], "left")
+        .join(ilp_ctx, "w1", "left")
         .select(
             id_col,
             "tf_b",
             (
                 F.col("tf_b")
-                * F.round(
-                    F.log(
-                        (F.coalesce("cb", F.lit(0)) + F.lit(1.0))
-                        / (
-                            F.coalesce("cu", F.lit(0))
-                            + F.lit(float(vocab_n))
-                        )
-                    )
-                    * F.lit(1e9)
-                ).cast("long")
+                * F.coalesce("__ilpr", "__ilpc", ilp_unseen)
             ).alias("__ilp"),
         )
     )
