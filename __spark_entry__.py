@@ -115,6 +115,8 @@ ANN_QUERY_ID = 1
 ANN_K = 10
 KNN_QUERY_MOD = 100  # query set: every 100th vector (5 at sf0.01)
 KNN_K = 5
+HARD_NEG_N = 5  # hard negatives per query
+HARD_NEG_KGRAPH = 25  # kNN-graph width the negatives are mined from
 FRAME_SIZE, MAX_FRAMES = 64, 4
 RESIZE_TARGET = 256
 RESIZE_IMG_W, RESIZE_IMG_H = 8, 5  # real-pixel resize target (w ≠ h)
@@ -566,6 +568,7 @@ GATE_PRIORITY = [
     "knn_label_accuracy",
     "token_budget_selection",
     "hybrid_rrf_topk",
+    "hard_negatives",
     # never hash-green before r10: first gated round with the new
     # unrolled BPE oracle
     "bpe_merges",
@@ -903,6 +906,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d).filter(F.col("vec_id") % KNN_QUERY_MOD == 0),
             _emb(s, d),
             KNN_K,
+        ),
+        # contrastive-training curation: most-similar different-label
+        # items per query, sliced from the same cached kNN graph
+        "hard_negatives": lambda s, d: similarity.hard_negatives(
+            _emb(s, d).filter(F.col("vec_id") % KNN_QUERY_MOD == 0),
+            _emb(s, d),
+            n_neg=HARD_NEG_N,
+            k_graph=HARD_NEG_KGRAPH,
         ),
         "lsh_buckets": lambda s, d: similarity.lsh_buckets(_emb(s, d)),
         "lsh_cosine_pairs": lambda s, d: similarity.lsh_cosine_pairs(
@@ -1595,6 +1606,13 @@ ORDER BY symbol, event_date"""),
         ),
         "knn_label_accuracy": oracles.sql_knn_label_accuracy(
             KNN_QUERY_MOD, KNN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
+        ),
+        "hard_negatives": oracles.sql_hard_negatives(
+            KNN_QUERY_MOD,
+            HARD_NEG_N,
+            HARD_NEG_KGRAPH,
+            similarity.IVF_N_CELLS,
+            similarity.IVF_NPROBE,
         ),
         "lsh_buckets": oracles.sql_lsh_buckets(),
         "lsh_cosine_pairs": oracles.sql_lsh_cosine_pairs(COSINE_THRESHOLD),

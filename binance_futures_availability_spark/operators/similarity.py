@@ -2367,3 +2367,54 @@ def hybrid_rrf_topk(
         .orderBy(F.col("rrf_score").desc(), F.col(doc_id_col))
         .limit(int(k))
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_neg: int = 5,
+    k_graph: int = 50,
+    n_cells: int = IVF_N_CELLS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retriever training: for each
+    query vector, the ``n_neg`` MOST similar corpus vectors whose label
+    differs from the query's — (query_id, vec_id, cosine, neg_rank).
+    High-cosine different-label items are exactly the negatives that
+    teach an embedding model its decision boundary (random negatives are
+    too easy; the standard DPR/contrastive curation pass).
+
+    Scale shape: slices the session-cached kNN GRAPH (``_knn_ranked``,
+    built once per query batch at ``k_graph`` candidates per query — the
+    same artifact knn_join/label-propagation serve from); the label
+    filter is a narrow broadcast-joined predicate and the per-query
+    re-rank window is k_graph-bounded, distributed by query_id. A query
+    whose probed neighborhood is single-label yields fewer than
+    ``n_neg`` rows — mine with a larger ``k_graph``/``nprobe`` rather
+    than a corpus rescan.
+    """
+    from pyspark.sql import Window
+
+    nn = knn_join(queries, corpus, k_graph, n_cells, nprobe, id_col, vec_col)
+    nbr_lab = corpus.select(
+        F.col(id_col), F.col(label_col).alias("__nl")
+    )
+    q_lab = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__ql")
+    )
+    cand = (
+        nn.join(nbr_lab, id_col)
+        .join(q_lab, "query_id")
+        .filter(F.col("__nl") != F.col("__ql"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= int(n_neg))
+        .select("query_id", id_col, "cosine", "neg_rank")
+    )

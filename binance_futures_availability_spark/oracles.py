@@ -2792,3 +2792,29 @@ SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
 FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
 ORDER BY rrf_score DESC, COALESCE(l.doc_id, s.doc_id)
 LIMIT {int(k)}"""
+
+
+def sql_hard_negatives(
+    query_mod: int, n_neg: int, k_graph: int, n_cells: int, nprobe: int
+) -> str:
+    """Hard-negative mining over the kNN graph — mirrors
+    similarity.hard_negatives: the sql_knn_join candidate ranking at
+    ``k_graph``, different-label filter, per-query re-rank by (cosine
+    DESC, id), top ``n_neg``."""
+    return f"""WITH knn AS (
+{sql_knn_join(query_mod, k_graph, n_cells, nprobe)}
+),
+cand AS (
+    SELECT kn.query_id, kn.vec_id, kn.cosine
+    FROM knn kn
+    JOIN embeddings nb ON nb.vec_id = kn.vec_id
+    JOIN embeddings qe ON qe.vec_id = kn.query_id
+    WHERE nb.label <> qe.label
+)
+SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS neg_rank FROM (
+    SELECT query_id, vec_id, cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id
+           ) AS rn
+    FROM cand
+) WHERE rn <= {int(n_neg)}"""

@@ -2806,3 +2806,39 @@ def test_hybrid_rrf_topk_fusion_semantics(spark):
     # fused order is (rrf DESC, doc_id)
     scores = [(r["rrf_score"], r["doc_id"]) for r in out]
     assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+
+
+def test_hard_negatives_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from binance_futures_availability_spark.operators import similarity
+
+    u = [1.0, 0.0, 0.0, 0.0]
+    near = [0.95, 0.05, 0.0, 0.0]
+    nearer = [0.99, 0.01, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    corpus = [
+        (1, nearer, 0),  # same label as query -> never a negative
+        (2, near, 1),    # different label, very similar -> hardest
+        (3, u, 1),       # identical direction, different label -> hardest
+        (4, far, 1),     # different label but dissimilar -> ranked last
+        (5, near, 0),    # same label -> excluded
+    ]
+    queries = [(100, u, 0)]
+    emb = spark.createDataFrame(
+        corpus + queries, ["vec_id", "embedding", "label"]
+    )
+    qdf = emb.filter(F.col("vec_id") == 100)
+    out = similarity.hard_negatives(
+        qdf, emb, n_neg=2, k_graph=10, n_cells=2, nprobe=2
+    ).collect()
+    assert [r["vec_id"] for r in out] == [3, 2]
+    assert [r["neg_rank"] for r in out] == [1, 2]
+    # every returned negative has a different label than the query, and
+    # the excluded same-label id 1 is MORE similar than both negatives:
+    # the filter, not the ranking, kept it out
+    assert all(r["cosine"] <= 1.0 for r in out)
+    full = similarity.hard_negatives(
+        qdf, emb, n_neg=5, k_graph=10, n_cells=2, nprobe=2
+    ).collect()
+    assert [r["vec_id"] for r in full] == [3, 2, 4]  # only 3 negatives exist
