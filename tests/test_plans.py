@@ -599,3 +599,83 @@ def test_span_family_serves_from_shared_cached_stream(spark, tmp_path):
     assert "InMemoryTableScan" in nlive, nplan
     # only exchange on the live path: the final per-doc aggregate
     assert nlive.count("hashpartitioning") <= 2, nplan
+
+
+def test_sq_encode_is_narrow_no_shuffle(spark, tmp_path_factory):
+    """SQ8's 100 TB shape: after the (bounded) grid collect, the encode /
+    reconstruct path is a narrow projection of the cached quantized store
+    — no Exchange, no Python, codes are produced at scan speed."""
+    from binance_futures_availability_spark.operators import similarity
+
+    path = str(tmp_path_factory.mktemp("sqplan") / "emb")
+    rows = [
+        (i, [float((i * 7 + j) % 11) / 10.0 for j in range(4)], 0)
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).write.parquet(
+        path
+    )
+    emb = spark.read.parquet(path)
+    similarity.sq_codes(emb).collect()  # builds grid + cached store
+    warm = similarity.sq_codes(emb)
+    plan = _plan(warm)
+    live = plan.split("InMemoryRelation", 1)[0]
+    assert "Exchange" not in live, plan
+    assert "ArrowEvalPython" not in live and "BatchEvalPython" not in live
+    # top-k over the SQ store is the family's TakeOrdered shape
+    topk_plan = _plan(similarity.sq_topk(emb, 0, k=3))
+    assert "TakeOrderedAndProject" in topk_plan, topk_plan
+
+
+def test_hybrid_rrf_both_lists_take_ordered(spark, tmp_path_factory):
+    """hybrid_rrf_topk's scale shape: BOTH candidate lists are top-n
+    engine plans (TakeOrderedAndProject each), so everything above them —
+    re-rank windows, full outer join, fusion sort — touches ≤ 2·n rows
+    regardless of corpus size."""
+    from binance_futures_availability_spark.operators import similarity
+
+    root = tmp_path_factory.mktemp("rrfplan")
+    dpath, epath = str(root / "docs"), str(root / "emb")
+    drows = [(i, f"alpha w{i % 7} text filler") for i in range(40)]
+    erows = [
+        (i, [float((i * 3 + j) % 7) / 7.0 for j in range(4)], 0)
+        for i in range(40)
+    ]
+    spark.createDataFrame(drows, ["doc_id", "text"]).write.parquet(dpath)
+    spark.createDataFrame(erows, ["vec_id", "embedding", "label"]).write.parquet(
+        epath
+    )
+    docs, emb = spark.read.parquet(dpath), spark.read.parquet(epath)
+    df = similarity.hybrid_rrf_topk(docs, emb, ["alpha"], 1, k=5, n_each=10)
+    plan = _plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+
+
+def test_hard_negatives_warm_serves_from_knn_graph(spark, tmp_path_factory):
+    """hard_negatives is a SLICE of the cached kNN-graph artifact: warm
+    calls must not rebuild the probe/scoring plan — above the cache there
+    are only the label joins (broadcast-able dims) and the bounded
+    re-rank window, no ArrowEvalPython, no corpus re-scan."""
+    from binance_futures_availability_spark.operators import similarity
+
+    path = str(tmp_path_factory.mktemp("hncache") / "emb")
+    rows = [(i, [float(i % 5), 2.0, 1.0, 0.5], i % 2) for i in range(40)]
+    spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).write.parquet(
+        path
+    )
+    emb = spark.read.parquet(path)
+    queries = emb.filter("vec_id % 10 = 0")
+    first = similarity.hard_negatives(
+        queries, emb, n_neg=2, k_graph=5, n_cells=4, nprobe=2
+    )
+    want = sorted(tuple(r) for r in first.collect())  # builds the graph
+    warm = similarity.hard_negatives(
+        queries, emb, n_neg=2, k_graph=5, n_cells=4, nprobe=2
+    )
+    plan = _plan(warm)
+    live = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in live, plan
+    assert "ArrowEvalPython" not in live, plan
+    assert sorted(tuple(r) for r in warm.collect()) == want
