@@ -2098,31 +2098,102 @@ def _with_sq(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         mins, maxs = _collect_sq_grid(
             base, _seed_cache_key(emb, id_col, vec_col, -1)
         )
-        mn_arr = F.array(*[F.lit(int(v)).cast("long") for v in mins])
-        rng_arr = F.array(
-            *[F.lit(int(mx - mn)).cast("long") for mn, mx in zip(mins, maxs)]
-        )
-
-        def code_of(x, i):
-            mn = F.element_at(mn_arr, i + 1)
-            rng = F.element_at(rng_arr, i + 1)
-            return F.when(
-                rng > 0, F.floor((x - mn) * SQ_LEVELS / rng)
-            ).otherwise(F.lit(0).cast("long"))
-
-        def recon_of(c, i):
-            mn = F.element_at(mn_arr, i + 1)
-            rng = F.element_at(rng_arr, i + 1)
-            return mn + F.when(rng > 0, F.floor(c * rng / SQ_LEVELS)).otherwise(
-                F.lit(0).cast("long")
-            )
-
+        code_of, recon_of = _sq_exprs(mins, maxs)
         coded = base.withColumn(
             "__sq", F.transform(F.col("__q"), code_of)
         ).withColumn("__sr", F.transform(F.col("__sq"), recon_of))
         return coded.withColumn("__srnorm", int_dot(F.col("__sr"), F.col("__sr")))
 
     return cached_index(plan_key(emb, "sq8", vec_col), build)
+
+
+def _sq_exprs(mins, maxs):
+    """The SQ8 encode / reconstruct lambdas for a FIXED grid (broadcast
+    literal arrays): shared by the corpus-trained store (``_with_sq``)
+    and the frozen-grid encoder the streaming sink uses
+    (``sq_encode_with``) — one arithmetic definition, one exactness
+    argument (floor over IEEE-double division of exact integers)."""
+    mn_arr = F.array(*[F.lit(int(v)).cast("long") for v in mins])
+    rng_arr = F.array(
+        *[F.lit(int(mx - mn)).cast("long") for mn, mx in zip(mins, maxs)]
+    )
+
+    def code_of(x, i):
+        mn = F.element_at(mn_arr, i + 1)
+        rng = F.element_at(rng_arr, i + 1)
+        return F.when(
+            rng > 0, F.floor((x - mn) * SQ_LEVELS / rng)
+        ).otherwise(F.lit(0).cast("long"))
+
+    def recon_of(c, i):
+        mn = F.element_at(mn_arr, i + 1)
+        rng = F.element_at(rng_arr, i + 1)
+        return mn + F.when(rng > 0, F.floor(c * rng / SQ_LEVELS)).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    return code_of, recon_of
+
+
+def sq_grid(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The SQ8 grid as a TABLE — (i, mn, mx) per 1-based dimension, the
+    trainable/freezable artifact form of ``_collect_sq_grid`` (what a
+    streaming sink persists once and every later batch encodes against,
+    the codebook-parquet pattern of the PQ sink)."""
+    base = _with_quantized(emb, vec_col)
+    return (
+        base.select(F.posexplode("__q").alias("__i", "__v"))
+        .groupBy("__i")
+        .agg(F.min("__v").alias("mn"), F.max("__v").alias("mx"))
+        .select(
+            (F.col("__i") + 1).cast("int").alias("i"),
+            F.col("mn").cast("long").alias("mn"),
+            F.col("mx").cast("long").alias("mx"),
+        )
+    )
+
+
+def sq_encode_with(
+    emb: DataFrame,
+    grid: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against a FROZEN grid table — (vec_id, i, code),
+    the frozen-quantizer path: a vector's codes are identical whether it
+    was present at training or arrived later (values outside the trained
+    range clamp to [0, SQ_LEVELS], the standard SQ8 out-of-range rule).
+    The grid is a dim-row bounded collect; encode stays a narrow
+    projection."""
+    rows = sorted(grid.collect(), key=lambda r: r["i"])
+    if not rows:
+        raise ValueError("sq_encode_with: empty grid table")
+    mins = [int(r["mn"]) for r in rows]
+    maxs = [int(r["mx"]) for r in rows]
+    code_of, _ = _sq_exprs(mins, maxs)
+
+    def clamped(x, i):
+        return F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(int(SQ_LEVELS)).cast("long"), code_of(x, i)),
+        )
+
+    base = _with_quantized(emb, vec_col)
+    return (
+        base.select(
+            F.col(id_col),
+            F.posexplode(F.transform(F.col("__q"), clamped)).alias(
+                "__p", "code"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__p") + 1).cast("int").alias("i"),
+            F.col("code").cast("int").alias("code"),
+        )
+    )
 
 
 def sq_codes(

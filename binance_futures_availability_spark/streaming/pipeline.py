@@ -736,6 +736,72 @@ def read_classifier_scores(spark: SparkSession, store_path: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def start_sq_append_sink(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+):
+    """writeStream → foreachBatch(frozen-grid SQ8 encode): the scalar-
+    quantization member of the compressed-vector ingest family (the SQ8
+    twin of ``start_pq_append_sink``). The FIRST batch trains the
+    per-dimension min/max grid (``similarity.sq_grid`` over the batch)
+    and freezes it under ``<store>/grid``; every later batch encodes
+    against the stored grid (``sq_encode_with`` — exact floor-over-double
+    arithmetic, out-of-range values clamp to [0, 255]) and writes its own
+    (id, i, code) rows under ``<store>/codes/batch-<id>``. Same
+    exactly-once discipline as the PQ sink: per-batch-dir overwrite +
+    commit markers, readers see only committed dirs; only a
+    genuinely-missing grid path trains — any other read error propagates
+    so the batch retries instead of silently re-training."""
+    import os
+
+    from ..operators import similarity
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker_dir = os.path.join(store_path.rstrip("/"), "_committed_batches")
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # checkpoint replay of an already-applied append
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        grid_path = os.path.join(store_path.rstrip("/"), "grid")
+        codes_path = os.path.join(
+            store_path.rstrip("/"), "codes", f"batch-{batch_id}"
+        )
+        if os.path.exists(grid_path):
+            grid = spark.read.parquet(grid_path)
+        else:
+            similarity.sq_grid(batch).write.mode("overwrite").parquet(
+                grid_path
+            )
+            grid = spark.read.parquet(grid_path)
+        similarity.sq_encode_with(batch, grid).write.mode(
+            "overwrite"
+        ).parquet(codes_path)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_sq_codes(spark: SparkSession, store_path: str) -> DataFrame:
+    """Union of every marker-committed batch's SQ8 code rows — the read
+    side of ``start_sq_append_sink``'s per-batch-dir layout."""
+    paths = _committed_batch_paths(store_path, "codes")
+    if not paths:
+        raise FileNotFoundError(
+            f"no committed code batches under {store_path}"
+        )
+    return spark.read.parquet(*paths)
+
+
 def start_span_census_sink(
     stream: DataFrame,
     store_path: str,

@@ -1067,3 +1067,85 @@ def test_streaming_span_census_matches_batch_and_replays_safely(spark, tmp_path)
         for r in read_span_census(spark, store).collect()
     )
     assert again == want
+
+
+def test_streaming_sq_append_sink_batch_equivalence(spark, tmp_path):
+    """First micro-batch trains and freezes the SQ8 min/max grid; later
+    batches encode against it (out-of-range values clamp) — codes equal
+    a one-shot frozen-grid encode of the union, and a checkpoint replay
+    appends nothing twice."""
+    import os
+    import shutil
+
+    from binance_futures_availability_spark.operators import similarity
+    from binance_futures_availability_spark.streaming.pipeline import (
+        embedding_stream_source,
+        read_sq_codes,
+        start_sq_append_sink,
+    )
+
+    schema = "vec_id long, embedding array<float>, label int"
+    incoming = tmp_path / "sq_in"
+    store = str(tmp_path / "sqstore")
+    batch1 = [
+        (i, [float((i * 7 + j) % 11) / 10.0 for j in range(4)], 0)
+        for i in range(8)
+    ]
+    # batch 2 exceeds batch 1's trained range in every dimension -> the
+    # clamp rule must fire and codes stay within [0, 255]
+    batch2 = [
+        (i, [2.0 + float(i % 3), -1.0, 0.5, float(i) / 4.0], 0)
+        for i in range(8, 16)
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(
+        str(incoming)
+    )
+
+    def run():
+        q = start_sq_append_sink(
+            embedding_stream_source(spark, str(incoming)),
+            store,
+            str(tmp_path / "sqckpt"),
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(
+        str(incoming)
+    )
+    run()
+
+    grid = spark.read.parquet(os.path.join(store, "grid"))
+    union = spark.createDataFrame(batch1 + batch2, schema)
+    want = sorted(
+        (r["vec_id"], r["i"], r["code"])
+        for r in similarity.sq_encode_with(union, grid).collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["i"], r["code"])
+        for r in read_sq_codes(spark, store).collect()
+    )
+    assert got == want
+    assert all(0 <= c <= 255 for _, _, c in got)
+    # out-of-range batch-2 values actually hit the clamp boundary
+    assert any(c == 255 for v, _, c in got if v >= 8)
+    # frozen grid: trained on batch 1 only (4 dims)
+    assert grid.count() == 4
+    # batch-1 rows re-encode exactly as the corpus-trained store would
+    b1 = spark.createDataFrame(batch1, schema)
+    want_b1 = sorted(
+        (r["vec_id"], r["i"], r["code"])
+        for r in similarity.sq_codes(b1).collect()
+    )
+    assert sorted(t for t in got if t[0] < 8) == want_b1
+
+    # replay: wipe the checkpoint, re-run — markers make it a no-op
+    shutil.rmtree(str(tmp_path / "sqckpt"))
+    run()
+    assert (
+        sorted(
+            (r["vec_id"], r["i"], r["code"])
+            for r in read_sq_codes(spark, store).collect()
+        )
+        == want
+    )
