@@ -88,6 +88,11 @@ HEADLINERS = {
     "grouped_split": "leakage-safe split: pure narrow projection on the group key — zero shuffles at any corpus size",
     "image_decode_roundtrip": "real-pixel decode audit: cached PNG asset table (parallel partitions) through one Arrow mapInPandas pass; no sort, no shuffle",
     "winnow_fingerprints": "MOSS winnowing: ONE doc-key window pass over the cached span stream (string-min trick fuses min-hash + rightmost-tie into a single aggregate); fingerprint volume ~2/(w+1) of spans",
+    "sq_topk": "SQ8 asymmetric top-k: cached byte-grid reconstruction store scanned instead of raw vectors (encode/reconstruct are narrow floor-over-double transforms); broadcast exact query row; TakeOrderedAndProject",
+    "knn_label_propagation": "label transfer: a SLICE of the cached kNN graph (InMemoryTableScan) + narrow label joins; vote aggregate and winner window are k-bounded, distributed by query_id",
+    "hard_negatives": "contrastive mining: same cached kNN-graph slice with a different-label filter; per-query re-rank bounded by k_graph",
+    "token_budget_selection": "budget fill: distributed inclusive prefix sum (range repartition + bounded per-partition sum collect + narrow Arrow cumsum) — no single-partition SUM-OVER window; budget cut is a narrow predicate",
+    "hybrid_rrf_topk": "hybrid retrieval: BOTH candidate lists are TakeOrderedAndProject plans; rank windows, full outer join, and fusion sort all touch <= 2*n_each rows regardless of corpus size",
 }
 
 
