@@ -571,6 +571,7 @@ GATE_PRIORITY = [
     "token_budget_selection",
     "hybrid_rrf_topk",
     "hard_negatives",
+    "dedup_rate_by_source",
     # never hash-green before r10: first gated round with the new
     # unrolled BPE oracle
     "bpe_merges",
@@ -826,6 +827,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- LLM-pipeline extension operators over documents/embeddings ---
         "exact_duplicates": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
+        # per-source duplication dashboard (corpus-health metric)
+        "dedup_rate_by_source": lambda s, d: dedup.dedup_rate_by_source(
+            _docs(s, d)
+        ),
         "duplicated_spans": lambda s, d: dedup.duplicated_spans(
             _docs(s, d), SPAN_WIDTH
         ),
@@ -1552,6 +1557,7 @@ ORDER BY symbol, event_date"""),
         # --- extension-suite oracles (generators in oracles.py keep the
         # md5/quantization constants in one place so Spark and SQL can't drift)
         "exact_duplicates": oracles.sql_exact_dup_groups(),
+        "dedup_rate_by_source": oracles.sql_dedup_rate_by_source(),
         "duplicated_spans": oracles.sql_duplicated_spans(SPAN_WIDTH),
         "duplicated_span_occurrences": (
             oracles.sql_duplicated_span_occurrences(SPAN_WIDTH)

@@ -1538,3 +1538,57 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def dedup_rate_by_source(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus-health metric: what share of each source's
+    documents is an exact duplicate of OTHER corpus content — (source,
+    n_docs, n_dup_docs, dup_ppm). A document counts as a duplicate when
+    its normalized-content hash appears on more than one document
+    corpus-WIDE and it is not the group's keeper (min id) — so the keeper
+    survives in its own source's clean count and every other copy, in
+    whatever source it lives, is charged to THAT source. This is the
+    routine per-provider duplication dashboard a multi-source ingest
+    pipeline watches (a crawl slice suddenly re-serving syndicated
+    content shows up here before the dedup bill does).
+
+    Shape: one content-hash aggregate over (hash, min-id) — the same
+    single shuffle class as ``exact_duplicates`` — joined back to the
+    narrow (id, source, hash) projection on the hash (both sides already
+    partitioned by it after the agg: Catalyst reuses the exchange), then
+    a |sources|-sized final aggregate. ``dup_ppm`` is an exact integer
+    per-mille-of-a-thousand ratio (×10⁶ integer division), engine-neutral.
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.md5(normalized_text(F.col(text_col))).alias("__h"),
+    )
+    groups = base.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__keeper")
+    )
+    flagged = base.join(groups, "__h").select(
+        source_col,
+        (
+            (F.col("__n") > 1) & (F.col(id_col) != F.col("__keeper"))
+        )
+        .cast("int")
+        .alias("__dup"),
+    )
+    return flagged.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("__dup"), F.lit(0)).cast("long").alias("n_dup_docs"),
+        F.floor(
+            (F.coalesce(F.sum("__dup"), F.lit(0)) * F.lit(1000000)).cast(
+                "long"
+            )
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("dup_ppm"),
+    )

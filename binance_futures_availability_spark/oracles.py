@@ -2818,3 +2818,29 @@ SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS neg_rank FROM (
            ) AS rn
     FROM cand
 ) WHERE rn <= {int(n_neg)}"""
+
+
+def sql_dedup_rate_by_source(source_col: str = "source") -> str:
+    """Per-source exact-duplicate share — mirrors
+    dedup.dedup_rate_by_source: corpus-wide content groups, keeper = min
+    doc_id, non-keeper members of >1-doc groups are that source's dups;
+    ppm by integer floor division (both engines floor exact non-negative
+    quotients)."""
+    return rf"""WITH base AS (
+    SELECT doc_id, {source_col},
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+    FROM documents
+),
+g AS (
+    SELECT h, COUNT(*) AS n, MIN(doc_id) AS keeper FROM base GROUP BY h
+),
+flagged AS (
+    SELECT b.{source_col},
+           CASE WHEN g.n > 1 AND b.doc_id <> g.keeper THEN 1 ELSE 0 END AS dup
+    FROM base b JOIN g USING (h)
+)
+SELECT {source_col},
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(dup), 0) AS BIGINT) AS n_dup_docs,
+       CAST(COALESCE(SUM(dup), 0) AS BIGINT) * 1000000 // COUNT(*) AS dup_ppm
+FROM flagged GROUP BY {source_col}"""

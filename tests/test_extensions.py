@@ -2842,3 +2842,28 @@ def test_hard_negatives_semantics(spark):
         qdf, emb, n_neg=5, k_graph=10, n_cells=2, nprobe=2
     ).collect()
     assert [r["vec_id"] for r in full] == [3, 2, 4]  # only 3 negatives exist
+
+
+def test_dedup_rate_by_source(spark):
+    from binance_futures_availability_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text here", "a"),   # keeper of the cross-source group
+            (2, "same  TEXT here ", "b"),  # normalized dup, charged to b
+            (3, "same text here", "b"),   # another dup, charged to b
+            (4, "unique one", "a"),
+            (5, "unique two", "b"),
+            (6, "unique three", "c"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_dup_docs"], r["dup_ppm"])
+        for r in dedup.dedup_rate_by_source(docs).collect()
+    }
+    # source a: keeper + unique -> no dups; b: 2 of 3 docs are copies;
+    # c: clean
+    assert got["a"] == (2, 0, 0)
+    assert got["b"] == (3, 2, 666666)  # floor(2_000_000 / 3)
+    assert got["c"] == (1, 0, 0)
