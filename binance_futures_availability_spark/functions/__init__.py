@@ -317,6 +317,7 @@ def global_running_sum(
     value_col: str,
     out_col: str = "running_total",
     num_partitions: int | None = None,
+    return_total: bool = False,
 ):
     """Distributed INCLUSIVE prefix sum of an integer column over a total
     order — the scale-safe replacement for ``SUM(v) OVER (ORDER BY ...
@@ -333,6 +334,11 @@ def global_running_sum(
     on sampled partition boundaries. Same localCheckpoint discipline as
     ``global_row_number``: the sum pass and the output read the SAME
     materialized blocks.
+
+    ``return_total=True`` returns ``(df, total)`` — the grand total is
+    the last partition's offset + sum, already known from the bounded
+    collect, so callers needing "sum of value_col" (budget fills,
+    normalizers) get it WITHOUT a separate corpus aggregate job.
     """
     from pyspark.sql import functions as F
 
@@ -390,4 +396,5 @@ def global_running_sum(
             carry += int(pdf[value_col].astype("int64").sum())
             yield pdf
 
-    return parts.mapInPandas(running, out_schema).drop("__pid")
+    out = parts.mapInPandas(running, out_schema).drop("__pid")
+    return (out, acc) if return_total else out
