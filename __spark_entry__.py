@@ -572,6 +572,7 @@ GATE_PRIORITY = [
     "hybrid_rrf_topk",
     "hard_negatives",
     "dedup_rate_by_source",
+    "scrub_duplicated_spans",
     # never hash-green before r10: first gated round with the new
     # unrolled BPE oracle
     "bpe_merges",
@@ -845,6 +846,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), SPAN_WIDTH, WINNOW_W, WINNOW_MIN_SHARED
         ),
         "span_novelty_scores": lambda s, d: dedup.span_novelty_scores(
+            _docs(s, d), SPAN_WIDTH
+        ),
+        # the removal step the census targets: scrub every token covered
+        # by a corpus-duplicated span, reassemble the remainder
+        "scrub_duplicated_spans": lambda s, d: dedup.scrub_duplicated_spans(
             _docs(s, d), SPAN_WIDTH
         ),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -1563,6 +1569,9 @@ ORDER BY symbol, event_date"""),
             oracles.sql_duplicated_span_occurrences(SPAN_WIDTH)
         ),
         "span_novelty_scores": oracles.sql_span_novelty_scores(SPAN_WIDTH),
+        "scrub_duplicated_spans": oracles.sql_scrub_duplicated_spans(
+            SPAN_WIDTH
+        ),
         "winnow_fingerprints": oracles.sql_winnow_fingerprints(
             SPAN_WIDTH, WINNOW_W
         ),

@@ -1592,3 +1592,68 @@ def dedup_rate_by_source(
         .cast("long")
         .alias("dup_ppm"),
     )
+
+
+def scrub_duplicated_spans(
+    docs: DataFrame,
+    width: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level scrub (the C4/Lee-et-al. removal step the census
+    family targets): delete every token covered by ANY corpus-duplicated
+    ``width``-token window and reassemble the remainder in order —
+    (doc_id, clean_text, n_tokens_kept, n_tokens_removed). Documents
+    shorter than the window (no spans) pass through untouched; a
+    document that is wholly duplicated material scrubs to the empty
+    string but keeps its row (the caller decides whether to drop it).
+
+    Scale shape: rides the shared session-cached artifacts —
+    ``span_index`` (the positional hash stream) and the sparse broadcast
+    census — so the only NEW work is one sparse per-doc aggregate of
+    duplicated START positions (occurrence rows, not corpus rows) joined
+    back onto a narrow tokenized projection; the coverage mask and
+    reassembly are codegen-free array lambdas over MATERIALIZED columns
+    (the shingle_array discipline: never capture an outer expression in
+    an interpreted HOF), per-row O(tokens · dup_starts_in_doc) with the
+    sparse factor near zero for clean documents. No corpus shuffle
+    beyond the occurrence aggregate.
+    """
+    occ = duplicated_span_occurrences(docs, width, id_col, text_col)
+    starts = occ.groupBy(id_col).agg(
+        F.collect_list("pos").alias("__starts")
+    )
+    base = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+        .join(starts, id_col, "left")
+        .select(
+            F.col(id_col),
+            "__t",
+            F.coalesce("__starts", F.array().cast("array<int>")).alias(
+                "__s"
+            ),
+        )
+    )
+    idx = F.when(
+        F.size("__t") > 0,
+        F.sequence(F.lit(1), F.size("__t")),
+    ).otherwise(F.array().cast("array<int>"))
+    base = base.withColumn("__idx", idx)
+    kept = F.filter(
+        F.col("__idx"),
+        lambda i: ~F.exists(
+            F.col("__s"), lambda s: (s <= i) & (i < s + F.lit(int(width)))
+        ),
+    )
+    base = base.withColumn("__kept", kept)
+    return base.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(F.col("__kept"), lambda i: F.element_at("__t", i)),
+            " ",
+        ).alias("clean_text"),
+        F.size("__kept").cast("int").alias("n_tokens_kept"),
+        (F.size("__t") - F.size("__kept")).cast("int").alias(
+            "n_tokens_removed"
+        ),
+    )

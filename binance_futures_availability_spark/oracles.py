@@ -2844,3 +2844,42 @@ SELECT {source_col},
        CAST(COALESCE(SUM(dup), 0) AS BIGINT) AS n_dup_docs,
        CAST(COALESCE(SUM(dup), 0) AS BIGINT) * 1000000 // COUNT(*) AS dup_ppm
 FROM flagged GROUP BY {source_col}"""
+
+
+def sql_scrub_duplicated_spans(width: int = 6) -> str:
+    """Substring-level scrub — mirrors dedup.scrub_duplicated_spans:
+    same span CTE, duplicated-span starts expand to covered token
+    indices via generate_series, uncovered tokens reassemble in order;
+    every document keeps its row (wholly-duplicated text scrubs to '')."""
+    return f"""WITH {_span_cte(width)},
+dup AS (
+    SELECT span_md5 FROM sp GROUP BY span_md5 HAVING COUNT(*) > 1
+),
+occ AS (SELECT s.doc_id, s.pos FROM sp s JOIN dup USING (span_md5)),
+covered AS (
+    SELECT DISTINCT doc_id, i FROM (
+        SELECT doc_id,
+               unnest(generate_series(pos, pos + {width} - 1)) AS i
+        FROM occ
+    )
+),
+flat AS (
+    SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+kept AS (
+    SELECT f.doc_id, f.i, f.w
+    FROM flat f LEFT JOIN covered c ON c.doc_id = f.doc_id AND c.i = f.i
+    WHERE c.i IS NULL
+),
+clean AS (
+    SELECT doc_id,
+           string_agg(w, ' ' ORDER BY i) AS clean_text,
+           CAST(COUNT(*) AS INT) AS n_kept
+    FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tok FROM toks)
+SELECT t.doc_id,
+       COALESCE(c.clean_text, '') AS clean_text,
+       COALESCE(c.n_kept, 0) AS n_tokens_kept,
+       t.n_tok - COALESCE(c.n_kept, 0) AS n_tokens_removed
+FROM tot t LEFT JOIN clean c USING (doc_id)"""

@@ -2867,3 +2867,35 @@ def test_dedup_rate_by_source(spark):
     assert got["a"] == (2, 0, 0)
     assert got["b"] == (3, 2, 666666)  # floor(2_000_000 / 3)
     assert got["c"] == (1, 0, 0)
+
+
+def test_scrub_duplicated_spans_semantics(spark):
+    from binance_futures_availability_spark.operators import dedup
+
+    # width=3: "a b c" repeats across docs 1 and 2 -> those 3-token
+    # windows and every token they cover must vanish; doc 3 is clean;
+    # doc 4 is wholly duplicated material (identical to doc 5)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),
+            (2, "p q a b c r"),
+            (3, "u v w m n o"),
+            (4, "d e f d e f"),   # in-doc repetition: "d e f" twice
+            (5, "k l"),           # shorter than the window: untouched
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_kept"], r["n_tokens_removed"])
+        for r in dedup.scrub_duplicated_spans(docs, width=3).collect()
+    }
+    assert got[1] == ("x y z", 3, 3)
+    assert got[2] == ("p q r", 3, 3)
+    assert got[3] == ("u v w m n o", 6, 0)
+    # doc 4: spans "d e f"(pos1,4) duplicate (also "f d e"? only if it
+    # repeats — it occurs once) -> covered tokens = pos 1-3 and 4-6
+    assert got[4] == ("", 0, 6)
+    assert got[5] == ("k l", 2, 0)
+    # conservation: kept + removed = original token count
+    for d, (txt, k, r) in got.items():
+        assert k + r == {1: 6, 2: 6, 3: 6, 4: 6, 5: 2}[d]
