@@ -67,6 +67,19 @@ SLICE = [
     "gap_filled_volumes",
     "event_sessions",
     "event_interval_join",
+    # late-r10 additions: SQ8 compression, kNN label transfer /
+    # hard-negative mining (cached-graph slices), distributed prefix-sum
+    # budget fill, hybrid retrieval fusion, per-source dup dashboard,
+    # substring-level scrub
+    "sq_codes",
+    "sq_topk",
+    "knn_label_propagation",
+    "hard_negatives",
+    "token_budget_selection",
+    "hybrid_rrf_topk",
+    "dedup_rate_by_source",
+    "scrub_duplicated_spans",
+    "large_volume_customers",
 ]
 
 
