@@ -573,6 +573,7 @@ GATE_PRIORITY = [
     "hard_negatives",
     "dedup_rate_by_source",
     "scrub_duplicated_spans",
+    "max_duplicated_run",
     # never hash-green before r10: first gated round with the new
     # unrolled BPE oracle
     "bpe_merges",
@@ -851,6 +852,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the removal step the census targets: scrub every token covered
         # by a corpus-duplicated span, reassemble the remainder
         "scrub_duplicated_spans": lambda s, d: dedup.scrub_duplicated_spans(
+            _docs(s, d), SPAN_WIDTH
+        ),
+        # longest certified duplicated substring per doc (gaps-and-islands
+        # over the sparse duplicated-start stream)
+        "max_duplicated_run": lambda s, d: dedup.max_duplicated_run(
             _docs(s, d), SPAN_WIDTH
         ),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -1572,6 +1578,7 @@ ORDER BY symbol, event_date"""),
         "scrub_duplicated_spans": oracles.sql_scrub_duplicated_spans(
             SPAN_WIDTH
         ),
+        "max_duplicated_run": oracles.sql_max_duplicated_run(SPAN_WIDTH),
         "winnow_fingerprints": oracles.sql_winnow_fingerprints(
             SPAN_WIDTH, WINNOW_W
         ),

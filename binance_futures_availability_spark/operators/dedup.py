@@ -1657,3 +1657,46 @@ def scrub_duplicated_spans(
             "n_tokens_removed"
         ),
     )
+
+
+def max_duplicated_run(
+    docs: DataFrame,
+    width: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document LONGEST duplicated substring length (in tokens),
+    certified from the ``width``-token census — (doc_id,
+    max_run_tokens): ``r`` CONSECUTIVE duplicated window starts
+    pos … pos+r−1 certify a duplicated substring of ``width + r − 1``
+    tokens, so the doc's longest run converts directly to token length
+    (0 when no window is duplicated). This is the headline statistic of
+    Lee et al.'s substring-dedup analysis ("documents containing a
+    duplicated substring of ≥ N tokens") at a fixed window grain — a
+    LOWER bound on the true longest duplicated substring, exact whenever
+    the substring's every window is itself duplicated (always true for
+    verbatim copies).
+
+    Scale shape: the gaps-and-islands pass (pos − row_number) runs over
+    the SPARSE duplicated-occurrence stream — not the corpus — windowed
+    per document (distributed by doc key), then two bounded aggregates;
+    docs join back by id for the zero rows. The census and span stream
+    are the family's shared session-cached artifacts.
+    """
+    occ = duplicated_span_occurrences(docs, width, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = occ.withColumn(
+        "__g", F.col("pos") - F.row_number().over(w)
+    )
+    run_lens = runs.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).alias("__rl")
+    )
+    per_doc = run_lens.groupBy(id_col).agg(F.max("__rl").alias("__mr"))
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(
+            F.col("__mr") + F.lit(int(width) - 1), F.lit(0)
+        )
+        .cast("int")
+        .alias("max_run_tokens"),
+    )

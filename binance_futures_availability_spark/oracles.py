@@ -2883,3 +2883,24 @@ SELECT t.doc_id,
        COALESCE(c.n_kept, 0) AS n_tokens_kept,
        t.n_tok - COALESCE(c.n_kept, 0) AS n_tokens_removed
 FROM tot t LEFT JOIN clean c USING (doc_id)"""
+
+
+def sql_max_duplicated_run(width: int = 6) -> str:
+    """Longest duplicated run per document — mirrors
+    dedup.max_duplicated_run: gaps-and-islands over the duplicated
+    window starts, run length r → width + r − 1 tokens, 0 when clean."""
+    return f"""WITH {_span_cte(width)},
+dup AS (
+    SELECT span_md5 FROM sp GROUP BY span_md5 HAVING COUNT(*) > 1
+),
+occ AS (SELECT s.doc_id, s.pos FROM sp s JOIN dup USING (span_md5)),
+runs AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM occ
+),
+rl AS (SELECT doc_id, COUNT(*) AS r FROM runs GROUP BY doc_id, g),
+m AS (SELECT doc_id, MAX(r) AS mr FROM rl GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(m.mr + {int(width) - 1}, 0) AS INT) AS max_run_tokens
+FROM documents d LEFT JOIN m USING (doc_id)"""

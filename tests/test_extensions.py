@@ -2899,3 +2899,29 @@ def test_scrub_duplicated_spans_semantics(spark):
     # conservation: kept + removed = original token count
     for d, (txt, k, r) in got.items():
         assert k + r == {1: 6, 2: 6, 3: 6, 4: 6, 5: 2}[d]
+
+
+def test_max_duplicated_run_semantics(spark):
+    from binance_futures_availability_spark.operators import dedup
+
+    # width=3 over docs 1/2: the shared prefix "a b c d" gives TWO
+    # consecutive duplicated window starts (pos 1, 2) -> run 2 ->
+    # certified length 3 + 2 - 1 = 4 tokens; doc 3 is clean; doc 4's
+    # in-doc verbatim repeat "x y z" (non-consecutive starts) -> 3
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d p q"),
+            (2, "a b c d r s"),
+            (3, "u v w m n o"),
+            (4, "x y z k x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["max_run_tokens"]
+        for r in dedup.max_duplicated_run(docs, width=3).collect()
+    }
+    assert got[1] == 4
+    assert got[2] == 4
+    assert got[3] == 0
+    assert got[4] == 3
