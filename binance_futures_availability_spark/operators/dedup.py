@@ -1583,11 +1583,12 @@ def dedup_rate_by_source(
     return flagged.groupBy(source_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("__dup"), F.lit(0)).cast("long").alias("n_dup_docs"),
-        F.floor(
-            (F.coalesce(F.sum("__dup"), F.lit(0)) * F.lit(1000000)).cast(
-                "long"
-            )
-            / F.count(F.lit(1))
+        # exact integer `div` (the span_novelty_scores form) — floor of a
+        # DOUBLE quotient could misround once the scaled numerator passes
+        # 2^53, where DuckDB's BIGINT // stays exact
+        F.expr(
+            "CAST(coalesce(sum(__dup), 0) AS BIGINT) * 1000000"
+            " div count(1)"
         )
         .cast("long")
         .alias("dup_ppm"),

@@ -2095,8 +2095,13 @@ def _with_sq(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
     def build() -> DataFrame:
         base = _with_quantized(emb, vec_col)
+        # grid cache key MUST include the logical plan (plan_key), not
+        # just the input files: a sample_ppm-filtered audit frame and the
+        # full corpus share files but need DIFFERENT grids — a file-only
+        # key (the _seed_cache_key shape) would serve a sample-trained
+        # grid to full-corpus encodes
         mins, maxs = _collect_sq_grid(
-            base, _seed_cache_key(emb, id_col, vec_col, -1)
+            base, plan_key(emb, "sq_grid", id_col, vec_col)
         )
         code_of, recon_of = _sq_exprs(mins, maxs)
         coded = base.withColumn(

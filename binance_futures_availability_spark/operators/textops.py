@@ -1772,8 +1772,7 @@ def token_budget_selection(
     identical ties), and the budget filter is a narrow predicate.
     """
     from ..functions import global_running_sum
-
-    from ..index_cache import cached_index, plan_key
+    from ..index_cache import bounded_scalar_put, cached_index, plan_key
 
     key = plan_key(docs, "token_budget_run", id_col, text_col)
 
@@ -1791,7 +1790,10 @@ def token_budget_selection(
             out_col="cum_tokens",
             return_total=True,
         )
-        _TB_TOTAL_CACHE[key] = int(total)
+        # the scalar rides the same bounded-cache discipline as every
+        # other derived scalar (_NDOCS/_VOCAB/_LM_COUNT caches): swept on
+        # table rewrite, capped in size
+        bounded_scalar_put(_TB_TOTAL_CACHE, key, int(total))
         return run
 
     # the quality-ranked running-total stream is a session-cached index
@@ -1800,8 +1802,14 @@ def token_budget_selection(
     # instead of re-running the range sort + offset passes
     run = cached_index(key, _build)
     if budget_tokens is None:
-        if key not in _TB_TOTAL_CACHE:  # cache-disabled (non-file) path
-            _build()
+        if key not in _TB_TOTAL_CACHE:
+            # scalar evicted independently of the index handle (the two
+            # caches sweep/cap separately): the total is just the MAX of
+            # the inclusive cumsum — one agg over the in-memory stream
+            tot = run.agg(
+                F.coalesce(F.max("cum_tokens"), F.lit(0))
+            ).collect()[0][0]
+            bounded_scalar_put(_TB_TOTAL_CACHE, key, int(tot))
         budget_tokens = _TB_TOTAL_CACHE[key] // 2
     return run.filter(F.col("cum_tokens") <= int(budget_tokens)).select(
         id_col, "n_tokens", "quality_score", "cum_tokens"

@@ -871,6 +871,23 @@ STOPWORDS_SQL = {
 }
 
 
+def quality_score_sql() -> str:
+    """The heuristic quality score as ONE shared SQL fragment — the
+    DuckDB mirror of textops.quality_score_expr, used by every oracle
+    that scores documents (quality_scores, curate_corpus,
+    token_budget_selection, quality_deciles via sql_quality_scores) so
+    the formula cannot drift between oracles while each still passes its
+    own parity check."""
+    wc = r"len(regexp_split_to_array(trim(text), '\s+'))"
+    stop = f"len(regexp_extract_all(text, '{STOPWORDS_SQL['en']}', 0))"
+    return (
+        f"0.4 * LEAST(CAST({wc} AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.4 * (CAST({stop} AS DOUBLE) / {wc})"
+        f" + 0.2 * LEAST((CAST(length(regexp_replace(text, '\\s', '', 'g'))"
+        f" AS DOUBLE) / {wc}) / 10.0, 1.0)"
+    )
+
+
 def sql_quality_scores() -> str:
     stop = f"len(regexp_extract_all(text, '{STOPWORDS_SQL['en']}', 0))"
     return rf"""
@@ -881,12 +898,7 @@ SELECT doc_id,
        CAST({stop} AS INT) AS stopword_count,
        CAST({stop} AS DOUBLE)
            / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
-       0.4 * LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
-                   / 100.0, 1.0)
-       + 0.4 * (CAST({stop} AS DOUBLE)
-                / len(regexp_split_to_array(trim(text), '\s+')))
-       + 0.2 * LEAST((CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-                      / len(regexp_split_to_array(trim(text), '\s+'))) / 10.0, 1.0)
+       {quality_score_sql()}
            AS quality_score
 FROM documents""".strip()
 
@@ -901,13 +913,7 @@ def sql_curate_corpus(
     decisions match bit-for-bit), normalized-content md5 dedup with
     lowest-id survivorship, salted per-mille split."""
     wc = r"len(regexp_split_to_array(trim(text), '\s+'))"
-    stop = f"len(regexp_extract_all(text, '{STOPWORDS_SQL['en']}', 0))"
-    score = (
-        f"0.4 * LEAST(CAST({wc} AS DOUBLE) / 100.0, 1.0)"
-        f" + 0.4 * (CAST({stop} AS DOUBLE) / {wc})"
-        f" + 0.2 * LEAST((CAST(length(regexp_replace(text, '\\s', '', 'g'))"
-        f" AS DOUBLE) / {wc}) / 10.0, 1.0)"
-    )
+    score = quality_score_sql()
     norm = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
     bucket = MD5_INT.format(x=f"'{salt}:' || CAST(doc_id AS VARCHAR)") + " % 1000"
     cases = " ".join(
@@ -2731,13 +2737,7 @@ def sql_token_budget_selection(budget_tokens: int | None = None) -> str:
     running token sum over (quality DESC, doc_id), boundary document
     excluded. ``None`` budget = half the corpus token total."""
     wc = r"len(regexp_split_to_array(trim(text), '\s+'))"
-    stop = f"len(regexp_extract_all(text, '{STOPWORDS_SQL['en']}', 0))"
-    score = (
-        f"0.4 * LEAST(CAST({wc} AS DOUBLE) / 100.0, 1.0)"
-        f" + 0.4 * (CAST({stop} AS DOUBLE) / {wc})"
-        f" + 0.2 * LEAST((CAST(length(regexp_replace(text, '\\s', '', 'g'))"
-        f" AS DOUBLE) / {wc}) / 10.0, 1.0)"
-    )
+    score = quality_score_sql()
     budget = (
         str(int(budget_tokens))
         if budget_tokens is not None

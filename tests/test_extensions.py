@@ -2925,3 +2925,40 @@ def test_max_duplicated_run_semantics(spark):
     assert got[2] == 4
     assert got[3] == 0
     assert got[4] == 3
+
+
+def test_sq_grid_not_shared_between_sample_and_full(spark, tmp_path_factory):
+    """Regression: the SQ8 grid cache keys on the LOGICAL PLAN, not just
+    the input files — a sample-filtered audit over the same parquet must
+    not poison the full corpus's trained grid (and vice versa)."""
+    from binance_futures_availability_spark.operators import similarity
+
+    path = str(tmp_path_factory.mktemp("sqgrid") / "emb")
+    # ids 0-39; the top id carries the extreme component so any sample
+    # that drops it trains a NARROWER grid
+    rows = [
+        (i, [float(i), 1.0, 0.0, 0.0], 0) for i in range(39)
+    ] + [(39, [1000.0, 1.0, 0.0, 0.0], 0)]
+    spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).write.parquet(
+        path
+    )
+    emb = spark.read.parquet(path)
+    sampled = emb.filter("vec_id < 10")  # same files, different plan
+    # audit-style call over the sample first (would poison a file-keyed cache)
+    sub = {
+        r["vec_id"]: r["code"]
+        for r in similarity.sq_codes(sampled).collect()
+        if r["i"] == 1
+    }
+    full = {
+        r["vec_id"]: r["code"]
+        for r in similarity.sq_codes(emb).collect()
+        if r["i"] == 1
+    }
+    # sample grid: dim-1 range 0..9 -> id 9 hits code 255
+    assert sub[9] == 255
+    # full grid: range 0..1000 -> id 9 is near the bottom, id 39 at top;
+    # a poisoned (sample-trained) grid would give full[39] > 255
+    assert full[39] == 255
+    assert full[9] <= 3
+    assert all(0 <= c <= 255 for c in full.values())
