@@ -564,7 +564,12 @@ def _knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: exact-parity at closing) + pytest.
 GATE_PRIORITY = [
     # never gated at all: operators NEW in r10 (each needs its first
-    # driver row; full self-check covers them too)
+    # driver row; full self-check covers them too).  late_supplier_orders
+    # and small_order_revenue (late-r10 Q21/Q17 decorrelations) join the
+    # head, displacing simhash_pairs/tfidf_weights past the 50-row window
+    # (both r10-green in the committed full-catalog self-check).
+    "late_supplier_orders",
+    "small_order_revenue",
     "sq_codes",
     "sq_topk",
     "sq_recall_audit",
@@ -782,6 +787,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table_hot(s, d, "orders"),
             load_table_hot(s, d, "lineitem"),
             200.0,
+        ),
+        "late_supplier_orders": lambda s, d: warehouse.late_supplier_orders(
+            load_table_hot(s, d, "supplier"),
+            load_table_hot(s, d, "orders"),
+            load_table_hot(s, d, "lineitem"),
+            90, 100,
+        ),
+        "small_order_revenue": lambda s, d: warehouse.small_order_revenue(
+            load_table_hot(s, d, "lineitem"),
+            load_table_hot(s, d, "part"),
+            "Brand#4",
         ),
         "availability_by_nation": lambda s, d: warehouse.availability_by_nation(
             _da(s, d),
@@ -1556,6 +1572,8 @@ ORDER BY symbol, event_date"""),
             "1996-01-01", "1996-03-31"
         ),
         "large_volume_customers": oracles.sql_large_volume_customers(200.0),
+        "late_supplier_orders": oracles.sql_late_supplier_orders(90, 100),
+        "small_order_revenue": oracles.sql_small_order_revenue("Brand#4"),
         "availability_by_nation": with_da(oracles.sql_availability_by_nation()),
         "event_window_counts": oracles.sql_event_window_counts(),
         "event_sliding_counts": oracles.sql_event_sliding_counts(),

@@ -389,3 +389,108 @@ def availability_by_nation(
             / F.count(F.lit(1))
         ).alias("availability_pct"),
     )
+
+
+def late_supplier_orders(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int,
+    k: int = 100,
+) -> DataFrame:
+    """Suppliers who were the SOLE late supplier on a multi-supplier
+    order (the TPC-H Q21 family on this schema, with lateness defined
+    as shipping more than ``late_days`` after the order date since the
+    fixture carries no commit/receipt dates): (s_suppkey, s_name,
+    numwait), numwait = #distinct such orders, top-``k`` by numwait.
+
+    Shape — the textbook formulation is a fact self-join THREE deep
+    (l1 ⋈ EXISTS l2 ⋈ NOT EXISTS l3); decorrelated here into a SINGLE
+    pass over lineitem ⋈ orders: per (order, supplier) a MAX(late)
+    partial-aggregates map-side, then a per-order aggregate counts
+    suppliers and late suppliers — the EXISTS becomes ``n_sups > 1``
+    and the NOT EXISTS becomes ``n_late = 1``, with the culprit
+    recovered as MAX(CASE WHEN late THEN suppkey END) (well-defined
+    exactly because n_late = 1). No self-join ever materializes; at
+    warehouse scale the fact shuffles twice on shrinking keys
+    ((orderkey, suppkey) post-partial-agg, then orderkey over distinct
+    supplier rows) instead of 3× fact ⋈ fact. The DuckDB oracle runs
+    the INDEPENDENT textbook EXISTS/NOT-EXISTS form, so the gate proves
+    the decorrelation is semantics-preserving. Supplier names broadcast
+    (dimension); top-k ties broken by s_suppkey on both engines.
+    """
+    o = orders.select("o_orderkey", F.col("o_orderdate").cast("date").alias("o_date"))
+    li = lineitem.select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("l_sdate")
+    )
+    late = F.col("l_sdate") > F.date_add(F.col("o_date"), late_days)
+    per_sup = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("sup_late"))
+    )
+    per_order = per_sup.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_sups"),
+        F.sum("sup_late").alias("n_late"),
+        F.max(
+            F.when(F.col("sup_late") == 1, F.col("l_suppkey"))
+        ).alias("late_sup"),
+    )
+    waits = per_order.filter((F.col("n_sups") > 1) & (F.col("n_late") == 1))
+    counts = waits.groupBy(F.col("late_sup").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    sup = F.broadcast(supplier.select("s_suppkey", "s_name"))
+    return (
+        counts.join(sup, "s_suppkey")
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(k)
+    )
+
+
+def small_order_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str,
+) -> DataFrame:
+    """Average yearly revenue lost if small-quantity orders for one
+    brand's parts were no longer taken (the TPC-H Q17 family):
+    (n_small_lineitems, avg_yearly) — lineitems with quantity below
+    20% of their part's corpus-wide average quantity.
+
+    Shape — the textbook query is a CORRELATED scalar subquery (per
+    lineitem, AVG over its part's lineitems); decorrelated into a
+    per-part aggregate joined back. The brand restriction broadcasts
+    onto BOTH passes first, so the per-part aggregate is bounded by the
+    brand's part count (dimension-sized) and itself broadcasts onto the
+    probe scan: the fact never shuffles — two column-pruned scans +
+    partial aggs, the Q17 plan you want at 100 TB. The 20%-of-average
+    threshold is evaluated by INTEGER CROSS-MULTIPLICATION
+    (qty_c · 5 · n < Σqty_c, all longs) — no double average, so
+    boundary rows cannot flip between engines (the oracle keeps the
+    correlated form, proving the decorrelation). Overflow headroom:
+    qty_c ≤ 5·10³ · 5 · n — safe past 10¹⁴ lineitems per part.
+    """
+    bparts = F.broadcast(
+        part.filter(F.col("p_brand") == brand).select("p_partkey")
+    )
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    li = lineitem.select(
+        "l_partkey",
+        qty_c.alias("qty_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    ).join(bparts, F.col("l_partkey") == F.col("p_partkey"))
+    per_part = F.broadcast(
+        li.groupBy(F.col("l_partkey").alias("pk")).agg(
+            F.sum("qty_c").alias("sum_qty_c"),
+            F.count(F.lit(1)).alias("n_li"),
+        )
+    )
+    small = li.join(per_part, li["l_partkey"] == per_part["pk"]).filter(
+        F.col("qty_c") * F.lit(5) * F.col("n_li") < F.col("sum_qty_c")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lineitems"),
+        (F.sum("price_c").cast("double") / 700.0).alias("avg_yearly"),
+    )

@@ -1770,6 +1770,55 @@ JOIN orders o ON big.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey"""
 
 
+def sql_late_supplier_orders(late_days: int, k: int = 100) -> str:
+    """TPC-H Q21-family sole-late-supplier count — deliberately the
+    TEXTBOOK correlated EXISTS / NOT EXISTS formulation (fact self-join
+    three deep), NOT the engine's single-pass decorrelation
+    (warehouse.late_supplier_orders), so a hash-green gate proves the
+    decorrelation is semantics-preserving. Counts DISTINCT orders per
+    supplier; top-k ties broken by s_suppkey on both engines."""
+    return f"""SELECT s.s_suppkey, s.s_name,
+       COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE CAST(l1.l_shipdate AS DATE)
+      > CAST(o.o_orderdate AS DATE) + {late_days}
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND CAST(l3.l_shipdate AS DATE)
+            > CAST(o.o_orderdate AS DATE) + {late_days})
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_suppkey
+LIMIT {k}"""
+
+
+def sql_small_order_revenue(brand: str) -> str:
+    """TPC-H Q17-family small-order revenue — the TEXTBOOK correlated
+    scalar-subquery form (per-lineitem AVG over its part), vs the
+    engine's decorrelated per-part aggregate broadcast
+    (warehouse.small_order_revenue). Threshold compared by integer
+    cross-multiplication on both engines so no double average exists
+    to diverge."""
+    return f"""SELECT COUNT(*) AS n_small_lineitems,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           / 700.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = '{brand}'
+  AND CAST(round(l.l_quantity * 100) AS BIGINT) * 5
+      * (SELECT COUNT(*) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(round(l2.l_quantity * 100) AS BIGINT))
+         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""
+
+
 def sql_availability_by_nation() -> str:
     """Availability coverage per supplier nation — mirrors
     warehouse.availability_by_nation over the derived fact (with_da

@@ -2962,3 +2962,141 @@ def test_sq_grid_not_shared_between_sample_and_full(spark, tmp_path_factory):
     assert full[39] == 255
     assert full[9] <= 3
     assert all(0 <= c <= 255 for c in full.values())
+
+
+def test_late_supplier_orders_small_world(spark):
+    """The single-pass decorrelation implements the sole-late-supplier
+    semantics: multi-supplier order required, exactly one late supplier,
+    lateness = shipped more than late_days after the order date."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    d0 = dt.datetime(2020, 1, 1)
+    late = dt.datetime(2020, 6, 1)
+    ontime = dt.datetime(2020, 1, 15)
+    supplier = spark.createDataFrame(
+        [(1, "Supp#A"), (2, "Supp#B"), (3, "Supp#C")],
+        ["s_suppkey", "s_name"],
+    )
+    orders = spark.createDataFrame(
+        [(10, d0), (20, d0), (30, d0), (40, d0)],
+        ["o_orderkey", "o_orderdate"],
+    )
+    li = spark.createDataFrame(
+        [
+            # o10: A late, B on time -> A counted
+            (10, 1, late), (10, 2, ontime),
+            # o20: single-supplier late -> excluded (no second supplier)
+            (20, 1, late),
+            # o30: both late -> excluded (not the SOLE late supplier)
+            (30, 1, late), (30, 2, late),
+            # o40: three suppliers, only B late -> B counted; B twice
+            # late in the same order still counts the ORDER once
+            (40, 1, ontime), (40, 2, late), (40, 2, late), (40, 3, ontime),
+        ],
+        ["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    got = [
+        (r["s_suppkey"], r["s_name"], r["numwait"])
+        for r in warehouse.late_supplier_orders(
+            supplier, orders, li, late_days=90
+        ).collect()
+    ]
+    assert got == [(1, "Supp#A", 1), (2, "Supp#B", 1)]
+
+
+def test_late_supplier_orders_matches_textbook_oracle(spark):
+    """The decorrelated single-pass plan returns exactly what the
+    textbook EXISTS / NOT EXISTS self-join form computes (randomized
+    corpus, seeded)."""
+    import datetime as dt
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from binance_futures_availability_spark.operators import warehouse
+    from binance_futures_availability_spark.oracles import (
+        sql_late_supplier_orders,
+    )
+
+    rng = random.Random(777)
+    base = dt.datetime(2021, 1, 1)
+    sups = [(i, f"S#{i}") for i in range(1, 9)]
+    orders = [(ok, base + dt.timedelta(days=rng.randint(0, 60)))
+              for ok in range(1, 161)]
+    li = []
+    for ok, od in orders:
+        for _ in range(rng.randint(1, 4)):
+            li.append((
+                ok,
+                rng.randint(1, 8),
+                od + dt.timedelta(days=rng.randint(0, 80)),
+            ))
+    sdf = spark.createDataFrame(sups, ["s_suppkey", "s_name"])
+    odf = spark.createDataFrame(orders, ["o_orderkey", "o_orderdate"])
+    ldf = spark.createDataFrame(li, ["l_orderkey", "l_suppkey", "l_shipdate"])
+    got = [
+        (r["s_suppkey"], r["s_name"], r["numwait"])
+        for r in warehouse.late_supplier_orders(
+            sdf, odf, ldf, late_days=40, k=20
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register("supplier", pd.DataFrame(sups, columns=["s_suppkey", "s_name"]))
+    con.register("orders", pd.DataFrame(orders, columns=["o_orderkey", "o_orderdate"]))
+    con.register("lineitem", pd.DataFrame(li, columns=["l_orderkey", "l_suppkey", "l_shipdate"]))
+    want = [
+        (int(a), b, int(c))
+        for a, b, c in con.execute(sql_late_supplier_orders(40, 20)).fetchall()
+    ]
+    assert got == want
+
+
+def test_small_order_revenue_small_world(spark):
+    """Integer cross-multiplied threshold: qty < 20% of the part's mean
+    quantity, restricted to one brand; revenue = Σprice / 7 years."""
+    from binance_futures_availability_spark.operators import warehouse
+
+    part = spark.createDataFrame(
+        [(1, "Brand#X"), (2, "Brand#X"), (3, "Brand#Y")],
+        ["p_partkey", "p_brand"],
+    )
+    li = spark.createDataFrame(
+        [
+            # p1: quantities 1,10,10,10 -> mean 7.75, 20% = 1.55 -> the
+            # qty-1 row qualifies (price 70.0)
+            (1, 1.0, 70.0), (1, 10.0, 10.0), (1, 10.0, 10.0), (1, 10.0, 10.0),
+            # p2: 5,5 -> 20% of mean = 1.0, nothing strictly below
+            (2, 5.0, 10.0), (2, 5.0, 10.0),
+            # p3: wrong brand, tiny qty would otherwise qualify
+            (3, 1.0, 999.0), (3, 100.0, 10.0),
+        ],
+        ["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    r = warehouse.small_order_revenue(li, part, "Brand#X").collect()[0]
+    assert r["n_small_lineitems"] == 1
+    assert r["avg_yearly"] == 7000 / 700.0
+
+
+def test_small_order_revenue_boundary_is_strict(spark):
+    """A quantity EXACTLY at 20% of the mean does not qualify — the
+    integer cross-multiplication makes the boundary exact on both
+    engines (no double average to diverge in the last ulp)."""
+    from binance_futures_availability_spark.operators import warehouse
+
+    part = spark.createDataFrame([(1, "Brand#X")], ["p_partkey", "p_brand"])
+    # quantities 2, 4, 4 -> sum 10, n 3; threshold qty*15 < 10 in units
+    # of 0.01: 2.0 gives 200*15=3000 vs sum_qty_c*... strict compare is
+    # qty_c*5*n < sum_qty_c: 200*15=3000 < 1000? no. Use qty 0.5:
+    # 50*15=750 < 1000 -> qualifies.
+    li = spark.createDataFrame(
+        [(1, 2.0, 10.0), (1, 4.0, 10.0), (1, 4.0, 10.0), (1, 0.5, 42.0)],
+        ["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    r = warehouse.small_order_revenue(li, part, "Brand#X").collect()[0]
+    # sums include the 0.5 row: sum_qty_c=1050, n=4; 0.5 -> 50*20=1000 <
+    # 1050 qualifies; 2.0 -> 200*20=4000 no.
+    assert r["n_small_lineitems"] == 1
+    assert r["avg_yearly"] == 4200 / 700.0

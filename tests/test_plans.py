@@ -679,3 +679,43 @@ def test_hard_negatives_warm_serves_from_knn_graph(spark, tmp_path_factory):
     assert "InMemoryTableScan" in live, plan
     assert "ArrowEvalPython" not in live, plan
     assert sorted(tuple(r) for r in warm.collect()) == want
+
+
+def test_late_supplier_orders_no_fact_self_join(spark):
+    """The Q21 decorrelation must NOT materialize the textbook triple
+    fact self-join: exactly two joins — one shuffle join lineitem ⋈
+    orders and one broadcast of the supplier dimension."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    sup = spark.createDataFrame([(1, "S#1")], ["s_suppkey", "s_name"])
+    odf = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1))], ["o_orderkey", "o_orderdate"]
+    )
+    ldf = spark.createDataFrame(
+        [(1, 1, dt.datetime(2020, 6, 1))],
+        ["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    plan = _plan(warehouse.late_supplier_orders(sup, odf, ldf, 90))
+    n_joins = plan.count("Join")
+    assert n_joins == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the supplier-name join broadcasts; the lineitem scan appears once
+    # (no self-join re-scan of the fact)
+    assert plan.count("TakeOrderedAndProject") == 1, plan
+
+
+def test_small_order_revenue_fact_joins_are_broadcast(spark):
+    """Q17 decorrelation: both the brand restriction and the per-part
+    aggregate reach the fact as BROADCAST joins — the fact side never
+    shuffles for a join (its only exchanges are aggregate partials)."""
+    from binance_futures_availability_spark.operators import warehouse
+
+    part = spark.createDataFrame([(1, "Brand#X")], ["p_partkey", "p_brand"])
+    li = spark.createDataFrame(
+        [(1, 1.0, 10.0)], ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    plan = _plan(warehouse.small_order_revenue(li, part, "Brand#X"))
+    assert plan.count("Join") == plan.count("BroadcastHashJoin"), plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
