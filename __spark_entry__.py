@@ -570,6 +570,7 @@ GATE_PRIORITY = [
     # (both r10-green in the committed full-catalog self-check).
     "late_supplier_orders",
     "small_order_revenue",
+    "centroid_outliers",
     "sq_codes",
     "sq_topk",
     "sq_recall_audit",
@@ -1027,6 +1028,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), COSINE_THRESHOLD
         ),
         "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
+        "centroid_outliers": lambda s, d: similarity.centroid_outliers(
+            _emb(s, d), 100
+        ),
         "centroid_confusion": lambda s, d: similarity.centroid_confusion(
             _emb(s, d)
         ),
@@ -1694,6 +1698,7 @@ ORDER BY symbol, event_date"""),
             COSINE_THRESHOLD, similarity.IVF_N_CELLS
         ),
         "label_centroids": oracles.sql_label_centroids(),
+        "centroid_outliers": oracles.sql_centroid_outliers(100),
         "centroid_confusion": oracles.sql_centroid_confusion(),
         "token_counts": oracles.sql_token_counts(),
         "term_frequencies": oracles.sql_term_frequencies(),

@@ -1525,6 +1525,79 @@ def label_centroids(
     )
 
 
+def centroid_outliers(
+    emb: DataFrame,
+    k: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semantic outlier scoring: the ``k`` vectors FARTHEST from their
+    own label's centroid — (vec_id, label, cos_centroid) ascending by
+    cosine, ties to the lowest id. The SemDeDup/DataComp-style curation
+    primitive: within-cluster distance ranks mislabeled, off-topic, or
+    junk examples for removal or re-review (Abbas et al., SemDeDup,
+    arXiv:2303.09540 §3 use the same within-cluster cosine).
+
+    Engine-exact end to end: centroids stay INTEGER sum vectors (the
+    cosine-to-mean ≡ cosine-to-sum identity of ``kmeans_cells``), dots
+    and norms are exact integers carried in float64 (< 2^53), and the
+    emitted cosine is exactly one float64 expression — dot / (sqrt(n_v)
+    · sqrt(n_c)) — the identical rounding the DuckDB oracle applies, so
+    even the ORDER at the top-k boundary is bit-stable. Shape: one
+    bounded #labels×dim aggregate collected and broadcast into an
+    Arrow-batched scoring pass (no shuffle), then TakeOrdered(k).
+    Zero-norm vectors would score NaN on both engines (IEEE 0/0); the
+    quantizer contract (EMB_SCALE) excludes them from this corpus.
+    """
+    import numpy as np
+
+    base = _with_quantized(emb, vec_col)
+    sums = (
+        base.select(
+            F.col(label_col).alias("__lbl"),
+            F.posexplode(F.col("__q")).alias("dim", "v"),
+        )
+        .groupBy("__lbl", "dim")
+        .agg(F.sum("v").alias("sv"))
+        .collect()
+    )
+    labels = sorted({r["__lbl"] for r in sums})
+    dim = max(r["dim"] for r in sums) + 1
+    lq = np.zeros((len(labels), dim), dtype=np.float64)
+    pos = {lb: i for i, lb in enumerate(labels)}
+    for r in sums:
+        lq[pos[r["__lbl"]], r["dim"]] = r["sv"]
+    lnrm = np.asarray(
+        [float(sum(int(v) * int(v) for v in row)) for row in lq],
+        dtype=np.float64,
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_to_own(q: pd.Series, lbl: pd.Series) -> pd.Series:
+        if len(q) == 0:
+            return pd.Series([], dtype=np.float64)
+        qm = np.asarray(q.tolist(), dtype=np.float64)
+        idx = np.asarray([pos[v] for v in lbl])
+        c = lq[idx]
+        dots = (qm * c).sum(axis=1)
+        return pd.Series(
+            dots / (np.sqrt((qm * qm).sum(axis=1)) * np.sqrt(lnrm[idx]))
+        )
+
+    return (
+        base.select(
+            id_col,
+            F.col(label_col).alias("label"),
+            cos_to_own(F.col("__q"), F.col(label_col)).alias("cos_centroid"),
+        )
+        .orderBy("cos_centroid", id_col)
+        .limit(k)
+    )
+
+
 # --------------------------------------------------------------------------
 # Product quantization (PQ) — the compressed-vector half of the IVF-PQ
 # shape every billion-vector ANN deployment runs (Jégou et al., "Product

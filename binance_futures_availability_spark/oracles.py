@@ -605,6 +605,34 @@ FROM embeddings e JOIN best b ON e.vec_id = b.vec_id
 GROUP BY 1, 2"""
 
 
+def sql_centroid_outliers(k: int = 100) -> str:
+    """Within-label centroid-distance outliers — mirrors
+    similarity.centroid_outliers (integer sum-vector centroids, exact
+    dots, the one float64 expression dot/(sqrt·sqrt), ascending cosine,
+    ties to the lowest vec_id)."""
+    return f"""WITH {EMB_BASE_CTE},
+flat AS (
+    SELECT vec_id, label, generate_subscripts(q, 1) - 1 AS dim,
+           unnest(q) AS v
+    FROM normed
+),
+cents AS (SELECT label AS lbl, dim, SUM(v) AS sv FROM flat GROUP BY 1, 2),
+cn AS (SELECT lbl, SUM(sv * sv) AS nrm2 FROM cents GROUP BY 1),
+scored AS (
+    SELECT f.vec_id, f.label, SUM(f.v * c.sv) AS dot
+    FROM flat f
+    JOIN cents c ON f.label = c.lbl AND f.dim = c.dim
+    GROUP BY 1, 2
+)
+SELECT s.vec_id, s.label,
+       CAST(s.dot AS DOUBLE) / (sqrt(n.nrm) * sqrt(c.nrm2)) AS cos_centroid
+FROM scored s
+JOIN normed n USING (vec_id)
+JOIN cn c ON s.label = c.lbl
+ORDER BY cos_centroid, s.vec_id
+LIMIT {k}"""
+
+
 def sql_label_centroids() -> str:
     return f"""WITH flat AS (
     SELECT label,

@@ -3100,3 +3100,45 @@ def test_small_order_revenue_boundary_is_strict(spark):
     # 1050 qualifies; 2.0 -> 200*20=4000 no.
     assert r["n_small_lineitems"] == 1
     assert r["avg_yearly"] == 4200 / 700.0
+
+
+def test_centroid_outliers_ranks_within_label_distance(spark):
+    """The farthest-from-own-centroid vectors surface first; cosine to
+    the label MEAN equals cosine to the integer SUM vector."""
+    import math
+
+    from binance_futures_availability_spark.operators import similarity
+
+    # label 0: three vectors near +x, one near +y (the outlier);
+    # label 1: two identical vectors (cos exactly 1.0)
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [1.0, 0.05], 0),
+        (4, [0.0, 1.0], 0),
+        (10, [0.5, 0.5], 1),
+        (11, [0.5, 0.5], 1),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = similarity.centroid_outliers(emb, k=6).collect()
+    assert [r["vec_id"] for r in got][:1] == [4]  # the planted outlier
+    assert got[0]["label"] == 0
+    # ascending order, and the duplicate pair scores exactly 1.0
+    scores = [r["cos_centroid"] for r in got]
+    assert scores == sorted(scores)
+    # the duplicate pair scores the same deterministic float64 value
+    # (≈1.0 up to the expression's two roundings, identical across ids)
+    perfect = {r["vec_id"]: r["cos_centroid"] for r in got}
+    assert perfect[10] == perfect[11]
+    assert abs(perfect[10] - 1.0) < 1e-12
+    # hand-check the outlier's cosine against the label-0 sum vector
+    sv = [
+        sum(round(v[d] * 1_000_000) for _, v, lb in rows if lb == 0)
+        for d in range(2)
+    ]
+    q4 = [0, 1_000_000]
+    dot = sum(a * b for a, b in zip(q4, sv))
+    want = dot / (
+        math.sqrt(sum(a * a for a in q4)) * math.sqrt(sum(a * a for a in sv))
+    )
+    assert got[0]["cos_centroid"] == want
