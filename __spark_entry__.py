@@ -571,6 +571,7 @@ GATE_PRIORITY = [
     "late_supplier_orders",
     "small_order_revenue",
     "centroid_outliers",
+    "quality_dup_crosstab",
     "sq_codes",
     "sq_topk",
     "sq_recall_audit",
@@ -1049,6 +1050,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": lambda s, d: textops.top_terms(_docs(s, d)),
         "source_overlap": lambda s, d: textops.source_overlap(_docs(s, d)),
         "quality_deciles": lambda s, d: textops.quality_deciles(_docs(s, d)),
+        "quality_dup_crosstab": lambda s, d: textops.quality_dup_crosstab(
+            _docs(s, d)
+        ),
         "curated_corpus": lambda s, d: textops.curate_corpus(_docs(s, d)),
         # quality-first selection under a token budget (half the corpus):
         # distributed running sum, no un-partitioned window
@@ -1709,6 +1713,7 @@ ORDER BY symbol, event_date"""),
         "top_terms": oracles.sql_top_terms(),
         "source_overlap": oracles.sql_source_overlap(),
         "quality_deciles": oracles.sql_quality_deciles(),
+        "quality_dup_crosstab": oracles.sql_quality_dup_crosstab(),
         "curated_corpus": oracles.sql_curate_corpus(),
         "token_budget_selection": oracles.sql_token_budget_selection(),
         "chunked_documents": oracles.sql_chunk_documents(),

@@ -1814,3 +1814,61 @@ def token_budget_selection(
     return run.filter(F.col("cum_tokens") <= int(budget_tokens)).select(
         id_col, "n_tokens", "quality_score", "cum_tokens"
     )
+
+
+def quality_dup_crosstab(
+    docs: DataFrame,
+    n_tiles: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curation dashboard crosstab: duplication rate per quality decile
+    — (decile, n_docs, n_dup_docs, dup_ppm). The question every corpus
+    audit asks before setting a quality cutoff: is low-quality content
+    ALSO the duplicated content (cut once, win twice), or are the two
+    filters independent axes? (Raffel et al.'s C4 and the RefinedWeb
+    pipeline both report dedup × quality interactions.)
+
+    Composition shape: the decile side serves from the session-cached
+    quality rank (``quality_deciles``' cached index — no second corpus
+    sort), the duplicate flag is the same single content-hash aggregate
+    as ``dedup_rate_by_source`` (non-keeper member of a >1 group), and
+    the two meet in ONE id-keyed join of two narrow (id, int) streams
+    before an n_tiles-sized aggregate. ``dup_ppm`` is the exact integer
+    ×10⁶ floor division (BIGINT div on both engines).
+    """
+    deciles = quality_deciles(docs, n_tiles, id_col, text_col).select(
+        F.col(id_col), "decile"
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.md5(normalized_text(F.col(text_col))).alias("__h"),
+    )
+    groups = base.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__keeper")
+    )
+    flagged = base.join(groups, "__h").select(
+        F.col(id_col),
+        (
+            (F.col("__n") > 1) & (F.col(id_col) != F.col("__keeper"))
+        )
+        .cast("int")
+        .alias("__dup"),
+    )
+    return (
+        deciles.join(flagged, id_col)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("__dup"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.expr(
+                "CAST(coalesce(sum(__dup), 0) AS BIGINT) * 1000000"
+                " div count(1)"
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("decile")
+    )

@@ -2923,6 +2923,41 @@ SELECT {source_col},
 FROM flagged GROUP BY {source_col}"""
 
 
+def sql_quality_dup_crosstab(n_tiles: int = 10) -> str:
+    """Duplication rate per quality decile — mirrors
+    textops.quality_dup_crosstab (real NTILE over the shared quality
+    score, the dedup_rate_by_source duplicate flag, exact integer ppm)."""
+    return rf"""WITH scored AS ({sql_quality_scores()}),
+deciles AS (
+    SELECT doc_id,
+           CAST(NTILE({n_tiles}) OVER (ORDER BY quality_score, doc_id)
+                AS INT) AS decile
+    FROM scored
+),
+base AS (
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+    FROM documents
+),
+g AS (
+    SELECT h, COUNT(*) AS n, MIN(doc_id) AS keeper FROM base GROUP BY h
+),
+flagged AS (
+    SELECT b.doc_id,
+           CASE WHEN g.n > 1 AND b.doc_id <> g.keeper THEN 1 ELSE 0 END
+               AS dup
+    FROM base b JOIN g USING (h)
+)
+SELECT d.decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(f.dup), 0) AS BIGINT) AS n_dup_docs,
+       CAST(COALESCE(SUM(f.dup), 0) AS BIGINT) * 1000000 // COUNT(*)
+           AS dup_ppm
+FROM deciles d JOIN flagged f USING (doc_id)
+GROUP BY d.decile
+ORDER BY d.decile"""
+
+
 def sql_scrub_duplicated_spans(width: int = 6) -> str:
     """Substring-level scrub — mirrors dedup.scrub_duplicated_spans:
     same span CTE, duplicated-span starts expand to covered token

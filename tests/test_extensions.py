@@ -3142,3 +3142,20 @@ def test_centroid_outliers_ranks_within_label_distance(spark):
         math.sqrt(sum(a * a for a in q4)) * math.sqrt(sum(a * a for a in sv))
     )
     assert got[0]["cos_centroid"] == want
+
+
+def test_quality_dup_crosstab_counts_and_ppm(spark):
+    """Sum of decile rows covers the corpus; exactly the non-keeper
+    copies count as duplicates; ppm is the exact integer floor."""
+    from binance_futures_availability_spark.operators import textops
+
+    dup_text = "the same exact sentence repeated verbatim here."
+    rows = [(i, f"unique document number {i} with some words") for i in range(10)]
+    rows += [(100, dup_text), (101, dup_text), (102, dup_text)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = textops.quality_dup_crosstab(docs, n_tiles=4).collect()
+    assert [r["decile"] for r in got] == sorted({r["decile"] for r in got})
+    assert sum(r["n_docs"] for r in got) == 13
+    assert sum(r["n_dup_docs"] for r in got) == 2  # 101, 102 (100 keeps)
+    for r in got:
+        assert r["dup_ppm"] == r["n_dup_docs"] * 1_000_000 // r["n_docs"]
