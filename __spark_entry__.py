@@ -572,6 +572,7 @@ GATE_PRIORITY = [
     "small_order_revenue",
     "centroid_outliers",
     "quality_dup_crosstab",
+    "event_user_overlap",
     "sq_codes",
     "sq_topk",
     "sq_recall_audit",
@@ -808,6 +809,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- event-stream analytics over the events table ---
         "event_window_counts": lambda s, d: events.window_counts(
+            load_table_hot(s, d, "events")
+        ),
+        "event_user_overlap": lambda s, d: events.user_overlap(
             load_table_hot(s, d, "events")
         ),
         "event_sliding_counts": lambda s, d: events.sliding_window_counts(
@@ -1584,6 +1588,7 @@ ORDER BY symbol, event_date"""),
         "small_order_revenue": oracles.sql_small_order_revenue("Brand#4"),
         "availability_by_nation": with_da(oracles.sql_availability_by_nation()),
         "event_window_counts": oracles.sql_event_window_counts(),
+        "event_user_overlap": oracles.sql_event_user_overlap(),
         "event_sliding_counts": oracles.sql_event_sliding_counts(),
         "event_sessions": oracles.sql_event_sessions(),
         "event_asof_pairs": oracles.sql_event_asof_pairs(),

