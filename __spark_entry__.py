@@ -573,6 +573,7 @@ GATE_PRIORITY = [
     "centroid_outliers",
     "quality_dup_crosstab",
     "event_user_overlap",
+    "event_debounce",
     "sq_codes",
     "sq_topk",
     "sq_recall_audit",
@@ -812,6 +813,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table_hot(s, d, "events")
         ),
         "event_user_overlap": lambda s, d: events.user_overlap(
+            load_table_hot(s, d, "events")
+        ),
+        "event_debounce": lambda s, d: events.debounce(
             load_table_hot(s, d, "events")
         ),
         "event_sliding_counts": lambda s, d: events.sliding_window_counts(
@@ -1589,6 +1593,7 @@ ORDER BY symbol, event_date"""),
         "availability_by_nation": with_da(oracles.sql_availability_by_nation()),
         "event_window_counts": oracles.sql_event_window_counts(),
         "event_user_overlap": oracles.sql_event_user_overlap(),
+        "event_debounce": oracles.sql_event_debounce(),
         "event_sliding_counts": oracles.sql_event_sliding_counts(),
         "event_sessions": oracles.sql_event_sessions(),
         "event_asof_pairs": oracles.sql_event_asof_pairs(),

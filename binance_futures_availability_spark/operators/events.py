@@ -602,3 +602,55 @@ def user_overlap(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def debounce(
+    events: DataFrame,
+    window_s: int = 300,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Telemetry burst-dedup ("debounce"): within each (user, type)
+    stream, consecutive events closer than ``window_s`` seconds collapse
+    into their first event — (event_id, user_id, event_type, ts,
+    n_suppressed). The ingestion-side dedup every client-event pipeline
+    runs against double-fires and retry storms; same burst rule as
+    inactivity sessionization but keyed per event TYPE and returning the
+    surviving leader rows instead of session aggregates.
+
+    Shape: the sessionize discipline — LAG marks burst breaks, a running
+    SUM numbers bursts, both windows and the (user, type, burst) leader
+    aggregate share ONE shuffle on the (user, type) key. Leader = lowest
+    (ts, event_id) via a MIN over a struct (no second window pass);
+    ties on ts break by event_id on both engines.
+    """
+    gap = F.lit(window_s)
+    w = Window.partitionBy(user_col, type_col).orderBy(ts_col, id_col)
+    prev_ts = F.lag(ts_col).over(w)
+    brk = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp(ts_col) - F.unix_timestamp(prev_ts) > gap),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    numbered = events.withColumn(
+        "__burst",
+        F.sum(brk)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    return (
+        numbered.groupBy(user_col, type_col, "__burst")
+        .agg(
+            F.min(F.struct(F.col(ts_col), F.col(id_col))).alias("__l"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_suppressed"),
+        )
+        .select(
+            F.col(f"__l.{id_col}").alias(id_col),
+            user_col,
+            type_col,
+            F.col(f"__l.{ts_col}").alias(ts_col),
+            "n_suppressed",
+        )
+    )

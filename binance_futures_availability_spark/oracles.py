@@ -1318,6 +1318,35 @@ ORDER BY d.doc_id"""
 EPOCH_S = "(epoch_us({x}) // 1000000)"
 
 
+def sql_event_debounce(window_s: int = 300) -> str:
+    """Per-(user, type) burst dedup — mirrors events.debounce (LAG burst
+    breaks, running-sum burst ids, lowest-(ts, id) leader per burst)."""
+    return f"""WITH marked AS (
+    SELECT event_id, user_id, event_type, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > {window_s}
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS burst
+    FROM marked
+),
+ranked AS (
+    SELECT event_id, user_id, event_type, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type, burst
+                              ORDER BY ts, event_id) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY user_id, event_type, burst)
+                AS BIGINT) - 1 AS n_suppressed
+    FROM numbered
+)
+SELECT event_id, user_id, event_type, ts, n_suppressed
+FROM ranked WHERE rn = 1"""
+
+
 def sql_event_user_overlap() -> str:
     """Event-type user-set affinity matrix — mirrors events.user_overlap
     (distinct (type, user) reduction, unordered pairs, exact longs, one

@@ -341,3 +341,34 @@ def test_user_overlap_jaccard(spark):
     bc = got[("buy", "click")]
     assert (bc["n_users_a"], bc["n_users_b"], bc["n_both"]) == (1, 3, 1)
     assert bc["jaccard"] == 1 / 3
+
+
+def test_debounce_collapses_bursts_per_type(spark):
+    """Bursts chain transitively (each event within window_s of the
+    PREVIOUS raw event extends the burst); leaders keep the lowest
+    (ts, event_id); types do not interfere."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import events as ev
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # user 1 click burst: 0s, 100s, 200s (chained) then 600s (new)
+        (1, t(0), 1, "click", 1.0, "{}"),
+        (2, t(100), 1, "click", 1.0, "{}"),
+        (3, t(200), 1, "click", 1.0, "{}"),
+        (4, t(600), 1, "click", 1.0, "{}"),
+        # same user, other type inside the click burst window: untouched
+        (5, t(50), 1, "view", 1.0, "{}"),
+        # tie on ts: event_id breaks it, lower id is the leader
+        (7, t(0), 2, "click", 1.0, "{}"),
+        (6, t(0), 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {
+        r["event_id"]: r["n_suppressed"]
+        for r in ev.debounce(df, window_s=150).collect()
+    }
+    assert got == {1: 2, 4: 0, 5: 0, 6: 1}
