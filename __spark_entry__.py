@@ -574,6 +574,7 @@ GATE_PRIORITY = [
     "quality_dup_crosstab",
     "event_user_overlap",
     "event_debounce",
+    "minhash_estimate_audit",
     "sq_codes",
     "sq_topk",
     "sq_recall_audit",
@@ -900,6 +901,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(
             _docs(s, d), LSH_JACCARD_THRESHOLD
+        ),
+        "minhash_estimate_audit": lambda s, d: dedup.minhash_estimate_audit(
+            _docs(s, d)
         ),
         "duplicate_clusters": lambda s, d: dedup.duplicate_clusters(
             _docs(s, d),
@@ -1632,6 +1636,7 @@ ORDER BY symbol, event_date"""),
         ),
         "minhash_signatures": oracles.sql_minhash_signatures(),
         "minhash_lsh_pairs": oracles.sql_minhash_lsh_pairs(LSH_JACCARD_THRESHOLD),
+        "minhash_estimate_audit": oracles.sql_minhash_estimate_audit(),
         "duplicate_clusters": oracles.sql_duplicate_clusters(
             LSH_JACCARD_THRESHOLD
         ),

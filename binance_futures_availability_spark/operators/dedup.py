@@ -639,6 +639,57 @@ def _signatures_from_shingles(
     return base.groupBy(id_col).agg(*aggs)
 
 
+def _lsh_band_candidates(
+    sigs: DataFrame,
+    id_col: str,
+    num_perm: int,
+    n_bands: int,
+    max_bucket_pop: int | None,
+) -> DataFrame:
+    """Banded LSH candidate pairs (id_a < id_b, distinct) from a
+    signature table — the shared core of ``minhash_lsh_pairs`` and
+    ``minhash_estimate_audit``."""
+    bands_spec = band_partition(num_perm, n_bands)
+    # one row per (doc, band) via a single explode — a union of per-band
+    # selects would re-run the signature aggregation once per band. The
+    # band array is one parsed expression string (see the note in
+    # _signatures_from_shingles on why strings beat Column loops here).
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({band_id} AS band, concat_ws('_', "
+            + ", ".join(f"CAST(h{c} AS STRING)" for c in cols)
+            + ") AS bucket)"
+            for band_id, cols in enumerate(bands_spec)
+        )
+        + ")"
+    )
+    bands = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    if max_bucket_pop is not None:
+        # window count over the SELF-JOIN key (band, bucket): one shuffle
+        # that leaves the surviving band rows hash-partitioned exactly as
+        # the candidate join needs them (the winnow_overlap_pairs df-cap
+        # shape — never a corpus-sized broadcast list).
+        bands = (
+            bands.withColumn(
+                "__pop",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+            )
+            .filter(F.col("__pop") <= max_bucket_pop)
+            .drop("__pop")
+        )
+    left = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -704,44 +755,8 @@ def minhash_lsh_pairs(
     cap so exact parity holds at any setting.
     """
     sigs = minhash_signatures(docs, id_col, text_col, n, num_perm)
-    bands_spec = band_partition(num_perm, n_bands)
-    # one row per (doc, band) via a single explode — a union of per-band
-    # selects would re-run the signature aggregation once per band. The
-    # band array is one parsed expression string (see the note in
-    # _signatures_from_shingles on why strings beat Column loops here).
-    band_structs = F.expr(
-        "array("
-        + ", ".join(
-            f"struct({band_id} AS band, concat_ws('_', "
-            + ", ".join(f"CAST(h{c} AS STRING)" for c in cols)
-            + ") AS bucket)"
-            for band_id, cols in enumerate(bands_spec)
-        )
-        + ")"
-    )
-    bands = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
-        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
-    if max_bucket_pop is not None:
-        # window count over the SELF-JOIN key (band, bucket): one shuffle
-        # that leaves the surviving band rows hash-partitioned exactly as
-        # the candidate join needs them (the winnow_overlap_pairs df-cap
-        # shape — never a corpus-sized broadcast list).
-        bands = (
-            bands.withColumn(
-                "__pop",
-                F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
-            )
-            .filter(F.col("__pop") <= max_bucket_pop)
-            .drop("__pop")
-        )
-    left = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    right = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    candidates = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    candidates = _lsh_band_candidates(
+        sigs, id_col, num_perm, n_bands, max_bucket_pop
     )
     # Verification must only pay for LSH survivors. Each side of a candidate
     # pair brings its per-doc shingle SET along as an array column (the same
@@ -783,6 +798,84 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return gathered_sort(verified, "id_a", "id_b")
+
+
+def minhash_estimate_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 8,
+    n_bands: int = 4,
+    max_bucket_pop: int | None = 512,
+) -> DataFrame:
+    """Sketch-quality audit for the MinHash family: over the banded LSH
+    candidate pairs, compare the SIGNATURE-estimated Jaccard (matching
+    components / num_perm — the Broder estimator) against the true
+    shingle Jaccard — one row (n_pairs, mean_abs_err_ppm,
+    max_abs_err_ppm). The companion to the recall audits: recall says
+    whether banding FINDS the pairs, this says how far the num_perm
+    knob's estimates drift from truth (expected stderr ≈
+    √(j(1−j)/num_perm), so 8 permutations ⇒ ±170 000 ppm at j = 0.5 —
+    the audit turns that theory into a measured corpus number before
+    anyone trusts signature-only dedup thresholds).
+
+    Exactness discipline: BOTH jaccards are ×10⁶ integer FLOOR
+    quotients (est: matches·10⁶ div k; true: inter·10⁶ div union), the
+    mean is one more exact integer division — no double accumulates, so
+    the audit row is gate-hashable. Shape: candidates come from the
+    shared ``_lsh_band_candidates`` core (linear with the pop cap), the
+    estimate join touches only the (bounded) candidate set against the
+    cached signature table, truth reuses the cached shingle arrays, and
+    the output is a single aggregate row.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_perm)
+    cand = _lsh_band_candidates(sigs, id_col, num_perm, n_bands, max_bucket_pop)
+    ha = [F.col(f"__a{i}") for i in range(num_perm)]
+    hb = [F.col(f"__b{i}") for i in range(num_perm)]
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"__a{i}") for i in range(num_perm)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"__b{i}") for i in range(num_perm)],
+    )
+    matches = sum(
+        (a == b).cast("long") for a, b in zip(ha, hb)
+    )
+    arrs = shingle_arrays(docs, id_col, text_col, n)
+    paired = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", matches.alias("__m"))
+        .join(
+            arrs.select(F.col(id_col).alias("id_a"), F.col("__sa").alias("__la")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col(id_col).alias("id_b"), F.col("__sa").alias("__lb")),
+            "id_b",
+        )
+        .select(
+            F.expr(f"__m * 1000000 div {num_perm}").alias("__est_ppm"),
+            F.expr(
+                "size(array_intersect(__la, __lb)) * 1000000 div "
+                "(size(__la) + size(__lb) - size(array_intersect(__la, __lb)))"
+            ).alias("__true_ppm"),
+        )
+    )
+    err = F.abs(F.col("__est_ppm") - F.col("__true_ppm"))
+    return paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(coalesce(sum(abs(__est_ppm - __true_ppm)), 0) AS BIGINT)"
+            " div greatest(count(1), 1)"
+        )
+        .cast("long")
+        .alias("mean_abs_err_ppm"),
+        F.coalesce(F.max(err), F.lit(0)).cast("long").alias("max_abs_err_ppm"),
+    )
 
 
 def simhash(

@@ -160,6 +160,42 @@ WHERE jaccard >= {threshold}
 ORDER BY id_a, id_b"""
 
 
+def sql_minhash_estimate_audit(
+    num_perm: int = 8,
+    n_bands: int = 4,
+    max_bucket_pop: int | None = 512,
+) -> str:
+    """MinHash estimator drift vs true Jaccard over the LSH candidate
+    set — mirrors dedup.minhash_estimate_audit (same signature/banding
+    CTEs, ×10⁶ integer floor quotients on both sides, exact integer
+    mean)."""
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return f"""WITH {SHINGLE_CTES},
+{minhash_sig_cte(num_perm)},
+{lsh_cand_ctes(num_perm, n_bands, max_bucket_pop)},
+arrs AS (SELECT doc_id, list(shingle) AS ls FROM sh GROUP BY doc_id),
+err AS (
+    SELECT ({match_sum}) * 1000000 // {num_perm} AS est_ppm,
+           len(list_intersect(a.ls, b.ls)) * 1000000
+               // (len(a.ls) + len(b.ls) - len(list_intersect(a.ls, b.ls)))
+               AS true_ppm
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    JOIN arrs a ON a.doc_id = c.id_a
+    JOIN arrs b ON b.doc_id = c.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(ABS(est_ppm - true_ppm)), 0) AS BIGINT)
+           // GREATEST(COUNT(*), 1) AS mean_abs_err_ppm,
+       CAST(COALESCE(MAX(ABS(est_ppm - true_ppm)), 0) AS BIGINT)
+           AS max_abs_err_ppm
+FROM err"""
+
+
 def sql_duplicate_clusters(
     threshold: float,
     num_perm: int = 8,

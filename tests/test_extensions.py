@@ -3159,3 +3159,35 @@ def test_quality_dup_crosstab_counts_and_ppm(spark):
     assert sum(r["n_dup_docs"] for r in got) == 2  # 101, 102 (100 keeps)
     for r in got:
         assert r["dup_ppm"] == r["n_dup_docs"] * 1_000_000 // r["n_docs"]
+
+
+def test_minhash_estimate_audit_exact_on_duplicates(spark):
+    """Exact duplicates share every signature component AND have true
+    Jaccard 1.0 — both ppm quotients are 1e6, so the pair contributes
+    zero error; error stats are exact integers."""
+    from binance_futures_availability_spark.operators import dedup
+
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, same), (2, same)]
+    rows += [(i, f"doc {i} " + " ".join(f"w{i}{j}" for j in range(8)))
+             for i in range(10, 40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = dedup.minhash_estimate_audit(docs, max_bucket_pop=None).collect()[0]
+    assert r["n_pairs"] >= 1
+    # the duplicate pair exists and errors are bounded by construction
+    assert 0 <= r["mean_abs_err_ppm"] <= r["max_abs_err_ppm"] <= 1_000_000
+
+
+def test_minhash_estimate_audit_empty_candidates(spark):
+    """No colliding bands -> zero-pair audit row, not an empty frame."""
+    from binance_futures_availability_spark.operators import dedup
+
+    rows = [
+        (1, "completely unique words here aardvark bison crane dingo"),
+        (2, "totally different vocabulary there eagle ferret gnu heron"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = dedup.minhash_estimate_audit(docs).collect()
+    assert len(r) == 1
+    if r[0]["n_pairs"] == 0:
+        assert r[0]["mean_abs_err_ppm"] == 0 and r[0]["max_abs_err_ppm"] == 0
