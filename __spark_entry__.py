@@ -575,6 +575,7 @@ GATE_PRIORITY = [
     "event_user_overlap",
     "event_debounce",
     "minhash_estimate_audit",
+    "cluster_purity",
     "sq_codes",
     "sq_topk",
     "sq_recall_audit",
@@ -932,6 +933,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ivf_cells": lambda s, d: similarity.ivf_cells(_emb(s, d)),
         "kmeans_cells": lambda s, d: similarity.kmeans_cells(_emb(s, d)),
+        "cluster_purity": lambda s, d: similarity.cluster_purity(_emb(s, d)),
         "ivf_topk": lambda s, d: similarity.ivf_topk(
             _emb(s, d), ANN_QUERY_ID, ANN_K
         ),
@@ -1652,6 +1654,7 @@ ORDER BY symbol, event_date"""),
         "cosine_pairs": oracles.sql_cosine_pairs(COSINE_THRESHOLD),
         "ivf_cells": oracles.sql_ivf_cells(similarity.IVF_N_CELLS),
         "kmeans_cells": oracles.sql_kmeans_cells(similarity.IVF_N_CELLS),
+        "cluster_purity": oracles.sql_cluster_purity(similarity.IVF_N_CELLS),
         "ivf_topk": oracles.sql_ivf_topk(
             ANN_QUERY_ID, ANN_K, similarity.IVF_N_CELLS, similarity.IVF_NPROBE
         ),

@@ -1525,6 +1525,56 @@ def label_centroids(
     )
 
 
+def cluster_purity(
+    emb: DataFrame,
+    n_cells: int = IVF_N_CELLS,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cluster-quality audit for the trained quantizer: per k-means
+    cell — (cell, n_vecs, majority_label, n_majority, purity_ppm). The
+    standard external-validation metric (purity) for an unsupervised
+    clustering against reference labels: a quantizer whose cells mix
+    labels indiscriminately routes dissimilar vectors into the same IVF
+    bucket, so this is the audit to run before trusting cell-local
+    search or SemDeDup within-cell dedup.
+
+    Composition: rides the ENGINE-EXACT iterative trainer
+    (``kmeans_cells`` — integer sum-vector Lloyd rounds, the unrolled
+    oracle twin), joins the bounded (id, cell) assignment to the label
+    projection, and aggregates to n_cells rows: one narrow id-keyed
+    join + one (cell, label) aggregate + a cell-partitioned majority
+    window over |cells|·|labels| rows. Majority ties break to the
+    lowest label on both engines; ``purity_ppm`` is the exact integer
+    ×10⁶ floor quotient.
+    """
+    from pyspark.sql import Window
+
+    cells = kmeans_cells(emb, n_cells, n_iters, id_col, vec_col)
+    cl = (
+        cells.join(emb.select(id_col, label_col), id_col)
+        .groupBy("cell", F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("c"), "label")
+    tot = Window.partitionBy("cell")
+    return (
+        cl.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_vecs", F.sum("c").over(tot).cast("long"))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cell",
+            "n_vecs",
+            F.col("label").alias("majority_label"),
+            F.col("c").alias("n_majority"),
+            F.expr("c * 1000000 div n_vecs").cast("long").alias("purity_ppm"),
+        )
+        .orderBy("cell")
+    )
+
+
 def centroid_outliers(
     emb: DataFrame,
     k: int = 100,

@@ -533,11 +533,10 @@ WHERE vec_id NOT IN (SELECT vid FROM dup_ids)
 ORDER BY vec_id"""
 
 
-def sql_kmeans_cells(n_cells: int, n_iters: int = 2) -> str:
-    """Spherical k-means — mirrors similarity.kmeans_cells by unrolling
-    the Lloyd rounds into CTEs: integer sum-vector centroids (cosine to
-    the mean ≡ cosine to the sum), exact integer dots, ties to the lowest
-    cell, emptied cells retaining the previous centroid via COALESCE."""
+def _kmeans_cte_body(n_cells: int, n_iters: int) -> str:
+    """Unrolled Lloyd-round CTE chain (consumes ``normed``; final
+    assignment lives in ``assign{n_iters}``) — shared by
+    sql_kmeans_cells and sql_cluster_purity."""
     ctes = [
         "flat AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS dim,"
         " unnest(q) AS v FROM normed)",
@@ -582,11 +581,43 @@ def sql_kmeans_cells(n_cells: int, n_iters: int = 2) -> str:
     ) su ON c.cell = su.cell AND c.dim = su.dim
 )"""
             )
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def sql_kmeans_cells(n_cells: int, n_iters: int = 2) -> str:
+    """Spherical k-means — mirrors similarity.kmeans_cells by unrolling
+    the Lloyd rounds into CTEs: integer sum-vector centroids (cosine to
+    the mean ≡ cosine to the sum), exact integer dots, ties to the lowest
+    cell, emptied cells retaining the previous centroid via COALESCE."""
     return (
-        f"WITH {EMB_BASE_CTE},\n{body}\n"
+        f"WITH {EMB_BASE_CTE},\n{_kmeans_cte_body(n_cells, n_iters)}\n"
         f"SELECT vec_id, CAST(cell AS INT) AS cell FROM assign{n_iters}"
     )
+
+
+def sql_cluster_purity(n_cells: int, n_iters: int = 2) -> str:
+    """Cluster-purity audit over the trained k-means assignment —
+    mirrors similarity.cluster_purity (same unrolled rounds, majority
+    label per cell with ties to the lowest label, exact integer ppm)."""
+    return f"""WITH {EMB_BASE_CTE},
+{_kmeans_cte_body(n_cells, n_iters)},
+cl AS (
+    SELECT a.cell, e.label, CAST(COUNT(*) AS BIGINT) AS c
+    FROM assign{n_iters} a JOIN embeddings e USING (vec_id)
+    GROUP BY 1, 2
+),
+maj AS (
+    SELECT cell, label, c,
+           ROW_NUMBER() OVER (PARTITION BY cell
+                              ORDER BY c DESC, label) AS rn,
+           CAST(SUM(c) OVER (PARTITION BY cell) AS BIGINT) AS n_vecs
+    FROM cl
+)
+SELECT CAST(cell AS INT) AS cell, n_vecs,
+       CAST(label AS INT) AS majority_label, c AS n_majority,
+       c * 1000000 // n_vecs AS purity_ppm
+FROM maj WHERE rn = 1
+ORDER BY cell"""
 
 
 def sql_semantic_dedup_survivors(threshold: float, n_cells: int) -> str:

@@ -3191,3 +3191,28 @@ def test_minhash_estimate_audit_empty_candidates(spark):
     assert len(r) == 1
     if r[0]["n_pairs"] == 0:
         assert r[0]["mean_abs_err_ppm"] == 0 and r[0]["max_abs_err_ppm"] == 0
+
+
+def test_cluster_purity_majority_and_ppm(spark):
+    """Majority label per trained cell, ties to the lowest label, exact
+    integer ppm; row count bounded by live cells."""
+    from binance_futures_availability_spark.operators import similarity
+
+    # two well-separated groups in 2-d; labels mostly follow geometry
+    # with one planted impurity
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.99, 0.01], 0), (3, [0.98, 0.02], 0),
+        (4, [0.97, 0.01], 1),  # impurity in the +x cluster
+        (10, [0.0, 1.0], 1), (11, [0.01, 0.99], 1), (12, [0.02, 0.98], 1),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = similarity.cluster_purity(emb, n_cells=2, n_iters=2).collect()
+    assert 1 <= len(got) <= 2
+    for r in got:
+        assert r["purity_ppm"] == r["n_majority"] * 1_000_000 // r["n_vecs"]
+        assert r["n_majority"] <= r["n_vecs"]
+    total = sum(r["n_vecs"] for r in got)
+    assert total == 7
+    # the +x-dominated cell keeps label 0 as majority despite the plant
+    by_major = {r["majority_label"]: r for r in got}
+    assert 0 in by_major and by_major[0]["n_majority"] == 3

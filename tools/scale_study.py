@@ -80,6 +80,15 @@ SLICE = [
     "dedup_rate_by_source",
     "scrub_duplicated_spans",
     "large_volume_customers",
+    # session additions: Q21/Q17 decorrelations (lineitem-heavy), the
+    # quality×dup crosstab and MinHash drift audit (corpus-scale
+    # composites), and the two event-stream primitives
+    "late_supplier_orders",
+    "small_order_revenue",
+    "quality_dup_crosstab",
+    "minhash_estimate_audit",
+    "event_user_overlap",
+    "event_debounce",
 ]
 
 
