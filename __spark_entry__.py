@@ -576,6 +576,8 @@ GATE_PRIORITY = [
     "event_debounce",
     "minhash_estimate_audit",
     "cluster_purity",
+    "neardup_rate_by_source",
+    "event_value_outliers",
     "sq_codes",
     "sq_topk",
     "sq_recall_audit",
@@ -820,6 +822,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_debounce": lambda s, d: events.debounce(
             load_table_hot(s, d, "events")
         ),
+        "event_value_outliers": lambda s, d: events.value_outliers(
+            load_table_hot(s, d, "events")
+        ),
         "event_sliding_counts": lambda s, d: events.sliding_window_counts(
             load_table_hot(s, d, "events")
         ),
@@ -905,6 +910,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "minhash_estimate_audit": lambda s, d: dedup.minhash_estimate_audit(
             _docs(s, d)
+        ),
+        "neardup_rate_by_source": lambda s, d: dedup.neardup_rate_by_source(
+            _docs(s, d), LSH_JACCARD_THRESHOLD
         ),
         "duplicate_clusters": lambda s, d: dedup.duplicate_clusters(
             _docs(s, d),
@@ -1600,6 +1608,7 @@ ORDER BY symbol, event_date"""),
         "event_window_counts": oracles.sql_event_window_counts(),
         "event_user_overlap": oracles.sql_event_user_overlap(),
         "event_debounce": oracles.sql_event_debounce(),
+        "event_value_outliers": oracles.sql_event_value_outliers(),
         "event_sliding_counts": oracles.sql_event_sliding_counts(),
         "event_sessions": oracles.sql_event_sessions(),
         "event_asof_pairs": oracles.sql_event_asof_pairs(),
@@ -1639,6 +1648,9 @@ ORDER BY symbol, event_date"""),
         "minhash_signatures": oracles.sql_minhash_signatures(),
         "minhash_lsh_pairs": oracles.sql_minhash_lsh_pairs(LSH_JACCARD_THRESHOLD),
         "minhash_estimate_audit": oracles.sql_minhash_estimate_audit(),
+        "neardup_rate_by_source": oracles.sql_neardup_rate_by_source(
+            LSH_JACCARD_THRESHOLD
+        ),
         "duplicate_clusters": oracles.sql_duplicate_clusters(
             LSH_JACCARD_THRESHOLD
         ),

@@ -800,6 +800,66 @@ def minhash_lsh_pairs(
     return gathered_sort(verified, "id_a", "id_b")
 
 
+def neardup_rate_by_source(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    num_perm: int = 8,
+    n_bands: int = 4,
+    max_bucket_pop: int | None = 512,
+) -> DataFrame:
+    """Per-source NEAR-duplication dashboard — the fuzzy twin of
+    ``dedup_rate_by_source``: (source, n_docs, n_neardup_docs,
+    neardup_ppm), where a document counts when it appears in at least
+    one verified MinHash-LSH pair (Jaccard ≥ threshold) and is not its
+    pair-set's lowest id (the keeper convention, so one copy per
+    near-dup family stays "clean"). The per-provider syndication
+    monitor: a crawl slice re-serving lightly-edited content shows up
+    here while the exact-hash dashboard stays flat.
+
+    Shape: the pair set is the linear-by-construction LSH pipeline
+    (banded candidates, pop cap, verify-only-survivors); membership +
+    keeper flags are one explode of the (sparse) pair list aggregated
+    per doc, joined back to the narrow (id, source) projection —
+    near-dup docs are a sliver of any real corpus, so the join's right
+    side is small and broadcasts. Final aggregate is |sources|-sized
+    with the exact integer ppm.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, threshold, id_col, text_col, n, num_perm, n_bands,
+        max_bucket_pop,
+    )
+    members = (
+        pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col),
+            F.least("id_a", "id_b").alias("__lo"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("__lo").alias("__keeper"))
+        .select(
+            F.col(id_col),
+            (F.col(id_col) != F.col("__keeper")).cast("int").alias("__nd"),
+        )
+    )
+    flagged = docs.select(F.col(id_col), F.col(source_col)).join(
+        F.broadcast(members), id_col, "left"
+    )
+    return flagged.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("__nd"), F.lit(0)).cast("long").alias(
+            "n_neardup_docs"
+        ),
+        F.expr(
+            "CAST(coalesce(sum(__nd), 0) AS BIGINT) * 1000000 div count(1)"
+        )
+        .cast("long")
+        .alias("neardup_ppm"),
+    )
+
+
 def minhash_estimate_audit(
     docs: DataFrame,
     id_col: str = "doc_id",

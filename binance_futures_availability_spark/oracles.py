@@ -196,6 +196,42 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
 FROM err"""
 
 
+def sql_neardup_rate_by_source(
+    threshold: float,
+    num_perm: int = 8,
+    n_bands: int = 4,
+    max_bucket_pop: int | None = 512,
+    source_col: str = "source",
+) -> str:
+    """Per-source near-duplication share — mirrors
+    dedup.neardup_rate_by_source (verified LSH pairs, neighborhood
+    keeper = min id over a doc's pair set, exact integer ppm)."""
+    return f"""WITH {SHINGLE_CTES},
+{minhash_sig_cte(num_perm)},
+{lsh_cand_ctes(num_perm, n_bands, max_bucket_pop)},
+{lsh_jac_cte()},
+prs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {threshold}),
+mem AS (
+    SELECT doc_id, MIN(lo) AS keeper FROM (
+        SELECT id_a AS doc_id, LEAST(id_a, id_b) AS lo FROM prs
+        UNION ALL
+        SELECT id_b AS doc_id, LEAST(id_a, id_b) AS lo FROM prs
+    ) GROUP BY 1
+)
+SELECT d.{source_col},
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(CASE WHEN m.doc_id IS NOT NULL
+                               AND d.doc_id <> m.keeper
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_neardup_docs,
+       CAST(COALESCE(SUM(CASE WHEN m.doc_id IS NOT NULL
+                               AND d.doc_id <> m.keeper
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) * 1000000
+           // COUNT(*) AS neardup_ppm
+FROM documents d LEFT JOIN mem m USING (doc_id)
+GROUP BY 1"""
+
+
 def sql_duplicate_clusters(
     threshold: float,
     num_perm: int = 8,
@@ -1383,6 +1419,51 @@ ORDER BY d.doc_id"""
 # rounding can flip a floor at microsecond boundaries.
 
 EPOCH_S = "(epoch_us({x}) // 1000000)"
+
+
+def sql_event_value_outliers(k: int = 5) -> str:
+    """Median/MAD robust value anomalies — mirrors events.value_outliers
+    with the SAME doubled-integer median convention (sum of the two
+    middle micro-unit values; no engine median() interpolation), so the
+    flagged set and milli-z agree bit-for-bit."""
+    med_case = (
+        "CASE WHEN n % 2 = 1 AND r = (n + 1) // 2 THEN 2 * {v} "
+        "WHEN n % 2 = 0 AND (r = n // 2 OR r = n // 2 + 1) THEN {v} END"
+    )
+    return f"""WITH ev AS (
+    SELECT event_type AS t,
+           CAST(round(value * 1000000) AS BIGINT) AS v,
+           event_id, value
+    FROM events
+),
+rk AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY t ORDER BY v, event_id) AS r,
+           COUNT(*) OVER (PARTITION BY t) AS n
+    FROM ev
+),
+med AS (
+    SELECT t, CAST(SUM({med_case.format(v='v')}) AS BIGINT) AS m2
+    FROM rk GROUP BY t
+),
+dev AS (
+    SELECT e.t, e.event_id, e.value, ABS(2 * e.v - m.m2) AS d
+    FROM ev e JOIN med m USING (t)
+),
+rk2 AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY t ORDER BY d, event_id) AS r,
+           COUNT(*) OVER (PARTITION BY t) AS n
+    FROM dev
+),
+mad AS (
+    SELECT t, CAST(SUM({med_case.format(v='d')}) AS BIGINT) AS mad2
+    FROM rk2 GROUP BY t
+)
+SELECT x.event_id, x.t AS event_type, x.value,
+       CASE WHEN m.mad2 = 0 THEN NULL
+            ELSE CAST((2000 * x.d) // m.mad2 AS BIGINT) END AS robust_z_milli
+FROM dev x JOIN mad m USING (t)
+WHERE 2 * x.d > {int(k)} * m.mad2
+ORDER BY x.t, x.event_id"""
 
 
 def sql_event_debounce(window_s: int = 300) -> str:

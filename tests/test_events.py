@@ -372,3 +372,33 @@ def test_debounce_collapses_bursts_per_type(spark):
         for r in ev.debounce(df, window_s=150).collect()
     }
     assert got == {1: 2, 4: 0, 5: 0, 6: 1}
+
+
+def test_value_outliers_median_mad_exact(spark):
+    """Doubled-integer median/MAD: hand-computable small world — one
+    planted extreme value per type; constant types flag any deviation
+    with NULL z."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # type A: values 1..7 plus an extreme 100 -> median(1..7,100)=4.5
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0]
+    for i, v in enumerate(vals):
+        rows.append((i, t0, 1, "A", v, "{}"))
+    # type B: constant values -> MAD 0, no event deviates, no outliers
+    for i in range(8):
+        rows.append((100 + i, t0, 2, "B", 5.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = ev.value_outliers(df, k=5).collect()
+    # A: med=4.5 -> m2=9e6; devs |2v-9| in micro: for 100 -> 191e6 ->
+    # d-list medians: devs for 1..7,100 = [7,5,3,1,1,3,5,191] (in units
+    # of 1e6) -> sorted [1,1,3,3,5,5,7,191] -> mad2 = 3+5 = 8e6 (2*MAD=8)
+    # outlier iff 2d > 5*mad2 -> d > 20e6: only v=100 (d=191e6).
+    assert [(r["event_id"], r["event_type"]) for r in got] == [(7, "A")]
+    # milli-z = 2000*191e6 div 8e6 = 47750
+    assert got[0]["robust_z_milli"] == 2000 * 191_000_000 // 8_000_000

@@ -3216,3 +3216,33 @@ def test_cluster_purity_majority_and_ppm(spark):
     # the +x-dominated cell keeps label 0 as majority despite the plant
     by_major = {r["majority_label"]: r for r in got}
     assert 0 in by_major and by_major[0]["n_majority"] == 3
+
+
+def test_neardup_rate_by_source_neighborhood_keeper(spark):
+    """A doc is a near-dup iff it appears in a verified LSH pair and is
+    not the lowest id of its pair neighborhood; sources with no pairs
+    report zero."""
+    from binance_futures_availability_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"  # high-Jaccard neighbor
+    rows = [
+        (1, base, "crawlA"),
+        (2, near, "crawlA"),
+        (3, base, "crawlB"),   # exact copy in another source
+        (10, "totally unrelated words one two three four five", "clean"),
+        (11, "another unrelated document six seven eight nine ten", "clean"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r["source"]: r
+        for r in dedup.neardup_rate_by_source(
+            docs, 0.5, max_bucket_pop=None
+        ).collect()
+    }
+    assert got["clean"]["n_neardup_docs"] == 0
+    assert got["clean"]["neardup_ppm"] == 0
+    # doc 1 is the neighborhood keeper; 2 and 3 count in their sources
+    assert got["crawlA"]["n_neardup_docs"] == 1
+    assert got["crawlB"]["n_neardup_docs"] == 1
+    assert got["crawlA"]["neardup_ppm"] == 1_000_000 // 2
