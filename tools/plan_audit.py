@@ -93,6 +93,16 @@ HEADLINERS = {
     "hard_negatives": "contrastive mining: same cached kNN-graph slice with a different-label filter; per-query re-rank bounded by k_graph",
     "token_budget_selection": "budget fill: distributed inclusive prefix sum (range repartition + bounded per-partition sum collect + narrow Arrow cumsum) — no single-partition SUM-OVER window; budget cut is a narrow predicate",
     "hybrid_rrf_topk": "hybrid retrieval: BOTH candidate lists are TakeOrderedAndProject plans; rank windows, full outer join, and fusion sort all touch <= 2*n_each rows regardless of corpus size",
+    "late_supplier_orders": "Q21 family decorrelated: NO fact self-join — per-(order,supplier) MAX(late) partial-agg then per-order counts replace EXISTS/NOT-EXISTS; supplier dim broadcast; top-k is TakeOrderedAndProject",
+    "small_order_revenue": "Q17 family decorrelated: brand restriction AND per-part aggregate both reach the fact as broadcast joins — the fact side never shuffles for a join; integer cross-multiplied threshold",
+    "centroid_outliers": "semantic outliers: bounded labels*dim centroid collect broadcast into one Arrow scoring pass; ascending top-k collapses to TakeOrderedAndProject",
+    "cluster_purity": "clustering audit: rides the cached k-means assignment; one id-keyed join + (cell,label) aggregate + majority window over |cells|*|labels| rows",
+    "quality_dup_crosstab": "curation crosstab: decile side from the session-cached quality rank, dup flag from one content-hash aggregate, ONE id-keyed join into an n_tiles-sized aggregate",
+    "event_user_overlap": "type-affinity matrix: distinct (type,user) reduction, user-keyed self-join with T-bounded fan-out, T^2 aggregate, broadcast totals",
+    "event_debounce": "telemetry burst dedup: LAG + running-sum + leader aggregate all reuse ONE (user,type) shuffle; leader via struct MIN, no second window pass",
+    "event_value_outliers": "robust anomalies: EXACT distributed medians via global_row_number (range repartition + bounded offset collect) — no per-type single-task window; doubled-integer median/MAD, cross-multiplied k-MAD test",
+    "minhash_estimate_audit": "sketch-drift audit: shared banded candidate core; estimate join touches only candidates against the cached signature table; single aggregate row, all-integer ppm",
+    "neardup_rate_by_source": "near-dup dashboard: linear LSH pair pipeline, sparse membership explode broadcast back onto the narrow (id,source) projection, |sources|-sized aggregate",
 }
 
 
