@@ -481,6 +481,75 @@ def spike_stream(
     )
 
 
+DEBOUNCE_SCHEMA = (
+    "event_id long, user_id long, event_type string, ts timestamp, "
+    "n_suppressed long"
+)
+_DEBOUNCE_STATE = (
+    "prev_ts timestamp, lead_id long, lead_ts timestamp, n_sup long"
+)
+
+
+def debounce_stream(stream: DataFrame, window_s: int = 300) -> DataFrame:
+    """Online telemetry burst-dedup — the stateful streaming twin of
+    ``operators.events.debounce``: per (user, type), consecutive events
+    closer than ``window_s`` seconds collapse into their first event.
+
+    State per key is O(1) — the open burst's leader (id, ts), running
+    suppressed count, and the PREVIOUS raw timestamp (bursts chain on
+    the previous event, not the leader — the batch operator's exact
+    rule). A burst emits when its successor burst first opens (append
+    finalization, the spike_stream discipline); the open burst stays
+    unemitted. Rows older than the open burst's last event are DROPPED
+    (same one-burst late horizon; the batch twin reprocesses history).
+    Arrow chunks within a micro-batch carry no order guarantee, so the
+    combined batch sorts on (ts, event_id) before replay.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        uid, etype = key
+        if state.exists:
+            prev_ts, lead_id, lead_ts, n_sup = state.get
+        else:
+            prev_ts, lead_id, lead_ts, n_sup = None, None, None, 0
+        out: list[tuple] = []
+
+        chunks = [pdf[["ts", "event_id"]] for pdf in pdf_iter]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+        else:
+            batch = pd.DataFrame(columns=["ts", "event_id"])
+        for ts, eid in batch.itertuples(index=False):
+            if lead_id is None:
+                prev_ts, lead_id, lead_ts, n_sup = ts, int(eid), ts, 0
+            elif ts < prev_ts:
+                continue  # older than the open burst — late horizon
+            elif (ts - prev_ts).total_seconds() > window_s:
+                out.append((int(lead_id), uid, etype, lead_ts, int(n_sup)))
+                prev_ts, lead_id, lead_ts, n_sup = ts, int(eid), ts, 0
+            else:
+                n_sup += 1
+                prev_ts = ts
+        state.update((prev_ts, lead_id, lead_ts, int(n_sup)))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "event_id", "user_id", "event_type", "ts", "n_suppressed",
+            ],
+        )
+
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        DEBOUNCE_SCHEMA,
+        _DEBOUNCE_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 EMBEDDING_STREAM = "vec_id long, embedding array<float>, label int"
 
 

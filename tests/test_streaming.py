@@ -1149,3 +1149,76 @@ def test_streaming_sq_append_sink_batch_equivalence(spark, tmp_path):
         )
         == want
     )
+
+
+def test_streaming_debounce_matches_batch(spark, tmp_path):
+    """Stream ≡ batch on COMPLETED bursts across a restart; the open
+    burst per key is withheld until its successor arrives."""
+    from binance_futures_availability_spark.operators import events as ev_ops
+    from binance_futures_availability_spark.streaming.pipeline import (
+        debounce_stream,
+        event_stream_source,
+    )
+
+    t = lambda s: TS(2024, 1, 1, 0, 0) + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # user 1 click: burst (0,100,200), burst (600), burst (1500)
+        (1, t(0), 1, "click", 1.0, "{}"),
+        (2, t(100), 1, "click", 1.0, "{}"),
+        (3, t(200), 1, "click", 1.0, "{}"),
+        (4, t(600), 1, "click", 1.0, "{}"),
+        (5, t(1500), 1, "click", 1.0, "{}"),
+        # user 1 view inside the click burst: independent key
+        (6, t(50), 1, "view", 1.0, "{}"),
+        (7, t(1400), 1, "view", 1.0, "{}"),
+        # user 2: tie on ts — lower id leads
+        (9, t(0), 2, "click", 1.0, "{}"),
+        (8, t(0), 2, "click", 1.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    incoming = tmp_path / "db_in"
+    # split mid-burst to exercise checkpointed state
+    spark.createDataFrame(rows[:3], schema).write.mode("append").parquet(
+        str(incoming)
+    )
+
+    def run():
+        q = (
+            debounce_stream(
+                event_stream_source(spark, str(incoming)), window_s=150
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "db_out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "db_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows[3:], schema).write.mode("append").parquet(
+        str(incoming)
+    )
+    run()
+
+    got = {
+        r["event_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "db_out")).collect()
+    }
+    batch = {
+        r["event_id"]: r
+        for r in ev_ops.debounce(
+            spark.read.parquet(str(incoming)), window_s=150
+        ).collect()
+    }
+    # open bursts per key (click@1500, view@1400, user2 click@0) are
+    # withheld by the stream; everything completed matches the batch op
+    open_leaders = {5, 7, 8}
+    assert set(got) == set(batch) - open_leaders
+    for eid, r in got.items():
+        assert r["n_suppressed"] == batch[eid]["n_suppressed"], eid
+        assert r["ts"] == batch[eid]["ts"]
