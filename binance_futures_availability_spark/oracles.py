@@ -1468,11 +1468,15 @@ ORDER BY x.t, x.event_id"""
 
 def sql_event_debounce(window_s: int = 300) -> str:
     """Per-(user, type) burst dedup — mirrors events.debounce (LAG burst
-    breaks, running-sum burst ids, lowest-(ts, id) leader per burst)."""
+    breaks, running-sum burst ids, lowest-(ts, id) leader per burst).
+    Gaps compare TRUNCATED epoch seconds (EPOCH_S), matching Spark's
+    unix_timestamp on sub-second timestamps — the sessionize precedent."""
+    ts_s = EPOCH_S.format(x="ts")
+    prev_s = EPOCH_S.format(x="lag(ts) OVER w")
     return f"""WITH marked AS (
     SELECT event_id, user_id, event_type, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch(ts) - epoch(lag(ts) OVER w) > {window_s}
+                  OR {ts_s} - {prev_s} > {window_s}
                 THEN 1 ELSE 0 END AS brk
     FROM events
     WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)

@@ -527,7 +527,15 @@ def debounce_stream(stream: DataFrame, window_s: int = 300) -> DataFrame:
                 prev_ts, lead_id, lead_ts, n_sup = ts, int(eid), ts, 0
             elif ts < prev_ts:
                 continue  # older than the open burst — late horizon
-            elif (ts - prev_ts).total_seconds() > window_s:
+            # TRUNCATED epoch seconds, matching the batch operator's
+            # unix_timestamp semantics on sub-second timestamps.
+            # prev_ts restored from state is a plain datetime while
+            # in-batch values are pd.Timestamp — normalize both.
+            elif (
+                pd.Timestamp(ts).value // 10**9
+                - pd.Timestamp(prev_ts).value // 10**9
+                > window_s
+            ):
                 out.append((int(lead_id), uid, etype, lead_ts, int(n_sup)))
                 prev_ts, lead_id, lead_ts, n_sup = ts, int(eid), ts, 0
             else:

@@ -402,3 +402,32 @@ def test_value_outliers_median_mad_exact(spark):
     assert [(r["event_id"], r["event_type"]) for r in got] == [(7, "A")]
     # milli-z = 2000*191e6 div 8e6 = 47750
     assert got[0]["robust_z_milli"] == 2000 * 191_000_000 // 8_000_000
+
+
+def test_debounce_subsecond_truncation_semantics(spark):
+    """Gaps compare TRUNCATED epoch seconds (unix_timestamp): two events
+    150.9s apart by wall clock but 150s by truncated seconds stay in
+    one burst at window_s=150; the sf1 fixture's microsecond timestamps
+    exposed the fractional-epoch divergence this pins down."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import events as ev
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(seconds=0, microseconds=900_000), 1,
+         "click", 1.0, "{}"),
+        # wall-clock gap 150.0s; truncated-second gap exactly 150 -> same
+        # burst (rule is strict >)
+        (2, base + dt.timedelta(seconds=150, microseconds=900_000), 1,
+         "click", 1.0, "{}"),
+        # truncated gap 151 -> breaks
+        (3, base + dt.timedelta(seconds=302, microseconds=100_000), 1,
+         "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {r["event_id"]: r["n_suppressed"]
+           for r in ev.debounce(df, window_s=150).collect()}
+    assert got == {1: 1, 3: 0}
