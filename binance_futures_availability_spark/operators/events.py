@@ -670,20 +670,27 @@ def value_outliers(
     tail cannot poison the way it poisons mean/stddev.
 
     The hard part at scale is the EXACT per-group median: an ORDER BY
-    window per type puts a whole type's events in one task. Instead both
-    medians (value, then absolute deviation) come from
-    ``functions.global_row_number`` over (type, value, id) — one range
-    shuffle + bounded offset collect each — with per-type positions
-    recovered by subtracting the type's MIN global rank (a |types|-sized
-    broadcast). All statistics stay INTEGER: values quantize to micro
-    units, the median is carried DOUBLED (sum of the two middle
-    elements — no fractional average), the deviation doubled again, and
-    the k-MAD test is the cross-multiplication 2·dev > k·mad2 — so the
-    flagged set and the reported milli-z (exact integer div) hash-gate
+    window per type puts a whole type's events in one task. Shape here:
+    the fact shuffles ONCE into a (type, value) frequency aggregate —
+    never larger than the corpus and, on real telemetry (quantized
+    values), orders of magnitude smaller — and both medians run as
+    WEIGHTED medians over that aggregate via ``global_running_sum``
+    (range repartition + bounded offset collect; per-type positions by
+    subtracting the type's start offset, a |types|-sized broadcast).
+    The deviation median needs no second corpus pass at all: every
+    occurrence of a value shares one deviation, so its frequency table
+    derives from the first aggregate. The final flag pass is a narrow
+    scan under broadcast med/MAD tables.
+
+    All statistics stay INTEGER: values quantize to micro units, the
+    median is carried DOUBLED (sum of the two middle elements — no
+    fractional average), the deviation doubled again, and the k-MAD
+    test is the cross-multiplication 2·dev > k·mad2 — so the flagged
+    set and the reported milli-z (exact integer div) hash-gate
     bit-for-bit. MAD = 0 (constant type) degenerates to flagging any
     deviation, with NULL milli-z on both engines.
     """
-    from ..functions import global_row_number
+    from ..functions import global_running_sum
 
     ev = events.select(
         F.col(type_col).alias("__t"),
@@ -691,39 +698,53 @@ def value_outliers(
         F.col(id_col),
         F.col(value_col),
     )
+    counts = ev.groupBy("__t", "__v").agg(F.count(F.lit(1)).alias("__c"))
 
-    def _group_median2(df: DataFrame, val: str, med_name: str) -> DataFrame:
-        """2×median of ``val`` per __t via distributed rank — returns
-        (__t, med_name)."""
-        ranked = global_row_number(df, ["__t", val, id_col], rank_col="__g")
-        stats = ranked.groupBy("__t").agg(
-            F.min("__g").alias("__st"), F.count(F.lit(1)).alias("__n")
+    def _weighted_median2(cdf: DataFrame, val: str, med_name: str) -> DataFrame:
+        """2×weighted-median of ``val`` per __t from (__t, val, __c)
+        frequency rows — returns (__t, med_name). The two middle
+        positions (equal when the group count is odd) land inside a
+        row's (prev_cum, cum] span; the row contributes val once per
+        hit, so ties and duplicates need no special casing."""
+        run = global_running_sum(cdf, ["__t", val], "__c", out_col="__cum")
+        stats = run.groupBy("__t").agg(
+            F.min(F.col("__cum") - F.col("__c")).alias("__off"),
+            F.max("__cum").alias("__end"),
         )
-        j = ranked.join(F.broadcast(stats), "__t").withColumn(
-            "__r", F.col("__g") - F.col("__st") + 1
-        )
-        contrib = F.expr(
-            f"CASE WHEN __n % 2 = 1 AND __r = (__n + 1) div 2 THEN 2 * {val} "
-            f"WHEN __n % 2 = 0 AND (__r = __n div 2 OR __r = __n div 2 + 1) "
-            f"THEN {val} END"
+        j = run.join(F.broadcast(stats), "__t")
+        hits = F.expr(
+            "CASE WHEN (__end - __off + 1) div 2 > __cum - __c - __off "
+            "AND (__end - __off + 1) div 2 <= __cum - __off "
+            "THEN 1 ELSE 0 END + "
+            "CASE WHEN (__end - __off + 2) div 2 > __cum - __c - __off "
+            "AND (__end - __off + 2) div 2 <= __cum - __off "
+            "THEN 1 ELSE 0 END"
         )
         return (
-            j.select("__t", contrib.alias("__mc"))
-            .filter(F.col("__mc").isNotNull())
+            j.select("__t", F.col(val), hits.alias("__h"))
+            .filter(F.col("__h") > 0)  # NOT on the product: val may be 0
             .groupBy("__t")
-            .agg(F.sum("__mc").alias(med_name))
+            .agg(F.sum(F.col(val) * F.col("__h")).alias(med_name))
         )
 
-    med2 = _group_median2(ev, "__v", "__m2")
-    dev = ev.join(F.broadcast(med2), "__t").select(
-        "__t",
-        id_col,
-        value_col,
-        F.abs(F.lit(2) * F.col("__v") - F.col("__m2")).alias("__d"),
+    med2 = _weighted_median2(counts, "__v", "__m2")
+    # deviation frequency table derives from the FIRST aggregate: every
+    # occurrence of __v shares the deviation |2·__v − m2|
+    dcounts = (
+        counts.join(F.broadcast(med2), "__t")
+        .select(
+            "__t",
+            F.abs(F.lit(2) * F.col("__v") - F.col("__m2")).alias("__d"),
+            "__c",
+        )
+        .groupBy("__t", "__d")
+        .agg(F.sum("__c").alias("__c"))
     )
-    mad2 = _group_median2(dev, "__d", "__mad2")
+    mad2 = _weighted_median2(dcounts, "__d", "__mad2")
     return (
-        dev.join(F.broadcast(mad2), "__t")
+        ev.join(F.broadcast(med2), "__t")
+        .join(F.broadcast(mad2), "__t")
+        .withColumn("__d", F.abs(F.lit(2) * F.col("__v") - F.col("__m2")))
         .filter(F.lit(2) * F.col("__d") > F.lit(int(k)) * F.col("__mad2"))
         .select(
             F.col(id_col),

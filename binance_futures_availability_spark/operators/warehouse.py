@@ -420,14 +420,28 @@ def late_supplier_orders(
     (dimension); top-k ties broken by s_suppkey on both engines.
     """
     o = orders.select("o_orderkey", F.col("o_orderdate").cast("date").alias("o_date"))
+    # MAX(late) ≡ (MAX(shipdate) > orderdate + N): the threshold is
+    # constant per order, so the per-(order,supplier) aggregate runs
+    # BEFORE the orders join. At bench SFs the two orders are a wash
+    # (orders broadcasts, so either shape pays exactly one fact
+    # shuffle); the ordering matters in the no-broadcast regime — a
+    # 100-TB orders side joins against the already-combined distinct
+    # (order, supplier) rows instead of duplicating o_orderdate across
+    # every raw lineitem row through the exchange.
     li = lineitem.select(
         "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("l_sdate")
     )
-    late = F.col("l_sdate") > F.date_add(F.col("o_date"), late_days)
-    per_sup = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late.cast("int")).alias("sup_late"))
+    per_sup_raw = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_sdate").alias("__mx")
+    )
+    per_sup = per_sup_raw.join(
+        o, per_sup_raw["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("__mx") > F.date_add(F.col("o_date"), late_days))
+        .cast("int")
+        .alias("sup_late"),
     )
     per_order = per_sup.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_sups"),

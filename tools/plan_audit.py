@@ -100,7 +100,7 @@ HEADLINERS = {
     "quality_dup_crosstab": "curation crosstab: decile side from the session-cached quality rank, dup flag from one content-hash aggregate, ONE id-keyed join into an n_tiles-sized aggregate",
     "event_user_overlap": "type-affinity matrix: distinct (type,user) reduction, user-keyed self-join with T-bounded fan-out, T^2 aggregate, broadcast totals",
     "event_debounce": "telemetry burst dedup: LAG + running-sum + leader aggregate all reuse ONE (user,type) shuffle; leader via struct MIN, no second window pass",
-    "event_value_outliers": "robust anomalies: EXACT distributed medians via global_row_number (range repartition + bounded offset collect) — no per-type single-task window; doubled-integer median/MAD, cross-multiplied k-MAD test",
+    "event_value_outliers": "robust anomalies: fact shuffles ONCE into a (type,value) frequency aggregate; both medians are WEIGHTED medians over that aggregate via global_running_sum (the deviation table derives from the first aggregate — no second corpus pass); flag pass is a narrow scan under broadcast med/MAD",
     "minhash_estimate_audit": "sketch-drift audit: shared banded candidate core; estimate join touches only candidates against the cached signature table; single aggregate row, all-integer ppm",
     "neardup_rate_by_source": "near-dup dashboard: linear LSH pair pipeline, sparse membership explode broadcast back onto the narrow (id,source) projection, |sources|-sized aggregate",
 }
