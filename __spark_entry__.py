@@ -574,6 +574,8 @@ GATE_PRIORITY = [
     "cluster_purity",
     "neardup_rate_by_source",
     "event_value_outliers",
+    "late_order_priority",
+    "discounted_revenue",
     "sq_codes",
     "sq_topk",
     "sq_recall_audit",
@@ -802,6 +804,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table_hot(s, d, "lineitem"),
             load_table_hot(s, d, "part"),
             "Brand#4",
+        ),
+        "late_order_priority": lambda s, d: warehouse.late_order_priority(
+            load_table_hot(s, d, "orders"),
+            load_table_hot(s, d, "lineitem"),
+            "1996-01-01", "1996-03-31", 90,
+        ),
+        "discounted_revenue": lambda s, d: warehouse.discounted_revenue(
+            load_table_hot(s, d, "lineitem"),
+            "1996-01-01", "1996-12-31", 0.02, 0.06, 24.0,
         ),
         "availability_by_nation": lambda s, d: warehouse.availability_by_nation(
             _da(s, d),
@@ -1600,6 +1611,12 @@ ORDER BY symbol, event_date"""),
         "large_volume_customers": oracles.sql_large_volume_customers(200.0),
         "late_supplier_orders": oracles.sql_late_supplier_orders(90, 100),
         "small_order_revenue": oracles.sql_small_order_revenue("Brand#4"),
+        "late_order_priority": oracles.sql_late_order_priority(
+            "1996-01-01", "1996-03-31", 90
+        ),
+        "discounted_revenue": oracles.sql_discounted_revenue(
+            "1996-01-01", "1996-12-31", 0.02, 0.06, 24.0
+        ),
         "availability_by_nation": with_da(oracles.sql_availability_by_nation()),
         "event_window_counts": oracles.sql_event_window_counts(),
         "event_user_overlap": oracles.sql_event_user_overlap(),

@@ -508,3 +508,92 @@ def small_order_revenue(
         F.count(F.lit(1)).alias("n_small_lineitems"),
         (F.sum("price_c").cast("double") / 700.0).alias("avg_yearly"),
     )
+
+
+def late_order_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str,
+    date_to: str,
+    late_days: int = 90,
+) -> DataFrame:
+    """Order-priority accounting of troubled orders (the TPC-H Q4
+    family, lateness = any lineitem shipped more than ``late_days``
+    after the order date): per priority, how many orders placed in the
+    window had at least one late lineitem — (o_orderpriority,
+    order_count).
+
+    Shape: the textbook EXISTS subquery becomes a LEFT SEMI join —
+    Catalyst's hash-semi build holds only DISTINCT qualifying order
+    keys, and rows short-circuit on first match (no fact-side
+    duplication, unlike an inner join + distinct). The date window
+    lands in the orders scan's PushedFilters, so the semi join probes
+    only the window's orders; the lineitem side prunes to two columns.
+    The final aggregate is |priorities|-sized. The DuckDB oracle keeps
+    the textbook correlated EXISTS form.
+    """
+    o = orders.filter(
+        F.col("o_orderdate").between(F.lit(date_from), F.lit(date_to))
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("__od"),
+    )
+    li = lineitem.select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("__sd")
+    )
+    # the lateness predicate references BOTH sides, so it lives in the
+    # semi-join condition, not a pre-filter
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["__sd"] > F.date_add(o["__od"], late_days)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def discounted_revenue(
+    lineitem: DataFrame,
+    date_from: str,
+    date_to: str,
+    discount_low: float,
+    discount_high: float,
+    max_quantity: float,
+) -> DataFrame:
+    """Revenue-change forecast for a discount policy (the TPC-H Q6
+    family): Σ price·discount over lineitems in a ship-date window with
+    discount in [low, high] and quantity below the cap — one row
+    (n_lineitems, revenue_delta).
+
+    THE predicate-pushdown benchmark: every filter (date window,
+    discount band, quantity cap) reaches the parquet scan as
+    PushedFilters, the read schema prunes to four columns, and the
+    whole query is a single map-side-combined scalar aggregate — no
+    shuffle beyond the one-row reduction. Money in integer cents:
+    price(2dp)·discount(2dp) is exact at scale 4 in longs; one double
+    division at the end.
+    """
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    lo = int(round(discount_low * 100))
+    hi = int(round(discount_high * 100))
+    qty = F.col("l_quantity")
+    return (
+        lineitem.filter(
+            F.col("l_shipdate").between(F.lit(date_from), F.lit(date_to))
+            & F.col("l_discount").between(
+                F.lit(discount_low), F.lit(discount_high)
+            )
+            & (qty < F.lit(max_quantity))
+        )
+        .select((price_c * disc_h).alias("__rev4"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            (F.sum("__rev4").cast("double") / 10000.0).alias("revenue_delta"),
+        )
+    )

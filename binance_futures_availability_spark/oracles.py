@@ -2049,6 +2049,43 @@ WHERE p.p_brand = '{brand}'
          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""
 
 
+def sql_late_order_priority(
+    date_from: str, date_to: str, late_days: int = 90
+) -> str:
+    """TPC-H Q4-family priority accounting — the textbook correlated
+    EXISTS form (vs the engine's LEFT SEMI decorrelation)."""
+    return f"""SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate BETWEEN '{date_from}' AND '{date_to}'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND CAST(l.l_shipdate AS DATE)
+            > CAST(o.o_orderdate AS DATE) + {late_days})
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority"""
+
+
+def sql_discounted_revenue(
+    date_from: str,
+    date_to: str,
+    discount_low: float,
+    discount_high: float,
+    max_quantity: float,
+) -> str:
+    """TPC-H Q6-family forecast — mirrors warehouse.discounted_revenue
+    (integer scale-4 cents product, one double division)."""
+    return f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS revenue_delta
+FROM lineitem
+WHERE l_shipdate BETWEEN '{date_from}' AND '{date_to}'
+  AND l_discount BETWEEN {discount_low} AND {discount_high}
+  AND l_quantity < {max_quantity}"""
+
+
 def sql_availability_by_nation() -> str:
     """Availability coverage per supplier nation — mirrors
     warehouse.availability_by_nation over the derived fact (with_da

@@ -3246,3 +3246,68 @@ def test_neardup_rate_by_source_neighborhood_keeper(spark):
     assert got["crawlA"]["n_neardup_docs"] == 1
     assert got["crawlB"]["n_neardup_docs"] == 1
     assert got["crawlA"]["neardup_ppm"] == 1_000_000 // 2
+
+
+def test_late_order_priority_exists_semantics(spark):
+    """An order counts once per priority regardless of how many late
+    lineitems it has; on-time-only and out-of-window orders don't."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    d = dt.datetime
+    orders = spark.createDataFrame(
+        [
+            (1, d(1996, 2, 1), "1-URGENT"),
+            (2, d(1996, 2, 1), "1-URGENT"),   # on-time only
+            (3, d(1996, 2, 1), "2-HIGH"),
+            (4, d(1995, 1, 1), "1-URGENT"),   # out of window, late
+        ],
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = spark.createDataFrame(
+        [
+            (1, d(1996, 8, 1)), (1, d(1996, 9, 1)),  # two late lines
+            (2, d(1996, 2, 10)),
+            (3, d(1996, 7, 1)),
+            (4, d(1996, 8, 1)),
+        ],
+        ["l_orderkey", "l_shipdate"],
+    )
+    got = {
+        r["o_orderpriority"]: r["order_count"]
+        for r in warehouse.late_order_priority(
+            orders, li, "1996-01-01", "1996-03-31", 90
+        ).collect()
+    }
+    assert got == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+def test_discounted_revenue_exact_cents(spark):
+    """Integer scale-4 product: price*discount summed exactly; filters
+    bind (window, band, quantity cap)."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    d = dt.datetime
+    li = spark.createDataFrame(
+        [
+            # qualifies: 100.00 * 0.05 = 5.00
+            (10.0, 100.0, 0.05, d(1996, 6, 1)),
+            # discount out of band
+            (10.0, 100.0, 0.10, d(1996, 6, 1)),
+            # quantity at the cap (strict <)
+            (24.0, 100.0, 0.05, d(1996, 6, 1)),
+            # out of window
+            (10.0, 100.0, 0.05, d(1997, 6, 1)),
+            # qualifies: 33.33 * 0.02 = 0.6666
+            (1.0, 33.33, 0.02, d(1996, 1, 1)),
+        ],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    r = warehouse.discounted_revenue(
+        li, "1996-01-01", "1996-12-31", 0.02, 0.06, 24.0
+    ).collect()[0]
+    assert r["n_lineitems"] == 2
+    assert r["revenue_delta"] == (100_00 * 5 + 33_33 * 2) / 10000.0

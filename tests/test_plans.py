@@ -719,3 +719,53 @@ def test_small_order_revenue_fact_joins_are_broadcast(spark):
     plan = _plan(warehouse.small_order_revenue(li, part, "Brand#X"))
     assert plan.count("Join") == plan.count("BroadcastHashJoin"), plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_late_order_priority_semi_join_and_pushdown(spark, tmp_path_factory):
+    """Q4 decorrelation: LEFT SEMI join (no fact duplication), date
+    window in the orders scan's PushedFilters."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    po = str(tmp_path_factory.mktemp("q4") / "orders")
+    pl = str(tmp_path_factory.mktemp("q4") / "lineitem")
+    spark.createDataFrame(
+        [(1, dt.date(1996, 2, 1), "1-URGENT")],
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).write.parquet(po)
+    spark.createDataFrame(
+        [(1, dt.date(1996, 8, 1))], ["l_orderkey", "l_shipdate"]
+    ).write.parquet(pl)
+    plan = _plan(warehouse.late_order_priority(
+        spark.read.parquet(po), spark.read.parquet(pl),
+        "1996-01-01", "1996-03-31", 90,
+    ))
+    assert "LeftSemi" in plan, plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "o_orderdate" in pushed
+
+
+def test_discounted_revenue_all_filters_pushed(spark, tmp_path_factory):
+    """Q6: every predicate reaches the scan; read schema prunes to the
+    four referenced columns; no shuffle beyond the scalar agg."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    p = str(tmp_path_factory.mktemp("q6") / "lineitem")
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 10.0, 100.0, 0.05, 0.0, "N", "O", dt.date(1996, 6, 1))],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+         "l_linestatus", "l_shipdate"],
+    ).write.parquet(p)
+    plan = _plan(warehouse.discounted_revenue(
+        spark.read.parquet(p), "1996-01-01", "1996-12-31", 0.02, 0.06, 24.0
+    ))
+    pushed = plan.split("PushedFilters")[1][:300]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    schema = plan.split("ReadSchema")[1][:300]
+    assert "l_orderkey" not in schema and "l_returnflag" not in schema
+    assert "Join" not in plan

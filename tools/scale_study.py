@@ -89,6 +89,8 @@ SLICE = [
     "minhash_estimate_audit",
     "event_user_overlap",
     "event_debounce",
+    "event_value_outliers",
+    "neardup_rate_by_source",
 ]
 
 
