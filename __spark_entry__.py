@@ -576,6 +576,7 @@ GATE_PRIORITY = [
     "event_value_outliers",
     "late_order_priority",
     "discounted_revenue",
+    "idle_rich_customers",
     "sq_codes",
     "sq_topk",
     "sq_recall_audit",
@@ -814,10 +815,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table_hot(s, d, "lineitem"),
             "1996-01-01", "1996-12-31", 0.02, 0.06, 24.0,
         ),
+        "idle_rich_customers": lambda s, d: warehouse.idle_rich_customers(
+            load_table_hot(s, d, "customer"),
+            load_table_hot(s, d, "orders"),
+            load_table_hot(s, d, "nation"),
+            "2000-01-01",
+        ),
         "availability_by_nation": lambda s, d: warehouse.availability_by_nation(
             _da(s, d),
             load_table_hot(s, d, "supplier"),
             load_table_hot(s, d, "nation"),
+            "2000-01-01",
         ),
         # --- event-stream analytics over the events table ---
         "event_window_counts": lambda s, d: events.window_counts(
@@ -1617,6 +1625,7 @@ ORDER BY symbol, event_date"""),
         "discounted_revenue": oracles.sql_discounted_revenue(
             "1996-01-01", "1996-12-31", 0.02, 0.06, 24.0
         ),
+        "idle_rich_customers": oracles.sql_idle_rich_customers("2000-01-01"),
         "availability_by_nation": with_da(oracles.sql_availability_by_nation()),
         "event_window_counts": oracles.sql_event_window_counts(),
         "event_user_overlap": oracles.sql_event_user_overlap(),

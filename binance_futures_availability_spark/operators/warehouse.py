@@ -597,3 +597,58 @@ def discounted_revenue(
             (F.sum("__rev4").cast("double") / 10000.0).alias("revenue_delta"),
         )
     )
+
+
+def idle_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    since: str,
+) -> DataFrame:
+    """Dormant-capital report (the TPC-H Q22 family): customers whose
+    balance beats the average POSITIVE balance but who placed no order
+    on or after ``since``, rolled up per nation — (nation_name,
+    n_customers, total_acctbal).
+
+    Two decorrelations in one plan: the scalar AVG subquery becomes a
+    ONE-ROW aggregate broadcast under a cross join (the compare is the
+    integer cross-multiplication bal_c · n_pos > Σpos_c — no double
+    average to diverge at the boundary), and the NOT EXISTS becomes a
+    LEFT ANTI join against the distinct-collapsed recent-order customer
+    keys (the dormancy filter lands in the orders scan's PushedFilters
+    BEFORE the distinct). Nation is a broadcast dimension; the final
+    aggregate is |nations|-sized. The oracle keeps both textbook
+    correlated forms.
+    """
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    cust = customer.select(
+        "c_custkey", "c_nationkey", bal_c.alias("__bal_c")
+    )
+    pos = F.broadcast(
+        cust.filter(F.col("__bal_c") > 0).agg(
+            F.count(F.lit(1)).alias("__n_pos"),
+            F.sum("__bal_c").alias("__sum_pos"),
+        )
+    )
+    rich = cust.crossJoin(pos).filter(
+        F.col("__bal_c") * F.col("__n_pos") > F.col("__sum_pos")
+    )
+    idle = rich.join(
+        orders.filter(F.col("o_orderdate") >= F.lit(since))
+        .select(F.col("o_custkey"))
+        .distinct(),
+        rich["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    ndim = F.broadcast(
+        nation.select("n_nationkey", F.col("n_name").alias("nation_name"))
+    )
+    return (
+        idle.join(ndim, idle["c_nationkey"] == F.col("n_nationkey"))
+        .groupBy("nation_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.sum("__bal_c").cast("double") / 100.0).alias("total_acctbal"),
+        )
+        .orderBy("nation_name")
+    )

@@ -2086,6 +2086,30 @@ WHERE l_shipdate BETWEEN '{date_from}' AND '{date_to}'
   AND l_quantity < {max_quantity}"""
 
 
+def sql_idle_rich_customers(since: str) -> str:
+    """TPC-H Q22-family dormant capital — the textbook CORRELATED forms
+    (scalar AVG subquery by integer cross-multiplication + NOT EXISTS),
+    vs the engine's broadcast-scalar + anti-join decorrelation."""
+    return """SELECT n.n_name AS nation_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+      * (SELECT COUNT(*) FROM customer c2
+         WHERE CAST(round(c2.c_acctbal * 100) AS BIGINT) > 0)
+      > (SELECT SUM(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+         FROM customer c2
+         WHERE CAST(round(c2.c_acctbal * 100) AS BIGINT) > 0)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= '{since}')
+GROUP BY n.n_name
+ORDER BY n.n_name""".format(since=since)
+
+
 def sql_availability_by_nation() -> str:
     """Availability coverage per supplier nation — mirrors
     warehouse.availability_by_nation over the derived fact (with_da

@@ -3311,3 +3311,40 @@ def test_discounted_revenue_exact_cents(spark):
     ).collect()[0]
     assert r["n_lineitems"] == 2
     assert r["revenue_delta"] == (100_00 * 5 + 33_33 * 2) / 10000.0
+
+
+def test_idle_rich_customers_decorrelations(spark):
+    """Above-positive-average balance via integer cross-multiplication;
+    dormancy = no order on/after the cutoff; negative balances count in
+    the population but not the average's denominator."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    customer = spark.createDataFrame(
+        [
+            # positive balances: 100, 200, 600 -> avg 300
+            (1, 0, 100.0), (2, 0, 200.0), (3, 0, 600.0),
+            (4, 1, -50.0),   # negative: not in avg, below it anyway
+            (5, 1, 900.0),   # rich and dormant
+        ],
+        ["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 3, dt.datetime(2001, 5, 1)),   # cust 3 active recently
+            (11, 5, dt.datetime(1998, 1, 1)),   # cust 5 only old orders
+        ],
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    nation = spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA")], ["n_nationkey", "n_name"]
+    )
+    got = {
+        r["nation_name"]: (r["n_customers"], r["total_acctbal"])
+        for r in warehouse.idle_rich_customers(
+            customer, orders, nation, "2000-01-01"
+        ).collect()
+    }
+    # rich set = {3 (600>300), 5 (900>300)}; 3 is active -> only 5
+    assert got == {"BETA": (1, 900.0)}

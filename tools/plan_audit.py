@@ -103,6 +103,9 @@ HEADLINERS = {
     "event_value_outliers": "robust anomalies: fact shuffles ONCE into a (type,value) frequency aggregate; both medians are WEIGHTED medians over that aggregate via global_running_sum (the deviation table derives from the first aggregate — no second corpus pass); flag pass is a narrow scan under broadcast med/MAD",
     "minhash_estimate_audit": "sketch-drift audit: shared banded candidate core; estimate join touches only candidates against the cached signature table; single aggregate row, all-integer ppm",
     "neardup_rate_by_source": "near-dup dashboard: linear LSH pair pipeline, sparse membership explode broadcast back onto the narrow (id,source) projection, |sources|-sized aggregate",
+    "late_order_priority": "Q4 family: EXISTS as LEFT SEMI join (distinct-key hash build, first-match short-circuit); date window in PushedFilters; |priorities|-sized aggregate",
+    "discounted_revenue": "Q6 family: every predicate in PushedFilters, 4-column ReadSchema, single map-side scalar aggregate — zero shuffle beyond the one-row reduction",
+    "idle_rich_customers": "Q22 family: scalar-avg subquery as a one-row broadcast cross join (integer cross-multiplied compare), NOT-EXISTS as LEFT ANTI on distinct recent-order keys, nation broadcast",
 }
 
 
