@@ -656,47 +656,22 @@ def debounce(
     )
 
 
-def value_outliers(
+def robust_value_stats(
     events: DataFrame,
-    k: int = 5,
     type_col: str = "event_type",
     value_col: str = "value",
-    id_col: str = "event_id",
 ) -> DataFrame:
-    """Robust per-type value anomalies via EXACT DISTRIBUTED ORDER
-    STATISTICS: flag events whose value sits more than ``k`` MADs from
-    their type's median — (event_id, event_type, value, robust_z_milli),
-    the median/MAD robust z-test (Iglewicz & Hoaglin) that a heavy
-    tail cannot poison the way it poisons mean/stddev.
-
-    The hard part at scale is the EXACT per-group median: an ORDER BY
-    window per type puts a whole type's events in one task. Shape here:
-    the fact shuffles ONCE into a (type, value) frequency aggregate —
-    never larger than the corpus and, on real telemetry (quantized
-    values), orders of magnitude smaller — and both medians run as
-    WEIGHTED medians over that aggregate via ``global_running_sum``
-    (range repartition + bounded offset collect; per-type positions by
-    subtracting the type's start offset, a |types|-sized broadcast).
-    The deviation median needs no second corpus pass at all: every
-    occurrence of a value shares one deviation, so its frequency table
-    derives from the first aggregate. The final flag pass is a narrow
-    scan under broadcast med/MAD tables.
-
-    All statistics stay INTEGER: values quantize to micro units, the
-    median is carried DOUBLED (sum of the two middle elements — no
-    fractional average), the deviation doubled again, and the k-MAD
-    test is the cross-multiplication 2·dev > k·mad2 — so the flagged
-    set and the reported milli-z (exact integer div) hash-gate
-    bit-for-bit. MAD = 0 (constant type) degenerates to flagging any
-    deviation, with NULL milli-z on both engines.
+    """Per-type doubled-integer robust statistics — (event_type, m2,
+    mad2) where m2 = 2·median(value_micro) and mad2 = 4·MAD in micro
+    units. The trainable half of ``value_outliers`` (the streaming
+    anomaly sink freezes exactly this table); see value_outliers for
+    the weighted-median shape and exactness argument.
     """
     from ..functions import global_running_sum
 
     ev = events.select(
         F.col(type_col).alias("__t"),
         F.expr(f"CAST(round({value_col} * 1000000) AS BIGINT)").alias("__v"),
-        F.col(id_col),
-        F.col(value_col),
     )
     counts = ev.groupBy("__t", "__v").agg(F.count(F.lit(1)).alias("__c"))
 
@@ -741,9 +716,39 @@ def value_outliers(
         .agg(F.sum("__c").alias("__c"))
     )
     mad2 = _weighted_median2(dcounts, "__d", "__mad2")
+    return med2.join(mad2, "__t").select(
+        F.col("__t").alias(type_col),
+        F.col("__m2").alias("m2"),
+        F.col("__mad2").alias("mad2"),
+    )
+
+
+def score_values_with(
+    events: DataFrame,
+    stats: DataFrame,
+    k: int = 5,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Apply a (frozen or fresh) robust-stats table to an event stream:
+    the flagging half of ``value_outliers`` — a narrow scan under the
+    broadcast stats, integer cross-multiplied k-MAD test, exact integer
+    milli-z. Types absent from the stats table cannot be scored and are
+    dropped (the classifier sink's frozen-vocabulary discipline)."""
+    ev = events.select(
+        F.col(type_col).alias("__t"),
+        F.expr(f"CAST(round({value_col} * 1000000) AS BIGINT)").alias("__v"),
+        F.col(id_col),
+        F.col(value_col),
+    )
+    st = stats.select(
+        F.col(type_col).alias("__t"),
+        F.col("m2").alias("__m2"),
+        F.col("mad2").alias("__mad2"),
+    )
     return (
-        ev.join(F.broadcast(med2), "__t")
-        .join(F.broadcast(mad2), "__t")
+        ev.join(F.broadcast(st), "__t")
         .withColumn("__d", F.abs(F.lit(2) * F.col("__v") - F.col("__m2")))
         .filter(F.lit(2) * F.col("__d") > F.lit(int(k)) * F.col("__mad2"))
         .select(
@@ -757,3 +762,42 @@ def value_outliers(
         )
         .orderBy(type_col, id_col)
     )
+
+
+def value_outliers(
+    events: DataFrame,
+    k: int = 5,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Robust per-type value anomalies via EXACT DISTRIBUTED ORDER
+    STATISTICS: flag events whose value sits more than ``k`` MADs from
+    their type's median — (event_id, event_type, value, robust_z_milli),
+    the median/MAD robust z-test (Iglewicz & Hoaglin) that a heavy
+    tail cannot poison the way it poisons mean/stddev.
+
+    The hard part at scale is the EXACT per-group median: an ORDER BY
+    window per type puts a whole type's events in one task. Shape here
+    (``robust_value_stats``): the fact shuffles ONCE into a
+    (type, value) frequency aggregate — never larger than the corpus
+    and, on real telemetry (quantized values), orders of magnitude
+    smaller — and both medians run as WEIGHTED medians over that
+    aggregate via ``global_running_sum`` (range repartition + bounded
+    offset collect; per-type positions by subtracting the type's start
+    offset, a |types|-sized broadcast). The deviation median needs no
+    second corpus pass at all: every occurrence of a value shares one
+    deviation, so its frequency table derives from the first aggregate.
+    The final flag pass (``score_values_with``) is a narrow scan under
+    broadcast med/MAD tables.
+
+    All statistics stay INTEGER: values quantize to micro units, the
+    median is carried DOUBLED (sum of the two middle elements — no
+    fractional average), the deviation doubled again, and the k-MAD
+    test is the cross-multiplication 2·dev > k·mad2 — so the flagged
+    set and the reported milli-z (exact integer div) hash-gate
+    bit-for-bit. MAD = 0 (constant type) degenerates to flagging any
+    deviation, with NULL milli-z on both engines.
+    """
+    stats = robust_value_stats(events, type_col, value_col)
+    return score_values_with(events, stats, k, type_col, value_col, id_col)

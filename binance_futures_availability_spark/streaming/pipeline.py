@@ -813,6 +813,79 @@ def read_classifier_scores(spark: SparkSession, store_path: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def start_anomaly_score_sink(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    k: int = 5,
+):
+    """writeStream → foreachBatch(frozen-stats robust anomaly scoring):
+    the streaming twin of ``events.value_outliers`` — incoming events
+    are flagged against a FROZEN per-type median/MAD table
+    (``events.robust_value_stats`` / ``score_values_with``), so an
+    event's verdict and milli-z are identical whether it arrived in
+    batch 1 or batch 100 (the frozen-artifact invariant of the
+    PQ/SQ/classifier sinks; online anomaly detection against drifting
+    statistics is a different product, re-train by re-seeding the
+    store). The FIRST batch cold-starts the stats on itself and freezes
+    them under ``<store>/stats``; a production pipeline pre-seeds that
+    path from the batch operator over history. Only a genuinely-missing
+    stats path trains — any other read error propagates so the batch
+    retries instead of silently splitting the score stream across two
+    models. Types absent from the frozen table are dropped (the frozen-
+    vocabulary discipline). Exactly-once output: per-batch-id dirs with
+    overwrite semantics + commit markers; ``read_anomaly_scores`` sees
+    only committed dirs."""
+    import os
+
+    from ..operators import events as ev_ops
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker_dir = os.path.join(store_path.rstrip("/"), "_committed_batches")
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # checkpoint replay of an already-applied batch
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        stats_path = os.path.join(store_path.rstrip("/"), "stats")
+        out_path = os.path.join(
+            store_path.rstrip("/"), "scores", f"batch-{batch_id}"
+        )
+        if os.path.exists(stats_path):
+            stats = spark.read.parquet(stats_path)
+        else:
+            ev_ops.robust_value_stats(batch).write.mode("overwrite").parquet(
+                stats_path
+            )
+            stats = spark.read.parquet(stats_path)
+        ev_ops.score_values_with(batch, stats, k).write.mode(
+            "overwrite"
+        ).parquet(out_path)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_anomaly_scores(spark: SparkSession, store_path: str) -> DataFrame:
+    """Union of every marker-committed batch's anomaly rows — the read
+    side of ``start_anomaly_score_sink``'s per-batch-dir exactly-once
+    layout."""
+    paths = _committed_batch_paths(store_path, "scores")
+    if not paths:
+        raise FileNotFoundError(
+            f"no committed anomaly batches under {store_path}"
+        )
+    return spark.read.parquet(*paths)
+
+
 def start_sq_append_sink(
     stream: DataFrame,
     store_path: str,

@@ -1222,3 +1222,65 @@ def test_streaming_debounce_matches_batch(spark, tmp_path):
     for eid, r in got.items():
         assert r["n_suppressed"] == batch[eid]["n_suppressed"], eid
         assert r["ts"] == batch[eid]["ts"]
+
+
+def test_streaming_anomaly_scores_frozen_stats(spark, tmp_path):
+    """First batch trains and freezes the per-type median/MAD; its own
+    scores equal the batch operator on batch 1; batch 2 is scored under
+    the FROZEN stats (not its own); replay is a no-op."""
+    from binance_futures_availability_spark.operators import events as ev_ops
+    from binance_futures_availability_spark.streaming.pipeline import (
+        event_stream_source,
+        read_anomaly_scores,
+        start_anomaly_score_sink,
+    )
+
+    t0 = TS(2024, 1, 1)
+    batch1 = [(i, t0, 1, "A", v, "{}") for i, v in enumerate(
+        [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0]
+    )]
+    # batch 2: same type, a value extreme under batch-1 stats
+    batch2 = [(100, t0, 2, "A", 200.0, "{}"), (101, t0, 2, "A", 4.0, "{}"),
+              (102, t0, 2, "B", 1.0, "{}")]  # unseen type -> dropped
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    incoming = tmp_path / "an_in"
+    store = str(tmp_path / "an_store")
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(
+        str(incoming)
+    )
+
+    def run():
+        q = start_anomaly_score_sink(
+            event_stream_source(spark, str(incoming)), store,
+            str(tmp_path / "an_ckpt"), k=5,
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    got1 = {r["event_id"]: r for r in read_anomaly_scores(spark, store).collect()}
+    want1 = {
+        r["event_id"]: r
+        for r in ev_ops.value_outliers(
+            spark.createDataFrame(batch1, schema), k=5
+        ).collect()
+    }
+    assert set(got1) == set(want1)
+    for eid in got1:
+        assert got1[eid]["robust_z_milli"] == want1[eid]["robust_z_milli"]
+
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(
+        str(incoming)
+    )
+    run()
+    got2 = {r["event_id"]: r for r in read_anomaly_scores(spark, store).collect()}
+    # frozen stats from batch 1: med=4.5, mad2=8e6 -> 200.0 flags, 4.0
+    # doesn't; type B unseen -> dropped
+    assert set(got2) == set(got1) | {100}
+    d = abs(2 * 200_000_000 - 9_000_000)
+    assert got2[100]["robust_z_milli"] == 2000 * d // 8_000_000
+
+    run()  # replay: markers make it a no-op
+    assert len(read_anomaly_scores(spark, store).collect()) == len(got2)
