@@ -577,6 +577,7 @@ GATE_PRIORITY = [
     "late_order_priority",
     "discounted_revenue",
     "idle_rich_customers",
+    "length_quantiles",
     "sq_codes",
     "sq_topk",
     "sq_recall_audit",
@@ -1088,6 +1089,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": lambda s, d: textops.source_overlap(_docs(s, d)),
         "quality_deciles": lambda s, d: textops.quality_deciles(_docs(s, d)),
         "quality_dup_crosstab": lambda s, d: textops.quality_dup_crosstab(
+            _docs(s, d)
+        ),
+        "length_quantiles": lambda s, d: textops.length_quantiles(
             _docs(s, d)
         ),
         "curated_corpus": lambda s, d: textops.curate_corpus(_docs(s, d)),
@@ -1766,6 +1770,7 @@ ORDER BY symbol, event_date"""),
         "source_overlap": oracles.sql_source_overlap(),
         "quality_deciles": oracles.sql_quality_deciles(),
         "quality_dup_crosstab": oracles.sql_quality_dup_crosstab(),
+        "length_quantiles": oracles.sql_length_quantiles(),
         "curated_corpus": oracles.sql_curate_corpus(),
         "token_budget_selection": oracles.sql_token_budget_selection(),
         "chunked_documents": oracles.sql_chunk_documents(),

@@ -1872,3 +1872,76 @@ def quality_dup_crosstab(
         )
         .orderBy("decile")
     )
+
+
+def length_quantiles(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source document-length quartiles by EXACT DISTRIBUTED ORDER
+    STATISTICS — (source, n_docs, q25, q50, q75), the corpus-composition
+    report behind truncation budgets and source reweighting.
+
+    Same machinery as ``events.robust_value_stats``: lengths collapse to
+    a (group, length) frequency table (one fact shuffle, bounded by the
+    distinct-length count), a single ``global_running_sum`` pass ranks
+    it, and each quartile is the NEAREST-RANK PAIR — positions
+    ⌊q·(n−1)⌋+1 and ⌈q·(n−1)⌉+1 in pure integer arithmetic, quartile =
+    (v[p1]+v[p2])/2 — so the emitted value is either an exact integer
+    or an exact .5, identical on both engines (no fractional
+    interpolation weights to diverge). A per-group ORDER BY window
+    would put a whole source's rows in one task; this never does.
+    """
+    from ..functions import global_running_sum, token_count  # noqa: F401
+
+    ev = docs.select(
+        F.col(group_col).alias("__g"),
+        F.length(F.col(text_col)).cast("long").alias("__len"),
+    )
+    counts = ev.groupBy("__g", "__len").agg(F.count(F.lit(1)).alias("__c"))
+    run = global_running_sum(counts, ["__g", "__len"], "__c", out_col="__cum")
+    stats = run.groupBy("__g").agg(
+        F.min(F.col("__cum") - F.col("__c")).alias("__off"),
+        F.max("__cum").alias("__end"),
+    )
+    j = run.join(F.broadcast(stats), "__g").withColumn(
+        "__n", F.col("__end") - F.col("__off")
+    )
+    prev = F.col("__cum") - F.col("__c") - F.col("__off")
+    cum = F.col("__cum") - F.col("__off")
+
+    def q2(a: int, d: int, name: str):
+        # 2×quantile: nearest-rank pair at q = a/d over n values —
+        # p1 = floor(a(n-1)/d)+1, p2 = ceil(a(n-1)/d)+1. Both engines
+        # compute them with POSITIVE-ONLY division ((x + d − 1) div d
+        # for the ceil): Spark's `div` truncates toward zero while
+        # DuckDB's `//` floors, so the textbook -((-x)//d) ceil idiom
+        # silently disagrees between engines on fractional positions
+        # (caught by the nearest-rank-pair unit test, masked at the
+        # gate SFs by adjacent equal lengths).
+        p1 = F.expr(f"({a} * (__n - 1)) div {d} + 1")
+        p2 = F.expr(f"({a} * (__n - 1) + {d} - 1) div {d} + 1")
+        hits = (
+            ((p1 > prev) & (p1 <= cum)).cast("long")
+            + ((p2 > prev) & (p2 <= cum)).cast("long")
+        )
+        return F.sum(F.col("__len") * hits).alias(name)
+
+    return (
+        j.groupBy("__g")
+        .agg(
+            (F.max("__end") - F.max("__off")).alias("n_docs"),
+            q2(1, 4, "__q25_2"),
+            q2(1, 2, "__q50_2"),
+            q2(3, 4, "__q75_2"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n_docs").cast("long"),
+            (F.col("__q25_2").cast("double") / 2.0).alias("q25"),
+            (F.col("__q50_2").cast("double") / 2.0).alias("q50"),
+            (F.col("__q75_2").cast("double") / 2.0).alias("q75"),
+        )
+        .orderBy(group_col)
+    )

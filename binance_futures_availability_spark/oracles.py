@@ -3186,6 +3186,41 @@ SELECT {source_col},
 FROM flagged GROUP BY {source_col}"""
 
 
+def sql_length_quantiles(group_col: str = "source") -> str:
+    """Per-source length quartiles — mirrors textops.length_quantiles
+    (frequency table, cumulative ranks, nearest-rank PAIR per quartile
+    in pure integer arithmetic, value = pair-sum / 2.0)."""
+    def hit(a, d):
+        # positive-only ceil — see textops.length_quantiles on the
+        # Spark-div-truncates vs DuckDB-//-floors divergence
+        p1 = f"(({a} * (n - 1)) // {d} + 1)"
+        p2 = f"(({a} * (n - 1) + {d} - 1) // {d} + 1)"
+        rng = "> cum - c AND {p} <= cum"
+        return (
+            f"(CASE WHEN {p1} {rng.format(p=p1)} THEN 1 ELSE 0 END"
+            f" + CASE WHEN {p2} {rng.format(p=p2)} THEN 1 ELSE 0 END)"
+        )
+
+    return f"""WITH fc AS (
+    SELECT {group_col} AS g, CAST(length(text) AS BIGINT) AS len,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2
+),
+rk AS (
+    SELECT g, len, c,
+           SUM(c) OVER (PARTITION BY g ORDER BY len
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(c) OVER (PARTITION BY g) AS n
+    FROM fc
+)
+SELECT g AS {group_col},
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(SUM(len * {hit(1, 4)}) AS DOUBLE) / 2.0 AS q25,
+       CAST(SUM(len * {hit(1, 2)}) AS DOUBLE) / 2.0 AS q50,
+       CAST(SUM(len * {hit(3, 4)}) AS DOUBLE) / 2.0 AS q75
+FROM rk GROUP BY g ORDER BY g"""
+
+
 def sql_quality_dup_crosstab(n_tiles: int = 10) -> str:
     """Duplication rate per quality decile — mirrors
     textops.quality_dup_crosstab (real NTILE over the shared quality

@@ -3348,3 +3348,34 @@ def test_idle_rich_customers_decorrelations(spark):
     }
     # rich set = {3 (600>300), 5 (900>300)}; 3 is active -> only 5
     assert got == {"BETA": (1, 900.0)}
+
+
+def test_length_quantiles_nearest_rank_pair(spark):
+    """Quartiles against a numpy-free hand reference: nearest-rank pair
+    (v[floor(q(n-1))+1] + v[ceil(q(n-1))+1]) / 2 per group."""
+    from binance_futures_availability_spark.operators import textops
+
+    def ref(lengths, a, d):
+        v = sorted(lengths)
+        n = len(v)
+        p1 = (a * (n - 1)) // d
+        p2 = -((-a * (n - 1)) // d)
+        return (v[p1] + v[p2]) / 2
+
+    worlds = {
+        "A": ["x" * L for L in (1, 2, 3, 4, 5, 6, 7, 100)],  # even n
+        "B": ["x" * L for L in (10, 20, 30)],                # odd n
+        "C": ["x" * L for L in (5,)],                        # singleton
+    }
+    rows = []
+    i = 0
+    for src, texts in worlds.items():
+        for t in texts:
+            rows.append((i, t, src)); i += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["source"]: r for r in textops.length_quantiles(docs).collect()}
+    for src, texts in worlds.items():
+        lens = [len(t) for t in texts]
+        assert got[src]["n_docs"] == len(lens)
+        for q, (a, d) in (("q25", (1, 4)), ("q50", (1, 2)), ("q75", (3, 4))):
+            assert got[src][q] == ref(lens, a, d), (src, q)

@@ -106,6 +106,7 @@ HEADLINERS = {
     "late_order_priority": "Q4 family: EXISTS as LEFT SEMI join (distinct-key hash build, first-match short-circuit); date window in PushedFilters; |priorities|-sized aggregate",
     "discounted_revenue": "Q6 family: every predicate in PushedFilters, 4-column ReadSchema, single map-side scalar aggregate — zero shuffle beyond the one-row reduction",
     "idle_rich_customers": "Q22 family: scalar-avg subquery as a one-row broadcast cross join (integer cross-multiplied compare), NOT-EXISTS as LEFT ANTI on distinct recent-order keys, nation broadcast",
+    "length_quantiles": "exact grouped quartiles: one fact shuffle into a (group,length) frequency table, single global_running_sum rank pass, nearest-rank-pair selection — no per-group single-task window",
 }
 
 
