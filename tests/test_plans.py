@@ -769,3 +769,34 @@ def test_discounted_revenue_all_filters_pushed(spark, tmp_path_factory):
     schema = plan.split("ReadSchema")[1][:300]
     assert "l_orderkey" not in schema and "l_returnflag" not in schema
     assert "Join" not in plan
+
+
+def test_debounce_single_shuffle(spark):
+    """All three debounce passes (LAG, running sum, leader aggregate)
+    reuse ONE (user,type) exchange."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import events as ev
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "click", 1.0, "{}")],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    plan = _plan(ev.debounce(df))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_user_overlap_totals_broadcast(spark):
+    """The per-type totals join is broadcast; the only data shuffles are
+    the distinct reduction and the user-keyed pair join."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import events as ev
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "click", 1.0, "{}"),
+         (2, dt.datetime(2024, 1, 1), 1, "view", 1.0, "{}")],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    plan = _plan(ev.user_overlap(df))
+    assert plan.count("BroadcastHashJoin") == 2, plan
