@@ -826,7 +826,6 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _da(s, d),
             load_table_hot(s, d, "supplier"),
             load_table_hot(s, d, "nation"),
-            "2000-01-01",
         ),
         # --- event-stream analytics over the events table ---
         "event_window_counts": lambda s, d: events.window_counts(
