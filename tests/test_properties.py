@@ -852,3 +852,83 @@ def test_pq_adc_matches_python_reference(spark, vecs):
         adot = sum(a * b for a, b in zip(q[qid], recon))
         want = adot / (_math.sqrt(qn) * _math.sqrt(rnorm))
         assert abs(got[vid] - want) <= 1e-12
+
+
+@SETTINGS
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["A", "B", "C"]),
+        st.lists(
+            st.floats(
+                min_value=-500, max_value=500,
+                allow_nan=False, allow_infinity=False,
+            ).map(lambda v: round(v, 2)),
+            min_size=1, max_size=25,
+        ),
+        min_size=1, max_size=3,
+    )
+)
+def test_robust_value_stats_matches_python_reference(spark, groups):
+    """The distributed weighted-median m2/mad2 equal a brute-force
+    Python reference (2×median = sum of the two middle micro values;
+    mad2 = 2×median of |2v − m2|) for arbitrary 2-decimal groups."""
+    from binance_futures_availability_spark.operators import events as ev
+
+    rows, eid = [], 0
+    for g, vals in groups.items():
+        for v in vals:
+            rows.append((eid, dt.datetime(2024, 1, 1), 1, g, float(v), "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {
+        r["event_type"]: (r["m2"], r["mad2"])
+        for r in ev.robust_value_stats(df).collect()
+    }
+
+    def med2(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return (
+            2 * xs[(n - 1) // 2] if n % 2 == 1
+            else xs[n // 2 - 1] + xs[n // 2]
+        )
+
+    for g, vals in groups.items():
+        micro = [round(v * 1_000_000) for v in vals]
+        m2 = med2(micro)
+        mad2 = med2([abs(2 * m - m2) for m in micro])
+        assert got[g] == (m2, mad2), g
+
+
+@SETTINGS
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["s1", "s2"]),
+        st.lists(st.integers(min_value=0, max_value=80),
+                 min_size=1, max_size=30),
+        min_size=1, max_size=2,
+    )
+)
+def test_length_quantiles_matches_python_reference(spark, groups):
+    """Nearest-rank-pair quartiles equal the Python reference for
+    arbitrary grouped length multisets (incl. heavy ties)."""
+    from binance_futures_availability_spark.operators import textops
+
+    rows, i = [], 0
+    for g, lens in groups.items():
+        for L in lens:
+            rows.append((i, "x" * L, g)); i += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["source"]: r for r in textops.length_quantiles(docs).collect()}
+
+    def ref(lengths, a, d):
+        v = sorted(lengths)
+        n = len(v)
+        return (v[(a * (n - 1)) // d] + v[(a * (n - 1) + d - 1) // d]) / 2
+
+    for g, lens in groups.items():
+        assert got[g]["n_docs"] == len(lens)
+        for q, (a, d) in (("q25", (1, 4)), ("q50", (1, 2)), ("q75", (3, 4))):
+            assert got[g][q] == ref(lens, a, d), (g, q)
