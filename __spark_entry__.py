@@ -578,6 +578,7 @@ GATE_PRIORITY = [
     "discounted_revenue",
     "idle_rich_customers",
     "length_quantiles",
+    "bigram_pmi_topk",
     "sq_codes",
     "sq_topk",
     "sq_recall_audit",
@@ -1111,6 +1112,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             textops.lm_quality_buckets(_docs(s, d)), "doc_id"
         ),
         "bigram_lm_scores": lambda s, d: textops.bigram_lm_scores(_docs(s, d)),
+        "bigram_pmi_topk": lambda s, d: textops.bigram_pmi_topk(_docs(s, d)),
         "cross_lm_scores": lambda s, d: textops.cross_lm_scores(
             _docs(s, d), XLM_REF_SOURCES
         ),
@@ -1778,6 +1780,7 @@ ORDER BY symbol, event_date"""),
         "doc_keyterms": oracles.sql_doc_keyterms(),
         "lm_quality_buckets": oracles.sql_lm_quality_buckets() + " ORDER BY doc_id",
         "bigram_lm_scores": oracles.sql_bigram_lm_scores(),
+        "bigram_pmi_topk": oracles.sql_bigram_pmi_topk(),
         "cross_lm_scores": oracles.sql_cross_lm_scores(XLM_REF_SOURCES),
         "bm25_topk": oracles.sql_bm25_topk(BM25_TERMS, BM25_K),
         "hybrid_rrf_topk": oracles.sql_hybrid_rrf_topk(

@@ -1945,3 +1945,70 @@ def length_quantiles(
         )
         .orderBy(group_col)
     )
+
+
+def bigram_pmi_topk(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """Collocation mining (Manning & Schütze ch. 5): the top-``k``
+    bigrams by pointwise-mutual-information LIFT — (w1, w2, cb,
+    lift_milli), lift = P(w1w2)/(P(w1)·P(w2)) ≈ cb·N/(c1·c2) — the
+    phrase-discovery primitive behind tokenizer merge seeding and
+    stop-phrase lists. ``min_count`` is the standard PMI noise gate
+    (rare pairs otherwise dominate the ranking).
+
+    Engine-exact: lift is emitted as the INTEGER milli-lift
+    cb·N·1000 div (c1·c2) — no log, no double ratio — so the ranking
+    and the k boundary hash-gate (ties break on the bigram itself).
+    Overflow headroom: cb·N·1000 < 2^63 holds to ~10⁹-token corpora
+    with top-collocation counts ~10⁶; past that, lift the expression
+    to DECIMAL(38,0) (the DuckDB oracle already computes in HUGEINT).
+
+    Shape: serves ENTIRELY from session-cached index artifacts shared
+    with the LM family (``bigram_counts``, ``unigram_counts`` — vocab-
+    sized); the unigram table joins twice (broadcast under
+    ``broadcast_counts``, the bigram_lm_scores bounded-vocabulary
+    discipline), and the top-k collapses to TakeOrderedAndProject.
+    """
+    from ..index_cache import cached_index, plan_key
+
+    bigrams = bigram_index(docs, id_col, text_col)
+    bc = cached_index(
+        plan_key(docs, "bigram_counts", id_col, text_col),
+        lambda: bigrams.groupBy("w1", "w2").agg(F.sum("tf_b").alias("cb")),
+    )
+    uni = cached_index(
+        plan_key(docs, "unigram_counts", id_col, text_col),
+        lambda: tf_index(docs, id_col, text_col)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cu"))
+        .withColumnRenamed("term", "w1"),
+    )
+    n_tokens = int(
+        uni.agg(F.coalesce(F.sum("cu"), F.lit(0))).collect()[0][0]
+    )
+    u1 = uni.select(F.col("w1"), F.col("cu").alias("__c1"))
+    u2 = uni.select(F.col("w1").alias("w2"), F.col("cu").alias("__c2"))
+    if broadcast_counts:
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
+    return (
+        bc.filter(F.col("cb") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").cast("long"),
+            F.expr(f"cb * CAST({n_tokens} AS BIGINT) * 1000"
+                   " div (__c1 * __c2)")
+            .cast("long")
+            .alias("lift_milli"),
+        )
+        .orderBy(F.desc("lift_milli"), "w1", "w2")
+        .limit(k)
+    )

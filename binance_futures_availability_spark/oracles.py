@@ -1128,6 +1128,43 @@ SELECT doc_id, term, tfidf, rnk FROM (
 ) WHERE rnk <= {k}"""
 
 
+def sql_bigram_pmi_topk(k: int = 50, min_count: int = 5) -> str:
+    """Top-k PMI collocations — mirrors textops.bigram_pmi_topk
+    (integer milli-lift cb·N·1000 // (c1·c2); HUGEINT intermediates so
+    DuckDB never hits a spurious int64 product overflow; same
+    (lift, w1, w2) tie discipline)."""
+    return rf"""WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents
+),
+flat AS (
+    SELECT doc_id, unnest(t) AS w FROM toks
+),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM flat WHERE w <> '' GROUP BY w),
+tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
+bi AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks
+    )
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+       FROM bi GROUP BY 1, 2)
+SELECT bc.w1, bc.w2, bc.cb,
+       CAST(CAST(bc.cb AS HUGEINT) * t.n * 1000
+            // (CAST(u1.cu AS HUGEINT) * u2.cu) AS BIGINT) AS lift_milli
+FROM bc
+JOIN uni u1 ON u1.w = bc.w1
+JOIN uni u2 ON u2.w = bc.w2
+CROSS JOIN tot t
+WHERE bc.cb >= {min_count}
+ORDER BY lift_milli DESC, bc.w1, bc.w2
+LIMIT {k}"""
+
+
 def sql_bigram_lm_scores() -> str:
     """Bigram-LM quality scores — mirrors textops.bigram_lm_scores:
     Laplace-smoothed corpus bigram model, per-bigram log-probs quantized

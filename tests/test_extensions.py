@@ -3379,3 +3379,31 @@ def test_length_quantiles_nearest_rank_pair(spark):
         assert got[src]["n_docs"] == len(lens)
         for q, (a, d) in (("q25", (1, 4)), ("q50", (1, 2)), ("q75", (3, 4))):
             assert got[src][q] == ref(lens, a, d), (src, q)
+
+
+def test_bigram_pmi_topk_lift_ranking(spark):
+    """The planted collocation ('hong kong': always together) outranks
+    frequent-but-independent pairs; lift_milli is the exact integer
+    cb*N*1000 // (c1*c2); min_count gates rare pairs."""
+    from binance_futures_availability_spark.operators import textops
+
+    rows = []
+    # 'hong kong' appears 6 times, always adjacent, words never alone
+    for i in range(6):
+        rows.append((i, "hong kong visit number " + "common " * 5))
+    # a rare pair below min_count
+    rows.append((100, "rare pairing here"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = textops.bigram_pmi_topk(docs, k=10, min_count=5).collect()
+    assert got[0]["w1"] == "hong" and got[0]["w2"] == "kong"
+    # hand-check the integer lift of the winner
+    texts = [r[1] for r in rows]
+    toks = [t.split() for t in texts]
+    n = sum(len(t) for t in toks)
+    c = {}
+    for t in toks:
+        for w in t:
+            c[w] = c.get(w, 0) + 1
+    assert got[0]["cb"] == 6
+    assert got[0]["lift_milli"] == 6 * n * 1000 // (c["hong"] * c["kong"])
+    assert all(r["cb"] >= 5 for r in got)
