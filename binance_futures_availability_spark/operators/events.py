@@ -801,3 +801,57 @@ def value_outliers(
     """
     stats = robust_value_stats(events, type_col, value_col)
     return score_values_with(events, stats, k, type_col, value_col, id_col)
+
+
+def funnel_rates(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Funnel conversion summary: per stage — (stage, step, n_users,
+    conversion_ppm, step_ppm). ``n_users`` = users who reached AT LEAST
+    this stage; ``conversion_ppm`` = against stage-1 entrants;
+    ``step_ppm`` = against the previous stage — the numbers a funnel
+    dashboard actually plots from the per-user ``funnel`` output.
+
+    Shape: the per-user funnel collapses to ONE row of |steps|
+    conditional aggregates (at-least-stage counts — so a stage nobody
+    reached exactly still reports correctly), and every ratio is then
+    pure integer arithmetic on that single row, reshaped to stage rows
+    with ``stack`` — no window, no second shuffle. Ratios are exact
+    ×10⁶ floor divisions; an empty funnel reports zero rows of zero
+    without dividing by zero on either engine.
+    """
+    per_user = funnel(events, steps, ts_col, user_col)
+    n = len(steps)
+    row = per_user.agg(
+        *[
+            F.sum((F.col("stage_reached") >= i).cast("long")).alias(f"__n{i}")
+            for i in range(1, n + 1)
+        ]
+    )
+    parts = []
+    for i, step in enumerate(steps, start=1):
+        conv = (
+            f"CASE WHEN __n1 = 0 THEN 0 "
+            f"ELSE __n{i} * 1000000 div __n1 END"
+        )
+        prev = f"__n{i - 1}" if i > 1 else "__n1"
+        srate = (
+            f"CASE WHEN {prev} = 0 THEN 0 "
+            f"ELSE __n{i} * 1000000 div {prev} END"
+        ) if i > 1 else "CASE WHEN __n1 = 0 THEN 0 ELSE 1000000 END"
+        parts.append(f"{i}, '{step}', __n{i}, CAST(({conv}) AS BIGINT), "
+                     f"CAST(({srate}) AS BIGINT)")
+    stacked = row.selectExpr(
+        f"stack({n}, " + ", ".join(parts) + ") AS "
+        "(stage, step, n_users, conversion_ppm, step_ppm)"
+    )
+    return stacked.select(
+        F.col("stage").cast("int"),
+        "step",
+        F.col("n_users").cast("long"),
+        "conversion_ppm",
+        "step_ppm",
+    ).orderBy("stage")

@@ -1667,6 +1667,43 @@ SELECT u.user_id, {cols}, CAST({stage} AS INT) AS stage_reached
 FROM u {joins}"""
 
 
+def sql_event_funnel_rates(
+    steps: tuple = ("view", "click", "purchase")
+) -> str:
+    """Funnel conversion summary — mirrors events.funnel_rates: the
+    per-user funnel (sql_event_funnel, as a parenthesized CTE subquery)
+    collapses to one row of at-least-stage counts; ratios are the same
+    exact ×10⁶ floor divisions with the zero-entrant guard."""
+    n = len(steps)
+    counts = ", ".join(
+        f"CAST(SUM(CASE WHEN stage_reached >= {i} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n{i}"
+        for i in range(1, n + 1)
+    )
+    rows = []
+    for i, step in enumerate(steps, start=1):
+        conv = f"CASE WHEN n1 = 0 THEN 0 ELSE n{i} * 1000000 // n1 END"
+        if i > 1:
+            srate = (
+                f"CASE WHEN n{i - 1} = 0 THEN 0 "
+                f"ELSE n{i} * 1000000 // n{i - 1} END"
+            )
+        else:
+            srate = "CASE WHEN n1 = 0 THEN 0 ELSE 1000000 END"
+        rows.append(
+            f"SELECT {i} AS stage, '{step}' AS step, n{i} AS n_users, "
+            f"CAST({conv} AS BIGINT) AS conversion_ppm, "
+            f"CAST({srate} AS BIGINT) AS step_ppm FROM agg"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""WITH f AS (
+    FROM ({sql_event_funnel(steps)})
+),
+agg AS (SELECT {counts} FROM f)
+{union}
+ORDER BY stage"""
+
+
 def sql_event_topk_users(k: int = 3, duration_days: int = 1) -> str:
     return f"""WITH counts AS (
     SELECT time_bucket(INTERVAL '{duration_days} day', ts) AS window_start,

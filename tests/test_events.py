@@ -431,3 +431,33 @@ def test_debounce_subsecond_truncation_semantics(spark):
     got = {r["event_id"]: r["n_suppressed"]
            for r in ev.debounce(df, window_s=150).collect()}
     assert got == {1: 1, 3: 0}
+
+
+def test_funnel_rates_at_least_semantics(spark):
+    """n_users counts users reaching AT LEAST each stage (a stage nobody
+    finished exactly still reports); ratios are exact ppm floors."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import events as ev
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 4 users reach stage1 only; 0 users stop at exactly stage 2;
+    # 2 users complete all three (so at-least-2 == at-least-3 == 2)
+    for u in (1, 2, 3, 4):
+        rows.append((eid, T0, u, "view", 0.0, "{}")); eid += 1
+    for u in (5, 6):
+        for i, t in enumerate(("view", "click", "purchase")):
+            rows.append((eid, T0 + dt.timedelta(minutes=i), u, t, 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {r["stage"]: r for r in ev.funnel_rates(df).collect()}
+    assert [got[i]["step"] for i in (1, 2, 3)] == ["view", "click", "purchase"]
+    assert [got[i]["n_users"] for i in (1, 2, 3)] == [6, 2, 2]
+    assert got[1]["conversion_ppm"] == 1_000_000
+    assert got[2]["conversion_ppm"] == 2 * 1_000_000 // 6
+    assert got[3]["conversion_ppm"] == 2 * 1_000_000 // 6
+    assert got[2]["step_ppm"] == 2 * 1_000_000 // 6
+    assert got[3]["step_ppm"] == 1_000_000  # 2 of 2
