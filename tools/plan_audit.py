@@ -108,6 +108,7 @@ HEADLINERS = {
     "idle_rich_customers": "Q22 family: scalar-avg subquery as a one-row broadcast cross join (integer cross-multiplied compare), NOT-EXISTS as LEFT ANTI on distinct recent-order keys, nation broadcast",
     "length_quantiles": "exact grouped quartiles: one fact shuffle into a (group,length) frequency table, single global_running_sum rank pass, nearest-rank-pair selection — no per-group single-task window",
     "bigram_pmi_topk": "collocations: entirely from the cached bigram/unigram count artifacts, two bounded-vocabulary broadcast joins, integer milli-lift, TakeOrderedAndProject",
+    "event_funnel_rates": "funnel summary: per-user funnel reuses ONE user shuffle, then a single one-row conditional aggregate + stack reshape — no window over the histogram, no second data shuffle",
 }
 
 
