@@ -91,6 +91,9 @@ SLICE = [
     "event_debounce",
     "event_value_outliers",
     "neardup_rate_by_source",
+    "bigram_pmi_topk",
+    "length_quantiles",
+    "event_funnel_rates",
 ]
 
 
