@@ -60,3 +60,23 @@ def test_every_oracle_plans_on_duckdb(duck):
         except Exception as e:  # noqa: BLE001 — collecting all failures
             failures.append((name, str(e).splitlines()[0]))
     assert not failures, failures
+
+
+def test_every_query_has_budget_and_catalog_row():
+    """BUDGETS.json and QUERY_CATALOG.json stay in lockstep with
+    queries() — a new operator cannot ship without a latency budget and
+    a machine-readable catalog row."""
+    import json
+
+    import __spark_entry__ as entrymod
+
+    q = set(entrymod.queries())
+    budgets = json.load(open("/root/repo/BUDGETS.json"))
+    assert q <= set(budgets), sorted(q - set(budgets))
+    cat = json.load(open("/root/repo/QUERY_CATALOG.json"))
+    names = {
+        r["name"] if isinstance(r, dict) else r
+        for r in (cat if isinstance(cat, list) else cat.get("queries", []))
+    }
+    if names:
+        assert q <= names, sorted(q - names)
