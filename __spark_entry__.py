@@ -583,6 +583,7 @@ GATE_PRIORITY = [
     "length_quantiles",
     "bigram_pmi_topk",
     "event_funnel_rates",
+    "event_retention_rates",
     "sq_codes",
     "sq_topk",
     "sq_recall_audit",
@@ -846,6 +847,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table_hot(s, d, "events")
         ),
         "event_funnel_rates": lambda s, d: events.funnel_rates(
+            load_table_hot(s, d, "events")
+        ),
+        "event_retention_rates": lambda s, d: events.retention_rates(
             load_table_hot(s, d, "events")
         ),
         "event_sliding_counts": lambda s, d: events.sliding_window_counts(
@@ -1644,6 +1648,7 @@ ORDER BY symbol, event_date"""),
         "event_debounce": oracles.sql_event_debounce(),
         "event_value_outliers": oracles.sql_event_value_outliers(),
         "event_funnel_rates": oracles.sql_event_funnel_rates(),
+        "event_retention_rates": oracles.sql_event_retention_rates(),
         "event_sliding_counts": oracles.sql_event_sliding_counts(),
         "event_sessions": oracles.sql_event_sessions(),
         "event_asof_pairs": oracles.sql_event_asof_pairs(),

@@ -855,3 +855,66 @@ def funnel_rates(
         "conversion_ppm",
         "step_ppm",
     ).orderBy("stage")
+
+
+def retention_rates(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cross-cohort retention CURVE with right-censoring: per week
+    offset — (week_offset, n_cohorts, cohort_users, active_users,
+    retention_ppm). A cohort enters offset k's denominator only if it
+    EXISTED k weeks before the dataset's last observed week (standard
+    right-censoring — without it the newest cohorts drag every tail
+    offset toward zero), and offsets nobody survived still emit a zero
+    row, so the curve is complete.
+
+    Shape: rides ``retention_cohorts``' matrix; cohort sizes are the
+    week-0 rows (every user is active in their own first week by
+    construction), the censoring bound is a one-row broadcast cross
+    join (the idle_rich_customers scalar discipline), eligibility
+    expands via ``sequence`` to a |cohorts|·|offsets| frame — weeks²,
+    bounded by calendar time, not data — and the final aggregate is
+    offset-sized. ``retention_ppm`` is the exact ×10⁶ floor division.
+    """
+    m = retention_cohorts(events, ts_col, user_col)
+    sizes = m.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("active_users").alias("__sz")
+    )
+    bound = F.broadcast(
+        events.agg(
+            F.date_trunc("week", F.max(ts_col)).cast("date").alias("__maxw")
+        )
+    )
+    elig = (
+        sizes.crossJoin(bound)
+        .select(
+            "cohort_week",
+            "__sz",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.expr("datediff(__maxw, cohort_week) div 7").cast("int"),
+                )
+            ).alias("week_offset"),
+        )
+    )
+    joined = elig.join(m, ["cohort_week", "week_offset"], "left")
+    return (
+        joined.groupBy("week_offset")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cohorts"),
+            F.sum("__sz").cast("long").alias("cohort_users"),
+            F.coalesce(F.sum("active_users"), F.lit(0))
+            .cast("long")
+            .alias("active_users"),
+            F.expr(
+                "CAST(coalesce(sum(active_users), 0) AS BIGINT) * 1000000"
+                " div sum(__sz)"
+            )
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+        .orderBy("week_offset")
+    )

@@ -1733,6 +1733,37 @@ FROM events e JOIN cohorts f USING (user_id)
 GROUP BY 1, 2"""
 
 
+def sql_event_retention_rates() -> str:
+    """Right-censored cross-cohort retention curve — mirrors
+    events.retention_rates (cohort sizes = week-0 rows, censoring bound
+    from the dataset's last observed week, generate_series completes
+    zero offsets, exact ppm)."""
+    return f"""WITH m AS (
+    FROM ({sql_event_retention()})
+),
+sizes AS (
+    SELECT cohort_week, active_users AS sz FROM m WHERE week_offset = 0
+),
+mx AS (
+    SELECT CAST(date_trunc('week', MAX(ts)) AS DATE) AS maxw FROM events
+),
+elig AS (
+    SELECT s.cohort_week, s.sz,
+           unnest(generate_series(
+               0, date_diff('day', s.cohort_week, x.maxw) // 7)) AS k
+    FROM sizes s CROSS JOIN mx x
+)
+SELECT CAST(e.k AS INT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_cohorts,
+       CAST(SUM(e.sz) AS BIGINT) AS cohort_users,
+       CAST(COALESCE(SUM(m.active_users), 0) AS BIGINT) AS active_users,
+       CAST(COALESCE(SUM(m.active_users), 0) AS BIGINT) * 1000000
+           // CAST(SUM(e.sz) AS BIGINT) AS retention_ppm
+FROM elig e
+LEFT JOIN m ON m.cohort_week = e.cohort_week AND m.week_offset = e.k
+GROUP BY 1 ORDER BY 1"""
+
+
 def sql_source_overlap(strata_col: str = "source") -> str:
     """Pairwise stratum vocabulary overlap — mirrors textops.source_overlap
     (same whitespace tokenizer, distinct per-stratum vocabulary, inner

@@ -461,3 +461,36 @@ def test_funnel_rates_at_least_semantics(spark):
     assert got[3]["conversion_ppm"] == 2 * 1_000_000 // 6
     assert got[2]["step_ppm"] == 2 * 1_000_000 // 6
     assert got[3]["step_ppm"] == 1_000_000  # 2 of 2
+
+
+def test_retention_rates_right_censoring_and_zero_offsets(spark):
+    """Young cohorts leave the denominator at offsets they could not
+    have reached; offsets nobody survived still emit a zero row."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import events as ev
+
+    rows = [
+        # cohort week of Jan 1: users 1,2 — user 1 returns week 2,
+        # nobody active in week 1 (zero row must still appear)
+        (1, T(2024, 1, 2, 10, 0), 1, "view", 0.0, "{}"),
+        (2, T(2024, 1, 16, 10, 0), 1, "view", 0.0, "{}"),
+        (3, T(2024, 1, 3, 10, 0), 2, "view", 0.0, "{}"),
+        # cohort week of Jan 15: user 3 — exists only through offset 0
+        # relative to the dataset max week (Jan 15), so offsets 1-2
+        # exclude it from the denominator
+        (4, T(2024, 1, 17, 10, 0), 3, "view", 0.0, "{}"),
+    ]
+    df = _events(spark, rows)
+    got = {r["week_offset"]: r for r in ev.retention_rates(df).collect()}
+    assert sorted(got) == [0, 1, 2]
+    # offset 0: both cohorts eligible (2 + 1 users), all active
+    assert (got[0]["n_cohorts"], got[0]["cohort_users"],
+            got[0]["active_users"]) == (2, 3, 3)
+    assert got[0]["retention_ppm"] == 1_000_000
+    # offsets 1,2: only the Jan-1 cohort is old enough
+    assert (got[1]["n_cohorts"], got[1]["cohort_users"],
+            got[1]["active_users"]) == (1, 2, 0)
+    assert got[1]["retention_ppm"] == 0
+    assert (got[2]["active_users"], got[2]["retention_ppm"]) == (
+        1, 1_000_000 // 2)

@@ -109,6 +109,7 @@ HEADLINERS = {
     "length_quantiles": "exact grouped quartiles: one fact shuffle into a (group,length) frequency table, single global_running_sum rank pass, nearest-rank-pair selection — no per-group single-task window",
     "bigram_pmi_topk": "collocations: entirely from the cached bigram/unigram count artifacts, two bounded-vocabulary broadcast joins, integer milli-lift, TakeOrderedAndProject",
     "event_funnel_rates": "funnel summary: per-user funnel reuses ONE user shuffle, then a single one-row conditional aggregate + stack reshape — no window over the histogram, no second data shuffle",
+    "event_retention_rates": "retention curve: rides the retention matrix, one-row censoring bound broadcast, sequence-expanded eligibility over a calendar-bounded frame, offset-sized aggregate",
 }
 
 
