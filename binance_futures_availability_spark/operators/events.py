@@ -613,9 +613,10 @@ def debounce(
     id_col: str = "event_id",
 ) -> DataFrame:
     """Telemetry burst-dedup ("debounce"): within each (user, type)
-    stream, consecutive events closer than ``window_s`` seconds collapse
-    into their first event — (event_id, user_id, event_type, ts,
-    n_suppressed). The ingestion-side dedup every client-event pipeline
+    stream, consecutive events within ``window_s`` seconds (gap <=
+    window_s; a new burst starts only when the gap EXCEEDS the window)
+    collapse into their first event — (event_id, user_id, event_type,
+    ts, n_suppressed). The ingestion-side dedup every client-event pipeline
     runs against double-fires and retry storms; same burst rule as
     inactivity sessionization but keyed per event TYPE and returning the
     surviving leader rows instead of session aggregates.
@@ -820,14 +821,17 @@ def funnel_rates(
     reached exactly still reports correctly), and every ratio is then
     pure integer arithmetic on that single row, reshaped to stage rows
     with ``stack`` — no window, no second shuffle. Ratios are exact
-    ×10⁶ floor divisions; an empty funnel reports zero rows of zero
-    without dividing by zero on either engine.
+    ×10⁶ floor divisions; an empty funnel reports |steps| rows of zeros
+    (the at-least-stage SUMs coalesce to 0 so the zero-entrant guard
+    holds) without dividing by zero on either engine.
     """
     per_user = funnel(events, steps, ts_col, user_col)
     n = len(steps)
     row = per_user.agg(
         *[
-            F.sum((F.col("stage_reached") >= i).cast("long")).alias(f"__n{i}")
+            F.coalesce(
+                F.sum((F.col("stage_reached") >= i).cast("long")), F.lit(0)
+            ).alias(f"__n{i}")
             for i in range(1, n + 1)
         ]
     )

@@ -1599,6 +1599,9 @@ def centroid_outliers(
     Arrow-batched scoring pass (no shuffle), then TakeOrdered(k).
     Zero-norm vectors would score NaN on both engines (IEEE 0/0); the
     quantizer contract (EMB_SCALE) excludes them from this corpus.
+    Empty input (or all-zero-vector labels, which contribute no
+    posexplode rows) short-circuits to zero rows — the same result the
+    SQL oracle's empty scan produces.
     """
     import numpy as np
 
@@ -1612,6 +1615,14 @@ def centroid_outliers(
         .agg(F.sum("v").alias("sv"))
         .collect()
     )
+    if not sums:
+        spark = emb.sparkSession
+        lbl_type = emb.schema[label_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"{id_col} {emb.schema[id_col].dataType.simpleString()}, "
+            f"label {lbl_type}, cos_centroid double",
+        )
     labels = sorted({r["__lbl"] for r in sums})
     dim = max(r["dim"] for r in sums) + 1
     lq = np.zeros((len(labels), dim), dtype=np.float64)

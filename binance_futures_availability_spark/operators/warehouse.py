@@ -580,8 +580,6 @@ def discounted_revenue(
     """
     disc_h = F.round(F.col("l_discount") * 100).cast("long")
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    lo = int(round(discount_low * 100))
-    hi = int(round(discount_high * 100))
     qty = F.col("l_quantity")
     return (
         lineitem.filter(

@@ -1676,8 +1676,8 @@ def sql_event_funnel_rates(
     exact ×10⁶ floor divisions with the zero-entrant guard."""
     n = len(steps)
     counts = ", ".join(
-        f"CAST(SUM(CASE WHEN stage_reached >= {i} THEN 1 ELSE 0 END)"
-        f" AS BIGINT) AS n{i}"
+        f"CAST(COALESCE(SUM(CASE WHEN stage_reached >= {i} THEN 1 ELSE 0 "
+        f"END), 0) AS BIGINT) AS n{i}"
         for i in range(1, n + 1)
     )
     rows = []

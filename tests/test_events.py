@@ -463,6 +463,22 @@ def test_funnel_rates_at_least_semantics(spark):
     assert got[3]["step_ppm"] == 1_000_000  # 2 of 2
 
 
+def test_funnel_rates_empty_input_reports_zero_rows(spark):
+    """An empty funnel reports |steps| rows of zeros (the at-least-stage
+    sums coalesce to 0), matching the oracle's COALESCE'd aggregates."""
+    from binance_futures_availability_spark.operators import events as ev
+
+    df = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = ev.funnel_rates(df).collect()
+    assert [r["stage"] for r in got] == [1, 2, 3]
+    for r in got:
+        assert (r["n_users"], r["conversion_ppm"], r["step_ppm"]) == (0, 0, 0)
+
+
 def test_retention_rates_right_censoring_and_zero_offsets(spark):
     """Young cohorts leave the denominator at offsets they could not
     have reached; offsets nobody survived still emit a zero row."""

@@ -3144,6 +3144,21 @@ def test_centroid_outliers_ranks_within_label_distance(spark):
     assert got[0]["cos_centroid"] == want
 
 
+def test_centroid_outliers_empty_input_returns_zero_rows(spark):
+    """Empty embeddings short-circuit to an empty result (the SQL
+    oracle's empty-scan behavior) instead of raising on max()/pos[]."""
+    from binance_futures_availability_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int"
+    )
+    got = similarity.centroid_outliers(emb, k=5)
+    assert got.collect() == []
+    assert [f.name for f in got.schema.fields] == [
+        "vec_id", "label", "cos_centroid"
+    ]
+
+
 def test_quality_dup_crosstab_counts_and_ppm(spark):
     """Sum of decile rows covers the corpus; exactly the non-keeper
     copies count as duplicates; ppm is the exact integer floor."""
