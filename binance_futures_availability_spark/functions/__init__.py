@@ -398,3 +398,50 @@ def global_running_sum(
 
     out = parts.mapInPandas(running, out_schema).drop("__pid")
     return (out, acc) if return_total else out
+
+
+def grouped_running_sum(
+    cdf,
+    group_cols,
+    order_cols,
+    value_col: str,
+    out_col: str = "running_total",
+    total_col: str | None = None,
+):
+    """Per-group INCLUSIVE prefix sum over a FREQUENCY AGGREGATE — the
+    cheap sibling of ``global_running_sum`` for inputs that are already
+    a per-group aggregate (``groupBy(group, value).count()`` shapes).
+
+    Contract: ``cdf``'s per-group row count is window-partition-safe —
+    bounded by the group's DISTINCT-value count (micro-quantized values,
+    integer lengths), not by the corpus row count. Under that contract a
+    plain ``SUM(c) OVER (PARTITION BY group ORDER BY value ROWS
+    UNBOUNDED PRECEDING)`` is the right plan: ONE shuffle of aggregate
+    rows by group, zero driver collects, zero extra jobs — versus
+    global_running_sum's range-repartition + bounded-collect + Arrow
+    offset pass (~5 s of flat job-count cost that dwarfs tiny inputs).
+    Keep ``global_running_sum`` for corpus-sized inputs or a single
+    global order (``token_budget_selection``, ``quality_deciles``),
+    where a per-group window would concentrate a whole group's fact
+    rows in one task.
+
+    ``total_col`` additionally emits the group's grand total on every
+    row (an unordered window over the SAME partitioning — no second
+    shuffle), saving callers the groupBy + broadcast-join round trip
+    they previously needed to recover per-group bounds.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    out = cdf.withColumn(
+        out_col,
+        F.sum(value_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    if total_col is not None:
+        out = out.withColumn(
+            total_col, F.sum(value_col).over(Window.partitionBy(*group_cols))
+        )
+    return out

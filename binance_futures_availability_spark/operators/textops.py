@@ -1885,31 +1885,35 @@ def length_quantiles(
 
     Same machinery as ``events.robust_value_stats``: lengths collapse to
     a (group, length) frequency table (one fact shuffle, bounded by the
-    distinct-length count), a single ``global_running_sum`` pass ranks
-    it, and each quartile is the NEAREST-RANK PAIR — positions
-    ⌊q·(n−1)⌋+1 and ⌈q·(n−1)⌉+1 in pure integer arithmetic, quartile =
-    (v[p1]+v[p2])/2 — so the emitted value is either an exact integer
-    or an exact .5, identical on both engines (no fractional
-    interpolation weights to diverge). A per-group ORDER BY window
-    would put a whole source's rows in one task; this never does.
+    distinct-length count), a per-group cumulative window over that
+    AGGREGATE (``grouped_running_sum``) ranks it, and each quartile is
+    the NEAREST-RANK PAIR — positions ⌊q·(n−1)⌋+1 and ⌈q·(n−1)⌉+1 in
+    pure integer arithmetic, quartile = (v[p1]+v[p2])/2 — so the
+    emitted value is either an exact integer or an exact .5, identical
+    on both engines (no fractional interpolation weights to diverge).
+    A per-group ORDER BY window over the FACTS would put a whole
+    source's rows in one task; windowing the frequency table bounds
+    each partition by the group's distinct-LENGTH count instead, and
+    drops the flat range-repartition + collect + Arrow job chain the
+    previous ``global_running_sum`` formulation paid (15.6× the paired
+    oracle at sf0.1 for a tiny aggregate).
     """
-    from ..functions import global_running_sum, token_count  # noqa: F401
+    from ..functions import (  # noqa: F401
+        gathered_sort,
+        grouped_running_sum,
+        token_count,
+    )
 
     ev = docs.select(
         F.col(group_col).alias("__g"),
         F.length(F.col(text_col)).cast("long").alias("__len"),
     )
     counts = ev.groupBy("__g", "__len").agg(F.count(F.lit(1)).alias("__c"))
-    run = global_running_sum(counts, ["__g", "__len"], "__c", out_col="__cum")
-    stats = run.groupBy("__g").agg(
-        F.min(F.col("__cum") - F.col("__c")).alias("__off"),
-        F.max("__cum").alias("__end"),
+    j = grouped_running_sum(
+        counts, ["__g"], ["__len"], "__c", out_col="__cum", total_col="__n"
     )
-    j = run.join(F.broadcast(stats), "__g").withColumn(
-        "__n", F.col("__end") - F.col("__off")
-    )
-    prev = F.col("__cum") - F.col("__c") - F.col("__off")
-    cum = F.col("__cum") - F.col("__off")
+    prev = F.col("__cum") - F.col("__c")
+    cum = F.col("__cum")
 
     def q2(a: int, d: int, name: str):
         # 2×quantile: nearest-rank pair at q = a/d over n values —
@@ -1931,7 +1935,7 @@ def length_quantiles(
     return (
         j.groupBy("__g")
         .agg(
-            (F.max("__end") - F.max("__off")).alias("n_docs"),
+            F.max("__n").alias("n_docs"),
             q2(1, 4, "__q25_2"),
             q2(1, 2, "__q50_2"),
             q2(3, 4, "__q75_2"),
@@ -1943,7 +1947,7 @@ def length_quantiles(
             (F.col("__q50_2").cast("double") / 2.0).alias("q50"),
             (F.col("__q75_2").cast("double") / 2.0).alias("q75"),
         )
-        .orderBy(group_col)
+        .transform(lambda d: gathered_sort(d, group_col))
     )
 
 
