@@ -100,23 +100,41 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             cold[name] = -1.0
 
-    # two warm passes, per-query MIN: steady-state latency, robust to
-    # ambient load spikes (standard min-of-N benchmarking practice —
-    # the min is the run least polluted by noise, not a best case:
-    # these are fixed deterministic plans)
-    times: dict[str, float] = {}
-    for _ in range(2):
+    # three warm passes, per-query MIN, per-query SPREAD (max−min of the
+    # warm reps): steady-state latency, robust to ambient load spikes
+    # (standard min-of-N benchmarking practice — the min is the run least
+    # polluted by noise, not a best case: these are fixed deterministic
+    # plans). The spread is the repetition-noise bound that makes the
+    # round-over-round warm ratio interpretable: a query whose spread
+    # rivals its min moved because the BOX moved, not the plan. Protocol
+    # pinned in r11 (verdict r10 #4): min-of-3 warm on BOTH sides, reps +
+    # spread recorded in every artifact.
+    WARM_REPS = 3
+    from binance_futures_availability_spark.index_cache import storage_bytes
+
+    reps: dict[str, list[float]] = {}
+    cache_bytes: dict[str, int] = {}  # persisted footprint AFTER each query
+    for sweep in range(WARM_REPS):
         for name, fn in qs.items():
             if cold[name] < 0:
-                times[name] = -1.0
                 continue
             t0 = time.time()
             try:
                 run_df(fn(spark, SF_DIR))
-                t = round(time.time() - t0, 3)
-                times[name] = min(times.get(name, t), t)
+                reps.setdefault(name, []).append(round(time.time() - t0, 3))
             except Exception:  # noqa: BLE001
-                times[name] = -1.0
+                reps.setdefault(name, []).append(-1.0)
+            if sweep == 0:
+                cache_bytes[name] = storage_bytes(spark)
+    times: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    for name in qs:
+        rs = [t for t in reps.get(name, []) if t >= 0]
+        if cold[name] < 0 or not rs:
+            times[name] = -1.0
+        else:
+            times[name] = min(rs)
+            spread[name] = round(max(rs) - min(rs), 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(t for t in times.values() if t >= 0), 3)
@@ -161,12 +179,24 @@ def main() -> None:
         )
         sys.stderr.flush()
 
+    spreads = sorted(spread.values())
+    spread_summary = (
+        {
+            "p50": spreads[len(spreads) // 2],
+            "max": max(spreads),
+            "total": round(sum(spreads), 3),
+        }
+        if spreads
+        else {}
+    )
     out = {
         "metric": "query_catalog_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        "reps": {"warm": WARM_REPS, "agg": "min"},
+        "spread": spread_summary,
     }
     if secondary is not None:
         out["secondary"] = secondary
@@ -218,6 +248,11 @@ def main() -> None:
             **out,
             "cold_value": cold_total,
             "queries_cold": cold,
+            "queries_spread": spread,
+            # session-cache residency after each query of the first warm
+            # sweep — the growth curve that explains (or acquits) warm
+            # drift as the catalog's cache population accumulates
+            "cache_bytes_after": cache_bytes,
         }
         if secondary is not None:
             full["secondary"] = {**secondary, "queries": sec_times}

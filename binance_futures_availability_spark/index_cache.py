@@ -16,18 +16,69 @@ Non-file-backed DataFrames (in-memory test frames) are never cached: their
 plans are cheap to recompute and their lifetimes are test-scoped.
 
 Memory bound: one entry per (source table, artifact, params) actually used
-in the session — bounded by the catalog, not by queries run.
+in the session — bounded by the catalog, not by queries run — AND a byte
+budget (``INDEX_CACHE_BUDGET_BYTES``): on every miss insert the registry
+polls the JVM's persisted-block footprint and evicts least-recently-USED
+handles until the total fits (hits refresh recency). A 166-query catalog
+accumulates ~a dozen corpus artifacts (span stream, inverted index, kNN
+graph, quantized vectors…); entry-count bounds alone let their BYTES grow
+with the catalog on a long-lived session.
 ``clear_indexes()`` releases everything (e.g. between benchmark phases).
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
 
 _HANDLES: dict = {}
+
+#: Total persisted-storage budget (bytes) above which miss inserts evict
+#: least-recently-used index handles. Counts ALL persisted blocks in the
+#: session (fact handles and tracked scoped persists included — they share
+#: the same storage pool), but only keyed index handles are evictable.
+#: Default 8 GiB — generous for a single-node session, a rounding error
+#: for a cluster (override via SPARK_GRAFT_INDEX_CACHE_BYTES; executors
+#: sized for 100 TB set it to a fraction of aggregate storage memory).
+INDEX_CACHE_BUDGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_INDEX_CACHE_BYTES", str(8 << 30))
+)
+
+
+def storage_bytes(spark) -> int:
+    """Total bytes (memory + disk) of every persisted block in the
+    session, from the driver's RDDStorageInfo — one py4j call, no job."""
+    try:
+        return sum(
+            i.memSize() + i.diskSize()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        )
+    except Exception:  # noqa: BLE001 — context stopped / exotic backend
+        return 0
+
+
+def _evict_over_budget(spark, keep_key) -> int:
+    """Unpersist least-recently-used index handles until the session's
+    persisted footprint fits the budget. ``keep_key`` (the entry being
+    inserted) is never evicted — a new artifact must not evict itself
+    before first use. Returns the number of evictions. Freshly inserted,
+    not-yet-materialized handles report 0 bytes, so the budget reacts one
+    insert late — steady state is bounded by budget + one artifact."""
+    n = 0
+    while len(_HANDLES) > 1 and storage_bytes(spark) > INDEX_CACHE_BUDGET_BYTES:
+        victim = next((k for k in _HANDLES if k != keep_key), None)
+        if victim is None:
+            break
+        handle = _HANDLES.pop(victim)
+        try:
+            handle.unpersist(blocking=True)
+        except Exception:  # noqa: BLE001
+            pass
+        n += 1
+    return n
 
 
 def plan_key(df: DataFrame, *extra):
@@ -126,6 +177,11 @@ def cached_index(key, factory: Callable[[], DataFrame]) -> DataFrame:
         sweep_dead_entries(_HANDLES)
         handle = factory().persist()
         _HANDLES[key] = handle
+        _evict_over_budget(handle.sparkSession, key)
+    else:
+        # LRU recency: dicts preserve insertion order, so re-inserting on
+        # a hit makes iteration order = least-recently-used-first
+        _HANDLES[key] = _HANDLES.pop(key)
     return handle
 
 

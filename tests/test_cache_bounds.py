@@ -80,3 +80,55 @@ def test_read_fact_evicts_on_rewrite(spark, tmp_path, populated_da):
         real = os.path.realpath(path)
         live = [k for k in duckdb_io._IMPORT_HANDLES if k[1] == real]
         assert len(live) == 1
+
+
+def test_byte_budget_evicts_lru_and_hits_refresh_recency(
+    spark, tmp_path, monkeypatch
+):
+    """Above the byte budget, miss inserts evict the least-recently-USED
+    handle (a hit refreshes recency); the entry being inserted survives."""
+    from binance_futures_availability_spark import index_cache
+
+    index_cache.clear_indexes()
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"t{i}.parquet")
+        spark.range(50_000).selectExpr(
+            "id", "id * 2 AS b"
+        ).write.parquet(p)
+        paths.append(p)
+    frames = [spark.read.parquet(p) for p in paths]
+    keys = [
+        index_cache.plan_key(df, "byte_budget_artifact") for df in frames
+    ]
+
+    # budget that two materialized 50k-row artifacts exceed
+    index_cache.cached_index(keys[0], lambda: frames[0].select("id")).count()
+    one = index_cache.storage_bytes(spark)
+    assert one > 0
+    monkeypatch.setattr(
+        index_cache, "INDEX_CACHE_BUDGET_BYTES", int(one * 1.5)
+    )
+
+    index_cache.cached_index(keys[1], lambda: frames[1].select("id")).count()
+    # over budget now, but the insert-time poll saw t1 unmaterialized
+    # (0 bytes): both live. Touch t0 so t1 becomes the LRU victim.
+    index_cache.cached_index(keys[0], lambda: frames[0].select("id"))
+    index_cache.cached_index(keys[2], lambda: frames[2].select("id"))
+    assert keys[2] in index_cache._HANDLES  # inserted entry never evicted
+    assert keys[0] in index_cache._HANDLES  # refreshed recency survived
+    assert keys[1] not in index_cache._HANDLES  # LRU evicted
+    index_cache.clear_indexes()
+
+
+def test_storage_bytes_tracks_persist_and_release(spark):
+    from binance_futures_availability_spark import index_cache
+
+    index_cache.clear_indexes()
+    spark.catalog.clearCache()
+    base = index_cache.storage_bytes(spark)
+    df = spark.range(100_000).selectExpr("id", "id * 3 AS c").persist()
+    df.count()
+    assert index_cache.storage_bytes(spark) > base
+    df.unpersist(blocking=True)
+    assert index_cache.storage_bytes(spark) <= base

@@ -25,11 +25,19 @@ from binance_futures_availability_spark.catalog import (  # noqa: E402
 )
 
 
-def run(sf_dir: str) -> dict:
-    """One oracle catalog sweep; returns the bench-shaped dict. Importable
+def run(sf_dir: str, warm_reps: int = 3) -> dict:
+    """Oracle catalog sweeps; returns the bench-shaped dict. Importable
     so ``bench.py --assert-budget`` can pair Spark and oracle back-to-back
     in ONE process (cross-process totals vary ±3 s on this box and are not
-    comparable)."""
+    comparable).
+
+    Protocol pinned in r11 (verdict r10 #4): ONE discarded cold sweep
+    (page cache + DuckDB's lazy parquet metadata), then ``warm_reps`` warm
+    sweeps aggregated per-query MIN with SPREAD = max−min — the same
+    discipline bench.py applies Spark-side, so the paired ratio compares
+    steady states instead of one side's single shot (the r9→r10 ratio
+    moved 0.72×→1.21× on identical queries mostly from single-shot DuckDB
+    variance)."""
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         try:
@@ -38,22 +46,47 @@ def run(sf_dir: str) -> dict:
             )
         except duckdb.Error:
             pass
+    sqls = entrymod.oracle_sql()
+    reps: dict[str, list[float]] = {name: [] for name in sqls}
+    for sweep in range(warm_reps + 1):
+        for name, sql in sqls.items():
+            t0 = time.time()
+            try:
+                con.execute(sql).fetchall()
+                t = round(time.time() - t0, 3)
+            except Exception:  # noqa: BLE001
+                t = -1.0
+            if sweep > 0:  # sweep 0 = cold, discarded
+                reps[name].append(t)
     times: dict[str, float] = {}
-    for name, sql in entrymod.oracle_sql().items():
-        t0 = time.time()
-        try:
-            con.execute(sql).fetchall()
-            times[name] = round(time.time() - t0, 3)
-        except Exception:  # noqa: BLE001
+    spread: dict[str, float] = {}
+    for name, rs in reps.items():
+        ok = [t for t in rs if t >= 0]
+        if not ok:
             times[name] = -1.0
+        else:
+            times[name] = min(ok)
+            spread[name] = round(max(ok) - min(ok), 3)
     total = round(sum(v for v in times.values() if v >= 0), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    spreads = sorted(spread.values())
     return {
         "metric": "oracle_catalog_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": {"warm": warm_reps, "agg": "min", "cold_discarded": 1},
+        "spread": (
+            {
+                "p50": spreads[len(spreads) // 2],
+                "max": max(spreads),
+                "total": round(sum(spreads), 3),
+            }
+            if spreads
+            else {}
+        ),
     }
 
 
