@@ -945,6 +945,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d),
             dedup.minhash_lsh_pairs(_docs(s, d), LSH_JACCARD_THRESHOLD),
         ),
+        # same semantics FORCED onto the graph-scale path (alternating
+        # large-star/small-star contraction, driver union-find disabled) —
+        # gated separately so the distributed algorithm has its own
+        # hash-parity row against the recursive-CTE oracle
+        "duplicate_clusters_distributed": lambda s, d: dedup.duplicate_clusters(
+            _docs(s, d),
+            dedup.minhash_lsh_pairs(_docs(s, d), LSH_JACCARD_THRESHOLD),
+            driver_pair_limit=0,
+        ),
         # near-dup decontamination across two corpora: even-id docs as
         # corpus A, odd-id docs as corpus B (12 cross pairs at the gate SF)
         "neardup_survivors": lambda s, d: dedup.neardup_survivors(
@@ -1692,6 +1701,9 @@ ORDER BY symbol, event_date"""),
             LSH_JACCARD_THRESHOLD
         ),
         "duplicate_clusters": oracles.sql_duplicate_clusters(
+            LSH_JACCARD_THRESHOLD
+        ),
+        "duplicate_clusters_distributed": oracles.sql_duplicate_clusters(
             LSH_JACCARD_THRESHOLD
         ),
         "neardup_survivors": oracles.sql_neardup_survivors(

@@ -1200,6 +1200,86 @@ def _clusters_from_collected(docs: DataFrame, rows, id_col: str) -> DataFrame:
     return gathered_sort(labeled, id_col)
 
 
+def _star_contraction(pairs: DataFrame, max_iter: int):
+    """Alternating large-star/small-star connected components over an
+    edge list (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — returns ``(star_edges, rounds)`` where
+    ``star_edges`` is the converged (node, cluster_min) map for every
+    non-minimum edge-incident node.
+
+    Each round is two edge-set rewrites, both plain groupBy-MIN + join:
+
+    - **large-star**: every node attaches its STRICTLY LARGER neighbors
+      to the minimum of its closed neighborhood — hubs shatter here: a
+      10⁵-degree hub's members all re-attach to the hub's min neighbor
+      in ONE round (the groupBy-MIN over the hub key is map-side
+      partially aggregated, so the hot key costs a merge of partial
+      minima, not a single-task reduction of 10⁵ rows);
+    - **small-star**: every node merges its (all smaller) parents onto
+      the minimum parent — multi-parent nodes collapse to one edge.
+
+    Connectivity is preserved by both rewrites (op. cit. Lemma 1) and
+    the edge set contracts toward star form in O(log² n) rounds on
+    adversarial graphs, O(log n) typical. Versus the min-label
+    propagation this replaced: the iteration state is the PAIR-SLIVER
+    edge set alone — no corpus-sized (node, label) table shuffled every
+    round — so a billion-doc corpus with a million near-dup pairs
+    iterates over ~10⁶ rows, not 10⁹. Each round localCheckpoints (plans
+    must not grow with rounds) and the fixpoint test is exact set
+    equality (counts + exceptAll on DISTINCT sets): at the fixpoint the
+    edges ARE the component map. Raises on non-convergence — partial
+    labels are silent wrong answers.
+    """
+    E = (
+        pairs.select(
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("src"),
+            F.least(F.col("id_a"), F.col("id_b")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e_count = E.count()
+    for rounds in range(1, max_iter + 1):
+        bidir = E.unionByName(
+            E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        lm = bidir.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("__m")
+        )
+        large = (
+            bidir.join(lm, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        sm = large.groupBy("src").agg(F.min("dst").alias("__m"))
+        small = (
+            large.join(sm, "src")
+            .filter(F.col("dst") != F.col("__m"))
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .unionByName(
+                sm.select("src", F.col("__m").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # set equality on DISTINCT sets: equal counts gate the exceptAll
+        # probe, so shrinking rounds pay one tiny count job and nothing
+        # else (`and` short-circuits)
+        small_count = small.count()
+        stable = small_count == e_count and small.exceptAll(E).isEmpty()
+        E, e_count = small, small_count
+        if stable:
+            return E, rounds
+    raise RuntimeError(
+        f"_star_contraction did not converge within max_iter={max_iter} "
+        "rounds — returning partial components would be a silent wrong "
+        "answer; raise max_iter"
+    )
+
+
 def duplicate_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -1222,21 +1302,16 @@ def duplicate_clusters(
     the same bounded-driver-artifact pattern as the IVF centroid table;
     2 M pairs ≈ 32 MB on the driver. ``driver_pair_limit=0`` disables it.
 
-    **Distributed path** (bigger pair sets): min-label propagation with
-    pointer doubling — labels start as ids; each round every node takes
-    (1) the min of its own label and its neighbors' labels (one join +
-    one agg), then (2) the label of its NEW label in the previous round's
-    table (one lookup join) — the star-contraction step that halves chain
-    length every round, so convergence is O(log diameter) rounds, not
-    O(diameter): ``max_iter=20`` covers components of diameter ~10⁶
-    (boilerplate families at web scale are thousands at worst). Labels are
-    monotone non-increasing node ids within the component, so the fixpoint
-    (a round that changes nothing) is exactly label == component min. If
-    the loop still exhausts ``max_iter`` unconverged the function RAISES —
-    partially-propagated labels are silently wrong answers. The
-    driver-side loop with a convergence count is the standard Spark
-    iterative-algorithm pattern (Pregel-without-GraphX); each round's
-    result is localCheckpoint()ed so the plan does not grow with rounds.
+    **Distributed path** (bigger pair sets): alternating
+    large-star/small-star contraction (``_star_contraction`` — Kiveris
+    et al., SoCC 2014). The iteration state is the edge set ALONE, so a
+    billion-doc corpus with a million near-dup pairs iterates over ~10⁶
+    edge rows; the corpus is touched exactly once, by the final
+    label-back join. (The r≤10 min-label-propagation path this replaced
+    shuffled a corpus-sized (node, label) table every round — correct,
+    O(log diameter) rounds, but graph-scale-wrong by a factor of
+    corpus/pairs per round.) Raises on non-convergence — partially
+    contracted components are silently wrong answers.
 
     No SQL-expressible single query computes a fixpoint, but DuckDB's
     recursive CTE reproduces the same semantics for the oracle gate
@@ -1246,80 +1321,20 @@ def duplicate_clusters(
         probe = pairs.select("id_a", "id_b").limit(driver_pair_limit + 1).collect()
         if len(probe) <= driver_pair_limit:
             return _clusters_from_collected(docs, probe, id_col)
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
+    stars, _rounds = _star_contraction(pairs, max_iter)
+    labeled = (
+        docs.select(F.col(id_col).alias("node"))
+        .join(
+            stars.select("src", F.col("dst").alias("__cluster")),
+            F.col("node") == F.col("src"),
+            "left",
         )
-        .distinct()
-        .localCheckpoint(eager=True)
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("__cluster"), F.col("node")).alias("cluster_id"),
+        )
     )
-    labels = docs.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
-    def _label_sum(tbl) -> int:
-        # labels are monotone non-increasing node ids, so an unchanged SUM
-        # proves an unchanged table — convergence detection without a join.
-        # decimal(38,0): exact for any realistic (id range × corpus) size.
-        return tbl.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-
-    prev_sum = None  # first round is never "converged" — skip the probe job
-    converged = False
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(
-                labels.withColumnRenamed("node", "dst"), "dst"
-            )
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-            .withColumnRenamed("src", "node")
-        )
-        one_hop = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-            ).alias("label"),
-        )
-        # pointer doubling against the PREVIOUS round's materialized table
-        # (p' = min(p', labels[p']) — label values are node ids, so the
-        # lookup always hits): chains halve every round, and the parent
-        # side reads already-checkpointed blocks, so each round stays one
-        # materialization job + one agg job.
-        parent = labels.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        updated = (
-            one_hop.join(parent, one_hop["label"] == parent["p_node"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        new_sum = _label_sum(updated)
-        labels = updated
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
-    if not converged:
-        raise RuntimeError(
-            f"duplicate_clusters did not converge within max_iter={max_iter} "
-            f"rounds — returning partial labels would be a silent wrong "
-            f"answer; raise max_iter"
-        )
-    return gathered_sort(
-        labels.select(
-            F.col("node").alias(id_col), F.col("label").alias("cluster_id")
-        ),
-        id_col,
-    )
+    return gathered_sort(labeled, id_col)
 
 
 #: id offset for cross-corpus dedup — places corpus B's ids in a disjoint

@@ -648,6 +648,55 @@ def test_duplicate_clusters_long_chain_beyond_naive_diameter(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_star_contraction_hub_graph_round_count(spark):
+    """The skewed-star stress shape: ONE hub joined to 10⁵ members (hub
+    id ABOVE every member, so the naive per-node MIN is wrong everywhere
+    and every edge must re-attach). Correctness is a given — the
+    assertion is the ROUND COUNT: large-star shatters the hub in one
+    round, so contraction must converge in ≤3 alternating rounds, not
+    O(diameter) or O(members)."""
+    n = 100_000
+    hub = n + 7  # larger than every member: worst case for min-attach
+    pairs = spark.range(1, n + 1).selectExpr(
+        f"CAST({hub} AS BIGINT) AS id_a", "id AS id_b"
+    )
+    stars, rounds = dedup._star_contraction(pairs, max_iter=6)
+    assert rounds <= 3, rounds
+    got = stars.selectExpr("src", "dst AS c").collect()
+    assert len(got) == n  # every non-min node (members 2..n and the hub)
+    assert {r["c"] for r in got} == {1}  # component min = member 1
+
+
+def test_star_contraction_matches_union_find_on_random_graphs(spark):
+    """Distributed star contraction ≡ driver union-find on random edge
+    sets (both paths of duplicate_clusters), including multi-component
+    graphs, parallel/reversed duplicate edges, and self-loops."""
+    import random
+
+    rng = random.Random(411)
+    for trial in range(4):
+        n_nodes = rng.randint(6, 40)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(rng.randint(1, 60))
+        ]
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(n_nodes)], ["doc_id", "text"]
+        )
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        bounded = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(docs, pairs).collect()
+        }
+        distributed = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(
+                docs, pairs, driver_pair_limit=0
+            ).collect()
+        }
+        assert bounded == distributed, (trial, edges)
+
+
 def test_duplicate_clusters_raises_instead_of_partial_labels(spark):
     """Exhausting max_iter unconverged must RAISE, never return partial
     cluster ids (distributed path; the bounded path is exact by
