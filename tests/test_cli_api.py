@@ -101,6 +101,118 @@ def test_engine_remote_parquet_mocked(engine, table_path, tmp_path):
     assert df.count() == 8
 
 
+class _RangeHandler:
+    """Minimal range-capable HTTP handler factory (stdlib http.server
+    does NOT implement Range; GitHub Releases / S3 do). Records each
+    request's method + Range header so tests can assert the reference's
+    documented access pattern — partial reads, never a full-file GET."""
+
+    @staticmethod
+    def build(payload: bytes, log: list, accept_ranges: bool = True):
+        from http.server import BaseHTTPRequestHandler
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+            def do_HEAD(self):
+                log.append(("HEAD", None))
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(payload)))
+                if accept_ranges:
+                    self.send_header("Accept-Ranges", "bytes")
+                self.end_headers()
+
+            def do_GET(self):
+                rng = self.headers.get("Range")
+                log.append(("GET", rng))
+                if rng and accept_ranges:
+                    lo, hi = rng.split("=")[1].split("-")
+                    lo, hi = int(lo), min(int(hi), len(payload) - 1)
+                    body = payload[lo:hi + 1]
+                    self.send_response(206)
+                    self.send_header(
+                        "Content-Range", f"bytes {lo}-{hi}/{len(payload)}"
+                    )
+                else:
+                    body = payload
+                    self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        return Handler
+
+
+def _serve(payload: bytes, log: list, accept_ranges: bool = True):
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _RangeHandler.build(payload, log, accept_ranges)
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}/archive.parquet"
+
+
+def test_engine_remote_parquet_real_http_range_requests(engine, table_path, tmp_path):
+    """S9 over REAL bytes on a localhost range-capable server: the
+    driver-fetch path must read footer + requested column chunks via
+    Range requests — multiple partial GETs, zero full-file GETs, and a
+    column-pruned read moves fewer bytes than the archive."""
+    # wide enough that one column chunk is a sliver of the archive
+    wide = engine.spark.range(20_000).selectExpr(
+        "CAST(id AS STRING) AS symbol",
+        "id AS a", "id * 2 AS b", "id * 3 AS c",
+        "CAST(id AS DOUBLE) / 7 AS d",
+        "repeat(CAST(id AS STRING), 5) AS e",
+    ).coalesce(1)
+    archive_dir = tmp_path / "archive"
+    wide.write.parquet(str(archive_dir))
+    payload = next(archive_dir.glob("part-*.parquet")).read_bytes()
+
+    log: list = []
+    srv, url = _serve(payload, log)
+    try:
+        df = engine.read_remote_parquet(url)
+        assert df.count() == 20_000
+        assert set(wide.columns) == set(df.columns)
+        gets = [rng for (m, rng) in log if m == "GET"]
+        assert gets and all(rng is not None for rng in gets)  # never full-file
+
+        log.clear()
+        pruned = engine.read_remote_parquet(url, columns=["symbol"])
+        assert pruned.columns == ["symbol"]
+        assert pruned.count() == 20_000
+        # range math: partial GETs must not re-fetch the whole archive
+        moved = sum(
+            int(r.split("-")[1]) - int(r.split("=")[1].split("-")[0]) + 1
+            for (m, r) in log
+            if m == "GET" and r
+        )
+        assert 0 < moved < len(payload)
+    finally:
+        srv.shutdown()
+
+
+def test_engine_remote_parquet_http_fallback_without_ranges(engine, table_path, tmp_path):
+    """A server with no Accept-Ranges support degrades to ONE whole-file
+    GET — same rows, no range probing beyond the HEAD."""
+    one = engine.table().coalesce(1)
+    archive_dir = tmp_path / "archive_nr"
+    one.write.parquet(str(archive_dir))
+    payload = next(archive_dir.glob("part-*.parquet")).read_bytes()
+
+    log: list = []
+    srv, url = _serve(payload, log, accept_ranges=False)
+    try:
+        df = engine.read_remote_parquet(url)
+        assert df.count() == 8
+        assert [m for (m, _) in log] == ["HEAD", "GET"]
+    finally:
+        srv.shutdown()
+
+
 # --------------------------------------------------------------------- CLI
 
 
