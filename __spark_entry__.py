@@ -544,115 +544,178 @@ def _knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Driver-gate priority: the harness verifies only the FIRST 50 entries of
-#: ``queries()`` against the DuckDB oracle, so the iteration order below is
-#: ROTATED each round toward the STALEST driver rows. Round 10 final order
-#: — the 50-row window now holds: the 16 LATE-session operators (never
-#: had a driver row: Q21/Q17/Q4/Q6/Q22 decorrelations, centroid
-#: outliers, quality×dup crosstab, event affinity/debounce/robust-
-#: outliers/funnel-rates, MinHash drift audit, cluster purity, near-dup
-#: dashboard, length quartiles, PMI collocations), the 11 r10-early
-#: operators (SQ8 ×3, kNN label transfer + accuracy, token budget,
-#: hybrid RRF, hard negatives, dup dashboard, span scrub, longest-run),
-#: bpe_merges/bpe_encode (first gated round with the unrolled-CTE
-#: oracle), the 20 r5-era rows, and the FIRST 1 of the 18 r7-era rows —
-#: the final session batch grew the head to 16, so the remaining 17
-#: r7-era rows are displaced past the window this round and stay
-#: covered by the committed full-catalog self-check (CHECK_r10.txt:
-#: 165/165 exact-parity) + the 71-query sf1 heavy-slice re-run
-#: (CHECK_SF1.txt).
-#: Computed from CORRECTNESS_r01–r09 hash_match history. Everything not
-#: listed follows in original declaration order under the same
-#: self-harness.
+# GATE_PRIORITY_BEGIN (generated by tools/gate_priority.py; do not hand-edit)
 GATE_PRIORITY = [
-    # never gated at all: operators NEW this session (each needs its
-    # first driver row; full self-check covers them too).
-    "late_supplier_orders",
-    "small_order_revenue",
-    "centroid_outliers",
-    "quality_dup_crosstab",
-    "event_user_overlap",
-    "event_debounce",
-    "minhash_estimate_audit",
-    "cluster_purity",
-    "neardup_rate_by_source",
-    "event_value_outliers",
-    "late_order_priority",
-    "discounted_revenue",
-    "idle_rich_customers",
-    "length_quantiles",
-    "bigram_pmi_topk",
-    "event_funnel_rates",
-    "event_retention_rates",
-    "sq_codes",
-    "sq_topk",
-    "sq_recall_audit",
-    "knn_label_propagation",
-    "knn_label_accuracy",
-    "token_budget_selection",
-    "hybrid_rrf_topk",
-    "hard_negatives",
-    "dedup_rate_by_source",
-    "scrub_duplicated_spans",
-    "max_duplicated_run",
-    # never hash-green before r10: first gated round with the new
-    # unrolled BPE oracle
-    "bpe_merges",
-    "bpe_encode",
-    # r5-era rows (20): availability scalars + volume + warehouse + events
-    "first_listing_date",
-    "last_available_date",
-    "market_summary",
-    "symbol_volume_profile",
-    "volume_percentile",
-    "volume_trend",
-    "large_volume_customers",
-    "pricing_summary",
-    "promo_revenue",
-    "returned_item_customers",
-    "revenue_by_nation",
-    "shipping_priority",
-    "event_asof_pairs",
-    "event_funnel",
-    "event_json_rollup",
-    "event_retention",
-    "event_sessions",
-    "event_sliding_counts",
-    "event_topk_users",
-    "event_window_counts",
-    # r7-era rows (18): dedup/ANN/text families
-    "ann_topk",
-    "containment_pairs",
-    "corpus_split",
-    "cosine_pairs",
-    "embedding_dedup",
-    "exact_duplicates",
-    "ivf_topk",
-    "knn_join",
-    "lsh_cosine_pairs",
-    "lsh_cosine_pairs_multi",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "pack_sequences",
-    "simhash_fingerprints",
-    "simhash_pairs",
-    "tfidf_weights",
-    # r10-touched rows: ADVICE fixes, regex pass, audit sampling,
-    # span-family diagnosis — DISPLACED past the 50-row window by the 11
-    # new-operator rows above (listed so a future rotation picks them
-    # first; covered by the full-catalog self-check this round)
-    "vocab_growth",
-    "winnow_fingerprints",
-    "grouped_split",
-    "language_id",
-    "pii_scrub",
-    "duplicated_spans",
-    "lsh_recall_audit",
-    "pq_recall_audit",
-    "rp_recall_audit",
-    "duplicated_span_occurrences",
+    "duplicate_clusters_distributed",  # never gated
+    "ann_topk",  # last green r07
+    "containment_pairs",  # last green r07
+    "corpus_split",  # last green r07
+    "cosine_pairs",  # last green r07
+    "embedding_dedup",  # last green r07
+    "exact_duplicates",  # last green r07
+    "ivf_topk",  # last green r07
+    "knn_join",  # last green r07
+    "lsh_cosine_pairs",  # last green r07
+    "lsh_cosine_pairs_multi",  # last green r07
+    "minhash_lsh_pairs",  # last green r07
+    "minhash_signatures",  # last green r07
+    "ngram_jaccard_pairs",  # last green r07
+    "pack_sequences",  # last green r07
+    "simhash_fingerprints",  # last green r07
+    "simhash_pairs",  # last green r07
+    "tfidf_weights",  # last green r07
+    "token_counts",  # last green r07
+    "apply_mixture",  # last green r08
+    "backfill_enrich",  # last green r08
+    "bigram_lm_scores",  # last green r08
+    "boilerplate_chunks",  # last green r08
+    "centroid_confusion",  # last green r08
+    "chunked_documents",  # last green r08
+    "contamination_check",  # last green r08
+    "continuity_gaps",  # last green r08
+    "cross_dedup_pairs",  # last green r08
+    "curated_corpus",  # last green r08
+    "daily_update",  # last green r08
+    "doc_keyterms",  # last green r08
+    "duckdb_import_snapshot",  # last green r08
+    "duplicate_clusters",  # last green r08
+    "event_asof_join",  # last green r08
+    "event_interval_join",  # last green r08
+    "event_spikes",  # last green r08
+    "gap_filled_volumes",  # last green r08
+    "ivf_pq_topk",  # last green r08
+    "ivf_range_indexed",  # last green r08
+    "ivf_topk_indexed",  # last green r08
+    "kmeans_cells",  # last green r08
+    "knn_join_indexed",  # last green r08
+    "label_centroids",  # last green r08
+    "length_stats",  # last green r08
+    "lm_quality_buckets",  # last green r08
+    "lsh_recall_audit",  # last green r08
+    "merge_semantics",  # last green r08
+    "mixture_weights",  # last green r08
+    "multimodal_resize",  # last green r08
+    "neardup_survivors",  # last green r08
+    # --- driver gate window ends here
+    "pii_scrub",  # last green r08
+    "pq_codes",  # last green r08
+    "pq_codes_trained",  # last green r08
+    "pq_recall_audit",  # last green r08
+    "pq_topk",  # last green r08
+    "quality_deciles",  # last green r08
+    "release_stats",  # last green r08
+    "repetition_scores",  # last green r08
+    "salted_enrich",  # last green r08
+    "scrub_boilerplate",  # last green r08
+    "semantic_dedup",  # last green r08
+    "source_overlap",  # last green r08
+    "stratified_sample",  # last green r08
+    "stratum_cap",  # last green r08
+    "symbol_counts_matview",  # last green r08
+    "term_frequencies",  # last green r08
+    "top_terms",  # last green r08
+    "upsert_semantics",  # last green r08
+    "volume_rankings",  # last green r08
+    "availability_by_nation",  # last green r09
+    "availability_intervals",  # last green r09
+    "availability_pivot",  # last green r09
+    "availability_range_distinct",  # last green r09
+    "availability_rollup",  # last green r09
+    "availability_snapshot",  # last green r09
+    "availability_stats",  # last green r09
+    "availability_timeline",  # last green r09
+    "availability_trend",  # last green r09
+    "average_volume",  # last green r09
+    "bm25_topk",  # last green r09
+    "bpe_pair_counts",  # last green r09
+    "classifier_eval",  # last green r09
+    "classifier_scores",  # last green r09
+    "classifier_weights",  # last green r09
+    "cross_lm_scores",  # last green r09
+    "dataset_diff",  # last green r09
+    "delistings",  # last green r09
+    "doc_fingerprints",  # last green r09
+    "duplicated_span_occurrences",  # last green r09
+    "duplicated_spans",  # last green r09
+    "grouped_split",  # last green r09
+    "image_decode_roundtrip",  # last green r09
+    "image_resize_dims",  # last green r09
+    "incomplete_dates",  # last green r09
+    "ivf_cells",  # last green r09
+    "language_id",  # last green r09
+    "lsh_buckets",  # last green r09
+    "missing_volume",  # last green r09
+    "multimodal_features",  # last green r09
+    "multimodal_frames",  # last green r09
+    "new_listings",  # last green r09
+    "quality_scores",  # last green r09
+    "rank_gaps",  # last green r09
+    "rankings_incremental",  # last green r09
+    "rp_embeddings",  # last green r09
+    "rp_recall_audit",  # last green r09
+    "rp_topk",  # last green r09
+    "span_novelty_scores",  # last green r09
+    "symbol_classification",  # last green r09
+    "symbol_set_compare",  # last green r09
+    "top_by_volume",  # last green r09
+    "top_by_volume_filtered",  # last green r09
+    "transition_events",  # last green r09
+    "vocab_growth",  # last green r09
+    "volume_histogram",  # last green r09
+    "winnow_fingerprints",  # last green r09
+    "winnow_overlap_pairs",  # last green r09
+    "bigram_pmi_topk",  # last green r10
+    "bpe_encode",  # last green r10
+    "bpe_merges",  # last green r10
+    "centroid_outliers",  # last green r10
+    "cluster_purity",  # last green r10
+    "dedup_rate_by_source",  # last green r10
+    "discounted_revenue",  # last green r10
+    "event_asof_pairs",  # last green r10
+    "event_debounce",  # last green r10
+    "event_funnel",  # last green r10
+    "event_funnel_rates",  # last green r10
+    "event_json_rollup",  # last green r10
+    "event_retention",  # last green r10
+    "event_retention_rates",  # last green r10
+    "event_sessions",  # last green r10
+    "event_sliding_counts",  # last green r10
+    "event_topk_users",  # last green r10
+    "event_user_overlap",  # last green r10
+    "event_value_outliers",  # last green r10
+    "event_window_counts",  # last green r10
+    "first_listing_date",  # last green r10
+    "hard_negatives",  # last green r10
+    "hybrid_rrf_topk",  # last green r10
+    "idle_rich_customers",  # last green r10
+    "knn_label_accuracy",  # last green r10
+    "knn_label_propagation",  # last green r10
+    "large_volume_customers",  # last green r10
+    "last_available_date",  # last green r10
+    "late_order_priority",  # last green r10
+    "late_supplier_orders",  # last green r10
+    "length_quantiles",  # last green r10
+    "market_summary",  # last green r10
+    "max_duplicated_run",  # last green r10
+    "minhash_estimate_audit",  # last green r10
+    "neardup_rate_by_source",  # last green r10
+    "pricing_summary",  # last green r10
+    "promo_revenue",  # last green r10
+    "quality_dup_crosstab",  # last green r10
+    "returned_item_customers",  # last green r10
+    "revenue_by_nation",  # last green r10
+    "scrub_duplicated_spans",  # last green r10
+    "shipping_priority",  # last green r10
+    "small_order_revenue",  # last green r10
+    "sq_codes",  # last green r10
+    "sq_recall_audit",  # last green r10
+    "sq_topk",  # last green r10
+    "symbol_volume_profile",  # last green r10
+    "token_budget_selection",  # last green r10
+    "volume_percentile",  # last green r10
+    "volume_trend",  # last green r10
 ]
+# GATE_PRIORITY_END
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -15,7 +15,12 @@ hand-maintained — from the live driver contract:
   local[32] (BUDGETS.json — ``bench.py --assert-budget`` enforces it,
   the engine's analogue of the reference's performanceTarget.latency).
 - ``gate_window``: position in the rotated driver-gate priority (the
-  first 50 entries get a fresh driver CORRECTNESS row each round).
+  first 50 entries get a fresh driver CORRECTNESS row each round). The
+  rotation itself is GENERATED — ``tools/gate_priority.py`` orders the
+  catalog stalest-verified-first from CORRECTNESS_r*.json history and
+  rewrites the GATE_PRIORITY block in ``__spark_entry__.py``.
+- ``last_green_round``: the latest round with a hash-green driver row
+  for this query (0 = awaiting its first driver sample).
 
 Usage: python tools/export_catalog.py [out.json]   (default QUERY_CATALOG.json)
 """
@@ -32,8 +37,11 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 
 def build() -> dict:
+    import gate_priority
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    last_green = gate_priority.last_green_rounds()
     budgets_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BUDGETS.json",
@@ -52,6 +60,7 @@ def build() -> dict:
                 "oracle_sql_chars": len(sql) if sql else None,
                 "budget_warm_s": budgets.get(name),
                 "gate_window": pos if pos < 50 else None,
+                "last_green_round": last_green.get(name, 0),
             }
         )
     return {
