@@ -38,6 +38,7 @@ SLICE = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "duplicate_clusters",
+    "duplicate_clusters_distributed",  # forced star-contraction path (r11)
     "neardup_survivors",
     # substring grain
     "duplicated_spans",
@@ -94,6 +95,7 @@ SLICE = [
     "bigram_pmi_topk",
     "length_quantiles",
     "event_funnel_rates",
+    "event_retention_rates",
 ]
 
 
@@ -116,6 +118,7 @@ PAIR_SATURATED = {
     "minhash_lsh_pairs",
     "simhash_pairs",
     "duplicate_clusters",
+    "duplicate_clusters_distributed",
     "neardup_survivors",
 }
 PAIR_SATURATION_SF = 2.0
@@ -240,6 +243,46 @@ def main() -> int:
                     "factor": round(b / a, 2),
                     "alpha": round(math.log(b / a) / math.log(ratio_sf), 2),
                 }
+        # Isolated re-measurement for super-linear outliers (r10 verdict
+        # #8): the in-study warm number carries cache pressure from ~40
+        # other queries' session artifacts sharing the storage pool —
+        # r10's simhash_pairs read 13.0 s in-study vs 2.7 s isolated at
+        # sf10, a 4.8× session artifact. For every query whose in-study
+        # alpha exceeds 1, re-run it ALONE per SF (indexes cleared, own
+        # cold build, min of 2 warm) and report isolated numbers + the
+        # isolated exponent; the honest scaling claim is the isolated
+        # one, with the in-study number retained as the contention view.
+        from binance_futures_availability_spark.index_cache import (
+            clear_indexes,
+        )
+
+        for name, g in sorted(report["growth"].items()):
+            if g["alpha"] <= 1.0:
+                continue
+            iso: dict[str, float] = {}
+            for sf_dir in sf_dirs:
+                tag = sf_dir.rstrip("/").split("sf")[-1]
+                if name not in results.get(tag, {}):
+                    continue
+                clear_indexes()
+                try:
+                    run_df(qs[name](spark, sf_dir))  # own cold build
+                    best = None
+                    for _ in range(2):
+                        t0 = time.time()
+                        run_df(qs[name](spark, sf_dir))
+                        t = round(time.time() - t0, 3)
+                        best = t if best is None else min(best, t)
+                    iso[tag] = best
+                except Exception:  # noqa: BLE001
+                    iso[tag] = -1.0
+                clear_indexes()
+            a, b = iso.get(lo, -1), iso.get(hi, -1)
+            if a > 0 and b > 0:
+                g["isolated_warm"] = iso
+                g["alpha_isolated"] = round(
+                    math.log(b / a) / math.log(ratio_sf), 2
+                )
     with open(out_path, "w", encoding="utf-8") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
     print(json.dumps({"wrote": out_path, "n": len(report["growth"])}))
