@@ -100,13 +100,14 @@ HEADLINERS = {
     "quality_dup_crosstab": "curation crosstab: decile side from the session-cached quality rank, dup flag from one content-hash aggregate, ONE id-keyed join into an n_tiles-sized aggregate",
     "event_user_overlap": "type-affinity matrix: distinct (type,user) reduction, user-keyed self-join with T-bounded fan-out, T^2 aggregate, broadcast totals",
     "event_debounce": "telemetry burst dedup: LAG + running-sum + leader aggregate all reuse ONE (user,type) shuffle; leader via struct MIN, no second window pass",
-    "event_value_outliers": "robust anomalies: fact shuffles ONCE into a (type,value) frequency aggregate; both medians are WEIGHTED medians over that aggregate via global_running_sum (the deviation table derives from the first aggregate — no second corpus pass); flag pass is a narrow scan under broadcast med/MAD",
+    "event_value_outliers": "robust anomalies: fact shuffles ONCE into a (type,value) frequency aggregate; both weighted medians are per-type cumulative WINDOWS over that aggregate sharing one hash exchange (deviation median re-ranks in-row — no re-aggregation, no join-backs); flag pass is a narrow scan under broadcast med/MAD; flagged set localCheckpoints before the global sort so range sampling reads blocks, not a recomputed fact pass",
     "minhash_estimate_audit": "sketch-drift audit: shared banded candidate core; estimate join touches only candidates against the cached signature table; single aggregate row, all-integer ppm",
     "neardup_rate_by_source": "near-dup dashboard: linear LSH pair pipeline, sparse membership explode broadcast back onto the narrow (id,source) projection, |sources|-sized aggregate",
     "late_order_priority": "Q4 family: EXISTS as LEFT SEMI join (distinct-key hash build, first-match short-circuit); date window in PushedFilters; |priorities|-sized aggregate",
     "discounted_revenue": "Q6 family: every predicate in PushedFilters, 4-column ReadSchema, single map-side scalar aggregate — zero shuffle beyond the one-row reduction",
     "idle_rich_customers": "Q22 family: scalar-avg subquery as a one-row broadcast cross join (integer cross-multiplied compare), NOT-EXISTS as LEFT ANTI on distinct recent-order keys, nation broadcast",
-    "length_quantiles": "exact grouped quartiles: one fact shuffle into a (group,length) frequency table, single global_running_sum rank pass, nearest-rank-pair selection — no per-group single-task window",
+    "length_quantiles": "exact grouped quartiles: one fact shuffle into a (group,length) frequency table, per-group cumulative window OVER THE AGGREGATE (partition bounded by distinct lengths, never by corpus rows), nearest-rank-pair selection, gathered presentation sort",
+    "duplicate_clusters_distributed": "graph-scale connected components: alternating large-star/small-star edge-set contraction (iteration state = the pair sliver, corpus touched once by the final label-back join); hubs shatter via partial-agg MIN",
     "bigram_pmi_topk": "collocations: entirely from the cached bigram/unigram count artifacts, two bounded-vocabulary broadcast joins, integer milli-lift, TakeOrderedAndProject",
     "event_funnel_rates": "funnel summary: per-user funnel reuses ONE user shuffle, then a single one-row conditional aggregate + stack reshape — no window over the histogram, no second data shuffle",
     "event_retention_rates": "retention curve: rides the retention matrix, one-row censoring bound broadcast, sequence-expanded eligibility over a calendar-bounded frame, offset-sized aggregate",
