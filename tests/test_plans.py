@@ -800,3 +800,59 @@ def test_user_overlap_totals_broadcast(spark):
     )
     plan = _plan(ev.user_overlap(df))
     assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_robust_value_stats_single_window_exchange_no_joins(spark):
+    """The fused weighted-median flow: ONE (type,value) aggregate
+    exchange + ONE per-type window exchange, three Window operators
+    stacked on it, ZERO joins (the r10 formulation had two join-backs
+    and a broadcast-of-median job)."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import events as ev
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "click", 1.0, "{}")],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    plan = _plan(ev.robust_value_stats(df))
+    assert "Join" not in plan, plan
+    # (t,v) aggregate exchange + per-type window exchange; the final
+    # per-type aggregate REUSES the window partitioning (no 3rd shuffle)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Window") == 4, plan  # n, cum, m2, dcum
+
+
+def test_length_quantiles_window_over_aggregate_no_range_exchange(spark):
+    """The quartile ranking windows partition the (group,length)
+    FREQUENCY AGGREGATE (post-groupBy), never the raw docs, and the
+    presentation sort is gathered (no range exchange + sampling job)."""
+    from binance_futures_availability_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "bb", "s1")], ["doc_id", "text", "source"]
+    )
+    plan = _plan(textops.length_quantiles(docs))
+    assert "Join" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    # window sees aggregate rows: its exchange is hashpartitioning(__g)
+    assert "Exchange hashpartitioning" in plan, plan
+    i_agg = plan.index("HashAggregate")
+    assert "Window" in plan[:i_agg] or plan.count("Window") >= 1, plan
+
+
+def test_star_contraction_no_cartesian_no_corpus_state(spark):
+    """Each contraction round is groupBy-MIN + equi-join over EDGES:
+    no cartesian product, no join against a doc-sized relation inside
+    the loop (the corpus appears only in the final label-back join)."""
+    from binance_futures_availability_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"]
+    )
+    stars, rounds = dedup._star_contraction(pairs, max_iter=6)
+    plan = _plan(stars)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    got = {(r["src"], r["dst"]) for r in stars.collect()}
+    assert got == {(2, 1), (3, 1), (9, 7)}
+    assert rounds <= 3

@@ -92,7 +92,10 @@ def run(sf_dir: str, warm_reps: int = 3) -> dict:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    print(json.dumps(run(sf_dir)))
+    # warm_reps is wall-clock-tunable for the big SFs (an sf1 DuckDB sweep
+    # is ~23 min); the artifact's `reps` field records what actually ran
+    warm_reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    print(json.dumps(run(sf_dir, warm_reps=warm_reps)))
     return 0
 
 
