@@ -65,6 +65,7 @@ HEADLINERS = {
     "chunked_documents": "sliding-window chunking: tokenize + sequence + explode + slice, all codegen array expressions — zero shuffle",
     "scrub_boilerplate": "sub-document dedup: anti join against the sparse repeated-chunk set; ordered reassembly via array_sort of structs (no window)",
     "containment_pairs": "asymmetric near-dup: shares the cached hashed-postings artifact with the Jaccard path; containment is one extra division over carried counts",
+    "cross_dedup_pairs": "cross-corpus near-dup: ONE shared LSH pass over the id-offset union. r10->r11 cause note for the flagged small-SF warm drift (0.295->0.455 s): the in-catalog number rides the LSH/posting artifacts earlier dedup queries leave in the session cache (isolated warm is ~0.9 s, in-catalog 0.455 s), so it moves with CATALOG COMPOSITION, not with this plan; the scale-honest number is sf1 where it runs at 0.29x the paired oracle",
     "ivf_range_indexed": "IVF range search: PartitionFilters prune to nprobe cell dirs; threshold filter, no ordering stage",
     "centroid_confusion": "nearest-class-mean: bounded centroid collect, one Arrow argmax pass, tiny confusion aggregate",
     "gap_filled_volumes": "LOCF gap fill: generated per-symbol date skeleton (no shuffle for the explode), left join, ONE carry-forward window",
