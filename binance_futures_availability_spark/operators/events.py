@@ -797,9 +797,11 @@ def value_outliers(
     (type, value) frequency aggregate — never larger than the corpus
     and, on real telemetry (quantized values), orders of magnitude
     smaller — and both medians run as WEIGHTED medians over that
-    aggregate via a per-type cumulative window (``grouped_running_sum``
-    — safe precisely because the windowed input is the aggregate, not
-    the facts). The deviation median needs no second corpus pass at
+    aggregate via per-type cumulative windows (the
+    ``grouped_running_sum`` discipline — safe precisely because the
+    windowed input is the aggregate, not the facts; see
+    robust_value_stats for the fused plan). The deviation median needs
+    no second corpus pass at
     all: every occurrence of a value shares one deviation, so its
     frequency table derives from the first aggregate.
     The final flag pass (``score_values_with``) is a narrow scan under
@@ -887,21 +889,35 @@ def retention_rates(
     offset toward zero), and offsets nobody survived still emit a zero
     row, so the curve is complete.
 
-    Shape: rides ``retention_cohorts``' matrix; cohort sizes are the
-    week-0 rows (every user is active in their own first week by
-    construction), the censoring bound is a one-row broadcast cross
-    join (the idle_rich_customers scalar discipline), eligibility
-    expands via ``sequence`` to a |cohorts|·|offsets| frame — weeks²,
-    bounded by calendar time, not data — and the final aggregate is
-    offset-sized. ``retention_ppm`` is the exact ×10⁶ floor division.
+    Shape: rides ``retention_cohorts``' matrix, lazily
+    ``localCheckpoint``-ed because every downstream branch (sizes,
+    censoring bound, eligibility join) reads it — without the
+    checkpoint each branch re-runs the full event scan + cohort
+    shuffles (the matrix is |cohorts|·|offsets| rows; materializing it
+    once replaces two corpus passes with block reads). The censoring
+    bound itself derives FROM the matrix — the dataset's last observed
+    week is exactly max(cohort_week + 7·week_offset), since both sides
+    are week-truncated dates (multiples of 7 apart) and the max-ts
+    event contributes its own offset row — so no third event scan
+    exists at all. Eligibility expands via ``sequence`` to a
+    |cohorts|·|offsets| frame — weeks², bounded by calendar time, not
+    data — the final aggregate is offset-sized and the presentation
+    sort is gathered. ``retention_ppm`` is the exact ×10⁶ floor
+    division.
     """
-    m = retention_cohorts(events, ts_col, user_col)
+    from ..functions import gathered_sort
+
+    m = retention_cohorts(events, ts_col, user_col).localCheckpoint(
+        eager=False
+    )
     sizes = m.filter(F.col("week_offset") == 0).select(
         "cohort_week", F.col("active_users").alias("__sz")
     )
     bound = F.broadcast(
-        events.agg(
-            F.date_trunc("week", F.max(ts_col)).cast("date").alias("__maxw")
+        m.agg(
+            F.max(
+                F.date_add(F.col("cohort_week"), F.col("week_offset") * 7)
+            ).alias("__maxw")
         )
     )
     elig = (
@@ -933,5 +949,5 @@ def retention_rates(
             .cast("long")
             .alias("retention_ppm"),
         )
-        .orderBy("week_offset")
+        .transform(lambda d: gathered_sort(d, "week_offset"))
     )
