@@ -80,3 +80,49 @@ def test_every_query_has_budget_and_catalog_row():
     }
     if names:
         assert q <= names, sorted(q - names)
+
+
+def test_gate_priority_rewrite_is_idempotent_and_parseable(tmp_path):
+    """tools/gate_priority.py rewrites the GATE_PRIORITY block in the
+    driver contract file: the generated block must be valid Python, the
+    rewrite idempotent, and the window the first 50 stalest queries."""
+    import importlib.util
+    import re
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "gate_priority", "/root/repo/tools/gate_priority.py"
+    )
+    gp = importlib.util.module_from_spec(spec)
+    sys.modules["gate_priority"] = gp
+    spec.loader.exec_module(gp)
+
+    priority, last = gp.build_priority()
+    block = gp.render_block(priority, last)
+    # the block compiles stand-alone and defines the full catalog order
+    ns: dict = {}
+    exec(compile(block, "<gate>", "exec"), ns)  # noqa: S102 — our own artifact
+    assert ns["GATE_PRIORITY"] == priority
+    assert len(set(priority)) == len(priority)
+    # stalest-first: staleness keys are non-decreasing along the order
+    keys = [last.get(n, 0) for n in priority]
+    assert keys == sorted(keys)
+    # rendering twice from the same history is byte-identical
+    assert block == gp.render_block(priority, last)
+    # the committed contract file holds exactly this block between markers
+    src = open("/root/repo/__spark_entry__.py", encoding="utf-8").read()
+    m = re.search(
+        re.escape(gp.BEGIN) + r".*?" + re.escape(gp.END), src, re.DOTALL
+    )
+    assert m, "markers missing from __spark_entry__.py"
+    committed = m.group(0)
+    ns2: dict = {}
+    exec(compile(committed.replace(gp.BEGIN, "#"), "<c>", "exec"), ns2)  # noqa: S102
+    # SET equality, not order: the order is a function of CORRECTNESS
+    # history, which the driver extends between the commit and this test
+    # running — a reshuffled window is expected then, a missing or extra
+    # query never is
+    assert set(ns2["GATE_PRIORITY"]) == set(priority), (
+        "committed GATE_PRIORITY no longer matches the catalog — rerun "
+        "tools/gate_priority.py"
+    )
