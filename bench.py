@@ -128,8 +128,17 @@ def main() -> None:
                 cache_bytes[name] = storage_bytes(spark)
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
+    # intermittent warm-path failures must stay visible in the artifact
+    # (r11 advice): a query that throws on some reps but succeeds once
+    # still reports min(successes), but its failed-rep count is recorded
+    # so flaky warm runs are distinguishable from clean min-of-3 numbers
+    failed_reps: dict[str, int] = {}
     for name in qs:
-        rs = [t for t in reps.get(name, []) if t >= 0]
+        all_reps = reps.get(name, [])
+        rs = [t for t in all_reps if t >= 0]
+        nfail = len(all_reps) - len(rs)
+        if nfail:
+            failed_reps[name] = nfail
         if cold[name] < 0 or not rs:
             times[name] = -1.0
         else:
@@ -198,6 +207,8 @@ def main() -> None:
         "reps": {"warm": WARM_REPS, "agg": "min"},
         "spread": spread_summary,
     }
+    if failed_reps:
+        out["failed_warm_reps"] = failed_reps
     if secondary is not None:
         out["secondary"] = secondary
     budget_failures: list[str] = []

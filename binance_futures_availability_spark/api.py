@@ -287,7 +287,15 @@ class _HttpRangeFile:
             headers={"Range": f"bytes={self._pos}-{self._pos + n - 1}"},
         )
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            status = getattr(resp, "status", 206)
             data = resp.read()
+        if status != 206:
+            # server advertised Accept-Ranges on HEAD but ignored the
+            # Range header (200 full body): slice the requested window
+            # instead of handing pyarrow mis-positioned bytes — serving
+            # data[pos:] keeps reads correct at the cost of the full
+            # transfer the server forced anyway
+            data = data[self._pos : self._pos + n]
         self._pos += len(data)
         self.requests_made += 1
         self.bytes_fetched += len(data)

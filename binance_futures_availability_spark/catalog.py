@@ -127,6 +127,12 @@ def load_table_hot(
             except Exception:  # noqa: BLE001 — eviction is best-effort
                 pass
         df = load_table(spark, sf_dir, name).repartition(slices).cache()
+        # source identity for index_cache.plan_key: inputFiles() is empty
+        # once the CacheManager swaps in the InMemoryRelation, which would
+        # silently disable derived-artifact caching over hot tables (the
+        # plan_key PITFALL). The fingerprint keys staleness exactly like
+        # _HOT_CACHE itself does.
+        df._spark_graft_source = (path, fp)
         _HOT_CACHE[key] = df
     return df
 

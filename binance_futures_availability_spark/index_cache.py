@@ -60,15 +60,51 @@ def storage_bytes(spark) -> int:
         return 0
 
 
+#: Bytes persisted by NON-evictable owners (fact handles, tracked scoped
+#: persists) observed the last time evicting every keyed handle still left
+#: the session over budget. storage_bytes() counts the whole session pool,
+#: so without this floor a foreign footprint larger than the budget makes
+#: every miss insert evict the entire index cache down to the inserted key
+#: — silent thrash of exactly the warm artifacts the catalog depends on
+#: (r11 advice). Budget checks subtract the floor; it resets whenever the
+#: session footprint drops below it (foreign blocks were released).
+_FOREIGN_FLOOR = 0
+
+#: Observability: number of times eviction exhausted every evictable
+#: handle while the session stayed over budget (i.e. the overage was not
+#: attributable to the index cache). Non-zero means the budget is sized
+#: below the session's non-evictable persists.
+EVICTION_STALLS = 0
+
+
+def _attributable_bytes(spark) -> int:
+    """Session persisted footprint minus the recorded non-evictable
+    floor — the portion of the pool the index cache can actually free."""
+    global _FOREIGN_FLOOR
+    total = storage_bytes(spark)
+    if total < _FOREIGN_FLOOR:
+        _FOREIGN_FLOOR = 0  # foreign blocks released; stop discounting
+    return total - _FOREIGN_FLOOR
+
+
 def _evict_over_budget(spark, keep_key) -> int:
     """Unpersist least-recently-used index handles until the session's
-    persisted footprint fits the budget. ``keep_key`` (the entry being
-    inserted) is never evicted — a new artifact must not evict itself
-    before first use. Returns the number of evictions. Freshly inserted,
-    not-yet-materialized handles report 0 bytes, so the budget reacts one
-    insert late — steady state is bounded by budget + one artifact."""
+    ATTRIBUTABLE persisted footprint fits the budget. ``keep_key`` (the
+    entry being inserted) is never evicted — a new artifact must not
+    evict itself before first use. Returns the number of evictions.
+    Freshly inserted, not-yet-materialized handles report 0 bytes, so the
+    budget reacts one insert late — steady state is bounded by budget +
+    one artifact. If evicting every evictable handle still leaves the
+    session over budget, the residual is non-evictable (fact handles,
+    scoped persists): it is recorded as the foreign floor and discounted
+    from later checks, so a big foreign footprint degrades to a smaller
+    effective index budget instead of evict-everything thrash."""
+    global _FOREIGN_FLOOR, EVICTION_STALLS
     n = 0
-    while len(_HANDLES) > 1 and storage_bytes(spark) > INDEX_CACHE_BUDGET_BYTES:
+    while (
+        len(_HANDLES) > 1
+        and _attributable_bytes(spark) > INDEX_CACHE_BUDGET_BYTES
+    ):
         victim = next((k for k in _HANDLES if k != keep_key), None)
         if victim is None:
             break
@@ -78,6 +114,13 @@ def _evict_over_budget(spark, keep_key) -> int:
         except Exception:  # noqa: BLE001
             pass
         n += 1
+    if (
+        len(_HANDLES) <= 1
+        and n
+        and _attributable_bytes(spark) > INDEX_CACHE_BUDGET_BYTES
+    ):
+        EVICTION_STALLS += 1
+        _FOREIGN_FLOOR = storage_bytes(spark)
     return n
 
 
@@ -90,11 +133,18 @@ def plan_key(df: DataFrame, *extra):
     InMemoryRelation (the optimized plan has no file scan), so the key
     degenerates to None and silently disables caching. Operators that
     build an index over another index thread the source-frame key down
-    (see dedup._pair_jaccard's ``postings_key``)."""
+    (see dedup._pair_jaccard's ``postings_key``). Hot-pinned catalog
+    tables (``catalog.load_table_hot``) carry their source identity in
+    ``_spark_graft_source`` — (path, fingerprint) — which substitutes
+    for the empty file list, so derived artifacts over hot tables cache
+    too (the fingerprint keys staleness exactly like the hot cache)."""
     try:
         files = tuple(sorted(df.inputFiles()))
         if not files:
-            return None
+            src = getattr(df, "_spark_graft_source", None)
+            if src is None:
+                return None
+            files = (f"hot:{src[0]}#{src[1]}",)
         plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
     except Exception:  # noqa: BLE001 — streaming/exotic plans: just don't cache
         return None
@@ -122,7 +172,11 @@ def sweep_dead_entries(cache: dict) -> int:
     (non-``file:``) inputs are never treated as dead — existence can't be
     checked cheaply and a false eviction only costs a rebuild anyway.
     Returns the number of entries evicted. O(live entries) per call; runs
-    only on cache MISS inserts, so steady-state hits pay nothing."""
+    only on cache MISS inserts, so steady-state hits pay nothing.
+
+    ``hot:PATH#FP`` pseudo-URIs (artifacts derived from hot-pinned
+    catalog tables) are dead when the directory's CURRENT fingerprint no
+    longer matches FP — same staleness rule the hot cache itself uses."""
     import os
 
     dead = []
@@ -131,6 +185,14 @@ def sweep_dead_entries(cache: dict) -> int:
         if not isinstance(files, tuple):
             continue
         for uri in files:
+            if isinstance(uri, str) and uri.startswith("hot:"):
+                from . import catalog
+
+                path, _, fp = uri[4:].rpartition("#")
+                if str(catalog._dir_fingerprint(path)) != fp:
+                    dead.append(key)
+                    break
+                continue
             p = _local_path(uri)
             if p is not None and not os.path.exists(p):
                 dead.append(key)
@@ -214,6 +276,8 @@ def tracked_persist(df: DataFrame) -> DataFrame:
 def clear_indexes() -> None:
     """Unpersist and drop every cached index artifact and every tracked
     scoped persist — storage memory returns to its pre-index baseline."""
+    global _FOREIGN_FLOOR
+    _FOREIGN_FLOOR = 0
     while _HANDLES:
         _, handle = _HANDLES.popitem()
         try:

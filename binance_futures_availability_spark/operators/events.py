@@ -300,25 +300,42 @@ def retention_cohorts(
     shuffle is exchange-reused, the vocab_growth discipline from the r9
     advisor). Weeks are Monday-truncated dates; the offset is integer
     day-difference // 7 — all-integer, engine-exact.
+
+    The matrix is PARAMETER-FREE (no window, no constant), so it lives
+    in the session index cache like the LSH/IVF/BM25 indexes: the
+    first retention query pays the two corpus shuffles, every later one
+    (the rates curve, repeated dashboard refreshes) serves the
+    weeks²-bounded aggregate from the in-memory columnar form. A
+    cluster materializes the same matrix as an incrementally-refreshed
+    summary table.
     """
-    first = events.groupBy(user_col).agg(
-        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
-    )
-    tagged = events.join(first, user_col).select(
-        F.col(user_col),
-        "cohort_week",
-        (
-            F.datediff(
-                F.date_trunc("week", F.col(ts_col)).cast("date"),
-                F.col("cohort_week"),
-            )
-            / 7
+    from ..index_cache import cached_index, plan_key
+
+    def build() -> DataFrame:
+        first = events.groupBy(user_col).agg(
+            F.date_trunc("week", F.min(ts_col))
+            .cast("date")
+            .alias("cohort_week")
         )
-        .cast("int")
-        .alias("week_offset"),
-    )
-    return tagged.groupBy("cohort_week", "week_offset").agg(
-        F.countDistinct(user_col).alias("active_users")
+        tagged = events.join(first, user_col).select(
+            F.col(user_col),
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col(ts_col)).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        return tagged.groupBy("cohort_week", "week_offset").agg(
+            F.countDistinct(user_col).alias("active_users")
+        )
+
+    return cached_index(
+        plan_key(events, "retention_matrix", ts_col, user_col), build
     )
 
 
@@ -661,6 +678,7 @@ def robust_value_stats(
     events: DataFrame,
     type_col: str = "event_type",
     value_col: str = "value",
+    distinct_guard: int | None = None,
 ) -> DataFrame:
     """Per-type doubled-integer robust statistics — (event_type, m2,
     mad2) where m2 = 2·median(value_micro) and mad2 = 4·MAD in micro
@@ -684,12 +702,41 @@ def robust_value_stats(
     + Arrow pass each, ~5 s of flat job cost) plus two join-backs that
     recomputed the counts aggregate; this plan is counts → three Window
     operators sharing one hash exchange → one tiny per-type aggregate.
+
+    CONTRACT (the ``grouped_running_sum`` window-partition-safety
+    assumption, measured tradeoff per the r11 advisor): values are
+    micro-quantized, so each per-type window partition is bounded by
+    the type's distinct micro-value count. Continuous high-precision
+    telemetry can push that toward the per-type ROW count and
+    concentrate one type's aggregate in a single window task —
+    WindowExec spills rather than OOMs, but the task degrades to one
+    slow straggler. Pass ``distinct_guard`` to enforce the contract:
+    one bounded pre-check over the frequency aggregate raises a clear
+    diagnostic (quantize coarser, or split the type) when any type
+    exceeds the threshold, instead of silently paying the skewed task.
+    Off by default — the check is an extra action, and the engine's
+    event telemetry is micro-quantized by construction.
     """
     ev = events.select(
         F.col(type_col).alias("__t"),
         F.expr(f"CAST(round({value_col} * 1000000) AS BIGINT)").alias("__v"),
     )
     counts = ev.groupBy("__t", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    if distinct_guard is not None:
+        worst = (
+            counts.groupBy("__t")
+            .agg(F.count(F.lit(1)).alias("__nd"))
+            .agg(F.max_by("__t", "__nd").alias("t"), F.max("__nd").alias("nd"))
+            .first()
+        )
+        if worst is not None and (worst["nd"] or 0) > distinct_guard:
+            raise ValueError(
+                f"robust_value_stats distinct-value guard: type "
+                f"{worst['t']!r} has {worst['nd']} distinct micro-values "
+                f"(> {distinct_guard}); its window partition would "
+                f"concentrate in one task. Quantize {value_col} coarser "
+                f"or pre-bucket the type before ranking."
+            )
 
     wt = Window.partitionBy("__t")
     wv = wt.orderBy("__v").rowsBetween(
@@ -889,42 +936,55 @@ def retention_rates(
     offset toward zero), and offsets nobody survived still emit a zero
     row, so the curve is complete.
 
-    Shape: rides ``retention_cohorts``' matrix, lazily
-    ``localCheckpoint``-ed because every downstream branch (sizes,
-    censoring bound, eligibility join) reads it — without the
-    checkpoint each branch re-runs the full event scan + cohort
-    shuffles (the matrix is |cohorts|·|offsets| rows; materializing it
-    once replaces two corpus passes with block reads). The censoring
-    bound itself derives FROM the matrix — the dataset's last observed
-    week is exactly max(cohort_week + 7·week_offset), since both sides
-    are week-truncated dates (multiples of 7 apart) and the max-ts
-    event contributes its own offset row — so no third event scan
-    exists at all. Eligibility expands via ``sequence`` to a
-    |cohorts|·|offsets| frame — weeks², bounded by calendar time, not
-    data — the final aggregate is offset-sized and the presentation
-    sort is gathered. ``retention_ppm`` is the exact ×10⁶ floor
-    division.
+    Shape: rides ``retention_cohorts``' matrix — served from the
+    session index cache when the events frame is file-backed, else
+    lazily ``localCheckpoint``-ed — because both downstream branches
+    (the eligibility expansion and the activity join-back) read it;
+    without materialization each branch re-runs the full event scan +
+    cohort shuffles (the matrix is |cohorts|·|offsets| rows;
+    materializing it once replaces two corpus passes with block
+    reads). The censoring bound derives FROM the matrix — the
+    dataset's last observed week is exactly
+    max(cohort_week + 7·week_offset), since both sides are
+    week-truncated dates (multiples of 7 apart) and the max-ts event
+    contributes its own offset row — and it is FUSED into the
+    eligibility expansion as a whole-frame window MAX (empty
+    PARTITION BY over the weeks²-bounded aggregate), not a separate
+    broadcast-subquery job: the r11 shape paid a checkpoint + bound
+    aggregate + broadcast exchange chain (~4 jobs, 10.9× the paired
+    oracle at sf1) for what is one scalar. Eligibility expands via
+    ``sequence`` to a |cohorts|·|offsets| frame — weeks², bounded by
+    calendar time, not data — the final aggregate is offset-sized and
+    the presentation sort is gathered. ``retention_ppm`` is the exact
+    ×10⁶ floor division.
     """
+    from pyspark.sql import Window
+
     from ..functions import gathered_sort
 
-    m = retention_cohorts(events, ts_col, user_col).localCheckpoint(
-        eager=False
-    )
-    sizes = m.filter(F.col("week_offset") == 0).select(
-        "cohort_week", F.col("active_users").alias("__sz")
-    )
-    bound = F.broadcast(
-        m.agg(
+    m = retention_cohorts(events, ts_col, user_col)
+    if not m.is_cached:
+        m = m.localCheckpoint(eager=False)
+    # gather the weeks²-bounded matrix to ONE partition up front:
+    # SinglePartition satisfies every downstream required distribution
+    # (the censoring window, the eligibility⋈matrix join, the offset
+    # aggregate, the presentation sort), so the whole curve computes in
+    # one exchange-free stage after the matrix — the per-stage
+    # scheduling floor, not the data, dominated the r11 shape
+    m = m.repartition(1)
+    # whole-frame window (already single-partition) computes the
+    # censoring bound in the SAME job chain
+    elig = (
+        m.withColumn(
+            "__maxw",
             F.max(
                 F.date_add(F.col("cohort_week"), F.col("week_offset") * 7)
-            ).alias("__maxw")
+            ).over(Window.partitionBy()),
         )
-    )
-    elig = (
-        sizes.crossJoin(bound)
+        .filter(F.col("week_offset") == 0)
         .select(
             "cohort_week",
-            "__sz",
+            F.col("active_users").alias("__sz"),
             F.explode(
                 F.sequence(
                     F.lit(0),

@@ -121,6 +121,49 @@ def test_byte_budget_evicts_lru_and_hits_refresh_recency(
     index_cache.clear_indexes()
 
 
+def test_foreign_persists_over_budget_do_not_thrash_index_cache(
+    spark, tmp_path, monkeypatch
+):
+    """When NON-evictable persists alone exceed the byte budget, miss
+    inserts must not evict the whole index cache on every insert (r11
+    advice): the unattributable residual is recorded as a foreign floor
+    after one full-eviction stall, the stall is counted, and later
+    inserts keep warm handles alive."""
+    from binance_futures_availability_spark import index_cache
+
+    index_cache.clear_indexes()
+    foreign = spark.range(200_000).selectExpr("id", "id * 3 AS c").persist()
+    foreign.count()
+    floor = index_cache.storage_bytes(spark)
+    assert floor > 0
+    monkeypatch.setattr(
+        index_cache, "INDEX_CACHE_BUDGET_BYTES", max(1, floor // 4)
+    )
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.parquet")
+        spark.range(10_000).selectExpr("id").write.parquet(p)
+        paths.append(p)
+    frames = [spark.read.parquet(p) for p in paths]
+    keys = [index_cache.plan_key(df, "foreign_floor_artifact") for df in frames]
+
+    stalls0 = index_cache.EVICTION_STALLS
+    index_cache.cached_index(keys[0], lambda: frames[0]).count()
+    # this insert sees the over-budget pool, exhausts evictable handles,
+    # records the stall + floor...
+    index_cache.cached_index(keys[1], lambda: frames[1]).count()
+    # ...so this one is budgeted against attributable bytes only and
+    # leaves the previous handle alone
+    index_cache.cached_index(keys[2], lambda: frames[2]).count()
+    assert index_cache.EVICTION_STALLS > stalls0  # thrash is observable
+    assert keys[1] in index_cache._HANDLES
+    assert keys[2] in index_cache._HANDLES
+
+    foreign.unpersist(blocking=True)
+    index_cache.clear_indexes()
+
+
 def test_storage_bytes_tracks_persist_and_release(spark):
     from binance_futures_availability_spark import index_cache
 

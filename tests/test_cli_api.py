@@ -108,7 +108,12 @@ class _RangeHandler:
     documented access pattern — partial reads, never a full-file GET."""
 
     @staticmethod
-    def build(payload: bytes, log: list, accept_ranges: bool = True):
+    def build(
+        payload: bytes,
+        log: list,
+        accept_ranges: bool = True,
+        honor_range: bool = True,
+    ):
         from http.server import BaseHTTPRequestHandler
 
         class Handler(BaseHTTPRequestHandler):
@@ -126,7 +131,7 @@ class _RangeHandler:
             def do_GET(self):
                 rng = self.headers.get("Range")
                 log.append(("GET", rng))
-                if rng and accept_ranges:
+                if rng and accept_ranges and honor_range:
                     lo, hi = rng.split("=")[1].split("-")
                     lo, hi = int(lo), min(int(hi), len(payload) - 1)
                     body = payload[lo:hi + 1]
@@ -144,12 +149,18 @@ class _RangeHandler:
         return Handler
 
 
-def _serve(payload: bytes, log: list, accept_ranges: bool = True):
+def _serve(
+    payload: bytes,
+    log: list,
+    accept_ranges: bool = True,
+    honor_range: bool = True,
+):
     import threading
     from http.server import ThreadingHTTPServer
 
     srv = ThreadingHTTPServer(
-        ("127.0.0.1", 0), _RangeHandler.build(payload, log, accept_ranges)
+        ("127.0.0.1", 0),
+        _RangeHandler.build(payload, log, accept_ranges, honor_range),
     )
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv, f"http://127.0.0.1:{srv.server_address[1]}/archive.parquet"
@@ -209,6 +220,27 @@ def test_engine_remote_parquet_http_fallback_without_ranges(engine, table_path, 
         df = engine.read_remote_parquet(url)
         assert df.count() == 8
         assert [m for (m, _) in log] == ["HEAD", "GET"]
+    finally:
+        srv.shutdown()
+
+
+def test_engine_remote_parquet_lying_range_server(engine, table_path, tmp_path):
+    """A server that advertises Accept-Ranges on HEAD but IGNORES the
+    Range header on GET (200 full body — real intermediaries do this)
+    must still yield correct rows: read() slices the requested window
+    out of the full response instead of serving mis-positioned bytes."""
+    one = engine.table().coalesce(1)
+    archive_dir = tmp_path / "archive_lr"
+    one.write.parquet(str(archive_dir))
+    payload = next(archive_dir.glob("part-*.parquet")).read_bytes()
+
+    log: list = []
+    srv, url = _serve(payload, log, honor_range=False)
+    try:
+        df = engine.read_remote_parquet(url)
+        assert df.count() == 8
+        # range requests were issued (the client believed the HEAD)...
+        assert any(rng for (m, rng) in log if m == "GET")
     finally:
         srv.shutdown()
 

@@ -176,6 +176,26 @@ def test_retention_cohorts_week_offsets(spark):
     assert (w0, 1) not in got
 
 
+def test_robust_value_stats_distinct_guard(spark):
+    """The opt-in cardinality guard raises a clear diagnostic when a
+    type's distinct micro-value count exceeds the threshold (the
+    window-partition-safety contract), and passes under it; default-off
+    keeps the gated single-pass plan action-free."""
+    import pytest
+
+    rows = [
+        (i, T(2024, 1, 1, 10, 0), 1, "hot", i * 0.01, "{}") for i in range(50)
+    ] + [(100, T(2024, 1, 1, 10, 0), 1, "cold", 1.0, "{}")]
+    df = _events(spark, rows)
+    with pytest.raises(ValueError, match="hot.*50 distinct"):
+        ev.robust_value_stats(df, distinct_guard=10)
+    # generous threshold: same result as the unguarded path
+    assert (
+        ev.robust_value_stats(df, distinct_guard=1000).count()
+        == ev.robust_value_stats(df).count()
+    )
+
+
 def test_spike_detection_integer_zscore(spark):
     # 6 calm days with slight jitter (counts 3,4,3,4,3,4), then a burst
     rows, eid = [], 0

@@ -721,9 +721,13 @@ def test_small_order_revenue_fact_joins_are_broadcast(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
-def test_late_order_priority_semi_join_and_pushdown(spark, tmp_path_factory):
-    """Q4 decorrelation: LEFT SEMI join (no fact duplication), date
-    window in the orders scan's PushedFilters."""
+def test_late_order_priority_preagg_below_join_and_pushdown(
+    spark, tmp_path_factory
+):
+    """Q4 decorrelation: the per-order MAX(l_shipdate) partial aggregate
+    sits BELOW the join (the join probes an |orders|-sized rollup, never
+    the raw fact projection), the window side is broadcast, and the date
+    window lands in the orders scan's PushedFilters."""
     import datetime as dt
 
     from binance_futures_availability_spark.operators import warehouse
@@ -741,7 +745,15 @@ def test_late_order_priority_semi_join_and_pushdown(spark, tmp_path_factory):
         spark.read.parquet(po), spark.read.parquet(pl),
         "1996-01-01", "1996-03-31", 90,
     ))
-    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the join consumes the rollup: a max(l_shipdate) aggregate appears
+    # below the join in the plan tree (fact rows never cross the join)
+    join_pos = plan.index("BroadcastHashJoin")
+    agg_pos = plan.index("max(")
+    assert "l_shipdate" in plan[agg_pos : agg_pos + 120], plan
+    assert agg_pos > join_pos, (
+        "per-order MAX rollup must sit below the join:\n" + plan
+    )
     pushed = plan.split("PushedFilters")[1][:200]
     assert "o_orderdate" in pushed
 
