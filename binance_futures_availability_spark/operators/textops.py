@@ -1897,6 +1897,16 @@ def length_quantiles(
     drops the flat range-repartition + collect + Arrow job chain the
     previous ``global_running_sum`` formulation paid (15.6× the paired
     oracle at sf0.1 for a tiny aggregate).
+
+    Stage collapse (r11 carryover): the frequency table is bounded by
+    the VALUE DOMAIN — Σ per-group distinct character lengths, not
+    corpus rows — so it gathers to ONE partition after the aggregate.
+    SinglePartition satisfies every downstream required distribution
+    (the cumulative window, the per-group quartile aggregate, the
+    presentation sort via sortWithinPartitions), collapsing the plan
+    from five stages to three; what remains is the two-exchange floor
+    (fact→frequency, frequency→gather), measured and pinned in
+    PLANS.md/BUDGETS.json.
     """
     from ..functions import (  # noqa: F401
         gathered_sort,
@@ -1908,7 +1918,11 @@ def length_quantiles(
         F.col(group_col).alias("__g"),
         F.length(F.col(text_col)).cast("long").alias("__len"),
     )
-    counts = ev.groupBy("__g", "__len").agg(F.count(F.lit(1)).alias("__c"))
+    counts = (
+        ev.groupBy("__g", "__len")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .repartition(1)
+    )
     j = grouped_running_sum(
         counts, ["__g"], ["__len"], "__c", out_col="__cum", total_col="__n"
     )
@@ -1947,7 +1961,9 @@ def length_quantiles(
             (F.col("__q50_2").cast("double") / 2.0).alias("q50"),
             (F.col("__q75_2").cast("double") / 2.0).alias("q75"),
         )
-        .transform(lambda d: gathered_sort(d, group_col))
+        # already SinglePartition end-to-end: an in-partition sort is a
+        # total order with zero additional exchange
+        .sortWithinPartitions(group_col)
     )
 
 

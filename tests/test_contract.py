@@ -126,3 +126,40 @@ def test_gate_priority_rewrite_is_idempotent_and_parseable(tmp_path):
         "committed GATE_PRIORITY no longer matches the catalog — rerun "
         "tools/gate_priority.py"
     )
+
+
+def test_driver_history_freshness_bound():
+    """Rotation-drift tripwire (r11 verdict #8): with a 50-row driver
+    gate over an N-query catalog, the stalest-first rotation guarantees
+    every query a hash-green driver row within ceil(N/50) rounds — so a
+    query whose last green row is OLDER than that bound means the
+    committed rotation drifted (or a query silently started failing at
+    the driver). Never-gated queries are exempt: they are newly added,
+    sit at the front of the next rotation by construction, and are
+    covered by the committed full-catalog self-check meanwhile."""
+    import importlib.util
+    import math
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "gate_priority", "/root/repo/tools/gate_priority.py"
+    )
+    gp = importlib.util.module_from_spec(spec)
+    sys.modules["gate_priority_fresh"] = gp
+    spec.loader.exec_module(gp)
+
+    priority, last = gp.build_priority()
+    if not last:
+        return  # no committed driver history yet (fresh clone)
+    latest_round = max(last.values())
+    bound = math.ceil(len(priority) / gp.WINDOW)
+    stale = {
+        name: rnd
+        for name, rnd in ((n, last.get(n, 0)) for n in priority)
+        if rnd != 0 and rnd < latest_round - bound + 1
+    }
+    assert not stale, (
+        f"queries without a driver-green row in the last {bound} rounds "
+        f"(latest r{latest_round}): {stale} — regenerate the rotation "
+        "with tools/gate_priority.py and investigate driver failures"
+    )

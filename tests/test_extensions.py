@@ -453,6 +453,64 @@ def test_resize_image_exact_pixels(spark):
     assert got[8]["media"] is None and got[8]["width_in"] is None
 
 
+def test_shared_pixels_path_matches_per_query_decode(spark, tmp_path):
+    """The decoded-pixels artifact path (decoded_png_pixels →
+    roundtrip_from_pixels / resize_from_pixels) yields row-identical
+    results to the per-query-decode operators it replaces in the
+    catalog, and the decode is cached: both consumers resolve to the
+    SAME persisted handle."""
+    from binance_futures_availability_spark.index_cache import (
+        _HANDLES,
+        clear_indexes,
+    )
+
+    clear_indexes()
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "hello png world", "web"), (2, "", "web"), (3, "x" * 100, "book")],
+        ["doc_id", "text", "source"],
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+
+    n_before = len(_HANDLES)
+    decoded = multimodal.decoded_png_pixels(docs)
+    old_rt = {
+        r["asset_id"]: r
+        for r in multimodal.decode_image_roundtrip(
+            multimodal.documents_as_png(docs)
+        ).collect()
+    }
+    new_rt = {
+        r["asset_id"]: r
+        for r in multimodal.roundtrip_from_pixels(decoded).collect()
+    }
+    assert old_rt == new_rt
+    old_rs = {
+        r["asset_id"]: r
+        for r in multimodal.resize_image(
+            multimodal.documents_as_png(docs), 4, 4
+        ).collect()
+    }
+    new_rs = {
+        r["asset_id"]: r
+        for r in multimodal.resize_from_pixels(decoded, 4, 4).collect()
+    }
+    assert old_rs == new_rs
+    # png_assets + png_pixels + the (4,4) thumbnail table — decode shared,
+    # the parameterized resize cached under its own dims-keyed entry
+    assert len(_HANDLES) == n_before + 3
+    assert multimodal.decoded_png_pixels(docs) is decoded  # cache hit
+    assert (
+        multimodal.resize_from_pixels(decoded, 4, 4)
+        is multimodal.resize_from_pixels(decoded, 4, 4)
+    )
+    assert (
+        multimodal.resize_from_pixels(decoded, 5, 5)
+        is not multimodal.resize_from_pixels(decoded, 4, 4)
+    )
+    clear_indexes()
+
+
 def test_png_roundtrip_and_foreign_filters():
     """Vendored codec: encode→decode identity for every supported channel
     count, deterministic bytes, and correct decode of a PNG written with
