@@ -954,23 +954,25 @@ def retention_rates(
     aggregate + broadcast exchange chain (~4 jobs, 10.9× the paired
     oracle at sf1) for what is one scalar. Eligibility expands via
     ``sequence`` to a |cohorts|·|offsets| frame — weeks², bounded by
-    calendar time, not data — the final aggregate is offset-sized and
-    the presentation sort is gathered. ``retention_ppm`` is the exact
-    ×10⁶ floor division.
+    calendar time, not data. The eligibility⋈activity JOIN is gone:
+    because every activity row lies inside its cohort's eligibility
+    window by construction (a cohort active at offset k existed k
+    weeks before the last observed week), the curve is a UNION of the
+    two weeks²-bounded streams under one conditional aggregate —
+    eligibility rows carry (__sz, NULL), activity rows (NULL,
+    active_users) — and a join would have forced Catalyst to re-hash
+    BOTH gathered sides (SinglePartition children of a join are not
+    co-partitioned in its eyes). The matrix gathers to ONE partition
+    up front, so window, explode, union (coalesced), aggregate, and
+    sort all run in a single exchange-free stage; the per-stage
+    scheduling floor, not data, dominated the r11 shape.
+    ``retention_ppm`` is the exact ×10⁶ floor division.
     """
     from pyspark.sql import Window
-
-    from ..functions import gathered_sort
 
     m = retention_cohorts(events, ts_col, user_col)
     if not m.is_cached:
         m = m.localCheckpoint(eager=False)
-    # gather the weeks²-bounded matrix to ONE partition up front:
-    # SinglePartition satisfies every downstream required distribution
-    # (the censoring window, the eligibility⋈matrix join, the offset
-    # aggregate, the presentation sort), so the whole curve computes in
-    # one exchange-free stage after the matrix — the per-stage
-    # scheduling floor, not the data, dominated the r11 shape
     m = m.repartition(1)
     # whole-frame window (already single-partition) computes the
     # censoring bound in the SAME job chain
@@ -983,7 +985,6 @@ def retention_rates(
         )
         .filter(F.col("week_offset") == 0)
         .select(
-            "cohort_week",
             F.col("active_users").alias("__sz"),
             F.explode(
                 F.sequence(
@@ -992,22 +993,31 @@ def retention_rates(
                 )
             ).alias("week_offset"),
         )
+        .select(
+            "week_offset", "__sz", F.lit(None).cast("long").alias("__act")
+        )
     )
-    joined = elig.join(m, ["cohort_week", "week_offset"], "left")
+    act = m.select(
+        "week_offset",
+        F.lit(None).cast("long").alias("__sz"),
+        F.col("active_users").cast("long").alias("__act"),
+    )
     return (
-        joined.groupBy("week_offset")
+        elig.unionByName(act)
+        .coalesce(1)
+        .groupBy("week_offset")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_cohorts"),
+            F.count("__sz").cast("long").alias("n_cohorts"),
             F.sum("__sz").cast("long").alias("cohort_users"),
-            F.coalesce(F.sum("active_users"), F.lit(0))
+            F.coalesce(F.sum("__act"), F.lit(0))
             .cast("long")
             .alias("active_users"),
             F.expr(
-                "CAST(coalesce(sum(active_users), 0) AS BIGINT) * 1000000"
+                "CAST(coalesce(sum(__act), 0) AS BIGINT) * 1000000"
                 " div sum(__sz)"
             )
             .cast("long")
             .alias("retention_ppm"),
         )
-        .transform(lambda d: gathered_sort(d, "week_offset"))
+        .sortWithinPartitions("week_offset")
     )

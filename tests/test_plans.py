@@ -837,8 +837,12 @@ def test_robust_value_stats_single_window_exchange_no_joins(spark):
 
 def test_length_quantiles_window_over_aggregate_no_range_exchange(spark):
     """The quartile ranking windows partition the (group,length)
-    FREQUENCY AGGREGATE (post-groupBy), never the raw docs, and the
-    presentation sort is gathered (no range exchange + sampling job)."""
+    FREQUENCY AGGREGATE (post-groupBy), never the raw docs, the
+    presentation sort is gathered (no range exchange + sampling job),
+    and the plan carries EXACTLY two exchanges — the frequency
+    aggregate's hash exchange and the single-partition gather under
+    which window + quartile aggregate + sort all run in one stage (the
+    r12 stage collapse; the frequency table is value-domain-bounded)."""
     from binance_futures_availability_spark.operators import textops
 
     docs = spark.createDataFrame(
@@ -847,10 +851,36 @@ def test_length_quantiles_window_over_aggregate_no_range_exchange(spark):
     plan = _plan(textops.length_quantiles(docs))
     assert "Join" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
-    # window sees aggregate rows: its exchange is hashpartitioning(__g)
     assert "Exchange hashpartitioning" in plan, plan
-    i_agg = plan.index("HashAggregate")
-    assert "Window" in plan[:i_agg] or plan.count("Window") >= 1, plan
+    assert "Exchange SinglePartition" in plan, plan
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Window") >= 1, plan
+
+
+def test_retention_rates_single_stage_after_matrix(spark):
+    """Post-matrix, the retention curve is JOIN-FREE and gathered: the
+    eligibility and activity streams union under one conditional
+    aggregate (two trivial SinglePartition gathers of the
+    weeks²-bounded matrix), with no hash/range exchange and no
+    broadcast anywhere downstream — censoring window, explode, union,
+    aggregate, and sort all run in one stage."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import events as ev
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "view", 0.0, "{}")],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    plan = _plan(ev.retention_rates(df))
+    # the localCheckpoint barrier hides the matrix build: the visible
+    # plan IS the post-matrix shape
+    assert "Join" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("Exchange rangepartitioning") == 0, plan
+    assert "Union" in plan and "Coalesce 1" in plan, plan
 
 
 def test_star_contraction_no_cartesian_no_corpus_state(spark):

