@@ -203,10 +203,15 @@ def main() -> int:
     # EVICTS one query's index while another's builds, so "warm" passes
     # re-pay index derivation and the measured exponents carry thrash
     # noise (simhash_pairs: 13.0 s in-study vs 2.7 s isolated warm at
-    # sf10). The study box has 128 GiB; a 24g heap sizes the storage
-    # pool to the artifact working set, which is the per-executor regime
-    # a real cluster run would provision anyway (storage ∝ data share).
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # sf10). The study box has 128 GiB; the heap sizes the storage pool
+    # to the artifact working set, which is the per-executor regime a
+    # real cluster run would provision anyway (storage ∝ data share).
+    # 48g since the r12 slice went 52→102 queries: the full catalog's
+    # hot tables + rollups at sf10 pinned ~storageFraction of a 24g
+    # heap and squeezed execution below one SMJ sort partition — the
+    # JVM OOM'd mid-sweep (measured; storage is evictable only down to
+    # spark.memory.storageFraction, so pinned blocks DO starve sorts).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_session(
         "scale-study",
         shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE", "32")),
