@@ -80,7 +80,13 @@ def extract_features(assets: DataFrame) -> DataFrame:
     The digest doubles as the deterministic stand-in for an embedding model
     forward pass; swapping in a real model changes only the body of
     ``batch_fn``, not the plumbing. Arrow-batched; no row-at-a-time Python.
+
+    PARAMETER-FREE over the asset table, so the feature table is a
+    session-cached derived artifact (a real pipeline materializes the
+    embedding/feature shard table once, not per query); non-file-backed
+    inputs (tests) bypass the cache via the ``plan_key`` contract.
     """
+    from ..index_cache import cached_index, plan_key
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -96,7 +102,12 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 }
             )
 
-    return assets.select("asset_id", "media").mapInPandas(batch_fn, FEATURE_SCHEMA)
+    return cached_index(
+        plan_key(assets, "media_features"),
+        lambda: assets.select("asset_id", "media").mapInPandas(
+            batch_fn, FEATURE_SCHEMA
+        ),
+    )
 
 
 def sample_frames(assets: DataFrame, frame_size: int = 64, max_frames: int = 4) -> DataFrame:
@@ -104,8 +115,10 @@ def sample_frames(assets: DataFrame, frame_size: int = 64, max_frames: int = 4) 
 
     Deterministic fake for video frame extraction — the partitioning, batch
     iteration, and one-to-many output shape are exactly what a real ffmpeg
-    UDF needs.
+    UDF needs. The frame table caches under a (frame_size, max_frames)-
+    keyed session entry — the materialized frame-shard-table pattern.
     """
+    from ..index_cache import cached_index, plan_key
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -125,7 +138,12 @@ def sample_frames(assets: DataFrame, frame_size: int = 64, max_frames: int = 4) 
                 }
             )
 
-    return assets.select("asset_id", "media").mapInPandas(batch_fn, FRAME_SCHEMA)
+    return cached_index(
+        plan_key(assets, "media_frames", int(frame_size), int(max_frames)),
+        lambda: assets.select("asset_id", "media").mapInPandas(
+            batch_fn, FRAME_SCHEMA
+        ),
+    )
 
 
 RESIZE_SCHEMA = StructType(
@@ -147,8 +165,10 @@ def resize_media(assets: DataFrame, target_bytes: int = 256) -> DataFrame:
     binary→binary mapInPandas contract, output schema, and size
     accounting are exactly what it needs). Output sizes are pure
     arithmetic over input length, so the operator is oracle-checkable
-    without codecs.
+    without codecs. The resized table caches under a target_bytes-keyed
+    session entry (materialized media-derivative shard table).
     """
+    from ..index_cache import cached_index, plan_key
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -169,7 +189,12 @@ def resize_media(assets: DataFrame, target_bytes: int = 256) -> DataFrame:
                 }
             )
 
-    return assets.select("asset_id", "media").mapInPandas(batch_fn, RESIZE_SCHEMA)
+    return cached_index(
+        plan_key(assets, "media_resized", int(target_bytes)),
+        lambda: assets.select("asset_id", "media").mapInPandas(
+            batch_fn, RESIZE_SCHEMA
+        ),
+    )
 
 
 DECODE_SCHEMA = StructType(
