@@ -546,57 +546,6 @@ def _knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # GATE_PRIORITY_BEGIN (generated by tools/gate_priority.py; do not hand-edit)
 GATE_PRIORITY = [
-    "duplicate_clusters_distributed",  # never gated
-    "ann_topk",  # last green r07
-    "containment_pairs",  # last green r07
-    "corpus_split",  # last green r07
-    "cosine_pairs",  # last green r07
-    "embedding_dedup",  # last green r07
-    "exact_duplicates",  # last green r07
-    "ivf_topk",  # last green r07
-    "knn_join",  # last green r07
-    "lsh_cosine_pairs",  # last green r07
-    "lsh_cosine_pairs_multi",  # last green r07
-    "minhash_lsh_pairs",  # last green r07
-    "minhash_signatures",  # last green r07
-    "ngram_jaccard_pairs",  # last green r07
-    "pack_sequences",  # last green r07
-    "simhash_fingerprints",  # last green r07
-    "simhash_pairs",  # last green r07
-    "tfidf_weights",  # last green r07
-    "token_counts",  # last green r07
-    "apply_mixture",  # last green r08
-    "backfill_enrich",  # last green r08
-    "bigram_lm_scores",  # last green r08
-    "boilerplate_chunks",  # last green r08
-    "centroid_confusion",  # last green r08
-    "chunked_documents",  # last green r08
-    "contamination_check",  # last green r08
-    "continuity_gaps",  # last green r08
-    "cross_dedup_pairs",  # last green r08
-    "curated_corpus",  # last green r08
-    "daily_update",  # last green r08
-    "doc_keyterms",  # last green r08
-    "duckdb_import_snapshot",  # last green r08
-    "duplicate_clusters",  # last green r08
-    "event_asof_join",  # last green r08
-    "event_interval_join",  # last green r08
-    "event_spikes",  # last green r08
-    "gap_filled_volumes",  # last green r08
-    "ivf_pq_topk",  # last green r08
-    "ivf_range_indexed",  # last green r08
-    "ivf_topk_indexed",  # last green r08
-    "kmeans_cells",  # last green r08
-    "knn_join_indexed",  # last green r08
-    "label_centroids",  # last green r08
-    "length_stats",  # last green r08
-    "lm_quality_buckets",  # last green r08
-    "lsh_recall_audit",  # last green r08
-    "merge_semantics",  # last green r08
-    "mixture_weights",  # last green r08
-    "multimodal_resize",  # last green r08
-    "neardup_survivors",  # last green r08
-    # --- driver gate window ends here
     "pii_scrub",  # last green r08
     "pq_codes",  # last green r08
     "pq_codes_trained",  # last green r08
@@ -647,6 +596,7 @@ GATE_PRIORITY = [
     "missing_volume",  # last green r09
     "multimodal_features",  # last green r09
     "multimodal_frames",  # last green r09
+    # --- driver gate window ends here
     "new_listings",  # last green r09
     "quality_scores",  # last green r09
     "rank_gaps",  # last green r09
@@ -714,6 +664,56 @@ GATE_PRIORITY = [
     "token_budget_selection",  # last green r10
     "volume_percentile",  # last green r10
     "volume_trend",  # last green r10
+    "ann_topk",  # last green r11
+    "apply_mixture",  # last green r11
+    "backfill_enrich",  # last green r11
+    "bigram_lm_scores",  # last green r11
+    "boilerplate_chunks",  # last green r11
+    "centroid_confusion",  # last green r11
+    "chunked_documents",  # last green r11
+    "containment_pairs",  # last green r11
+    "contamination_check",  # last green r11
+    "continuity_gaps",  # last green r11
+    "corpus_split",  # last green r11
+    "cosine_pairs",  # last green r11
+    "cross_dedup_pairs",  # last green r11
+    "curated_corpus",  # last green r11
+    "daily_update",  # last green r11
+    "doc_keyterms",  # last green r11
+    "duckdb_import_snapshot",  # last green r11
+    "duplicate_clusters",  # last green r11
+    "duplicate_clusters_distributed",  # last green r11
+    "embedding_dedup",  # last green r11
+    "event_asof_join",  # last green r11
+    "event_interval_join",  # last green r11
+    "event_spikes",  # last green r11
+    "exact_duplicates",  # last green r11
+    "gap_filled_volumes",  # last green r11
+    "ivf_pq_topk",  # last green r11
+    "ivf_range_indexed",  # last green r11
+    "ivf_topk",  # last green r11
+    "ivf_topk_indexed",  # last green r11
+    "kmeans_cells",  # last green r11
+    "knn_join",  # last green r11
+    "knn_join_indexed",  # last green r11
+    "label_centroids",  # last green r11
+    "length_stats",  # last green r11
+    "lm_quality_buckets",  # last green r11
+    "lsh_cosine_pairs",  # last green r11
+    "lsh_cosine_pairs_multi",  # last green r11
+    "lsh_recall_audit",  # last green r11
+    "merge_semantics",  # last green r11
+    "minhash_lsh_pairs",  # last green r11
+    "minhash_signatures",  # last green r11
+    "mixture_weights",  # last green r11
+    "multimodal_resize",  # last green r11
+    "neardup_survivors",  # last green r11
+    "ngram_jaccard_pairs",  # last green r11
+    "pack_sequences",  # last green r11
+    "simhash_fingerprints",  # last green r11
+    "simhash_pairs",  # last green r11
+    "tfidf_weights",  # last green r11
+    "token_counts",  # last green r11
 ]
 # GATE_PRIORITY_END
 
