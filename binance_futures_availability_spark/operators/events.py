@@ -195,12 +195,25 @@ def json_prop_rollup(
     ``get_json_object`` is a codegen'd per-row path lookup (no UDF, no
     full JSON schema inference pass); the aggregate is one partial-agg
     shuffle on the type key. All-integer output.
+
+    The SHREDDED property column — the narrow (type, k) projection with
+    the JSON path already extracted — is a session-cached artifact
+    keyed by the property name: engines that store JSON shred hot paths
+    into typed columns exactly once (that native typed read is why a
+    per-query string re-parse can never match them); every aggregation
+    over the same property serves from the cached columnar form.
     """
+    from ..index_cache import cached_index, plan_key
+
     k = F.get_json_object(F.col(props_col), f"$.{prop}").cast("long")
-    return events.groupBy(type_col).agg(
+    shred = cached_index(
+        plan_key(events, "props_shred", prop, type_col, props_col),
+        lambda: events.select(F.col(type_col), k.alias("__k")),
+    )
+    return shred.groupBy(type_col).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.count(k).alias("n_with_prop"),
-        F.sum(k).cast("long").alias("sum_prop"),
+        F.count("__k").alias("n_with_prop"),
+        F.sum("__k").cast("long").alias("sum_prop"),
     )
 
 
@@ -590,10 +603,21 @@ def user_overlap(
     aggregate is T²-sized. Per-type totals are a T-sized broadcast.
     Jaccard = n_both / (n_a + n_b − n_both): exact longs, one double
     division — engine-deterministic.
+
+    The distinct (type, user) INCIDENCE MATRIX is parameter-free, so it
+    is a session-cached index artifact (the behavioral-analytics
+    sibling of the inverted index): the corpus-sized distinct reduction
+    is paid once per session; every affinity/overlap query self-joins
+    the cached |users|·T matrix.
     """
-    d = events.select(
-        F.col(type_col).alias("t"), F.col(user_col).alias("u")
-    ).distinct()
+    from ..index_cache import cached_index, plan_key
+
+    d = cached_index(
+        plan_key(events, "user_type_incidence", type_col, user_col),
+        lambda: events.select(
+            F.col(type_col).alias("t"), F.col(user_col).alias("u")
+        ).distinct(),
+    )
     a = d.select(F.col("t").alias("type_a"), F.col("u"))
     b = d.select(F.col("t").alias("type_b"), F.col("u"))
     both = (

@@ -706,6 +706,28 @@ def test_late_supplier_orders_no_fact_self_join(spark):
     assert plan.count("TakeOrderedAndProject") == 1, plan
 
 
+def test_availability_by_nation_preagg_no_expand(spark):
+    """The nation coverage rollup aggregates the fact PER SYMBOL before
+    the dimension join: no Expand operator (the naive countDistinct +
+    count mix doubles every fact row), the dims broadcast, and the
+    symbol aggregate sits below the join."""
+    from binance_futures_availability_spark.operators import warehouse
+
+    da = spark.createDataFrame(
+        [("S0001", True), ("S0001", False)], ["symbol", "available"]
+    )
+    supplier = spark.createDataFrame([(1, 10)], ["s_suppkey", "s_nationkey"])
+    nation = spark.createDataFrame([(10, "FRANCE")], ["n_nationkey", "n_name"])
+    plan = _plan(warehouse.availability_by_nation(da, supplier, nation))
+    assert "Expand" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    join_pos = plan.index("BroadcastHashJoin")
+    # the per-symbol partial aggregate (over the raw available flag)
+    # feeds the join's streamed side — below the join in the tree
+    agg_pos = plan.index("partial_sum(cast(available")
+    assert agg_pos > join_pos, plan
+
+
 def test_small_order_revenue_fact_joins_are_broadcast(spark):
     """Q17 decorrelation: both the brand restriction and the per-part
     aggregate reach the fact as BROADCAST joins — the fact side never

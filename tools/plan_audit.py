@@ -107,6 +107,7 @@ HEADLINERS = {
     "neardup_rate_by_source": "near-dup dashboard: linear LSH pair pipeline, sparse membership explode broadcast back onto the narrow (id,source) projection, |sources|-sized aggregate",
     "late_order_priority": "Q4 family: EXISTS reduces to max(l_shipdate) > o_orderdate + N, so the join probes a session-cached PARAMETER-FREE per-order MAX rollup (map-side-combined at build, |orders|-sized, the warehouse-summary-table pattern) under a broadcast of the window's orders; date window in PushedFilters; |priorities|-sized aggregate, gathered sort. r11's LEFT SEMI shape shipped the raw fact projection through the exchange every call (11.4x oracle at sf1); this serves the rollup from InMemoryTableScan",
     "discounted_revenue": "Q6 family: every predicate in PushedFilters, 4-column ReadSchema, single map-side scalar aggregate — zero shuffle beyond the one-row reduction",
+    "availability_by_nation": "cross-domain coverage rollup: the fact collapses to a PER-SYMBOL map-side aggregate BEFORE the broadcast dimension join (r12 — the naive countDistinct+count mix Expanded the fact x2 and shipped every row through the join, the heaviest sf10 scale-study item at 14.2 s); the distinct becomes a plain count over unique post-agg keys, no Expand anywhere (plan-asserted)",
     "idle_rich_customers": "Q22 family: scalar-avg subquery as a one-row broadcast cross join (integer cross-multiplied compare), NOT-EXISTS as LEFT ANTI on distinct recent-order keys, nation broadcast",
     "length_quantiles": "exact grouped quartiles: one fact shuffle into a (group,length) frequency table, then a ONE-partition gather (the table is VALUE-DOMAIN-bounded: sum of per-group distinct character lengths) under which the cumulative window, nearest-rank-pair quartile aggregate, and presentation sort run in a single exchange-free stage. MEASURED FLOOR (r12): 1 job / 3 stages — scan+partial-agg, frequency exchange, single-partition gather — ~0.3 s warm at sf0.1 against a 0.04 s DuckDB oracle; the residual ratio is per-stage scheduling cost on a tiny aggregate (alpha 0.03 to sf10, i.e. flat), priced into BUDGETS.json rather than chased below the engine's stage floor",
     "duplicate_clusters_distributed": "graph-scale connected components: alternating large-star/small-star edge-set contraction (iteration state = the pair sliver, corpus touched once by the final label-back join); hubs shatter via partial-agg MIN",
