@@ -653,26 +653,42 @@ def idle_rich_customers(
     BEFORE the distinct). Nation is a broadcast dimension; the final
     aggregate is |nations|-sized. The oracle keeps both textbook
     correlated forms.
+
+    Two intermediates are session-cached artifacts: the PARAMETER-FREE
+    positive-balance one-row aggregate (the scalar every
+    balance-screened report shares), and the ``since``-keyed ACTIVE
+    CUSTOMER KEY SET (the activity index churn/dormancy queries over
+    the same window all probe — the warehouse twin of the delistings
+    anti-join set). The presentation sort is gathered
+    (|nations|-bounded).
     """
+    from ..functions import gathered_sort
+    from ..index_cache import cached_index, plan_key
+
     bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
     cust = customer.select(
         "c_custkey", "c_nationkey", bal_c.alias("__bal_c")
     )
     pos = F.broadcast(
-        cust.filter(F.col("__bal_c") > 0).agg(
-            F.count(F.lit(1)).alias("__n_pos"),
-            F.sum("__bal_c").alias("__sum_pos"),
+        cached_index(
+            plan_key(customer, "positive_balance_stats"),
+            lambda: cust.filter(F.col("__bal_c") > 0).agg(
+                F.count(F.lit(1)).alias("__n_pos"),
+                F.sum("__bal_c").alias("__sum_pos"),
+            ),
         )
     )
     rich = cust.crossJoin(pos).filter(
         F.col("__bal_c") * F.col("__n_pos") > F.col("__sum_pos")
     )
-    idle = rich.join(
-        orders.filter(F.col("o_orderdate") >= F.lit(since))
+    recent = cached_index(
+        plan_key(orders, "active_custkeys_since", since),
+        lambda: orders.filter(F.col("o_orderdate") >= F.lit(since))
         .select(F.col("o_custkey"))
         .distinct(),
-        rich["c_custkey"] == F.col("o_custkey"),
-        "left_anti",
+    )
+    idle = rich.join(
+        recent, rich["c_custkey"] == F.col("o_custkey"), "left_anti"
     )
     ndim = F.broadcast(
         nation.select("n_nationkey", F.col("n_name").alias("nation_name"))
@@ -684,5 +700,5 @@ def idle_rich_customers(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             (F.sum("__bal_c").cast("double") / 100.0).alias("total_acctbal"),
         )
-        .orderBy("nation_name")
+        .transform(lambda d: gathered_sort(d, "nation_name"))
     )
