@@ -272,7 +272,25 @@ def main() -> None:
         with open(args.out, "w", encoding="utf-8") as f:
             json.dump(full, f, indent=1, sort_keys=True)
             f.write("\n")
-    print(json.dumps(out))
+    # The driver records only the LAST ~2000 bytes of stdout; a 167-query
+    # dict makes the summary line ~5 KB, so the driver's artifact carried
+    # a front-truncated, unparseable line (r12 verdict item 8). Keep the
+    # final line truncate-safe: full per-query detail always lives in the
+    # --out file (BENCH_FULL.json); the printed line carries the headline
+    # numbers plus as many of the SLOWEST queries as fit the window.
+    line = json.dumps(out)
+    if len(line) > 1800:
+        slowest = dict(
+            sorted(times.items(), key=lambda kv: -kv[1])
+        )
+        compact = {**out, "n_queries": len(times), "queries_agg": "slowest-first"}
+        while True:
+            compact["queries"] = dict(list(slowest.items()))
+            line = json.dumps(compact)
+            if len(line) <= 1800 or len(slowest) <= 1:
+                break
+            slowest = dict(list(slowest.items())[: max(1, len(slowest) * 3 // 4)])
+    print(line)
     if budget_failures:
         raise SystemExit(2)
 

@@ -289,16 +289,19 @@ class _HttpRangeFile:
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             status = getattr(resp, "status", 206)
             data = resp.read()
+        transferred = len(data)
         if status != 206:
             # server advertised Accept-Ranges on HEAD but ignored the
             # Range header (200 full body): slice the requested window
             # instead of handing pyarrow mis-positioned bytes — serving
             # data[pos:] keeps reads correct at the cost of the full
-            # transfer the server forced anyway
+            # transfer the server forced anyway (bytes_fetched records
+            # the bytes the server actually sent, not the sliced window,
+            # so the efficiency stats stay honest when it misbehaves)
             data = data[self._pos : self._pos + n]
         self._pos += len(data)
         self.requests_made += 1
-        self.bytes_fetched += len(data)
+        self.bytes_fetched += transferred
         return data
 
     def readable(self) -> bool:

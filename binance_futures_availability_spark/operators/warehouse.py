@@ -579,9 +579,23 @@ def late_order_priority(
     # broadcast the WINDOW side: without CBO the date filter doesn't
     # shrink orders' size estimate, so Catalyst would otherwise pick the
     # |orders|-sized rollup as the build side and pay a full hashed-
-    # relation build per query; the window's orders are bounded by the
-    # report window (a quarter), not the corpus
-    late = F.broadcast(o).join(
+    # relation build per query. The window is caller-controlled, so the
+    # hint is GUARDED by its span: a report window (a quarter, a year)
+    # broadcasts; a multi-year window covering a large fraction of the
+    # fact would risk driver memory / Spark's 8 GB broadcast hard limit,
+    # so it falls back to the shuffled join and lets AQE pick the build
+    # side from runtime stats.
+    from datetime import date as _date
+
+    try:
+        span_days = (
+            _date.fromisoformat(str(date_to)[:10])
+            - _date.fromisoformat(str(date_from)[:10])
+        ).days
+    except ValueError:
+        span_days = 10**9  # unparseable bound: assume wide, don't broadcast
+    window_side = F.broadcast(o) if span_days <= 400 else o
+    late = window_side.join(
         li_max, o["o_orderkey"] == li_max["l_orderkey"]
     ).filter(F.col("__max_sd") > F.date_add(F.col("__od"), late_days))
     from ..functions import gathered_sort

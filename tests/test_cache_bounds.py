@@ -164,6 +164,61 @@ def test_foreign_persists_over_budget_do_not_thrash_index_cache(
     index_cache.clear_indexes()
 
 
+def test_foreign_floor_decays_on_miss_inserts(spark, tmp_path):
+    """The foreign floor is a one-instant measurement; only a
+    total-below-floor drop used to reset it, so foreign blocks shrinking
+    WHILE index handles grow left a stale-high discount and the cache
+    under-evicted past its budget forever (r12 advice). Every miss
+    insert now decays the floor geometrically, so the discount converges
+    back toward zero unless a fresh stall re-measures it."""
+    from binance_futures_availability_spark import index_cache
+
+    index_cache.clear_indexes()
+    index_cache._FOREIGN_FLOOR = 1_000_000
+    p = str(tmp_path / "decay.parquet")
+    spark.range(100).write.parquet(p)
+    df = spark.read.parquet(p)
+    index_cache.cached_index(index_cache.plan_key(df, "decay_probe"), lambda: df)
+    assert index_cache._FOREIGN_FLOOR < 1_000_000
+    floor1 = index_cache._FOREIGN_FLOOR
+    index_cache.cached_index(
+        index_cache.plan_key(df, "decay_probe2"), lambda: df
+    )
+    assert index_cache._FOREIGN_FLOOR < floor1
+    index_cache._FOREIGN_FLOOR = 0
+    index_cache.clear_indexes()
+
+
+def test_hot_key_survives_hash_in_file_names(spark, monkeypatch):
+    """hot: pseudo-URIs embed md5(fingerprint), not the raw fingerprint:
+    a data file whose NAME contains '#' used to corrupt the
+    rpartition('#') split in sweep_dead_entries, so the artifact was
+    evicted and rebuilt on every miss insert (r12 advice)."""
+    from binance_futures_availability_spark import catalog, index_cache
+
+    index_cache.clear_indexes()
+    fp = (("weird#name#part-0001.parquet", 1234, 999), 2)
+    monkeypatch.setattr(catalog, "_dir_fingerprint", lambda path: fp)
+    df = spark.createDataFrame([(1,)], ["id"])
+    df._spark_graft_source = ("/tmp/hot#dir", fp)
+    key = index_cache.plan_key(df, "hash_name_artifact")
+    assert key is not None
+    uri = key[0][0]
+    assert uri.startswith("hot:") and "#name#" not in uri
+    index_cache.cached_index(key, lambda: df)
+    assert key in index_cache._HANDLES
+    # fingerprint unchanged -> the sweep must NOT treat the entry as dead
+    assert index_cache.sweep_dead_entries(index_cache._HANDLES) == 0
+    assert key in index_cache._HANDLES
+    # fingerprint changed -> dead, evicted
+    monkeypatch.setattr(
+        catalog, "_dir_fingerprint", lambda path: (("other.parquet", 1, 2), 1)
+    )
+    assert index_cache.sweep_dead_entries(index_cache._HANDLES) == 1
+    assert key not in index_cache._HANDLES
+    index_cache.clear_indexes()
+
+
 def test_storage_bytes_tracks_persist_and_release(spark):
     from binance_futures_availability_spark import index_cache
 

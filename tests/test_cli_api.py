@@ -245,6 +245,26 @@ def test_engine_remote_parquet_lying_range_server(engine, table_path, tmp_path):
         srv.shutdown()
 
 
+def test_http_range_file_accounts_full_body_on_200(table_path, tmp_path, engine):
+    """When the server ignores Range and sends the full body, the
+    efficiency stats must record the bytes ACTUALLY transferred, not the
+    sliced window — under-reporting exactly when the server misbehaves
+    hid the inefficiency the counters exist to expose (r12 advice)."""
+    from binance_futures_availability_spark.api import _HttpRangeFile
+
+    payload = b"0123456789" * 100
+    log: list = []
+    srv, url = _serve(payload, log, honor_range=False)
+    try:
+        f = _HttpRangeFile(url, size=len(payload))
+        f.seek(20)
+        data = f.read(10)
+        assert data == payload[20:30]  # window still correct
+        assert f.bytes_fetched == len(payload)  # full transfer recorded
+    finally:
+        srv.shutdown()
+
+
 # --------------------------------------------------------------------- CLI
 
 

@@ -780,6 +780,44 @@ def test_late_order_priority_preagg_below_join_and_pushdown(
     assert "o_orderdate" in pushed
 
 
+def test_late_order_priority_broadcast_guarded_by_window_span(
+    spark, tmp_path_factory
+):
+    """The broadcast hint on the window side is span-guarded (r12
+    advice): a report window (a quarter) hints broadcast; a
+    multi-year window covering a large fraction of orders must NOT be
+    force-broadcast — driver memory / the 8 GB broadcast hard limit —
+    and instead falls back to Catalyst/AQE choice."""
+    import datetime as dt
+
+    from binance_futures_availability_spark.operators import warehouse
+
+    po = str(tmp_path_factory.mktemp("q4g") / "orders")
+    pl = str(tmp_path_factory.mktemp("q4g") / "lineitem")
+    spark.createDataFrame(
+        [(1, dt.date(1996, 2, 1), "1-URGENT")],
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).write.parquet(po)
+    spark.createDataFrame(
+        [(1, dt.date(1996, 8, 1))], ["l_orderkey", "l_shipdate"]
+    ).write.parquet(pl)
+    o, li = spark.read.parquet(po), spark.read.parquet(pl)
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    narrow = analyzed(
+        warehouse.late_order_priority(o, li, "1996-01-01", "1996-03-31", 90)
+    )
+    wide = analyzed(
+        warehouse.late_order_priority(o, li, "1990-01-01", "1998-12-31", 90)
+    )
+    assert "broadcast" in narrow.lower(), narrow[:500]
+    assert "hint" not in wide.lower() and "broadcast" not in wide.lower(), (
+        wide[:500]
+    )
+
+
 def test_discounted_revenue_all_filters_pushed(spark, tmp_path_factory):
     """Q6: every predicate reaches the scan; read schema prunes to the
     four referenced columns; no shuffle beyond the scalar agg."""
