@@ -166,6 +166,22 @@ def plan_key(df: DataFrame, *extra):
     return (files, hashlib.md5(plan.encode()).hexdigest(), *extra)
 
 
+def multi_plan_key(dfs, *extra):
+    """Cache key for an artifact derived from SEVERAL source frames
+    (e.g. a fact ⋈ dimension pre-join rollup). ``key[0]`` merges every
+    source's input files, so ``sweep_dead_entries`` invalidates the
+    artifact when ANY source table is rewritten — a single-source
+    plan_key with the second frame folded into ``extra`` would dodge
+    the sweep and serve a stale pre-join. None when any source is
+    non-file-backed (same safety rule as plan_key)."""
+    parts = [plan_key(df) for df in dfs]
+    if any(p is None for p in parts):
+        return None
+    files = tuple(sorted({f for p in parts for f in p[0]}))
+    digest = hashlib.md5("|".join(p[1] for p in parts).encode()).hexdigest()
+    return (files, digest, *extra)
+
+
 def _local_path(uri: str) -> str | None:
     """Filesystem path for a ``file:``-scheme input URI, else None."""
     if uri.startswith("file:"):

@@ -433,7 +433,20 @@ def late_supplier_orders(
     the INDEPENDENT textbook EXISTS/NOT-EXISTS form, so the gate proves
     the decorrelation is semantics-preserving. Supplier names broadcast
     (dimension); top-k ties broken by s_suppkey on both engines.
+
+    The per-(order, supplier) MAX(shipdate) ⋈ o_orderdate pre-join is
+    PARAMETER-FREE (``late_days`` only enters at the comparison), so it
+    is a session-cached artifact — keyed on BOTH source tables
+    (multi_plan_key) and persisted hash-partitioned on l_orderkey, so a
+    warm query is one exchange-free pass: compare (map-side) →
+    per-order aggregate (clustering satisfied by the cached layout, NO
+    exchange) → tiny shuffle over qualifying orders → broadcast name
+    join → top-k. The cold build pays the two fact exchanges once per
+    corpus — the in-session analogue of maintaining a Q21 matview or a
+    bucketed-by-orderkey fact layout.
     """
+    from ..index_cache import cached_index, multi_plan_key
+
     o = orders.select("o_orderkey", F.col("o_orderdate").cast("date").alias("o_date"))
     # MAX(late) ≡ (MAX(shipdate) > orderdate + N): the threshold is
     # constant per order, so the per-(order,supplier) aggregate runs
@@ -446,12 +459,25 @@ def late_supplier_orders(
     li = lineitem.select(
         "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("l_sdate")
     )
-    per_sup_raw = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_sdate").alias("__mx")
+
+    def build() -> DataFrame:
+        per_sup_raw = li.groupBy("l_orderkey", "l_suppkey").agg(
+            F.max("l_sdate").alias("__mx")
+        )
+        return (
+            per_sup_raw.join(o, per_sup_raw["l_orderkey"] == o["o_orderkey"])
+            .select("l_orderkey", "l_suppkey", "__mx", "o_date")
+            # persist ALREADY clustered on the per-order aggregate's
+            # key: InMemoryRelation preserves outputPartitioning, so
+            # every later groupBy(l_orderkey) plans with no exchange
+            .repartition("l_orderkey")
+        )
+
+    rollup = cached_index(
+        multi_plan_key((lineitem, orders), "order_supplier_max_shipdate"),
+        build,
     )
-    per_sup = per_sup_raw.join(
-        o, per_sup_raw["l_orderkey"] == o["o_orderkey"]
-    ).select(
+    per_sup = rollup.select(
         "l_orderkey",
         "l_suppkey",
         (F.col("__mx") > F.date_add(F.col("o_date"), late_days))

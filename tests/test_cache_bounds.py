@@ -219,6 +219,35 @@ def test_hot_key_survives_hash_in_file_names(spark, monkeypatch):
     index_cache.clear_indexes()
 
 
+def test_multi_plan_key_sweeps_on_either_source_rewrite(spark, tmp_path):
+    """A multi-source artifact (fact ⋈ dimension pre-join) must go stale
+    when EITHER source is rewritten: key[0] merges both file sets, so
+    sweep_dead_entries catches a rewrite of the second source too."""
+    import shutil
+
+    from binance_futures_availability_spark import index_cache
+
+    index_cache.clear_indexes()
+    pa, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    spark.range(100).write.parquet(pa)
+    spark.range(50).selectExpr("id AS k").write.parquet(pb)
+    a, b = spark.read.parquet(pa), spark.read.parquet(pb)
+    key = index_cache.multi_plan_key((a, b), "prejoin")
+    assert key is not None
+    index_cache.cached_index(key, lambda: a.crossJoin(b).limit(1))
+    assert key in index_cache._HANDLES
+    assert index_cache.sweep_dead_entries(index_cache._HANDLES) == 0
+    # rewrite the SECOND source in place (new part-file names)
+    shutil.rmtree(pb)
+    spark.range(60).selectExpr("id AS k").write.parquet(pb)
+    assert index_cache.sweep_dead_entries(index_cache._HANDLES) == 1
+    assert key not in index_cache._HANDLES
+    # non-file-backed source anywhere -> no key, cache bypassed
+    local = spark.createDataFrame([(1,)], ["x"])
+    assert index_cache.multi_plan_key((a, local), "prejoin") is None
+    index_cache.clear_indexes()
+
+
 def test_storage_bytes_tracks_persist_and_release(spark):
     from binance_futures_availability_spark import index_cache
 

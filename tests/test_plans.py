@@ -706,6 +706,57 @@ def test_late_supplier_orders_no_fact_self_join(spark):
     assert plan.count("TakeOrderedAndProject") == 1, plan
 
 
+def test_late_supplier_orders_warm_path_no_fact_exchange(
+    spark, tmp_path_factory
+):
+    """File-backed sources: the parameter-free (order, supplier) pre-join
+    rollup is session-cached hash-partitioned on l_orderkey, so the warm
+    per-order aggregate plans with NO enforced exchange — the only
+    single-key l_orderkey exchange anywhere is the build's own
+    REPARTITION_BY_COL, never an ENSURE_REQUIREMENTS one."""
+    import datetime as dt
+    import re
+
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import warehouse
+
+    index_cache.clear_indexes()
+    base = tmp_path_factory.mktemp("q21warm")
+    ps, po, pl = str(base / "sup"), str(base / "orders"), str(base / "li")
+    spark.createDataFrame(
+        [(i, f"S#{i}") for i in range(3)], ["s_suppkey", "s_name"]
+    ).write.parquet(ps)
+    spark.createDataFrame(
+        [(i, dt.date(2020, 1, 1)) for i in range(10)],
+        ["o_orderkey", "o_orderdate"],
+    ).write.parquet(po)
+    spark.createDataFrame(
+        [(i, i % 3, dt.date(2020, 6, 1)) for i in range(10)]
+        + [(i, (i + 1) % 3, dt.date(2020, 1, 15)) for i in range(10)],
+        ["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).write.parquet(pl)
+    sup, odf, ldf = (spark.read.parquet(p) for p in (ps, po, pl))
+
+    warehouse.late_supplier_orders(sup, odf, ldf, 90).collect()  # cold build
+    key = index_cache.multi_plan_key(
+        (ldf, odf), "order_supplier_max_shipdate"
+    )
+    assert key in index_cache._HANDLES
+    # key[0] merges BOTH sources' files so a rewrite of EITHER sweeps it
+    files = " ".join(key[0])
+    assert "/orders/" in files and "/li/" in files
+
+    warm = warehouse.late_supplier_orders(sup, odf, ldf, 90)
+    plan = warm._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    enforced_single_key = re.findall(
+        r"Exchange hashpartitioning\(l_orderkey#\d+L?, \d+\), ENSURE_REQUIREMENTS",
+        plan,
+    )
+    assert not enforced_single_key, plan
+    index_cache.clear_indexes()
+
+
 def test_availability_by_nation_preagg_no_expand(spark):
     """The nation coverage rollup aggregates the fact PER SYMBOL before
     the dimension join: no Expand operator (the naive countDistinct +
