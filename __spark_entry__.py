@@ -546,57 +546,7 @@ def _knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # GATE_PRIORITY_BEGIN (generated by tools/gate_priority.py; do not hand-edit)
 GATE_PRIORITY = [
-    "pii_scrub",  # last green r08
-    "pq_codes",  # last green r08
-    "pq_codes_trained",  # last green r08
-    "pq_recall_audit",  # last green r08
-    "pq_topk",  # last green r08
-    "quality_deciles",  # last green r08
-    "release_stats",  # last green r08
-    "repetition_scores",  # last green r08
-    "salted_enrich",  # last green r08
-    "scrub_boilerplate",  # last green r08
-    "semantic_dedup",  # last green r08
-    "source_overlap",  # last green r08
-    "stratified_sample",  # last green r08
-    "stratum_cap",  # last green r08
-    "symbol_counts_matview",  # last green r08
-    "term_frequencies",  # last green r08
-    "top_terms",  # last green r08
-    "upsert_semantics",  # last green r08
-    "volume_rankings",  # last green r08
-    "availability_by_nation",  # last green r09
-    "availability_intervals",  # last green r09
-    "availability_pivot",  # last green r09
-    "availability_range_distinct",  # last green r09
-    "availability_rollup",  # last green r09
-    "availability_snapshot",  # last green r09
-    "availability_stats",  # last green r09
-    "availability_timeline",  # last green r09
-    "availability_trend",  # last green r09
-    "average_volume",  # last green r09
-    "bm25_topk",  # last green r09
-    "bpe_pair_counts",  # last green r09
-    "classifier_eval",  # last green r09
-    "classifier_scores",  # last green r09
-    "classifier_weights",  # last green r09
-    "cross_lm_scores",  # last green r09
-    "dataset_diff",  # last green r09
-    "delistings",  # last green r09
-    "doc_fingerprints",  # last green r09
-    "duplicated_span_occurrences",  # last green r09
-    "duplicated_spans",  # last green r09
-    "grouped_split",  # last green r09
-    "image_decode_roundtrip",  # last green r09
-    "image_resize_dims",  # last green r09
-    "incomplete_dates",  # last green r09
-    "ivf_cells",  # last green r09
-    "language_id",  # last green r09
-    "lsh_buckets",  # last green r09
-    "missing_volume",  # last green r09
-    "multimodal_features",  # last green r09
-    "multimodal_frames",  # last green r09
-    # --- driver gate window ends here
+    "max_duplicated_run_exact",  # never gated
     "new_listings",  # last green r09
     "quality_scores",  # last green r09
     "rank_gaps",  # last green r09
@@ -646,6 +596,7 @@ GATE_PRIORITY = [
     "late_supplier_orders",  # last green r10
     "length_quantiles",  # last green r10
     "market_summary",  # last green r10
+    # --- driver gate window ends here
     "max_duplicated_run",  # last green r10
     "minhash_estimate_audit",  # last green r10
     "neardup_rate_by_source",  # last green r10
@@ -714,6 +665,56 @@ GATE_PRIORITY = [
     "simhash_pairs",  # last green r11
     "tfidf_weights",  # last green r11
     "token_counts",  # last green r11
+    "availability_by_nation",  # last green r12
+    "availability_intervals",  # last green r12
+    "availability_pivot",  # last green r12
+    "availability_range_distinct",  # last green r12
+    "availability_rollup",  # last green r12
+    "availability_snapshot",  # last green r12
+    "availability_stats",  # last green r12
+    "availability_timeline",  # last green r12
+    "availability_trend",  # last green r12
+    "average_volume",  # last green r12
+    "bm25_topk",  # last green r12
+    "bpe_pair_counts",  # last green r12
+    "classifier_eval",  # last green r12
+    "classifier_scores",  # last green r12
+    "classifier_weights",  # last green r12
+    "cross_lm_scores",  # last green r12
+    "dataset_diff",  # last green r12
+    "delistings",  # last green r12
+    "doc_fingerprints",  # last green r12
+    "duplicated_span_occurrences",  # last green r12
+    "duplicated_spans",  # last green r12
+    "grouped_split",  # last green r12
+    "image_decode_roundtrip",  # last green r12
+    "image_resize_dims",  # last green r12
+    "incomplete_dates",  # last green r12
+    "ivf_cells",  # last green r12
+    "language_id",  # last green r12
+    "lsh_buckets",  # last green r12
+    "missing_volume",  # last green r12
+    "multimodal_features",  # last green r12
+    "multimodal_frames",  # last green r12
+    "pii_scrub",  # last green r12
+    "pq_codes",  # last green r12
+    "pq_codes_trained",  # last green r12
+    "pq_recall_audit",  # last green r12
+    "pq_topk",  # last green r12
+    "quality_deciles",  # last green r12
+    "release_stats",  # last green r12
+    "repetition_scores",  # last green r12
+    "salted_enrich",  # last green r12
+    "scrub_boilerplate",  # last green r12
+    "semantic_dedup",  # last green r12
+    "source_overlap",  # last green r12
+    "stratified_sample",  # last green r12
+    "stratum_cap",  # last green r12
+    "symbol_counts_matview",  # last green r12
+    "term_frequencies",  # last green r12
+    "top_terms",  # last green r12
+    "upsert_semantics",  # last green r12
+    "volume_rankings",  # last green r12
 ]
 # GATE_PRIORITY_END
 
@@ -984,6 +985,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the sparse duplicated-start stream)
         "max_duplicated_run": lambda s, d: dedup.max_duplicated_run(
             _docs(s, d), SPAN_WIDTH
+        ),
+        # EXACT longest duplicated substring (suffix-array identity via
+        # 2-token-prefix grouped neighbor LCP) — upgrades the windowed
+        # lower bound above
+        "max_duplicated_run_exact": lambda s, d: dedup.max_duplicated_run_exact(
+            _docs(s, d)
         ),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
             _docs(s, d), NGRAM_THRESHOLD
@@ -1749,6 +1756,7 @@ ORDER BY symbol, event_date"""),
             SPAN_WIDTH
         ),
         "max_duplicated_run": oracles.sql_max_duplicated_run(SPAN_WIDTH),
+        "max_duplicated_run_exact": oracles.sql_max_duplicated_run_exact(),
         "winnow_fingerprints": oracles.sql_winnow_fingerprints(
             SPAN_WIDTH, WINNOW_W
         ),

@@ -1841,10 +1841,15 @@ def max_duplicated_run(
     tokens, so the doc's longest run converts directly to token length
     (0 when no window is duplicated). This is the headline statistic of
     Lee et al.'s substring-dedup analysis ("documents containing a
-    duplicated substring of ≥ N tokens") at a fixed window grain — a
-    LOWER bound on the true longest duplicated substring, exact whenever
-    the substring's every window is itself duplicated (always true for
-    verbatim copies).
+    duplicated substring of ≥ N tokens") at a fixed window grain —
+    equal to the true longest duplicated substring for verbatim copies,
+    a LOWER bound when only some windows duplicate, but an
+    OVER-certification on periodic text (in 'a a a a a' every width-3
+    window matches some other occurrence, so the run arithmetic claims
+    the whole doc while the true longest duplicated substring is one
+    token shorter: consecutive duplicated windows don't guarantee the
+    UNION is duplicated). ``max_duplicated_run_exact`` computes the
+    true statistic; this census form stays as the cheap screening grain.
 
     Scale shape: the gaps-and-islands pass (pos − row_number) runs over
     the SPARSE duplicated-occurrence stream — not the corpus — windowed
@@ -1869,3 +1874,125 @@ def max_duplicated_run(
         .cast("int")
         .alias("max_run_tokens"),
     )
+
+
+def _token_lcp(a, b):
+    """Column expression: length of the longest common PREFIX (in
+    tokens) of two token arrays; 0 when ``b`` is null (no neighbor).
+
+    zip_with pads the shorter array with nulls, and ``x <=> y`` is false
+    against that padding, so the first ``false`` position minus one IS
+    the LCP; no false at all (array_position returns 0) means the
+    arrays match through the shorter length. Lambda body references
+    ONLY its own arguments (the interpreted-HOF capture pitfall —
+    see shingle_array)."""
+    matches = F.zip_with(a, b, lambda x, y: x.eqNullSafe(y))
+    fp = F.array_position(matches, F.lit(False))
+    return F.when(b.isNull(), F.lit(0)).otherwise(
+        F.when(fp == 0, F.least(F.size(a), F.size(b))).otherwise(fp - 1)
+    )
+
+
+def max_duplicated_run_exact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document longest duplicated substring length in tokens,
+    EXACT — (doc_id, max_run_tokens): the true Lee et al. statistic,
+    where a substring is duplicated when it occurs at ≥ 2 distinct
+    (doc, pos) token positions corpus-wide (overlaps and same-document
+    repeats count, exactly like the windowed census's occurrence rows).
+    Upgrades ``max_duplicated_run``'s fixed-window LOWER bound (exact
+    only for verbatim copies at window grain) to the suffix-array
+    answer: ``exact >= windowed`` always, equal on verbatim copies.
+
+    Algorithm — the suffix-array identity without a global suffix sort:
+    the longest repeated prefix of suffix i is max(LCP(i, prev),
+    LCP(i, next)) over lexicographic neighbors, and any two suffixes
+    with LCP >= 2 share their first two tokens, so neighbors WITHIN the
+    2-token-prefix group give the exact answer for every run >= 2 — a
+    distributed window per (t1, t2), never a global sort. Runs of
+    exactly 1 fall out of a vocabulary-sized token census (token occurs
+    >= 2 times corpus-wide), which also covers length-1 suffixes and
+    singleton groups. Doc-local suffixes are materialized as token
+    arrays, so the shuffled payload is O(corpus_tokens x
+    max_doc_tokens) — the right trade for short-document corpora; a
+    long-document corpus would swap the materialized slice for
+    prefix-doubling rank tables over the same grouping (the standard
+    distributed SA construction), same downstream shape. Hot-bigram
+    skew is bounded by the grain: over-cap groups would extend the
+    prefix to 3+ tokens with a per-level census, the same demotion
+    discipline as the LSH band cap. The per-doc result is
+    parameter-free → session-cached (index_cache); the DuckDB oracle
+    runs the independent formulation of the same identity, and the
+    pytest reference is a plain sorted-suffix-list scan.
+    """
+    from ..functions import tokens
+    from ..index_cache import cached_index, plan_key
+
+    key = plan_key(docs, "lrs_exact", id_col, text_col)
+
+    def _build() -> DataFrame:
+        toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+        sfx = (
+            toks.select(
+                F.col(id_col),
+                F.col("__t"),
+                F.posexplode("__t").alias("__i0", "__t1"),
+            )
+            .select(
+                F.col(id_col),
+                "__t1",
+                F.element_at("__t", F.col("__i0") + 2).alias("__t2"),
+                F.slice("__t", F.col("__i0") + 1, F.size("__t")).alias("__s"),
+                (F.size("__t") - F.col("__i0")).alias("__slen"),
+            )
+        )
+        census = (
+            toks.select(F.explode("__t").alias("__tok"))
+            .groupBy("__tok")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = Window.partitionBy("__t1", "__t2").orderBy("__s")
+        nb = sfx.filter(F.col("__slen") >= 2).select(
+            F.col(id_col),
+            "__t1",
+            F.greatest(
+                _token_lcp(F.col("__s"), F.lag("__s").over(w)),
+                _token_lcp(F.col("__s"), F.lead("__s").over(w)),
+            ).alias("__nb"),
+        )
+        dup_tok = F.broadcast(census.filter(F.col("__c") >= 2).select("__tok"))
+        long_best = nb.join(
+            dup_tok, nb["__t1"] == dup_tok["__tok"], "left"
+        ).select(
+            F.col(id_col),
+            F.when(F.col("__nb") >= 2, F.col("__nb"))
+            .when(F.col("__tok").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__v"),
+        )
+        tail_best = (
+            sfx.filter(F.col("__slen") == 1)
+            .join(dup_tok, sfx["__t1"] == dup_tok["__tok"], "left")
+            .select(
+                F.col(id_col),
+                F.when(F.col("__tok").isNotNull(), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("__v"),
+            )
+        )
+        per_doc = (
+            long_best.unionByName(tail_best)
+            .groupBy(id_col)
+            .agg(F.max("__v").alias("__m"))
+        )
+        return docs.select(id_col).join(per_doc, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce(F.col("__m"), F.lit(0)).cast("int").alias(
+                "max_run_tokens"
+            ),
+        )
+
+    return cached_index(key, _build)

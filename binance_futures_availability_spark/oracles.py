@@ -3419,3 +3419,52 @@ m AS (SELECT doc_id, MAX(r) AS mr FROM rl GROUP BY doc_id)
 SELECT d.doc_id,
        CAST(COALESCE(m.mr + {int(width) - 1}, 0) AS INT) AS max_run_tokens
 FROM documents d LEFT JOIN m USING (doc_id)"""
+
+
+def sql_max_duplicated_run_exact() -> str:
+    """EXACT longest duplicated substring per document (in tokens) —
+    independent formulation of the suffix-array identity mirrored by
+    dedup.max_duplicated_run_exact: suffixes sharing a duplicated
+    prefix of length >= 2 share their first two tokens, so
+    lexicographic neighbors within each (t1, t2) group yield the exact
+    LCP; runs of 1 come from the token census. LCP via
+    list_zip/list_transform first-mismatch (list_position returns 0
+    when every zipped pair matches -> LCP = shorter length)."""
+    lcp = (
+        "CASE WHEN {o} IS NULL THEN 0 ELSE CASE WHEN "
+        "list_position(list_transform(list_zip(s, {o}), "
+        "z -> coalesce(z[1] = z[2], false)), false) = 0 "
+        "THEN least(len(s), len({o})) ELSE "
+        "list_position(list_transform(list_zip(s, {o}), "
+        "z -> coalesce(z[1] = z[2], false)), false) - 1 END END"
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), sfx AS (
+  SELECT doc_id, t[i:] AS s, t[i] AS t1, t[i+1] AS t2, len(t) - i + 1 AS slen
+  FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks)
+), nb AS (
+  SELECT doc_id, s, slen, t1,
+         lag(s)  OVER (PARTITION BY t1, t2 ORDER BY s) AS p,
+         lead(s) OVER (PARTITION BY t1, t2 ORDER BY s) AS n
+  FROM sfx WHERE slen >= 2
+), lcps AS (
+  SELECT doc_id, t1,
+         greatest({lcp.format(o="p")}, {lcp.format(o="n")}) AS nb_lcp
+  FROM nb
+), census AS (
+  SELECT tok, count(*) AS c FROM (SELECT unnest(t) AS tok FROM toks)
+  GROUP BY tok
+), pos_best AS (
+  SELECT l.doc_id,
+         CASE WHEN l.nb_lcp >= 2 THEN l.nb_lcp
+              WHEN c.c >= 2 THEN 1 ELSE 0 END AS v
+  FROM lcps l JOIN census c ON l.t1 = c.tok
+  UNION ALL
+  SELECT s.doc_id, CASE WHEN c.c >= 2 THEN 1 ELSE 0 END AS v
+  FROM sfx s JOIN census c ON s.t1 = c.tok
+  WHERE s.slen = 1
+), per_doc AS (SELECT doc_id, max(v) AS m FROM pos_best GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(p.m, 0) AS INT) AS max_run_tokens
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""

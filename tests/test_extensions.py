@@ -3034,6 +3034,85 @@ def test_max_duplicated_run_semantics(spark):
     assert got[4] == 3
 
 
+def _lrs_reference(texts: dict) -> dict:
+    """Independent pure-Python reference: sorted suffix list + neighbor
+    LCP — the textbook suffix-array longest-repeated-prefix scan."""
+    import re
+
+    suffixes = []
+    for d, t in texts.items():
+        tk = re.split(r"\s+", t.strip())
+        for i in range(len(tk)):
+            suffixes.append((tk[i:], d))
+    suffixes.sort(key=lambda x: x[0])
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    best = {d: 0 for d in texts}
+    for j, (s, d) in enumerate(suffixes):
+        m = 0
+        if j > 0:
+            m = max(m, lcp(s, suffixes[j - 1][0]))
+        if j + 1 < len(suffixes):
+            m = max(m, lcp(s, suffixes[j + 1][0]))
+        best[d] = max(best[d], m)
+    return best
+
+
+def test_max_duplicated_run_exact_matches_suffix_array_reference(spark):
+    """The distributed 2-token-prefix-grouped neighbor-LCP operator must
+    equal the plain sorted-suffix-list reference on a corpus that
+    exercises every edge: cross-doc shared passages, in-doc verbatim
+    repeats, OVERLAPPING self-repeats ('a a a a'), runs of exactly 1
+    (shared single token only), all-unique docs (0), and a duplicated
+    substring longer than the windowed census grain."""
+    import random
+
+    from binance_futures_availability_spark.operators import dedup
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {}
+    for d in range(20):
+        texts[d] = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    texts[20] = f"{texts[0]} {passage}"
+    texts[21] = f"{passage} {texts[1]}"
+    texts[22] = "a a a a a"  # overlapping self-repeat -> 4
+    texts[23] = "solo1 unique1 tokens2 solo2"  # all-unique -> 0
+    texts[24] = "unique4 p5 unique5"  # shares just 'p5' with the passage -> 1
+    docs = spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["max_run_tokens"]
+        for r in dedup.max_duplicated_run_exact(docs).collect()
+    }
+    want = _lrs_reference(texts)
+    assert got == want
+    assert got[22] == 4 and got[23] == 0 and got[24] == 1
+    assert got[20] >= 12 and got[21] >= 12
+    windowed = {
+        r["doc_id"]: r["max_run_tokens"]
+        for r in dedup.max_duplicated_run(docs, width=3).collect()
+    }
+    # the windowed census certifies runs correctly for verbatim copies
+    # (exact == windowed on the planted cross-doc passage)...
+    assert got[20] >= windowed[20] and got[21] >= windowed[21]
+    # ...but on PERIODIC text it over-certifies: 'a a a a a' has three
+    # identical width-3 windows (run of 3 -> claims 5 tokens) while the
+    # true longest duplicated substring is 'a a a a' (4, overlapping
+    # pair) — the whole doc occurs only once. The exact operator is the
+    # fix, not just a tighter bound.
+    assert windowed[22] == 5 and got[22] == 4
+
+
 def test_sq_grid_not_shared_between_sample_and_full(spark, tmp_path_factory):
     """Regression: the SQ8 grid cache keys on the LOGICAL PLAN, not just
     the input files — a sample-filtered audit over the same parquet must
