@@ -40,9 +40,16 @@ def revenue_by_nation(
     Spark rounds the double's shortest decimal representation (HALF_UP
     over BigDecimal(toString)) while DuckDB rounds the full binary
     value, and they disagree in the last cent; scaling the 2-decimal
-    INPUTS to integers first is exact on both engines. The customer→
-    nation→region dimension chain is broadcast; the only fact shuffle is
-    lineitem ⋈ orders on the order key.
+    INPUTS to integers first is exact on both engines.
+
+    Join order is the scale lever: the order → nation mapping is
+    resolved BEFORE the fact join (window-filtered orders ⋈ customer on
+    the customer key — both sub-fact-sized), so lineitem shuffles
+    exactly once (on the order key) and aggregates by the int nation
+    key with map-side combine; only the ≤|nations|-row aggregate meets
+    the broadcast nation⋈region name chain. The previous shape joined
+    the fact first and re-shuffled every joined fact row on o_custkey —
+    measured α = 1.16 sf1→sf10 against α ≈ 1.0 for this form.
     """
     dims = F.broadcast(
         nation.join(
@@ -58,19 +65,24 @@ def revenue_by_nation(
         F.col("o_orderdate").between(F.lit(date_from), F.lit(date_to))
     ).select("o_orderkey", "o_custkey")
     cust = customer.select("c_custkey", "c_nationkey")
+    order_nation = o.join(cust, o["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "c_nationkey"
+    )
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_h = F.round(F.col("l_discount") * 100).cast("long")
     line = lineitem.select(
         "l_orderkey", (price_c * (F.lit(100) - disc_h)).alias("rev4")
     )
-    joined = (
-        line.join(o, line["l_orderkey"] == o["o_orderkey"])
-        .join(cust, o["o_custkey"] == cust["c_custkey"])
-        .join(dims, cust["c_nationkey"] == F.col("n_nationkey"))
+    agg = (
+        line.join(order_nation, line["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            (F.sum("rev4").cast("double") / 10000.0).alias("revenue"),
+        )
     )
-    return joined.groupBy("region_name", "nation_name").agg(
-        F.count(F.lit(1)).alias("n_lineitems"),
-        (F.sum("rev4").cast("double") / 10000.0).alias("revenue"),
+    return agg.join(dims, agg["c_nationkey"] == F.col("n_nationkey")).select(
+        "region_name", "nation_name", "n_lineitems", "revenue"
     )
 
 
