@@ -58,6 +58,13 @@ def main() -> None:
         help="max allowed warm-total / oracle-total ratio (default 2.0)",
     )
     ap.add_argument(
+        "--oracle-out",
+        default="",
+        help="with --assert-budget, also write the paired in-process "
+        "oracle sweep's full bench-shaped dict here (the ORACLE_BENCH_* "
+        "artifact), so the committed pair is guaranteed same-process",
+    )
+    ap.add_argument(
         "--budgets",
         default=os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BUDGETS.json"
@@ -222,6 +229,10 @@ def main() -> None:
         import oracle_bench
 
         oracle = oracle_bench.run(SF_DIR)
+        if args.oracle_out:
+            with open(args.oracle_out, "w", encoding="utf-8") as f:
+                json.dump(oracle, f, indent=1, sort_keys=True)
+                f.write("\n")
         ratio = (total / oracle["value"]) if oracle["value"] > 0 else 0.0
         print(
             json.dumps(

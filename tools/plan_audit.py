@@ -49,7 +49,7 @@ HEADLINERS = {
     "event_asof_pairs": "as-of pairing as a single last-IGNORE-NULLS window pass — no join, no range explosion",
     "event_window_counts": "tumbling rollup: window alignment is a pure projection; one partial-agg shuffle",
     "event_funnel": "ordered funnel: chained conditional window minima over one user partitioning",
-    "revenue_by_nation": "multi-join rollup: broadcast dim chain (nation/region/customer), date filter pushed to the orders scan, one fact shuffle",
+    "revenue_by_nation": "Q5-family rollup, ONE fact shuffle (r13): the order->nation mapping is resolved before the fact join (window-filtered orders joins customer on the customer key, both sub-fact-sized), lineitem shuffles once on the order key, aggregates by the int nation key with map-side combine, and only the <=|nations|-row result meets the broadcast nation/region name chain — the previous shape re-shuffled the joined fact on o_custkey and measured alpha=1.16 sf1->sf10",
     "knn_join_indexed": "on-disk batch ANN: probe-cell union arrives as PartitionFilters on the cell-partitioned index; memoized union, broadcast query side",
     "apply_mixture": "mixture materialization: stratum-count-sized rate table broadcast over the corpus scan; keep decision is a narrow hash filter",
     "large_volume_customers": "Q18 family: HAVING on the order-key aggregate BEFORE any join (one AQE-coalesced shuffle); orders/customer arrive via broadcast",
