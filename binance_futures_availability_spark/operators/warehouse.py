@@ -42,14 +42,25 @@ def revenue_by_nation(
     value, and they disagree in the last cent; scaling the 2-decimal
     INPUTS to integers first is exact on both engines.
 
-    Join order is the scale lever: the order → nation mapping is
-    resolved BEFORE the fact join (window-filtered orders ⋈ customer on
-    the customer key — both sub-fact-sized), so lineitem shuffles
-    exactly once (on the order key) and aggregates by the int nation
-    key with map-side combine; only the ≤|nations|-row aggregate meets
-    the broadcast nation⋈region name chain. The previous shape joined
-    the fact first and re-shuffled every joined fact row on o_custkey —
-    measured α = 1.16 sf1→sf10 against α ≈ 1.0 for this form.
+    Two measured scale levers (r13):
+
+    1. Aggregate by the INT nation key, attach names to the
+       ≤|nations|-row result via the broadcast nation⋈region chain —
+       not by grouping the joined fact on two string columns (carrying
+       the strings through the fact and string-key hashing cost 9.0 s
+       vs 5.9 s at sf10).
+    2. The customer join is stats-guarded, the late_order_priority
+       pattern: while customer's scan estimate fits the session's
+       broadcast budget (30 MB at sf10 — broadcastable far beyond
+       that), the fact shuffles exactly once (on the order key) and
+       meets customer as a broadcast hash join. Past the budget
+       (~4M+ customers), the order → nation mapping is resolved BEFORE
+       the fact join instead (window-filtered orders ⋈ customer, both
+       sub-fact-sized) so the plan never re-shuffles fact rows on
+       o_custkey — still exactly one fact shuffle, no broadcast
+       dependence, at the price of one extra orders-sized exchange
+       (measured +0.15 s at sf1; the price of the fact-wide custkey
+       exchange it replaces grows with the fact instead).
     """
     dims = F.broadcast(
         nation.join(
@@ -65,21 +76,36 @@ def revenue_by_nation(
         F.col("o_orderdate").between(F.lit(date_from), F.lit(date_to))
     ).select("o_orderkey", "o_custkey")
     cust = customer.select("c_custkey", "c_nationkey")
-    order_nation = o.join(cust, o["o_custkey"] == cust["c_custkey"]).select(
-        "o_orderkey", "c_nationkey"
-    )
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_h = F.round(F.col("l_discount") * 100).cast("long")
     line = lineitem.select(
         "l_orderkey", (price_c * (F.lit(100) - disc_h)).alias("rev4")
     )
-    agg = (
-        line.join(order_nation, line["l_orderkey"] == F.col("o_orderkey"))
-        .groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_lineitems"),
-            (F.sum("rev4").cast("double") / 10000.0).alias("revenue"),
+    try:
+        cust_bytes = int(
+            customer._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
+        budget = int(
+            customer.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
+            )
+        )
+    except Exception:  # noqa: BLE001 — stats are advisory
+        cust_bytes, budget = 0, 1
+    if 0 < cust_bytes <= max(budget, 0):
+        keyed = line.join(o, line["l_orderkey"] == o["o_orderkey"]).join(
+            F.broadcast(cust), o["o_custkey"] == cust["c_custkey"]
+        )
+    else:
+        order_nation = o.join(
+            cust, o["o_custkey"] == cust["c_custkey"]
+        ).select("o_orderkey", "c_nationkey")
+        keyed = line.join(
+            order_nation, line["l_orderkey"] == F.col("o_orderkey")
+        )
+    agg = keyed.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        (F.sum("rev4").cast("double") / 10000.0).alias("revenue"),
     )
     return agg.join(dims, agg["c_nationkey"] == F.col("n_nationkey")).select(
         "region_name", "nation_name", "n_lineitems", "revenue"
