@@ -1207,14 +1207,21 @@ def _star_contraction(pairs: DataFrame, max_iter: int):
     ``star_edges`` is the converged (node, cluster_min) map for every
     non-minimum edge-incident node.
 
-    Each round is two edge-set rewrites, both plain groupBy-MIN + join:
+    Each round is two edge-set rewrites, each ONE min-window pass (r13:
+    the groupBy-MIN + join-back form computed the same per-src minimum
+    twice — an aggregate exchange AND a join exchange per star, 6 tiny
+    exchanges/round; the unordered window computes the min alongside the
+    rows that need it in one exchange each, and the small-star's two
+    emissions leave as an array explode instead of a union of two
+    recomputed branches — 3 exchanges/round, no joins, measured 2.4 s →
+    1.0 s at sf0.1's 256-edge sliver):
 
     - **large-star**: every node attaches its STRICTLY LARGER neighbors
-      to the minimum of its closed neighborhood — hubs shatter here: a
-      10⁵-degree hub's members all re-attach to the hub's min neighbor
-      in ONE round (the groupBy-MIN over the hub key is map-side
-      partially aggregated, so the hot key costs a merge of partial
-      minima, not a single-task reduction of 10⁵ rows);
+      to the minimum of its closed neighborhood — hubs shatter here in
+      ONE round (a 10⁵-degree hub is one window group: its rows land in
+      one task — exactly the rows the old join shuffled to the same
+      task — and WindowExec spills gracefully if a group outgrows
+      memory);
     - **small-star**: every node merges its (all smaller) parents onto
       the minimum parent — multi-parent nodes collapse to one edge.
 
@@ -1240,28 +1247,68 @@ def _star_contraction(pairs: DataFrame, max_iter: int):
         .localCheckpoint(eager=True)
     )
     e_count = E.count()
+    # Size the iteration's shuffles to the MEASURED edge sliver (guide
+    # §2: scale-adaptive partitioning): each round is 4+ tiny exchanges
+    # over e_count rows, and the session's shuffle width — sized for
+    # corpus-scale scans — multiplies every one of them into
+    # width × rounds near-empty tasks (AQE would coalesce these, but the
+    # bench pins AQE off and at cluster scale the sliver is still orders
+    # below the session width). Never raises above the session setting;
+    # restored before the (lazily-consumed) result plans.
+    spark = pairs.sparkSession
+    width_key = "spark.sql.shuffle.partitions"
+    old_width = spark.conf.get(width_key)
+    sliver_width = max(1, min(int(old_width), -(-e_count // 50_000)))
+    spark.conf.set(width_key, str(sliver_width))
+    try:
+        return _star_rounds(E, e_count, max_iter)
+    finally:
+        spark.conf.set(width_key, old_width)
+
+
+def _star_rounds(E: DataFrame, e_count: int, max_iter: int):
+    wsrc = Window.partitionBy("src")
     for rounds in range(1, max_iter + 1):
         bidir = E.unionByName(
             E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        lm = bidir.groupBy("src").agg(
-            F.least(F.col("src"), F.min("dst")).alias("__m")
-        )
+        # large-star: m(u) = min of u's closed neighborhood, computed by
+        # an unordered min-window IN the same exchange that colocates
+        # u's edges; larger neighbors re-attach to m(u). No distinct here
+        # — duplicates are swallowed by the small-star's distinct below,
+        # saving an exchange.
         large = (
-            bidir.join(lm, "src")
+            bidir.withColumn(
+                "__m", F.least(F.col("src"), F.min("dst").over(wsrc))
+            )
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
         )
-        sm = large.groupBy("src").agg(F.min("dst").alias("__m"))
+        # small-star: every large-edge row (src, dst, m2=min parent)
+        # emits (dst → m2) and (src → m2) as a 2-element array explode
+        # (a union of two branches would re-execute the window twice);
+        # self-loops (dst == m2) and duplicate (src → m2) emissions die
+        # in the filter + distinct. Every dst < src in `large`, so
+        # src != m2 always holds for the second emission.
         small = (
-            large.join(sm, "src")
-            .filter(F.col("dst") != F.col("__m"))
-            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
-            .unionByName(
-                sm.select("src", F.col("__m").alias("dst"))
+            large.withColumn("__m", F.min("dst").over(wsrc))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("dst").alias("s"), F.col("__m").alias("d")
+                        ),
+                        F.struct(
+                            F.col("src").alias("s"), F.col("__m").alias("d")
+                        ),
+                    )
+                ).alias("__e")
             )
+            .select(
+                F.col("__e.s").alias("src"), F.col("__e.d").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
             .distinct()
             .localCheckpoint(eager=True)
         )
@@ -1272,6 +1319,9 @@ def _star_contraction(pairs: DataFrame, max_iter: int):
         stable = small_count == e_count and small.exceptAll(E).isEmpty()
         E, e_count = small, small_count
         if stable:
+            # measured size of the converged map, for the caller's
+            # broadcast guard (no extra count job)
+            E._bfa_edge_count = e_count
             return E, rounds
     raise RuntimeError(
         f"_star_contraction did not converge within max_iter={max_iter} "
@@ -1322,10 +1372,22 @@ def duplicate_clusters(
         if len(probe) <= driver_pair_limit:
             return _clusters_from_collected(docs, probe, id_col)
     stars, _rounds = _star_contraction(pairs, max_iter)
+    # Label-back join: the converged star map is edge-sliver-sized, but a
+    # localCheckpoint plan has NO size estimate (Catalyst defaults it to
+    # "huge"), so the planner would shuffle the CORPUS on the node key.
+    # The edge count is already measured by the fixpoint test — use it:
+    # under the same 2M bound as the driver union-find path, hint the
+    # broadcast and keep the corpus unshuffled; past it, fall back to the
+    # shuffle join (the map may genuinely be too big to broadcast).
+    star_map = stars.select("src", F.col("dst").alias("__cluster"))
+    if getattr(stars, "_bfa_edge_count", driver_pair_limit + 1) <= max(
+        driver_pair_limit, 2_000_000
+    ):
+        star_map = F.broadcast(star_map)
     labeled = (
         docs.select(F.col(id_col).alias("node"))
         .join(
-            stars.select("src", F.col("dst").alias("__cluster")),
+            star_map,
             F.col("node") == F.col("src"),
             "left",
         )

@@ -22,6 +22,7 @@ Scale design:
 
 from __future__ import annotations
 
+import os
 import random
 
 import pandas as pd
@@ -188,19 +189,67 @@ def cosine_pairs(
     return cosine_pairs_blocked(emb, threshold, id_col, vec_col)
 
 
+#: target rows per GEMM block for the adaptive block count: the diagonal
+#: block's n_target² float64 cosine matrix is the per-task memory bound
+#: (4096² × 8 B ≈ 134 MB). Override via SPARK_GRAFT_COSINE_BLOCK_ROWS for
+#: executors with a different memory envelope.
+COSINE_BLOCK_ROWS = int(
+    os.environ.get("SPARK_GRAFT_COSINE_BLOCK_ROWS", "4096")
+)
+
+#: parallelism floor for the adaptive block count: fewer blocks than this
+#: collapses the GEMM into too few applyInPandas groups to spread over
+#: the shuffle width (measured: 1 block at n=2000 → one task, 1.4 s vs
+#: 0.97 s for 8 blocks/36 groups at sf0.1). 8 blocks = 36 unordered
+#: block pairs, the r12-tuned width.
+COSINE_MIN_BLOCKS = int(
+    os.environ.get("SPARK_GRAFT_COSINE_MIN_BLOCKS", "8")
+)
+
+#: vector-count scalar cache (plan_key-shaped: dead-file-swept, capped) —
+#: the adaptive block count needs |corpus| and must not pay a count job
+#: per query over the cached quantized artifact.
+_VEC_COUNT_CACHE: dict = {}
+
+
+def _vec_count(emb: DataFrame, vec_col: str) -> int:
+    from ..index_cache import bounded_scalar_put
+
+    key = plan_key(emb, "n_vectors", vec_col)
+    if key is not None and key in _VEC_COUNT_CACHE:
+        return _VEC_COUNT_CACHE[key]
+    n = _with_quantized(emb, vec_col).count()
+    if key is not None:
+        bounded_scalar_put(_VEC_COUNT_CACHE, key, n)
+    return n
+
+
 def cosine_pairs_blocked(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Blocked-GEMM all-pairs cosine (see cosine_pairs docstring).
 
-    Size ``n_blocks`` so one block (n/n_blocks vectors × dim × 8 B) fits an
-    executor comfortably; group count grows as n_blocks²/2, so prefer the
-    smallest block count whose blocks fit memory.
+    ``n_blocks=None`` (default) derives the block count from the measured
+    corpus size — ``max(COSINE_MIN_BLOCKS, ceil(n / COSINE_BLOCK_ROWS))``
+    — so one block's pairwise GEMM fits a task's memory at ANY corpus
+    size (the r12 CONSTANT block count meant blocks grew with the corpus
+    and the (n/8)² per-task cosine matrix would OOM past ~10⁵ vectors —
+    guide §2 scale-adaptive partitioning, §5 per-task memory), while the
+    floor keeps enough groups to fill the shuffle width on small corpora
+    (1 block at n=2000 measured 1.4 s vs 0.97 s for the 8-block shape).
+    The pair set is invariant to the block count; group count grows as
+    n_blocks²/2, which is what ``audit_sample`` bounds at production
+    scale.
     """
+    if n_blocks is None:
+        n_blocks = max(
+            COSINE_MIN_BLOCKS,
+            -(-_vec_count(emb, vec_col) // COSINE_BLOCK_ROWS),
+        )
     spark = emb.sparkSession
     base = _with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vid"),
@@ -1239,12 +1288,51 @@ def kmeans_cells(
     scale 1e6 that holds to ~10⁵ members per cell, past which use a
     coarser quantization or per-cell mean rescale.
     """
+    base = _with_quantized(emb, vec_col)
+    sq, snrm = _trained_centroids(
+        base, emb, n_cells, n_iters, id_col, vec_col
+    )
+    return base.withColumn(
+        "cell", _cell_kernel(sq, snrm)(F.col("__q"))
+    ).select(id_col, "cell")
+
+
+#: trained k-means centroid tables, keyed like _SEED_CACHE plus the
+#: iteration count — the fitted quantizer MODEL (n_cells × dim ints), the
+#: train-once/serve-many artifact every IVF deployment persists. Same
+#: bounded-scalar discipline as textops' count caches (dead-file sweep +
+#: size cap via bounded_scalar_put).
+_TRAINED_CACHE: dict = {}
+
+
+def _trained_centroids(
+    base: DataFrame,
+    emb: DataFrame,
+    n_cells: int,
+    n_iters: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Lloyd-refined (sum-vector, norm) centroid tables for
+    ``kmeans_cells`` and its riders (cluster_purity, semantic_dedup).
+
+    The training loop — n_iters × (Arrow assignment pass + (cell, dim)
+    aggregate collect) — is a pure function of the embeddings table and
+    the (n_cells, n_iters) knobs, so the fitted model is session-cached
+    exactly like the untrained seed table (_SEED_CACHE): first call per
+    corpus pays the rounds, every rider serves assignments from the
+    cached n_cells×dim integer array. In-memory (test) frames have no
+    file key and never cache.
+    """
     import numpy as np
 
-    base = _with_quantized(emb, vec_col)
-    sq, snrm = _collect_seeds(
-        base, id_col, n_cells, _seed_cache_key(emb, id_col, vec_col, n_cells)
-    )
+    from ..index_cache import bounded_scalar_put
+
+    seed_key = _seed_cache_key(emb, id_col, vec_col, n_cells)
+    trained_key = None if seed_key is None else seed_key + ("lloyd", n_iters)
+    if trained_key is not None and trained_key in _TRAINED_CACHE:
+        return _TRAINED_CACHE[trained_key]
+    sq, snrm = _collect_seeds(base, id_col, n_cells, seed_key)
     sq = sq.copy()
     for _ in range(n_iters):
         assigned = base.withColumn("cell", _cell_kernel(sq, snrm)(F.col("__q")))
@@ -1268,9 +1356,9 @@ def kmeans_cells(
             [float(sum(int(v) * int(v) for v in row)) for row in sq],
             dtype=np.float64,
         )
-    return base.withColumn(
-        "cell", _cell_kernel(sq, snrm)(F.col("__q"))
-    ).select(id_col, "cell")
+    if trained_key is not None:
+        bounded_scalar_put(_TRAINED_CACHE, trained_key, (sq, snrm))
+    return sq, snrm
 
 
 def audit_sample(

@@ -58,37 +58,35 @@ def gap_filled_volumes(da: DataFrame) -> DataFrame:
     (last-observation-carried-forward) pass every daily-bar consumer
     runs before resampling or feature windows.
 
-    Shape: the per-symbol date skeleton is one aggregate + one
-    F.sequence explode (rows ∝ calendar days, generated not shuffled);
-    the observed rows LEFT-join onto it by (symbol, date) and ONE
-    symbol-key window carries the last non-null volume forward — the
-    same single-shuffle discipline as sessionize. Fill flags stay
-    explicit so downstream stats can exclude imputed rows.
+    Shape (r13): LOCF as a RUN explode — one ``lead(date)`` window over
+    the observed rows (the only shuffle: hash by symbol), then each
+    observed row GENERATES its own fill run ``[date, next_date)`` via
+    F.sequence (rows ∝ calendar days, produced map-side, never
+    shuffled). Equivalent to the skeleton/left-join/carry-forward form
+    the oracle keeps (every skeleton day ≥ the symbol's first observed
+    day falls in exactly one observed row's run, and the carried value
+    is that row's volume) but with the (symbol, date) join — two more
+    fact-sized exchanges — and the unbounded LOCF window deleted:
+    4 Exchanges → 1 (plans/r13/gap_filled_volumes_*.txt). Fill flags
+    stay explicit so downstream stats can exclude imputed rows.
     """
     observed = da.filter(
         F.col("available") & F.col("quote_volume_usdt").isNotNull()
     ).select("symbol", "date", "quote_volume_usdt")
-    skeleton = (
-        observed.groupBy("symbol")
-        .agg(F.min("date").alias("__lo"), F.max("date").alias("__hi"))
-        .select(
-            "symbol",
-            F.explode(
-                F.sequence("__lo", "__hi", F.expr("interval 1 day"))
-            ).alias("date"),
-        )
+    nxt = F.lead("date").over(Window.partitionBy("symbol").orderBy("date"))
+    runs = observed.withColumn(
+        "__until", F.coalesce(F.date_sub(nxt, 1), F.col("date"))
     )
-    joined = skeleton.join(observed, ["symbol", "date"], "left")
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy("date")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return joined.select(
+    return runs.select(
+        "symbol",
+        "quote_volume_usdt",
+        F.col("date").alias("__obs"),
+        F.explode(
+            F.sequence("date", "__until", F.expr("interval 1 day"))
+        ).alias("date"),
+    ).select(
         "symbol",
         "date",
-        F.last("quote_volume_usdt", ignorenulls=True)
-        .over(w)
-        .alias("quote_volume_usdt"),
-        F.col("quote_volume_usdt").isNull().alias("is_filled"),
+        "quote_volume_usdt",
+        (F.col("date") != F.col("__obs")).alias("is_filled"),
     )
