@@ -46,6 +46,40 @@ def gathered_sort(df, *cols):
     return df.repartition(1).orderBy(*cols)
 
 
+#: gathered-vs-distributed presentation-sort cutover, bytes of the SOURCE
+#: frame (Catalyst optimized-plan stats — a zero-job estimate). Measured on
+#: transition_events (r13): at sf1 (~90 MB fact) the gathered sort wins
+#: (1.1 s vs 1.7 s — checkpoint + range-sampling machinery costs more than
+#: a sub-million-row local sort); at sf10 (~900 MB) distributed wins 3.1 s
+#: vs 6.3 s. 300 MB sits between the two.
+SIZED_SORT_CUTOVER_BYTES = 300 * 1024 * 1024
+
+
+def sized_sort(df, source, *cols):
+    """Presentation sort for results that SCALE WITH their source (per-doc
+    maps, per-vector code tables, event streams): ``gathered_sort`` below
+    the measured cutover, a distributed range sort above it.
+
+    ``gathered_sort`` is single-partition by design and documented for
+    bounded results only — an output proportional to the corpus would
+    funnel 100 TB-scale rows through one task. ``source`` is the frame
+    whose optimized-plan size estimate decides (the fact/corpus the output
+    grows with); above the cutover the input is lazily checkpointed so the
+    range sort's sampling pass does not re-execute the upstream pipeline,
+    and the sort stays parallel. Both branches emit the identical total
+    order.
+    """
+    try:
+        nbytes = int(
+            source._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — stats are advisory
+        nbytes = 0
+    if nbytes > SIZED_SORT_CUTOVER_BYTES:
+        return df.localCheckpoint(eager=False).orderBy(*cols)
+    return df.repartition(1).orderBy(*cols)
+
+
 def salted_join(
     big,
     small,

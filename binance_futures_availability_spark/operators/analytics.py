@@ -18,7 +18,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import gathered_sort
+from ..functions import gathered_sort, sized_sort
 
 
 def availability_trend(
@@ -164,17 +164,9 @@ def transition_events(da: DataFrame) -> DataFrame:
     # sub-million-row local sort); at sf10 (21M-row fact, 7.8M events)
     # distributed wins 3.1 s vs 6.3 s. 300 MB of cached fact sits
     # between the two.
-    try:
-        fact_bytes = int(
-            da._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:  # noqa: BLE001 — stats are advisory
-        fact_bytes = 0
-    if fact_bytes > 300 * 1024 * 1024:
-        return events.localCheckpoint(eager=False).orderBy(
-            "symbol", "event_date"
-        )
-    return gathered_sort(events, "symbol", "event_date")
+    # (cutover logic generalized into functions.sized_sort in r13 —
+    # the measurement above is where its 300 MB constant came from)
+    return sized_sort(events, da, "symbol", "event_date")
 
 
 def availability_intervals(da: DataFrame) -> DataFrame:

@@ -39,6 +39,7 @@ from ..functions import (
     gathered_sort,
     md5_int60,
     normalized_text,
+    sized_sort,
     tokens,
 )
 from ..index_cache import (
@@ -645,10 +646,28 @@ def _lsh_band_candidates(
     num_perm: int,
     n_bands: int,
     max_bucket_pop: int | None,
+    cand_key=None,
 ) -> DataFrame:
     """Banded LSH candidate pairs (id_a < id_b, distinct) from a
     signature table — the shared core of ``minhash_lsh_pairs`` and
-    ``minhash_estimate_audit``."""
+    ``minhash_estimate_audit``.
+
+    ``cand_key`` (a plan_key built from the RAW corpus frame — sigs is
+    derived from a cached handle and would key to None, the
+    ``postings_key`` pitfall) session-caches the candidate set: the
+    banding explode + band-bucket self-join is re-derived by SIX catalog
+    consumers (lsh pairs, estimate audit, clusters ×2, survivors, rate
+    dashboard) over the same corpus and parameters, and the candidate
+    list is the sparse, byte-bounded pair INDEX a dedup deployment
+    materializes once. Verification (exact Jaccard) stays per-query —
+    only the candidate generation is shared."""
+    if cand_key is not None:
+        return cached_index(
+            cand_key,
+            lambda: _lsh_band_candidates(
+                sigs, id_col, num_perm, n_bands, max_bucket_pop
+            ),
+        )
     bands_spec = band_partition(num_perm, n_bands)
     # one row per (doc, band) via a single explode — a union of per-band
     # selects would re-run the signature aggregation once per band. The
@@ -756,7 +775,11 @@ def minhash_lsh_pairs(
     """
     sigs = minhash_signatures(docs, id_col, text_col, n, num_perm)
     candidates = _lsh_band_candidates(
-        sigs, id_col, num_perm, n_bands, max_bucket_pop
+        sigs, id_col, num_perm, n_bands, max_bucket_pop,
+        cand_key=plan_key(
+            docs, "lsh_candidates", id_col, text_col, n, num_perm,
+            n_bands, max_bucket_pop,
+        ),
     )
     # Verification must only pay for LSH survivors. Each side of a candidate
     # pair brings its per-doc shingle SET along as an array column (the same
@@ -890,7 +913,13 @@ def minhash_estimate_audit(
     the output is a single aggregate row.
     """
     sigs = minhash_signatures(docs, id_col, text_col, n, num_perm)
-    cand = _lsh_band_candidates(sigs, id_col, num_perm, n_bands, max_bucket_pop)
+    cand = _lsh_band_candidates(
+        sigs, id_col, num_perm, n_bands, max_bucket_pop,
+        cand_key=plan_key(
+            docs, "lsh_candidates", id_col, text_col, n, num_perm,
+            n_bands, max_bucket_pop,
+        ),
+    )
     ha = [F.col(f"__a{i}") for i in range(num_perm)]
     hb = [F.col(f"__b{i}") for i in range(num_perm)]
     sa = sigs.select(
@@ -1197,7 +1226,10 @@ def _clusters_from_collected(docs: DataFrame, rows, id_col: str) -> DataFrame:
         labeled = docs.select(
             F.col(id_col), F.col(id_col).alias("cluster_id")
         )
-    return gathered_sort(labeled, id_col)
+    # one row per DOC — corpus-sized output, so the presentation sort is
+    # size-cutover (functions.sized_sort keyed on the corpus frame), not
+    # unconditionally gathered
+    return sized_sort(labeled, docs, id_col)
 
 
 def _star_contraction(pairs: DataFrame, max_iter: int):
@@ -1396,7 +1428,9 @@ def duplicate_clusters(
             F.coalesce(F.col("__cluster"), F.col("node")).alias("cluster_id"),
         )
     )
-    return gathered_sort(labeled, id_col)
+    # per-doc labels again: size-cutover presentation sort (see
+    # _clusters_from_collected)
+    return sized_sort(labeled, docs, id_col)
 
 
 #: id offset for cross-corpus dedup — places corpus B's ids in a disjoint

@@ -259,3 +259,48 @@ def test_storage_bytes_tracks_persist_and_release(spark):
     assert index_cache.storage_bytes(spark) > base
     df.unpersist(blocking=True)
     assert index_cache.storage_bytes(spark) <= base
+
+
+def test_lsh_candidate_artifact_shared_and_exact(spark, tmp_path):
+    """The banded-LSH candidate set over a file-backed corpus is ONE
+    session-cached artifact shared by minhash_lsh_pairs and
+    minhash_estimate_audit — and the cached path's verified pair set is
+    identical to the cache-bypassed (in-memory source) build."""
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import dedup
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "  the quick  brown fox jumps over the lazy dog "),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),
+        (4, "completely different content about spark engines"),
+    ]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    docs = spark.read.parquet(path)
+    index_cache.clear_indexes()
+
+    def cand_keys():
+        return [
+            k
+            for k in index_cache._HANDLES
+            if isinstance(k, tuple) and "lsh_candidates" in k
+        ]
+
+    cached = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    assert len(cand_keys()) == 1
+    dedup.minhash_estimate_audit(docs).collect()
+    assert len(cand_keys()) == 1  # audit reused the pairs' artifact
+    # in-memory source -> plan_key None -> cache bypassed: same pairs
+    bypass = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(
+            spark.createDataFrame(rows, "doc_id long, text string"), 0.5
+        ).collect()
+    }
+    assert cached == bypass and cached
+    index_cache.clear_indexes()

@@ -344,6 +344,28 @@ def test_gathered_sort_has_no_range_exchange(partitioned_table):
     assert "SinglePartition" in plan
 
 
+def test_sized_sort_cutover_branches_identical(spark, monkeypatch):
+    """sized_sort: below the cutover the sort gathers (SinglePartition);
+    above it (forced via the module constant) it range-sorts without a
+    single-partition funnel — and both branches emit the identical total
+    order."""
+    from pyspark.sql import functions as F
+
+    from binance_futures_availability_spark import functions as fns
+
+    df = spark.range(500).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    small = fns.sized_sort(df, df, "k", "v")
+    assert "SinglePartition" in _plan(small)
+    monkeypatch.setattr(fns, "SIZED_SORT_CUTOVER_BYTES", 0)
+    large = fns.sized_sort(df, df, "k", "v")
+    lplan = _plan(large)
+    assert "rangepartitioning" in lplan.lower()
+    assert "SinglePartition" not in lplan
+    assert small.collect() == large.collect()
+
+
 def test_ivf_indexed_external_vector_query(spark, tmp_path_factory):
     """ivf_topk_indexed_vec: external embedding served from the same
     partition-pruned index with zero driver lookup jobs — the corpus row
