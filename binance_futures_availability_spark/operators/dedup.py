@@ -177,17 +177,22 @@ def shingles(
     )
 
 
-def exact_duplicates(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def _dup_groups(
+    docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """Exact dedup groups: normalized-content md5 → (hash, n_docs, keeper).
-
-    Keeper = min id (deterministic survivor). Only groups with >1 doc.
-    Duplicate groups are a sparse subset of the corpus by construction, so
-    the presentation sort is gathered (see functions.gathered_sort).
-    """
-    return gathered_sort(
-        docs.select(
+    """The exact-duplicate GROUP index — (content_md5, n_docs,
+    keeper_id), only groups with >1 member. Sparse by construction
+    (bounded by the corpus's duplicate mass, not its size), which makes
+    it the session-cached artifact three catalog consumers share:
+    ``exact_duplicates`` presents it, ``dedup_rate_by_source`` and
+    ``quality_dup_crosstab`` left-join their narrow (id, hash) streams
+    against it to flag non-keeper members. Caching it also turns those
+    consumers' join against the former corpus-sized all-groups aggregate
+    into a join against the sparse subset (guide §3.1 — the small side
+    becomes broadcastable from the InMemoryRelation's stats)."""
+    return cached_index(
+        plan_key(docs, "dup_groups", id_col, text_col),
+        lambda: docs.select(
             F.md5(normalized_text(F.col(text_col))).alias("content_md5"),
             F.col(id_col),
         )
@@ -197,6 +202,21 @@ def exact_duplicates(
             F.min(id_col).alias("keeper_id"),
         )
         .filter(F.col("n_docs") > 1),
+    )
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup groups: normalized-content md5 → (hash, n_docs, keeper).
+
+    Keeper = min id (deterministic survivor). Only groups with >1 doc.
+    Duplicate groups are a sparse subset of the corpus by construction, so
+    the presentation sort is gathered (see functions.gathered_sort).
+    Serves the shared session-cached ``_dup_groups`` artifact.
+    """
+    return gathered_sort(
+        _dup_groups(docs, id_col, text_col),
         "content_md5",
     )
 
@@ -296,6 +316,45 @@ def _pair_jaccard(
 
 
 def _prefix_filtered_pairs(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    metric: str,
+    max_shingle_freq: int | None,
+    sizes: DataFrame,
+    postings_key,
+) -> DataFrame:
+    """Shared-artifact front of ``_prefix_pairs_build``: when the corpus
+    is file-backed (``postings_key``), the verified candidate table —
+    (id_a, id_b, inter, sz_a, sz_b, jaccard) — is session-cached ONCE
+    per (corpus, cap, t) and serves BOTH metrics. The cached build
+    prunes with the CONTAINMENT bound, the strictly looser of the two
+    at equal t (containment ≥ jaccard always, so jaccard ≥ t ⟹
+    containment ≥ t ⟹ the pair survives containment pruning): its
+    output is a superset of every qualifying pair for either metric,
+    and each caller's final EXACT threshold filter (jaccard ≥ t /
+    containment ≥ t over the exact verified counts) is what defines the
+    query output — pruning is conservative-only in both pipelines. So
+    ``ngram_jaccard_pairs`` and ``containment_pairs`` at the same t
+    share one candidate+verify pass instead of re-running the ranked
+    prefix join each (guide §1.2); the jaccard-only cost is verifying
+    the containment-band extras, strictly less work than the second
+    full pipeline it replaces. Non-file-backed corpora keep the exact
+    per-metric pruning (tighter, uncached)."""
+    if postings_key is not None:
+        return cached_index(
+            ("prefix_pairs", postings_key, max_shingle_freq, float(threshold)),
+            lambda: _prefix_pairs_build(
+                sh, id_col, threshold, "containment", max_shingle_freq,
+                sizes, postings_key,
+            ),
+        )
+    return _prefix_pairs_build(
+        sh, id_col, threshold, metric, max_shingle_freq, sizes, postings_key
+    )
+
+
+def _prefix_pairs_build(
     sh: DataFrame,
     id_col: str,
     threshold: float,
@@ -1719,7 +1778,24 @@ def winnow_fingerprints(
     and are absent, mirrored by the oracle. Scale: one shuffle on doc id
     (the window partitioning), then narrow ops — fingerprint volume is
     ~2/(w+1) of the span stream.
+
+    The fingerprint table is itself a session-cached index artifact
+    (index_cache discipline, like ``minhash_signatures``): it is the
+    document SKETCH a MOSS-style deployment stores — ~2/(w+1) of the
+    span stream, the bounded summary, never pair-sized — and two catalog
+    consumers derive from it (``winnow_fingerprints`` and the
+    ``winnow_overlap_pairs`` self-join), so the window selection pass
+    runs once per (corpus, k, w).
     """
+    return cached_index(
+        plan_key(docs, "winnow_fps", k, w, id_col, text_col),
+        lambda: _winnow_fingerprints(docs, k, w, id_col, text_col),
+    )
+
+
+def _winnow_fingerprints(
+    docs: DataFrame, k: int, w: int, id_col: str, text_col: str
+) -> DataFrame:
     idx = span_index(docs, k, id_col, text_col)
     win = (
         Window.partitionBy(id_col)
@@ -1821,25 +1897,30 @@ def dedup_rate_by_source(
     pipeline watches (a crawl slice suddenly re-serving syndicated
     content shows up here before the dedup bill does).
 
-    Shape: one content-hash aggregate over (hash, min-id) — the same
-    single shuffle class as ``exact_duplicates`` — joined back to the
-    narrow (id, source, hash) projection on the hash (both sides already
-    partitioned by it after the agg: Catalyst reuses the exchange), then
-    a |sources|-sized final aggregate. ``dup_ppm`` is an exact integer
-    per-mille-of-a-thousand ratio (×10⁶ integer division), engine-neutral.
+    Shape: the narrow (id, source, hash) projection LEFT-joins the
+    sparse session-cached ``_dup_groups`` index (only >1-member hash
+    groups — r13: the former join against the corpus-sized all-groups
+    aggregate shipped every singleton hash through the join for a flag
+    that is definitionally 0 there; the sparse side is broadcastable
+    from its cached stats, so the corpus side no longer shuffles —
+    guide §3.1/§2.2), then a |sources|-sized final aggregate.
+    ``dup_ppm`` is an exact integer per-mille-of-a-thousand ratio
+    (×10⁶ integer division), engine-neutral.
     """
     base = docs.select(
         F.col(id_col),
         F.col(source_col),
         F.md5(normalized_text(F.col(text_col))).alias("__h"),
     )
-    groups = base.groupBy("__h").agg(
-        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__keeper")
+    groups = _dup_groups(docs, id_col, text_col).select(
+        F.col("content_md5").alias("__h"),
+        F.col("keeper_id").alias("__keeper"),
     )
-    flagged = base.join(groups, "__h").select(
+    flagged = base.join(groups, "__h", "left").select(
         source_col,
         (
-            (F.col("__n") > 1) & (F.col(id_col) != F.col("__keeper"))
+            F.col("__keeper").isNotNull()
+            & (F.col(id_col) != F.col("__keeper"))
         )
         .cast("int")
         .alias("__dup"),

@@ -889,8 +889,21 @@ def value_outliers(
     set and the reported milli-z (exact integer div) hash-gate
     bit-for-bit. MAD = 0 (constant type) degenerates to flagging any
     deviation, with NULL milli-z on both engines.
+
+    The (type, m2, mad2) stats table is session-cached (index_cache
+    discipline): it is the TRAINED anomaly model — |types| rows, the
+    exact table the streaming anomaly sink freezes to parquet
+    (streaming/pipeline.py) — so the per-type median/MAD fit (the
+    frequency aggregate + three windows over it) runs once per corpus,
+    and each scoring pass is one narrow scan under the broadcast model
+    (guide §1.2: train once, serve many).
     """
-    stats = robust_value_stats(events, type_col, value_col)
+    from ..index_cache import cached_index, plan_key
+
+    stats = cached_index(
+        plan_key(events, "robust_value_stats", type_col, value_col),
+        lambda: robust_value_stats(events, type_col, value_col),
+    )
     return score_values_with(events, stats, k, type_col, value_col, id_col)
 
 

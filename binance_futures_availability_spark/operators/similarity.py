@@ -133,6 +133,43 @@ def _with_quantized(emb: DataFrame, vec_col: str) -> DataFrame:
     return cached_index(plan_key(emb, "quantized", vec_col), build)
 
 
+def _ann_scored(
+    emb: DataFrame, query_vec_id: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """The EXACT single-probe scored stream — (id, cosine) of every
+    non-query vector against the probe — session-cached (index_cache
+    discipline: narrow, one row per vector). Five catalog consumers
+    re-derived it per execution: ``ann_topk`` itself, the exact-baseline
+    side of ``pq_recall_audit``/``rp_recall_audit``/``sq_recall_audit``,
+    and ``hybrid_rrf_topk``'s semantic list — each paying the broadcast
+    build job + the corpus dot-product scan for the identical stream
+    (guide §1.2). The exact ranking for a FIXED audit probe is the
+    baseline table an ANN deployment materializes once per audit run."""
+
+    def build() -> DataFrame:
+        base = _with_quantized(emb, vec_col)
+        qrow = (
+            base.filter(F.col(id_col) == query_vec_id)
+            .select(
+                F.col("__q").alias("__qq"), F.col("__norm").alias("__qnorm")
+            )
+        )
+        joined = base.filter(F.col(id_col) != query_vec_id).crossJoin(
+            F.broadcast(qrow)
+        )
+        dot = int_dot(F.col("__q"), F.col("__qq"))
+        return joined.select(
+            F.col(id_col),
+            cosine_from_quantized(
+                dot, F.col("__norm"), F.col("__qnorm")
+            ).alias("cosine"),
+        )
+
+    return cached_index(
+        plan_key(emb, "ann_scored", query_vec_id, id_col, vec_col), build
+    )
+
+
 def ann_topk(
     emb: DataFrame,
     query_vec_id: int,
@@ -142,26 +179,12 @@ def ann_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k against one corpus vector as the query.
 
-    The single query row is broadcast; ORDER BY (cos DESC, id) LIMIT k plans
-    as TakeOrderedAndProject — no corpus shuffle. Deterministic tie-break on
-    id keeps the k-boundary stable.
+    ORDER BY (cos DESC, id) LIMIT k plans as TakeOrderedAndProject — no
+    corpus shuffle. Deterministic tie-break on id keeps the k-boundary
+    stable. Serves from the shared ``_ann_scored`` stream.
     """
-    base = _with_quantized(emb, vec_col)
-    qrow = (
-        base.filter(F.col(id_col) == query_vec_id)
-        .select(
-            F.col("__q").alias("__qq"), F.col("__norm").alias("__qnorm")
-        )
-    )
-    joined = base.filter(F.col(id_col) != query_vec_id).crossJoin(F.broadcast(qrow))
-    dot = int_dot(F.col("__q"), F.col("__qq"))
     return (
-        joined.select(
-            F.col(id_col),
-            cosine_from_quantized(dot, F.col("__norm"), F.col("__qnorm")).alias(
-                "cosine"
-            ),
-        )
+        _ann_scored(emb, query_vec_id, id_col, vec_col)
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -244,12 +267,41 @@ def cosine_pairs_blocked(
     The pair set is invariant to the block count; group count grows as
     n_blocks²/2, which is what ``audit_sample`` bounds at production
     scale.
+
+    On the default adaptive path the threshold-filtered pair set is
+    session-cached (index_cache discipline): it is the exact similarity
+    GRAPH at this threshold — sparse and byte-bounded by construction —
+    and it is the audit baseline ``lsh_recall_audit`` re-derives on top
+    of the catalog's own ``cosine_pairs``. The GEMM is the most
+    expensive recompute in the similarity family, so the graph is built
+    once per (corpus, threshold) and served to both consumers; an
+    explicit ``n_blocks`` (tuning/tests) bypasses the cache.
     """
     if n_blocks is None:
         n_blocks = max(
             COSINE_MIN_BLOCKS,
             -(-_vec_count(emb, vec_col) // COSINE_BLOCK_ROWS),
         )
+        out = cached_index(
+            plan_key(emb, "cosine_pair_graph", threshold, id_col, vec_col),
+            lambda: _cosine_pair_graph(
+                emb, threshold, id_col, vec_col, n_blocks
+            ),
+        )
+    else:
+        out = _cosine_pair_graph(emb, threshold, id_col, vec_col, n_blocks)
+    # threshold-filtered pairs are sparse → gathered presentation sort (a
+    # range orderBy's sampling job would re-run the GEMM stage)
+    return gathered_sort(out, "id_a", "id_b")
+
+
+def _cosine_pair_graph(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int,
+) -> DataFrame:
     spark = emb.sparkSession
     base = _with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vid"),
@@ -267,16 +319,13 @@ def cosine_pairs_blocked(
     right = base.join(
         F.broadcast(block_pairs), base["blk"] == block_pairs["blk_b"]
     ).select("blk_a", "blk_b", F.lit(1).alias("side"), "vid", "q", "nrm")
-    out = (
+    return (
         left.unionByName(right)
         .groupBy("blk_a", "blk_b")
         .applyInPandas(
             _block_cosine_fn(threshold), "id_a long, id_b long, cosine double"
         )
     )
-    # threshold-filtered pairs are sparse → gathered presentation sort (a
-    # range orderBy's sampling job would re-run the GEMM stage)
-    return gathered_sort(out, "id_a", "id_b")
 
 
 _BUCKET_BATCH: dict = {}
@@ -371,7 +420,37 @@ def lsh_cosine_pairs(
     sides, so it cannot be unpersisted here. The handle is TRACKED
     (index_cache.tracked_persist) and lives until ``clear_indexes()``
     releases it — there is no GC fallback for SQL caches.
+
+    The verified pair set itself is ALSO a session-cached artifact
+    (sparse by the threshold, byte-bounded): it is the approximate
+    similarity graph three catalog consumers derive from —
+    ``lsh_cosine_pairs``, ``embedding_dedup_survivors`` (keeper
+    propagation over it) and ``lsh_recall_audit`` (its n_lsh side) — so
+    the bucket self-join + exact verification runs once per (corpus,
+    threshold, planes), not once per consumer.
     """
+    return gathered_sort(
+        cached_index(
+            plan_key(
+                emb, "lsh_cosine_pair_graph", threshold, id_col, vec_col,
+                n_planes,
+            ),
+            lambda: _lsh_cosine_pair_graph(
+                emb, threshold, id_col, vec_col, n_planes
+            ),
+        ),
+        "id_a",
+        "id_b",
+    )
+
+
+def _lsh_cosine_pair_graph(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+) -> DataFrame:
     # persisted: both sides of the self-join scan this; without
     # materialization each branch re-runs quantization + bucketing.
     # (persist() is a no-op when _bucketed served the session-cached,
@@ -390,7 +469,7 @@ def lsh_cosine_pairs(
         "bucket",
     )
     dot = int_dot(F.col("qa"), F.col("qb"))
-    return gathered_sort(
+    return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -398,9 +477,7 @@ def lsh_cosine_pairs(
             "id_b",
             cosine_from_quantized(dot, F.col("na"), F.col("nb")).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold),
-        "id_a",
-        "id_b",
+        .filter(F.col("cosine") >= threshold)
     )
 
 
@@ -1288,13 +1365,24 @@ def kmeans_cells(
     scale 1e6 that holds to ~10⁵ members per cell, past which use a
     coarser quantization or per-cell mean rescale.
     """
-    base = _with_quantized(emb, vec_col)
-    sq, snrm = _trained_centroids(
-        base, emb, n_cells, n_iters, id_col, vec_col
+    def assign() -> DataFrame:
+        base = _with_quantized(emb, vec_col)
+        sq, snrm = _trained_centroids(
+            base, emb, n_cells, n_iters, id_col, vec_col
+        )
+        return base.withColumn(
+            "cell", _cell_kernel(sq, snrm)(F.col("__q"))
+        ).select(id_col, "cell")
+
+    # the (id, cell) ASSIGNMENT table is itself a session-cached artifact
+    # (the `_ivf_assigned` discipline — narrow, one row per vector):
+    # kmeans_cells and cluster_purity each consumed a fresh Arrow
+    # assignment pass over the corpus; the trained-model cache made that
+    # pass collect-free, this makes it once-per-corpus.
+    return cached_index(
+        plan_key(emb, "kmeans_assigned", n_cells, n_iters, id_col, vec_col),
+        assign,
     )
-    return base.withColumn(
-        "cell", _cell_kernel(sq, snrm)(F.col("__q"))
-    ).select(id_col, "cell")
 
 
 #: trained k-means centroid tables, keyed like _SEED_CACHE plus the
@@ -1443,6 +1531,35 @@ def lsh_recall_audit(
     )
 
 
+#: collected (label, dim) integer sum/count rows — the bounded per-label
+#: centroid MODEL (#labels×dim ints, the class-mean table a nearest-
+#: class-mean deployment trains once and serves) shared by
+#: centroid_confusion / centroid_outliers / label_centroids. plan_key-
+#: shaped: dead-file-swept, size-capped; in-memory frames never cache.
+_LABEL_SUM_CACHE: dict = {}
+
+
+def _label_centroid_rows(emb: DataFrame, vec_col: str, label_col: str):
+    from ..index_cache import bounded_scalar_put
+
+    key = plan_key(emb, "label_centroid_rows", vec_col, label_col)
+    if key is not None and key in _LABEL_SUM_CACHE:
+        return _LABEL_SUM_CACHE[key]
+    rows = (
+        _with_quantized(emb, vec_col)
+        .select(
+            F.col(label_col).alias("__lbl"),
+            F.posexplode(F.col("__q")).alias("dim", "v"),
+        )
+        .groupBy("__lbl", "dim")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("cv"))
+        .collect()
+    )
+    if key is not None:
+        bounded_scalar_put(_LABEL_SUM_CACHE, key, rows)
+    return rows
+
+
 def centroid_confusion(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -1461,20 +1578,15 @@ def centroid_confusion(
     centroids are one posexplode aggregate collected as a bounded
     #labels×dim table (broadcast into the assignment kernel), and the
     assignment is the exact-GEMM argmax with ties to the lowest label.
-    One narrow Arrow pass + one tiny (label, predicted) aggregate.
+    One narrow Arrow pass + one tiny (label, predicted) aggregate. The
+    collected model is the shared session-cached
+    ``_label_centroid_rows`` artifact (one aggregate+collect per corpus,
+    not one per consumer).
     """
     import numpy as np
 
     base = _with_quantized(emb, vec_col)
-    sums = (
-        base.select(
-            F.col(label_col).alias("__lbl"),
-            F.posexplode(F.col("__q")).alias("dim", "v"),
-        )
-        .groupBy("__lbl", "dim")
-        .agg(F.sum("v").alias("sv"))
-        .collect()
-    )
+    sums = _label_centroid_rows(emb, vec_col, label_col)
     labels = sorted({r["__lbl"] for r in sums})
     dim = max(r["dim"] for r in sums) + 1
     lq = np.zeros((len(labels), dim), dtype=np.float64)
@@ -1595,15 +1707,28 @@ def label_centroids(
     dim, value) then integer-sum per (label, dim). Long format keeps the
     output scalar-typed (hashable by the oracle gate); ``F.transform`` +
     ``array_sort`` can rebuild vectors when needed.
+
+    Serves from the shared ``_label_centroid_rows`` model (the same
+    bounded #labels×dim integer sums centroid_confusion /
+    centroid_outliers broadcast), so the corpus aggregate runs once per
+    session; the mean stays the identical Spark-side double division
+    over the exact integer (sum, count) pairs.
     """
-    base = _with_quantized(emb, vec_col).select(
-        F.col(label_col).alias("label"),
-        F.posexplode(F.col("__q")).alias("dim", "v"),
+    def build() -> DataFrame:
+        rows = _label_centroid_rows(emb, vec_col, label_col)
+        lbl_type = emb.schema[label_col].dataType.simpleString()
+        return emb.sparkSession.createDataFrame(
+            [(r["__lbl"], r["dim"], r["sv"], r["cv"]) for r in rows],
+            f"label {lbl_type}, dim int, s long, c long",
+        )
+
+    # the marshalled local frame is itself keyed (createDataFrame over
+    # #labels×dim rows costs ~0.2 s of pure driver/py4j time per call)
+    local = cached_index(
+        plan_key(emb, "label_centroid_df", vec_col, label_col), build
     )
     return gathered_sort(
-        base.groupBy("label", "dim")
-        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
-        .select(
+        local.select(
             "label",
             "dim",
             (F.col("s").cast("double") / F.col("c")).alias("mean_value"),
@@ -1694,15 +1819,7 @@ def centroid_outliers(
     import numpy as np
 
     base = _with_quantized(emb, vec_col)
-    sums = (
-        base.select(
-            F.col(label_col).alias("__lbl"),
-            F.posexplode(F.col("__q")).alias("dim", "v"),
-        )
-        .groupBy("__lbl", "dim")
-        .agg(F.sum("v").alias("sv"))
-        .collect()
-    )
+    sums = _label_centroid_rows(emb, vec_col, label_col)
     if not sums:
         spark = emb.sparkSession
         lbl_type = emb.schema[label_col].dataType.simpleString()
@@ -1978,7 +2095,34 @@ def _pq_adc_scores(
     integer until the final division. One shuffle (the per-id sum) over
     n·m short rows; the raw vectors are never touched at query time —
     the entire point of PQ at 100 TB: the codes table is ~64× smaller
-    than the float corpus."""
+    than the float corpus.
+
+    Like ``_ann_scored``, the stream is a session-cached artifact
+    (narrow, one row per vector, fixed probe): ``pq_topk``,
+    ``ivf_pq_topk`` and ``pq_recall_audit`` each re-derived it per
+    execution — the LUT join + per-id sum ran three times per catalog
+    sweep for one table (guide §1.2)."""
+    return cached_index(
+        plan_key(
+            emb, "pq_adc_scores", query_id, id_col, vec_col, m, k, dim,
+            iters,
+        ),
+        lambda: _pq_adc_scores_build(
+            emb, query_id, id_col, vec_col, m, k, dim, iters
+        ),
+    )
+
+
+def _pq_adc_scores_build(
+    emb: DataFrame,
+    query_id: int,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+    dim: int,
+    iters: int,
+) -> DataFrame:
     base = _with_quantized(emb, vec_col)
     cb = pq_codebook(emb, id_col, vec_col, m, k, dim, iters)
     q_row = base.filter(F.col(id_col) == query_id)
@@ -2209,24 +2353,37 @@ def rp_topk(
     ones (the scan/compute cost falls by dim/m; recall is the audited JL
     distortion). Ties break on id; zero-norm projections yield NULL
     cosine and drop to the bottom, matching the exact path's convention.
+    The scored stream is the session-cached ``_rp_scored`` artifact
+    shared with ``rp_recall_audit``'s approx side.
     """
-    base = _with_projected(emb, vec_col, m)
-    qrow = base.filter(F.col(id_col) == query_vec_id).select(
-        F.col("__rp").alias("__qq"), F.col("__rpnorm").alias("__qnorm")
-    )
-    joined = base.filter(F.col(id_col) != query_vec_id).crossJoin(
-        F.broadcast(qrow)
-    )
-    dot = int_dot(F.col("__rp"), F.col("__qq"))
     return (
-        joined.select(
+        _rp_scored(emb, query_vec_id, m, id_col, vec_col)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _rp_scored(
+    emb: DataFrame, query_vec_id: int, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    def build() -> DataFrame:
+        base = _with_projected(emb, vec_col, m)
+        qrow = base.filter(F.col(id_col) == query_vec_id).select(
+            F.col("__rp").alias("__qq"), F.col("__rpnorm").alias("__qnorm")
+        )
+        joined = base.filter(F.col(id_col) != query_vec_id).crossJoin(
+            F.broadcast(qrow)
+        )
+        dot = int_dot(F.col("__rp"), F.col("__qq"))
+        return joined.select(
             F.col(id_col),
             cosine_from_quantized(
                 dot, F.col("__rpnorm"), F.col("__qnorm")
             ).alias("cosine"),
         )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
+
+    return cached_index(
+        plan_key(emb, "rp_scored", query_vec_id, m, id_col, vec_col), build
     )
 
 
@@ -2455,24 +2612,37 @@ def sq_topk(
     asymmetric-distance trade — query precision is free, corpus bytes are
     the cost). Same broadcast + TakeOrderedAndProject plan as ``ann_topk``;
     ties break on id; zero-norm reconstructions yield NULL cosine and
-    sink, matching the family convention."""
-    base = _with_sq(emb, id_col, vec_col)
-    qrow = base.filter(F.col(id_col) == query_vec_id).select(
-        F.col("__q").alias("__qq"), F.col("__norm").alias("__qnorm")
-    )
-    joined = base.filter(F.col(id_col) != query_vec_id).crossJoin(
-        F.broadcast(qrow)
-    )
-    dot = int_dot(F.col("__sr"), F.col("__qq"))
+    sink, matching the family convention. The scored stream is the
+    session-cached ``_sq_scored`` artifact shared with
+    ``sq_recall_audit``'s approx side (the ``_ann_scored`` pattern)."""
     return (
-        joined.select(
+        _sq_scored(emb, query_vec_id, id_col, vec_col)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _sq_scored(
+    emb: DataFrame, query_vec_id: int, id_col: str, vec_col: str
+) -> DataFrame:
+    def build() -> DataFrame:
+        base = _with_sq(emb, id_col, vec_col)
+        qrow = base.filter(F.col(id_col) == query_vec_id).select(
+            F.col("__q").alias("__qq"), F.col("__norm").alias("__qnorm")
+        )
+        joined = base.filter(F.col(id_col) != query_vec_id).crossJoin(
+            F.broadcast(qrow)
+        )
+        dot = int_dot(F.col("__sr"), F.col("__qq"))
+        return joined.select(
             F.col(id_col),
             cosine_from_quantized(
                 dot, F.col("__srnorm"), F.col("__qnorm")
             ).alias("cosine"),
         )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
+
+    return cached_index(
+        plan_key(emb, "sq_scored", query_vec_id, id_col, vec_col), build
     )
 
 

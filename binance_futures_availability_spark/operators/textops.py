@@ -1831,12 +1831,17 @@ def quality_dup_crosstab(
 
     Composition shape: the decile side serves from the session-cached
     quality rank (``quality_deciles``' cached index — no second corpus
-    sort), the duplicate flag is the same single content-hash aggregate
-    as ``dedup_rate_by_source`` (non-keeper member of a >1 group), and
-    the two meet in ONE id-keyed join of two narrow (id, int) streams
-    before an n_tiles-sized aggregate. ``dup_ppm`` is the exact integer
-    ×10⁶ floor division (BIGINT div on both engines).
+    sort), the duplicate flag left-joins the sparse session-cached
+    exact-dup group index shared with ``exact_duplicates`` /
+    ``dedup_rate_by_source`` (r13: the former corpus-sized all-groups
+    aggregate shipped every singleton hash through the join — the
+    sparse >1-member side broadcasts instead, guide §3.1), and the two
+    meet in ONE id-keyed join of two narrow (id, int) streams before an
+    n_tiles-sized aggregate. ``dup_ppm`` is the exact integer ×10⁶
+    floor division (BIGINT div on both engines).
     """
+    from .dedup import _dup_groups
+
     deciles = quality_deciles(docs, n_tiles, id_col, text_col).select(
         F.col(id_col), "decile"
     )
@@ -1844,13 +1849,15 @@ def quality_dup_crosstab(
         F.col(id_col),
         F.md5(normalized_text(F.col(text_col))).alias("__h"),
     )
-    groups = base.groupBy("__h").agg(
-        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__keeper")
+    groups = _dup_groups(docs, id_col, text_col).select(
+        F.col("content_md5").alias("__h"),
+        F.col("keeper_id").alias("__keeper"),
     )
-    flagged = base.join(groups, "__h").select(
+    flagged = base.join(groups, "__h", "left").select(
         F.col(id_col),
         (
-            (F.col("__n") > 1) & (F.col(id_col) != F.col("__keeper"))
+            F.col("__keeper").isNotNull()
+            & (F.col(id_col) != F.col("__keeper"))
         )
         .cast("int")
         .alias("__dup"),

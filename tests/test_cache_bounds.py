@@ -304,3 +304,285 @@ def test_lsh_candidate_artifact_shared_and_exact(spark, tmp_path):
     }
     assert cached == bypass and cached
     index_cache.clear_indexes()
+
+
+def test_cosine_pair_graph_shared_and_exact(spark, tmp_path):
+    """The exact blocked-GEMM cosine pair graph over a file-backed corpus
+    is ONE session-cached artifact shared by cosine_pairs and
+    lsh_recall_audit's n_exact side — and identical to the cache-bypassed
+    (explicit n_blocks) build."""
+    import random
+
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import similarity
+
+    random.seed(7)
+    rows = [
+        (i, [random.randint(-50, 50) for _ in range(64)]) for i in range(40)
+    ]
+    # two exact duplicates so the threshold filter keeps something
+    rows[1] = (1, rows[0][1])
+    rows[3] = (3, rows[2][1])
+    path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(rows, "vec_id long, embedding array<int>").write.parquet(
+        path
+    )
+    emb = spark.read.parquet(path)
+    index_cache.clear_indexes()
+
+    def graph_keys(tag):
+        return [
+            k
+            for k in index_cache._HANDLES
+            if isinstance(k, tuple) and tag in k
+        ]
+
+    cached = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.cosine_pairs(emb, 0.95).collect()
+    }
+    assert len(graph_keys("cosine_pair_graph")) == 1
+    audit = similarity.lsh_recall_audit(emb, 0.95).collect()[0]
+    assert len(graph_keys("cosine_pair_graph")) == 1  # audit reused it
+    assert len(graph_keys("lsh_cosine_pair_graph")) == 1
+    assert audit["n_exact"] == len(cached)
+    # explicit n_blocks bypasses the cache: same pair set
+    bypass = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.cosine_pairs_blocked(
+            emb, 0.95, n_blocks=3
+        ).collect()
+    }
+    assert cached == bypass and cached
+    index_cache.clear_indexes()
+
+
+def test_winnow_fingerprint_artifact_shared_and_exact(spark, tmp_path):
+    """The winnowing fingerprint sketch over a file-backed corpus is ONE
+    session-cached artifact shared by winnow_fingerprints and
+    winnow_overlap_pairs — and identical to the cache-bypassed
+    (in-memory source) build."""
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import dedup
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = [
+        (0, " ".join(words * 3)),
+        (1, " ".join(words * 3) + " tail drift marker"),
+        (2, " ".join(reversed(words * 2))),
+    ]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    docs = spark.read.parquet(path)
+    index_cache.clear_indexes()
+
+    def fp_keys():
+        return [
+            k
+            for k in index_cache._HANDLES
+            if isinstance(k, tuple) and "winnow_fps" in k
+        ]
+
+    cached = {
+        (r["doc_id"], r["pos"], r["fingerprint"])
+        for r in dedup.winnow_fingerprints(docs).collect()
+    }
+    assert len(fp_keys()) == 1
+    overlap_cached = {
+        tuple(r) for r in dedup.winnow_overlap_pairs(docs).collect()
+    }
+    assert len(fp_keys()) == 1  # overlap reused the sketch
+    mem = spark.createDataFrame(rows, "doc_id long, text string")
+    bypass = {
+        (r["doc_id"], r["pos"], r["fingerprint"])
+        for r in dedup.winnow_fingerprints(mem).collect()
+    }
+    overlap_bypass = {
+        tuple(r) for r in dedup.winnow_overlap_pairs(mem).collect()
+    }
+    assert cached == bypass and cached
+    assert overlap_cached == overlap_bypass and overlap_cached
+    index_cache.clear_indexes()
+
+
+def test_dup_groups_artifact_shared_and_exact(spark, tmp_path):
+    """The sparse exact-dup group index over a file-backed corpus is ONE
+    session-cached artifact shared by exact_duplicates,
+    dedup_rate_by_source and quality_dup_crosstab — and each consumer's
+    output is identical to the cache-bypassed (in-memory source) build."""
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import dedup, textops
+
+    rows = [
+        (0, "the quick brown fox", "web"),
+        (1, " the quick  brown fox ", "web"),
+        (2, "the quick brown fox", "books"),
+        (3, "completely different text", "books"),
+        (4, "another unique document body", "web"),
+    ]
+    schema = "doc_id long, text string, source string"
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+    docs = spark.read.parquet(path)
+    index_cache.clear_indexes()
+
+    def dg_keys():
+        return [
+            k
+            for k in index_cache._HANDLES
+            if isinstance(k, tuple) and "dup_groups" in k
+        ]
+
+    groups = {tuple(r) for r in dedup.exact_duplicates(docs).collect()}
+    assert len(dg_keys()) == 1
+    rate = {tuple(r) for r in dedup.dedup_rate_by_source(docs).collect()}
+    crosstab = {
+        tuple(r) for r in textops.quality_dup_crosstab(docs).collect()
+    }
+    assert len(dg_keys()) == 1  # both consumers reused the index
+    mem = spark.createDataFrame(rows, schema)
+    assert groups == {
+        tuple(r) for r in dedup.exact_duplicates(mem).collect()
+    }
+    assert rate == {
+        tuple(r) for r in dedup.dedup_rate_by_source(mem).collect()
+    }
+    assert crosstab == {
+        tuple(r) for r in textops.quality_dup_crosstab(mem).collect()
+    }
+    assert groups and rate and crosstab
+    index_cache.clear_indexes()
+
+
+def test_label_centroid_model_shared_and_exact(spark, tmp_path):
+    """The collected per-label centroid model over a file-backed corpus
+    is computed once and shared by label_centroids / centroid_confusion /
+    centroid_outliers — outputs identical to the cache-bypassed
+    (in-memory source) builds."""
+    import random
+
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import similarity
+
+    random.seed(11)
+    rows = [
+        (i, [random.randint(-40, 40) for _ in range(64)], f"l{i % 3}")
+        for i in range(30)
+    ]
+    schema = "vec_id long, embedding array<int>, label string"
+    path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+    emb = spark.read.parquet(path)
+    index_cache.clear_indexes()
+    similarity._LABEL_SUM_CACHE.clear()
+
+    cents = {tuple(r) for r in similarity.label_centroids(emb).collect()}
+    assert len(similarity._LABEL_SUM_CACHE) == 1
+    conf = {tuple(r) for r in similarity.centroid_confusion(emb).collect()}
+    outl = [tuple(r) for r in similarity.centroid_outliers(emb, 5).collect()]
+    assert len(similarity._LABEL_SUM_CACHE) == 1  # shared, not re-keyed
+    mem = spark.createDataFrame(rows, schema)
+    assert cents == {
+        tuple(r) for r in similarity.label_centroids(mem).collect()
+    }
+    assert conf == {
+        tuple(r) for r in similarity.centroid_confusion(mem).collect()
+    }
+    assert outl == [
+        tuple(r) for r in similarity.centroid_outliers(mem, 5).collect()
+    ]
+    assert cents and conf and outl
+    similarity._LABEL_SUM_CACHE.clear()
+    index_cache.clear_indexes()
+
+
+def test_prefix_pair_artifact_shared_and_exact(spark, tmp_path):
+    """ngram_jaccard_pairs and containment_pairs at the same threshold
+    share ONE session-cached verified candidate table (containment-bound
+    pruning, the strictly looser superset at equal t) — and both outputs
+    are identical to the cache-bypassed (in-memory source, per-metric
+    pruning) builds."""
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import dedup
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = [
+        (0, " ".join(words)),
+        (1, " ".join(words[:-1] + ["lambda"])),
+        (2, " ".join(words[:4])),  # contained excerpt of doc 0
+        (3, "totally different content about engines and pipelines"),
+        (4, " ".join(words)),
+    ]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    docs = spark.read.parquet(path)
+    index_cache.clear_indexes()
+
+    def pp_keys():
+        return [
+            k
+            for k in index_cache._HANDLES
+            if isinstance(k, tuple) and k and k[0] == "prefix_pairs"
+        ]
+
+    jac = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert len(pp_keys()) == 1
+    cont = {tuple(r) for r in dedup.containment_pairs(docs, 0.5).collect()}
+    assert len(pp_keys()) == 1  # containment reused the artifact
+    mem = spark.createDataFrame(rows, "doc_id long, text string")
+    assert jac == {
+        tuple(r) for r in dedup.ngram_jaccard_pairs(mem, 0.5).collect()
+    }
+    assert cont == {
+        tuple(r) for r in dedup.containment_pairs(mem, 0.5).collect()
+    }
+    assert jac and cont
+    index_cache.clear_indexes()
+def test_single_probe_scored_streams_shared_and_exact(spark, tmp_path):
+    """The single-probe scored streams (exact ann, PQ ADC, SQ8, RP) over
+    a file-backed corpus are each ONE session-cached artifact shared by
+    their top-k gate and the matching recall audit — and identical to
+    the cache-bypassed (in-memory corpus) build."""
+    import random
+
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import similarity
+
+    random.seed(11)
+    rows = [
+        (i, [random.randint(-50, 50) for _ in range(64)]) for i in range(30)
+    ]
+    path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<int>"
+    ).write.parquet(path)
+    emb = spark.read.parquet(path)
+    mem = spark.createDataFrame(rows, "vec_id long, embedding array<int>")
+    index_cache.clear_indexes()
+
+    def n_keys(tag):
+        return len(
+            [
+                k
+                for k in index_cache._HANDLES
+                if isinstance(k, tuple) and tag in k
+            ]
+        )
+
+    probe, k = 1, 5
+    for tag, topk_fn, audit_fn in [
+        ("ann_scored", similarity.ann_topk, None),
+        ("pq_adc_scores", similarity.pq_topk, similarity.pq_recall_audit),
+        ("sq_scored", similarity.sq_topk, similarity.sq_recall_audit),
+        ("rp_scored", similarity.rp_topk, similarity.rp_recall_audit),
+    ]:
+        got = [tuple(r) for r in topk_fn(emb, probe, k).collect()]
+        assert n_keys(tag) == 1, tag
+        if audit_fn is not None:
+            audit_fn(emb, probe, k).collect()
+            # the audit reused the stream (and ann's exact baseline)
+            assert n_keys(tag) == 1, tag
+            assert n_keys("ann_scored") == 1
+        bypass = [tuple(r) for r in topk_fn(mem, probe, k).collect()]
+        assert got == bypass and len(got) == k, tag
+    index_cache.clear_indexes()
