@@ -2703,7 +2703,38 @@ def knn_label_propagation(
     and the winner window are per-query bounded (≤ k rows each), keyed
     and distributed by query_id. Deterministic winner: (votes DESC,
     label ASC) — engine-neutral, no RNG.
+
+    The propagated-label table itself — one narrow row per query, the
+    label-transfer output a curation pipeline materializes once and then
+    filters/audits — is session-cached (index_cache discipline): the
+    ``knn_label_propagation`` gate and ``knn_label_accuracy`` each
+    re-ran the vote aggregate + winner window + truth join per
+    execution over the same cached kNN graph (guide §1.2).
     """
+    from ..index_cache import cached_index, multi_plan_key
+
+    return cached_index(
+        multi_plan_key(
+            (queries, corpus),
+            "knn_propagated",
+            k, n_cells, nprobe, id_col, vec_col, label_col,
+        ),
+        lambda: _knn_label_propagation_build(
+            queries, corpus, k, n_cells, nprobe, id_col, vec_col, label_col
+        ),
+    )
+
+
+def _knn_label_propagation_build(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
     from pyspark.sql import Window
 
     nn = knn_join(queries, corpus, k, n_cells, nprobe, id_col, vec_col)

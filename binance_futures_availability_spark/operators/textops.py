@@ -1710,7 +1710,34 @@ def classifier_scores(
     ``broadcast_weights`` (default True) fits natural-language
     vocabularies; pass False for open vocabularies (URLs/code tokens) —
     the join then reuses the posting table's hash partitioning on term,
-    the same knob rationale as ``term_frequencies.broadcast_df``."""
+    the same knob rationale as ``term_frequencies.broadcast_df``.
+
+    The scored eval table — one narrow row per eval-split document, the
+    held-out score table a training pipeline materializes once per
+    trained model — is session-cached (index_cache discipline): the
+    ``classifier_scores`` gate and ``classifier_eval``'s confusion
+    aggregate each re-ran the weighted-term scoring join per execution
+    over the same cached weights and postings (guide §1.2)."""
+    from ..index_cache import cached_index, plan_key
+
+    return cached_index(
+        plan_key(
+            docs, "classifier_eval_scores", min_df, id_col, text_col,
+            bool(broadcast_weights),
+        ),
+        lambda: _classifier_scores_build(
+            docs, min_df, id_col, text_col, broadcast_weights
+        ),
+    )
+
+
+def _classifier_scores_build(
+    docs: DataFrame,
+    min_df: int,
+    id_col: str,
+    text_col: str,
+    broadcast_weights: bool,
+) -> DataFrame:
     meta = classifier_doc_meta(docs, id_col, text_col)
     eval_meta = meta.filter(F.col("split") == "eval").drop("split")
     w = classifier_weights(docs, min_df, id_col, text_col)

@@ -586,3 +586,99 @@ def test_single_probe_scored_streams_shared_and_exact(spark, tmp_path):
         bypass = [tuple(r) for r in topk_fn(mem, probe, k).collect()]
         assert got == bypass and len(got) == k, tag
     index_cache.clear_indexes()
+
+
+def test_classifier_scores_artifact_shared_and_exact(spark, tmp_path):
+    """The scored eval table over a file-backed corpus is ONE
+    session-cached artifact shared by classifier_scores and
+    classifier_eval — and identical to the cache-bypassed (in-memory
+    corpus) build."""
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import textops
+
+    rows = [
+        (i, ("good clean prose text here " * 4) if i % 3 else "x@ ! spam")
+        for i in range(60)
+    ]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        path
+    )
+    docs = spark.read.parquet(path)
+    mem = spark.createDataFrame(rows, "doc_id long, text string")
+    index_cache.clear_indexes()
+
+    def n_keys():
+        return len(
+            [
+                k
+                for k in index_cache._HANDLES
+                if isinstance(k, tuple) and "classifier_eval_scores" in k
+            ]
+        )
+
+    got = sorted(
+        tuple(r) for r in textops.classifier_scores(docs, 2).collect()
+    )
+    assert n_keys() == 1
+    ev = sorted(
+        tuple(r) for r in textops.classifier_eval(docs, 2).collect()
+    )
+    assert n_keys() == 1  # eval reused the scored table
+    assert got == sorted(
+        tuple(r) for r in textops.classifier_scores(mem, 2).collect()
+    )
+    assert ev == sorted(
+        tuple(r) for r in textops.classifier_eval(mem, 2).collect()
+    )
+    index_cache.clear_indexes()
+
+
+def test_knn_propagated_artifact_shared_and_exact(spark, tmp_path):
+    """The propagated-label table over a file-backed corpus is ONE
+    session-cached artifact shared by knn_label_propagation and
+    knn_label_accuracy — and identical to the cache-bypassed (in-memory
+    corpus) build."""
+    import random
+
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import similarity
+
+    random.seed(13)
+    rows = [
+        (
+            i,
+            [random.randint(-50, 50) for _ in range(64)],
+            i % 3,
+        )
+        for i in range(40)
+    ]
+    schema = "vec_id long, embedding array<int>, label int"
+    path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+    emb = spark.read.parquet(path)
+    mem = spark.createDataFrame(rows, schema)
+    index_cache.clear_indexes()
+
+    def n_keys():
+        return len(
+            [
+                k
+                for k in index_cache._HANDLES
+                if isinstance(k, tuple) and "knn_propagated" in k
+            ]
+        )
+
+    got = sorted(
+        tuple(r)
+        for r in similarity.knn_label_propagation(emb, emb, 3).collect()
+    )
+    assert n_keys() == 1
+    acc = similarity.knn_label_accuracy(emb, emb, 3).collect()[0]
+    assert n_keys() == 1  # accuracy reused the propagated table
+    assert acc["n_queries"] == len(got)
+    assert got == sorted(
+        tuple(r)
+        for r in similarity.knn_label_propagation(mem, mem, 3).collect()
+    )
+    index_cache.clear_indexes()
