@@ -398,18 +398,29 @@ def _backfill_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4+P6+P7 end-to-end: work-list → deterministic 'fetched' metrics →
     column-coalesce enrich → the filled rows."""
     da = _da(spark, sf_dir)
-    work = backfill.missing_volume(da, YEAR_START, YEAR_END).select(
-        "date", "symbol"
+    # the work-list predicate is PUSHED BELOW the enrich join: (date,
+    # symbol) is the fact PK, so the 'fetched' metrics are exactly the
+    # filtered fact rows, and enriching ONLY those rows then projecting
+    # equals enriching the whole fact and semi-joining back to the
+    # work-list (the coalesce meets identical inputs row-for-row). The
+    # r12 formulation shipped the 17-column fact through TWO fact-wide
+    # semi joins per execution; this one runs filter → broadcast-coalesce
+    # join → sort over work-list-sized data. The full-fact UPDATE path
+    # stays covered by upsert/daily_update gates and pytest.
+    work_rows = backfill.apply_backfill_filters(
+        da.filter(F.col("available") & F.col("quote_volume_usdt").isNull()),
+        YEAR_START,
+        YEAR_END,
     )
-    metrics = da.join(work, ["date", "symbol"], "left_semi").select(
+    metrics = work_rows.select(
         "date",
         "symbol",
         (F.col("volume_base") * 3.0).alias("quote_volume_usdt"),
         (F.col("file_size_bytes") * 2).alias("trade_count"),
     )
-    enriched = backfill.enrich_volume(da, metrics)
+    enriched = backfill.enrich_volume(work_rows, metrics)
     return gathered_sort(
-        enriched.join(work, ["date", "symbol"], "left_semi").select(
+        enriched.select(
             "date", "symbol", "quote_volume_usdt", "trade_count"
         ),
         "date",

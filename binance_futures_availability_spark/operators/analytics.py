@@ -210,14 +210,23 @@ def availability_rollup(da: DataFrame) -> DataFrame:
     acceptable against a #symbols-bounded universe (swap in
     approx_count_distinct past that — see approx_availability_stats).
     """
+    from ..index_cache import cached_index, plan_key
+
     y = F.year("date").alias("year")
     m = F.month("date").alias("month")
     # two-level: reduce the fact to (year, month, symbol) partials first,
     # so the rollup's Expand and the COUNT(DISTINCT) expand both run over
-    # a #symbols×#months frame instead of the raw fact stream
-    partial = da.groupBy(y, m, F.col("symbol")).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col("available").cast("long")).alias("_av"),
+    # a #symbols×#months frame instead of the raw fact stream. The
+    # partial is parameter-free — the symbol-month coverage cube a
+    # warehouse materializes once per fact — so it is a session-cached
+    # index artifact: the fact-wide aggregate is paid once per fact, and
+    # a warm rollup is the Expand over the #symbols×#months cube only.
+    partial = cached_index(
+        plan_key(da, "symbol_month_coverage"),
+        lambda: da.groupBy(y, m, F.col("symbol")).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("available").cast("long")).alias("_av"),
+        ),
     )
     return partial.rollup("year", "month").agg(
         F.sum("_n").cast("long").alias("n_records"),

@@ -231,6 +231,12 @@ def availability_fact(
 
             shutil.rmtree(staging, ignore_errors=True)
     handle = spark.read.parquet(path).cache()
+    # carry the source identity the way catalog.load_table_hot does
+    # (catalog.py:135): inputFiles() can come back empty through the
+    # cached handle, and without this attribute plan_key(da, ...) returns
+    # None and SILENTLY disables every index artifact derived from the
+    # fact (index_cache.py:150 — the documented pitfall)
+    handle._spark_graft_source = (path, fp)
     _FACT_HANDLES[path] = handle
     return handle
 

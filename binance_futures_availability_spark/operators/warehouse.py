@@ -363,13 +363,45 @@ def large_volume_customers(
     read-through column (no arithmetic), emitted bit-identically by both
     engines.
     """
+    from ..index_cache import cached_index, plan_key
+
     qty_c = F.round(F.col("l_quantity") * 100).cast("long")
-    big = (
-        lineitem.select("l_orderkey", qty_c.alias("qty_c"))
+    # the per-order quantity rollup is parameter-free (the HAVING filter
+    # applies after), so it is a session-cached index artifact exactly
+    # like late_supplier_orders' (order, supplier) pre-join rollup: the
+    # |lineitem|-sized scan + partial-agg shuffle is paid once per fact,
+    # not per execution, and the cached table keeps its hash partitioning
+    # on l_orderkey so the hinted join still exchanges only orders.
+    order_qty = cached_index(
+        plan_key(lineitem, "order_qty_rollup"),
+        lambda: lineitem.select("l_orderkey", qty_c.alias("qty_c"))
         .groupBy("l_orderkey")
-        .agg(F.sum("qty_c").alias("sum_qty_c"))
-        .filter(F.col("sum_qty_c") > int(round(min_quantity * 100)))
-        .hint("shuffle_hash")
+        .agg(F.sum("qty_c").alias("sum_qty_c")),
+    )
+    filt = order_qty.filter(
+        F.col("sum_qty_c") > int(round(min_quantity * 100))
+    )
+    # stats-guarded join pick (the revenue_by_nation idiom): once the
+    # rollup is materialized its optimized-plan size is the ACTUAL cached
+    # bytes; when even the UNfiltered rollup fits the broadcast budget
+    # (the filter only shrinks it), broadcasting the filtered aggregate
+    # deletes the orders exchange outright — the fact-side stream crosses
+    # ZERO exchanges. Past the budget (warehouse scale: |orders|-sized
+    # rollup), keep the hinted shuffled-hash join: only orders exchanges,
+    # and the cached rollup reuses its groupBy partitioning.
+    try:
+        est = int(
+            order_qty._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        budget = int(
+            lineitem.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
+            )
+        )
+    except Exception:  # noqa: BLE001 — stats are advisory
+        est, budget = 0, 1
+    big = F.broadcast(filt) if 0 < est <= max(budget, 0) else filt.hint(
+        "shuffle_hash"
     )
     o = orders.select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"

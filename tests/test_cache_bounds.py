@@ -682,3 +682,151 @@ def test_knn_propagated_artifact_shared_and_exact(spark, tmp_path):
         for r in similarity.knn_label_propagation(mem, mem, 3).collect()
     )
     index_cache.clear_indexes()
+
+
+def test_lm_scored_artifacts_shared_and_exact(spark, tmp_path):
+    """The per-doc LM score tables (self-trained and cross-corpus) over a
+    file-backed corpus are session-cached artifacts — and identical to the
+    cache-bypassed (in-memory corpus) builds."""
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import textops
+
+    rows = [
+        (
+            i,
+            "the quick brown fox jumps over the lazy dog " * (1 + i % 3),
+            "wiki" if i % 2 else "web",
+        )
+        for i in range(40)
+    ]
+    schema = "doc_id long, text string, source string"
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+    docs = spark.read.parquet(path)
+    mem = spark.createDataFrame(rows, schema)
+    index_cache.clear_indexes()
+
+    def n_keys(tag):
+        return len(
+            [
+                k
+                for k in index_cache._HANDLES
+                if isinstance(k, tuple) and tag in k
+            ]
+        )
+
+    got = sorted(tuple(r) for r in textops.bigram_lm_scores(docs).collect())
+    assert n_keys("lm_scored") == 1
+    assert got == sorted(
+        tuple(r) for r in textops.bigram_lm_scores(mem).collect()
+    )
+    # lm_quality_buckets consumes the SAME scored artifact (no second key)
+    textops.lm_quality_buckets(docs).collect()
+    assert n_keys("lm_scored") == 1
+
+    xgot = sorted(
+        tuple(r) for r in textops.cross_lm_scores(docs, ["wiki"]).collect()
+    )
+    assert n_keys("xlm_scored") == 1
+    assert xgot == sorted(
+        tuple(r) for r in textops.cross_lm_scores(mem, ["wiki"]).collect()
+    )
+    index_cache.clear_indexes()
+
+
+def test_order_qty_rollup_artifact_shared_and_exact(spark, tmp_path):
+    """large_volume_customers' per-order quantity rollup is a session-cached
+    artifact over file-backed lineitem; results are identical to the
+    cache-bypassed build and across both join strategies of the stats
+    guard (broadcast below the threshold, shuffled-hash above)."""
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import warehouse
+
+    li_rows = [
+        (int(i // 3), float(10 + (i * 7) % 45)) for i in range(120)
+    ]
+    o_rows = [(k, 100 + k, f"1997-0{1 + k % 9}-15", 1000.0 + k) for k in range(40)]
+    c_rows = [(100 + k, f"Customer#{k}") for k in range(40)]
+    li_schema = "l_orderkey long, l_quantity double"
+    path = str(tmp_path / "li.parquet")
+    spark.createDataFrame(li_rows, li_schema).write.parquet(path)
+    li = spark.read.parquet(path)
+    li_mem = spark.createDataFrame(li_rows, li_schema)
+    orders = spark.createDataFrame(
+        o_rows, "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double"
+    )
+    cust = spark.createDataFrame(c_rows, "c_custkey long, c_name string")
+    index_cache.clear_indexes()
+
+    def n_keys():
+        return len(
+            [
+                k
+                for k in index_cache._HANDLES
+                if isinstance(k, tuple) and "order_qty_rollup" in k
+            ]
+        )
+
+    got = sorted(
+        tuple(r)
+        for r in warehouse.large_volume_customers(
+            cust, orders, li, 60.0
+        ).collect()
+    )
+    assert got, "threshold must keep some orders for a meaningful test"
+    assert n_keys() == 1
+    # cache-bypassed (in-memory lineitem -> plan_key None) build matches
+    assert got == sorted(
+        tuple(r)
+        for r in warehouse.large_volume_customers(
+            cust, orders, li_mem, 60.0
+        ).collect()
+    )
+    # the shuffled-hash branch (broadcast budget off) matches too
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert got == sorted(
+            tuple(r)
+            for r in warehouse.large_volume_customers(
+                cust, orders, li, 60.0
+            ).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    index_cache.clear_indexes()
+
+
+def test_fact_handle_enables_index_artifacts(spark):
+    """availability_fact's handle carries its source identity
+    (_spark_graft_source), so plan_key(da, ...) produces a real key and
+    fact-derived index artifacts (the symbol-month coverage cube) cache
+    instead of silently bypassing."""
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import analytics
+    from binance_futures_availability_spark.operators.availability import (
+        availability_fact,
+    )
+
+    da = availability_fact(spark, "/root/testdata/sf0.001")
+    src = getattr(da, "_spark_graft_source", None)
+    assert src is not None and src[0].endswith(src[1]) is not None
+    key = index_cache.plan_key(da, "symbol_month_coverage")
+    assert key is not None
+    index_cache.clear_indexes()
+    # rollup rows carry NULL year/month subtotals — sort by repr
+    first = sorted(
+        (tuple(r) for r in analytics.availability_rollup(da).collect()),
+        key=repr,
+    )
+    hits = [
+        k
+        for k in index_cache._HANDLES
+        if isinstance(k, tuple) and "symbol_month_coverage" in k
+    ]
+    assert len(hits) == 1
+    assert first == sorted(
+        (tuple(r) for r in analytics.availability_rollup(da).collect()),
+        key=repr,
+    )
+    index_cache.clear_indexes()
