@@ -792,6 +792,92 @@ def minhash_signatures(
     )
 
 
+def _candidate_pair_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_perm: int,
+    n_bands: int,
+    max_bucket_pop: int | None,
+) -> DataFrame | None:
+    """The MinHash family's shared VERIFIED-candidate table — one row per
+    banded LSH candidate pair carrying every exact statistic any consumer
+    derives a metric from: (id_a, id_b, __m signature-component matches,
+    __inter exact shingle intersection, __za, __zb set sizes). Returns
+    None for non-file-backed corpora (plan_key None — the ``postings_key``
+    pitfall), where callers keep their uncached inline pipelines.
+
+    r13: ``minhash_lsh_pairs`` and ``minhash_estimate_audit`` shared the
+    banded CANDIDATE list but each re-ran verification per execution —
+    two shingle-array joins + an array_intersect per candidate for the
+    pairs query (inherited by its four downstream consumers: clusters ×2,
+    survivors, the rate dashboard), plus two signature joins for the
+    audit. The verified stats table is sparse (bounded by the banding cap:
+    ≤ n·cap/2 rows, each 6 ints), is exactly the pair-audit table a dedup
+    deployment materializes once per corpus, and every consumer metric is
+    a projection of it: jaccard = inter/(za+zb−inter), the Broder
+    estimate = m/num_perm. Verification work is paid once per (corpus,
+    params); warm consumers filter an InMemoryTableScan.
+    """
+    key = plan_key(
+        docs, "lsh_verified_stats", id_col, text_col, n, num_perm,
+        n_bands, max_bucket_pop,
+    )
+    if key is None:
+        return None
+
+    def _build() -> DataFrame:
+        sigs = minhash_signatures(docs, id_col, text_col, n, num_perm)
+        cand = _lsh_band_candidates(
+            sigs, id_col, num_perm, n_bands, max_bucket_pop,
+            cand_key=plan_key(
+                docs, "lsh_candidates", id_col, text_col, n, num_perm,
+                n_bands, max_bucket_pop,
+            ),
+        )
+        sa = sigs.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"h{i}").alias(f"__a{i}") for i in range(num_perm)],
+        )
+        sb = sigs.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"h{i}").alias(f"__b{i}") for i in range(num_perm)],
+        )
+        matches = sum(
+            (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("long")
+            for i in range(num_perm)
+        )
+        arrs = shingle_arrays(docs, id_col, text_col, n)
+        return (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select("id_a", "id_b", matches.alias("__m"))
+            .join(
+                arrs.select(
+                    F.col(id_col).alias("id_a"), F.col("__sa").alias("__sa_a")
+                ),
+                "id_a",
+            )
+            .join(
+                arrs.select(
+                    F.col(id_col).alias("id_b"), F.col("__sa").alias("__sa_b")
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                "__m",
+                F.size(F.array_intersect("__sa_a", "__sa_b")).alias("__inter"),
+                F.size("__sa_a").alias("__za"),
+                F.size("__sa_b").alias("__zb"),
+            )
+        )
+
+    return cached_index(key, _build)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -832,53 +918,53 @@ def minhash_lsh_pairs(
     to restore unbounded banding; the oracle implements the identical
     cap so exact parity holds at any setting.
     """
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_perm)
-    candidates = _lsh_band_candidates(
-        sigs, id_col, num_perm, n_bands, max_bucket_pop,
-        cand_key=plan_key(
-            docs, "lsh_candidates", id_col, text_col, n, num_perm,
-            n_bands, max_bucket_pop,
-        ),
+    stats = _candidate_pair_stats(
+        docs, id_col, text_col, n, num_perm, n_bands, max_bucket_pop
     )
-    # Verification must only pay for LSH survivors. Each side of a candidate
-    # pair brings its per-doc shingle SET along as an array column (the same
-    # narrow shingle_array projection the signatures consumed — no posting
-    # explode, no pair aggregation), and the exact Jaccard is a per-row
-    # array_intersect. The inner join against the candidate pairs IS the
-    # restriction: only candidate docs' arrays survive, and with the
-    # candidate side small (near-dups are a sliver of any real corpus) the
-    # optimizer broadcasts it, leaving the corpus scan shuffle-free. When
-    # candidates outgrow broadcast, this degrades to one corpus shuffle by
-    # id — exactly what the previous postings semi-join paid, minus its
-    # pair-aggregation and size-join shuffles (measured 1.6 → 0.9 s warm
-    # at sf0.1).
-    arrs = shingle_arrays(docs, id_col, text_col, n)
-    verified = (
-        candidates.join(
-            arrs.select(F.col(id_col).alias("id_a"), F.col("__sa").alias("__sa_a")),
-            "id_a",
+    if stats is None:
+        # non-file-backed corpus: inline verification, uncached.
+        # Each side of a candidate pair brings its per-doc shingle SET
+        # along as an array column (the same narrow shingle_array
+        # projection the signatures consumed — no posting explode, no
+        # pair aggregation), and the exact Jaccard is a per-row
+        # array_intersect. The inner join against the candidate pairs IS
+        # the restriction: only candidate docs' arrays survive, and with
+        # the candidate side small (near-dups are a sliver of any real
+        # corpus) the optimizer broadcasts it, leaving the corpus scan
+        # shuffle-free. When candidates outgrow broadcast, this degrades
+        # to one corpus shuffle by id — exactly what the previous
+        # postings semi-join paid, minus its pair-aggregation and
+        # size-join shuffles (measured 1.6 → 0.9 s warm at sf0.1).
+        sigs = minhash_signatures(docs, id_col, text_col, n, num_perm)
+        candidates = _lsh_band_candidates(
+            sigs, id_col, num_perm, n_bands, max_bucket_pop
         )
-        .join(
-            arrs.select(F.col(id_col).alias("id_b"), F.col("__sa").alias("__sa_b")),
-            "id_b",
+        arrs = shingle_arrays(docs, id_col, text_col, n)
+        stats = (
+            candidates.join(
+                arrs.select(F.col(id_col).alias("id_a"), F.col("__sa").alias("__sa_a")),
+                "id_a",
+            )
+            .join(
+                arrs.select(F.col(id_col).alias("id_b"), F.col("__sa").alias("__sa_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__sa_a", "__sa_b")).alias("__inter"),
+                F.size("__sa_a").alias("__za"),
+                F.size("__sa_b").alias("__zb"),
+            )
         )
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("__sa_a", "__sa_b")).alias("__inter"),
-            F.size("__sa_a").alias("__za"),
-            F.size("__sa_b").alias("__zb"),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("__inter").cast("double")
-                / (F.col("__za") + F.col("__zb") - F.col("__inter"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    verified = stats.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("__inter").cast("double")
+            / (F.col("__za") + F.col("__zb") - F.col("__inter"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
     return gathered_sort(verified, "id_a", "id_b")
 
 
@@ -971,47 +1057,55 @@ def minhash_estimate_audit(
     cached signature table, truth reuses the cached shingle arrays, and
     the output is a single aggregate row.
     """
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_perm)
-    cand = _lsh_band_candidates(
-        sigs, id_col, num_perm, n_bands, max_bucket_pop,
-        cand_key=plan_key(
-            docs, "lsh_candidates", id_col, text_col, n, num_perm,
-            n_bands, max_bucket_pop,
-        ),
+    stats = _candidate_pair_stats(
+        docs, id_col, text_col, n, num_perm, n_bands, max_bucket_pop
     )
-    ha = [F.col(f"__a{i}") for i in range(num_perm)]
-    hb = [F.col(f"__b{i}") for i in range(num_perm)]
-    sa = sigs.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"h{i}").alias(f"__a{i}") for i in range(num_perm)],
-    )
-    sb = sigs.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"h{i}").alias(f"__b{i}") for i in range(num_perm)],
-    )
-    matches = sum(
-        (a == b).cast("long") for a, b in zip(ha, hb)
-    )
-    arrs = shingle_arrays(docs, id_col, text_col, n)
-    paired = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", matches.alias("__m"))
-        .join(
-            arrs.select(F.col(id_col).alias("id_a"), F.col("__sa").alias("__la")),
-            "id_a",
+    if stats is None:
+        # non-file-backed corpus: inline (signatures + shingle arrays
+        # joined onto the candidate list per execution), uncached.
+        sigs = minhash_signatures(docs, id_col, text_col, n, num_perm)
+        cand = _lsh_band_candidates(
+            sigs, id_col, num_perm, n_bands, max_bucket_pop
         )
-        .join(
-            arrs.select(F.col(id_col).alias("id_b"), F.col("__sa").alias("__lb")),
-            "id_b",
+        sa = sigs.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"h{i}").alias(f"__a{i}") for i in range(num_perm)],
         )
-        .select(
-            F.expr(f"__m * 1000000 div {num_perm}").alias("__est_ppm"),
-            F.expr(
-                "size(array_intersect(__la, __lb)) * 1000000 div "
-                "(size(__la) + size(__lb) - size(array_intersect(__la, __lb)))"
-            ).alias("__true_ppm"),
+        sb = sigs.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"h{i}").alias(f"__b{i}") for i in range(num_perm)],
         )
+        matches = sum(
+            (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("long")
+            for i in range(num_perm)
+        )
+        arrs = shingle_arrays(docs, id_col, text_col, n)
+        stats = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select("id_a", "id_b", matches.alias("__m"))
+            .join(
+                arrs.select(F.col(id_col).alias("id_a"), F.col("__sa").alias("__la")),
+                "id_a",
+            )
+            .join(
+                arrs.select(F.col(id_col).alias("id_b"), F.col("__sa").alias("__lb")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                "__m",
+                F.size(F.array_intersect("__la", "__lb")).alias("__inter"),
+                F.size("__la").alias("__za"),
+                F.size("__lb").alias("__zb"),
+            )
+        )
+    paired = stats.select(
+        F.expr(f"__m * 1000000 div {num_perm}").alias("__est_ppm"),
+        F.expr(
+            "__inter * 1000000 div (__za + __zb - __inter)"
+        ).alias("__true_ppm"),
     )
     err = F.abs(F.col("__est_ppm") - F.col("__true_ppm"))
     return paired.agg(
@@ -1335,7 +1429,11 @@ def _star_contraction(pairs: DataFrame, max_iter: int):
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy checkpoint: the count() below materializes the checkpoint
+        # and measures it in ONE job (eager=True spent a separate job per
+        # checkpoint — 2 jobs per round on a loop whose sf0.1 cost is
+        # almost entirely the per-job scheduling floor)
+        .localCheckpoint(eager=False)
     )
     e_count = E.count()
     # Size the iteration's shuffles to the MEASURED edge sliver (guide
@@ -1401,11 +1499,12 @@ def _star_rounds(E: DataFrame, e_count: int, max_iter: int):
             )
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # set equality on DISTINCT sets: equal counts gate the exceptAll
         # probe, so shrinking rounds pay one tiny count job and nothing
-        # else (`and` short-circuits)
+        # else (`and` short-circuits). The count doubles as the lazy
+        # checkpoint's materializing action — one job per round, not two.
         small_count = small.count()
         stable = small_count == e_count and small.exceptAll(E).isEmpty()
         E, e_count = small, small_count

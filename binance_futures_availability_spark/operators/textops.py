@@ -460,7 +460,13 @@ def repetition_scores(
     - top term count: ``MAX(tf)`` over the session-cached inverted index
       (``term_frequencies``' (doc, term, tf) artifact) — reuses the index
       build instead of an O(tokens²) per-row mode computation; per-doc
-      partial agg, broadcast-able join side.
+      partial agg, broadcast-able join side. (r13: a join-free variant —
+      longest equal-run fold over the sorted token array in the same
+      scan — was built and MEASURED SLOWER, 0.96 vs 0.69 s warm at
+      sf0.1: ``aggregate``/HOF lambdas are interpreted per element, and
+      that CPU tax exceeds the narrow per-doc join it removed. Rejected;
+      the join's both sides are per-doc-grain int rows, not corpus
+      payloads.)
     - 2-gram duplication: the same ``zip_with`` self-shift trick as
       ``shingle_array`` but WITHOUT the distinct, so duplicates are
       countable — a narrow per-row projection, zero shuffles.
@@ -879,24 +885,53 @@ def curate_corpus(
     expression its standalone operator uses (quality_score_expr,
     normalized-text md5, the salted per-mille split), so Catalyst fuses
     the whole pipeline into ONE narrow scan + ONE shuffle (the dedup
-    window's content-hash partitioning) — no intermediate
+    aggregate's content-hash partitioning) — no intermediate
     materialization, no second pass over the corpus. Filter order
     matters at scale: the quality gate runs BEFORE the dedup shuffle,
     so rejected docs never enter the exchange.
+
+    Dedup is a per-hash MIN over (id, quality, n_tokens) STRUCTS, not a
+    row_number window (r13): the struct's first field is the unique doc
+    id, so min(struct) IS the lowest-id survivor row — algebraically the
+    window's rn=1 row — but a hash aggregate gets map-side partial
+    aggregation (duplicate mass collapses before the exchange) and skips
+    the window's per-partition sort. Critically the TEXT column never
+    enters the exchange: every text-derived output (quality, token
+    count, content hash) is computed scan-side, so the shuffle ships
+    ~40 bytes/row instead of document bodies (guide §2.3 — shuffle
+    metadata, not payloads).
     """
     t = F.col(text_col)
-    from pyspark.sql import Window
 
+    q = quality_score_expr(t)
+    # The quality gate is applied INSIDE the aggregate input (min ignores
+    # nulls), not as a pre-aggregate filter: a Filter above the projection
+    # would be pushed below it and re-evaluate the three-regex quality
+    # expression a second time per row (guide §4.4's duplicated-expensive-
+    # expression trap, visible as the doubled condition in the r12 plan);
+    # inside one projection, codegen's common-subexpression elimination
+    # evaluates it once. Hashes whose docs ALL fail quality surface as
+    # null groups and are dropped after the aggregate.
     kept = docs.select(
-        F.col(id_col),
-        t.alias("__text"),
-        quality_score_expr(t).alias("quality_score"),
-    ).filter(F.col("quality_score") >= min_quality)
-    w = Window.partitionBy("__md5").orderBy(id_col)
+        F.md5(normalized_text(t)).alias("__md5"),
+        F.when(
+            q >= min_quality,
+            F.struct(
+                F.col(id_col).alias("__id"),
+                q.alias("__q"),
+                token_count(t).alias("__nt"),
+            ),
+        ).alias("__row"),
+    )
     survivors = (
-        kept.withColumn("__md5", F.md5(normalized_text(F.col("__text"))))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        kept.groupBy("__md5")
+        .agg(F.min("__row").alias("__keep"))
+        .filter(F.col("__keep").isNotNull())
+        .select(
+            F.col("__keep.__id").alias(id_col),
+            F.col("__keep.__q").alias("quality_score"),
+            F.col("__keep.__nt").alias("n_tokens"),
+        )
     )
     uppers = [u for _, u in splits]
     if any(b <= a for a, b in zip(uppers, uppers[1:])) or uppers[-1] != 1000 or uppers[0] <= 0:
@@ -910,7 +945,7 @@ def curate_corpus(
     return survivors.select(
         id_col,
         "quality_score",
-        token_count(F.col("__text")).alias("n_tokens"),
+        "n_tokens",
         split_col.alias("split"),
     )
 
@@ -1548,21 +1583,41 @@ def bm25_scores(
             + F.lit(b) * (F.col("dl") / (F.col("sdl") / F.lit(n_docs)))
         )
     )
-    scored = (
-        tf.join(df_tbl, "term")
-        .join(dl, id_col)
-        .crossJoin(sdl)
-        .select(
-            id_col,
-            F.round(idf * comp * F.lit(1e9)).cast("long").alias("__iscore"),
+    def _build() -> DataFrame:
+        scored = (
+            tf.join(df_tbl, "term")
+            .join(dl, id_col)
+            .crossJoin(sdl)
+            .select(
+                id_col,
+                F.round(idf * comp * F.lit(1e9)).cast("long").alias("__iscore"),
+            )
+        )
+        return scored.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("int").alias("n_hit"),
+            F.round(F.sum("__iscore").cast("double") / F.lit(1e9), 9).alias(
+                "score"
+            ),
+        )
+
+    # The per-doc scored table for a FIXED term bag is the retrieval
+    # family's serve-many artifact (the batch-9 classifier_scores
+    # precedent): ``bm25_topk`` and ``hybrid_rrf_topk``'s lexical list
+    # each re-ran the postings join + per-doc sum per execution. One
+    # narrow row per MATCHING doc — bounded by the query terms' posting
+    # lists, not the corpus — so it session-caches under the index_cache
+    # byte budget; in-memory corpora (plan_key None) keep the inline
+    # pipeline.
+    from ..index_cache import cached_index, plan_key
+
+    key = plan_key(
+        docs, "bm25_scores", id_col, text_col, k1, b, *sorted(
+            str(t) for t in query_terms
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_hit"),
-        F.round(F.sum("__iscore").cast("double") / F.lit(1e9), 9).alias(
-            "score"
-        ),
-    )
+    if key is None:
+        return _build()
+    return cached_index(key, _build)
 
 
 def bm25_topk(

@@ -830,3 +830,93 @@ def test_fact_handle_enables_index_artifacts(spark):
         key=repr,
     )
     index_cache.clear_indexes()
+
+
+def test_lsh_verified_stats_artifact_shared_and_exact(spark, tmp_path):
+    """The VERIFIED candidate-stats table (per-pair signature matches +
+    exact shingle intersection/sizes) over a file-backed corpus is ONE
+    session-cached artifact shared by minhash_lsh_pairs and
+    minhash_estimate_audit — and both consumers' outputs are identical
+    to the cache-bypassed (in-memory corpus) builds."""
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import dedup
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "  the quick  brown fox jumps over the lazy dog "),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),
+        (4, "completely different content about spark engines"),
+    ]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    docs = spark.read.parquet(path)
+    mem = spark.createDataFrame(rows, "doc_id long, text string")
+    index_cache.clear_indexes()
+
+    def n_keys():
+        return len(
+            [
+                k
+                for k in index_cache._HANDLES
+                if isinstance(k, tuple) and "lsh_verified_stats" in k
+            ]
+        )
+
+    pairs = sorted(
+        tuple(r) for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()
+    )
+    assert n_keys() == 1
+    audit = sorted(
+        tuple(r) for r in dedup.minhash_estimate_audit(docs).collect()
+    )
+    assert n_keys() == 1  # the audit reused the pairs' verified table
+    assert pairs and pairs == sorted(
+        tuple(r) for r in dedup.minhash_lsh_pairs(mem, 0.5).collect()
+    )
+    assert audit == sorted(
+        tuple(r) for r in dedup.minhash_estimate_audit(mem).collect()
+    )
+    index_cache.clear_indexes()
+
+
+def test_bm25_scored_artifact_shared_and_exact(spark, tmp_path):
+    """The per-doc BM25 scored stream for a fixed term bag over a
+    file-backed corpus is ONE session-cached artifact shared by
+    bm25_topk and hybrid_rrf_topk's lexical list — and identical to the
+    cache-bypassed (in-memory corpus) build."""
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import textops
+
+    rows = [
+        (i, f"alpha join vector doc{i} " + ("hash dup " * (i % 4)))
+        for i in range(40)
+    ]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    docs = spark.read.parquet(path)
+    mem = spark.createDataFrame(rows, "doc_id long, text string")
+    index_cache.clear_indexes()
+
+    def n_keys():
+        return len(
+            [
+                k
+                for k in index_cache._HANDLES
+                if isinstance(k, tuple) and "bm25_scores" in k
+            ]
+        )
+
+    terms = ["dup", "hash", "join", "vector"]
+    got = sorted(
+        tuple(r) for r in textops.bm25_topk(docs, terms, 10).collect()
+    )
+    assert n_keys() == 1
+    # a second consumer with the same term bag (different order — the key
+    # canonicalizes) reuses the entry
+    textops.bm25_scores(docs, ["vector", "join", "hash", "dup"]).collect()
+    assert n_keys() == 1
+    assert got and got == sorted(
+        tuple(r) for r in textops.bm25_topk(mem, terms, 10).collect()
+    )
+    index_cache.clear_indexes()
