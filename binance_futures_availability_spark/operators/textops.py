@@ -31,7 +31,11 @@ LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]
 
 
 def _stop_count(col, lang: str):
-    return F.size(F.regexp_extract_all(col, F.lit(LANG_STOPWORDS[lang]), F.lit(0)))
+    # regexp_count, not size(regexp_extract_all(...)): same non-overlapping
+    # match count (r13: zero mismatches corpus-wide), but the matcher never
+    # materializes the match array — measured ~15% cheaper per scan on the
+    # hot quality/language expressions.
+    return F.regexp_count(col, F.lit(LANG_STOPWORDS[lang]))
 
 
 #: BPE-ish pre-tokenizer: contraction suffixes, space-prefixed letter
@@ -49,12 +53,12 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return docs.select(
         id_col,
         token_count(F.col(text_col)).alias("n_tokens"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9]+"), F.lit(0))).alias(
+        F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z0-9]+")).alias(
             "n_word_tokens"
         ),
-        F.size(
-            F.regexp_extract_all(F.col(text_col), F.lit(SUBWORD_RE), F.lit(0))
-        ).alias("n_subword_est"),
+        F.regexp_count(F.col(text_col), F.lit(SUBWORD_RE)).alias(
+            "n_subword_est"
+        ),
         F.length(text_col).alias("n_chars_measured"),
     )
 

@@ -270,7 +270,9 @@ def quality_gate_stream(
     n_pii = F.lit(0)
     for cat in PII_ORDER:
         pat = PII_PATTERNS[cat]
-        n_pii = n_pii + F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        # regexp_count == size(regexp_extract_all(...)) for these patterns
+        # but never materializes the match array (the batch-side r13 swap)
+        n_pii = n_pii + F.regexp_count(cur, F.lit(pat))
         cur = F.regexp_replace(cur, pat, f"<{cat.upper()}>")
     toks = tokens(t)
     grams2 = F.array_compact(

@@ -581,15 +581,19 @@ def test_bm25_topk_plan_take_ordered_over_cached_index(spark, tmp_path):
     plan = _plan(warm)
     assert "TakeOrderedAndProject" in plan, plan
     # the live section (above the first cached relation's printed build
-    # plan): scores come off InMemoryTableScans — no raw corpus re-scan,
-    # no tokenizer re-run, no Python, and the only wide exchanges are the
-    # per-doc score shuffle + the dl join
+    # plan): since r13 the per-doc scored table for the fixed term bag is
+    # itself the session-cached artifact, so the warm k-cut reads ONE
+    # InMemoryTableScan — no raw corpus re-scan, no tokenizer re-run, no
+    # Python, and ZERO live exchanges (the postings join + per-doc score
+    # shuffle happen once, at artifact build)
     live = plan.split("InMemoryRelation", 1)[0]
     assert "InMemoryTableScan" in live, plan
-    assert "BroadcastHashJoin" in live, plan
     assert "FileScan" not in live, plan
     assert "ArrowEvalPython" not in live and "BatchEvalPython" not in live
-    assert live.count("hashpartitioning") <= 3, plan
+    assert "hashpartitioning" not in live, plan
+    # the stored build plan keeps the broadcast shape: df + avgdl ride as
+    # broadcasts into the one postings join
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_span_family_serves_from_shared_cached_stream(spark, tmp_path):
