@@ -189,13 +189,15 @@ def _dup_groups(
     against it to flag non-keeper members. Caching it also turns those
     consumers' join against the former corpus-sized all-groups aggregate
     into a join against the sparse subset (guide §3.1 — the small side
-    becomes broadcastable from the InMemoryRelation's stats)."""
+    becomes broadcastable from the InMemoryRelation's stats). r13: the
+    build aggregates the shared per-doc profile's content_md5 column
+    (textops._doc_profile) instead of re-hashing the corpus."""
+    from .textops import _doc_profile  # local import to avoid cycle
+
     return cached_index(
         plan_key(docs, "dup_groups", id_col, text_col),
-        lambda: docs.select(
-            F.md5(normalized_text(F.col(text_col))).alias("content_md5"),
-            F.col(id_col),
-        )
+        lambda: _doc_profile(docs, id_col, text_col)
+        .select("content_md5", F.col(id_col))
         .groupBy("content_md5")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1222,7 +1224,35 @@ def simhash_pairs(
     it cannot be unpersisted here. The handle is TRACKED
     (index_cache.tracked_persist) and lives until ``clear_indexes()``
     releases it — there is no GC fallback for SQL caches.
+
+    The verified pair set itself is session-cached (r13, the LSH/minhash
+    pair-graph discipline — sparse by the hamming bound): the banding
+    explode + self-join + bit_count verification otherwise re-ran per
+    execution. The key carries only LOGICAL parameters (``block_pairs``
+    is a physical strategy with identical, property-tested output, so
+    both strategies serve one artifact); in-memory corpora bypass.
     """
+    return gathered_sort(
+        cached_index(
+            plan_key(
+                docs, "simhash_pair_graph", id_col, text_col, max_hamming
+            ),
+            lambda: _simhash_pair_graph(
+                docs, max_hamming, id_col, text_col, block_pairs
+            ),
+        ),
+        "id_a",
+        "id_b",
+    )
+
+
+def _simhash_pair_graph(
+    docs: DataFrame,
+    max_hamming: int,
+    id_col: str,
+    text_col: str,
+    block_pairs: bool | None,
+) -> DataFrame:
     # one fingerprint per doc, persisted: both self-join sides scan it, and
     # without materialization each side re-runs the full shingle aggregation
     s = tracked_persist(simhash(docs, id_col, text_col))
@@ -1317,7 +1347,7 @@ def simhash_pairs(
     b = banded.select(
         F.col(id_col).alias("id_b"), "band", "chunk", F.col("simhash").alias("sh_b")
     )
-    return gathered_sort(
+    return (
         a.join(b, ["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -1326,9 +1356,7 @@ def simhash_pairs(
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct(),  # a pair may agree on several chunks
-        "id_a",
-        "id_b",
+        .distinct()  # a pair may agree on several chunks
     )
 
 
@@ -1946,37 +1974,53 @@ def winnow_overlap_pairs(
     generation, the same documented df-cap discipline as
     ``ngram_jaccard_pairs``; pass None to disable. Pair volume is
     Σ_fp df² over the capped sparse fingerprint postings.
+
+    The pair table (all pairs sharing ≥1 capped fingerprint, with their
+    exact shared counts) is session-cached (r13, the pair-graph
+    discipline — sparse by the df cap); ``min_shared`` is a filter over
+    the artifact, so any threshold serves from one entry. In-memory
+    corpora bypass.
     """
-    fps = winnow_fingerprints(docs, k, w, id_col, text_col).select(
-        id_col, "fingerprint"
-    ).distinct()
-    if max_fp_df is not None:
-        # df cap as a WINDOW count over the fingerprint (the
-        # hashed_jaccard_pairs discipline): one shuffle that leaves the
-        # postings hash-partitioned on the self-join key. The previous
-        # shape BROADCAST the under-cap fingerprint list — nearly every
-        # distinct fingerprint (most have df=1), i.e. a broadcast that
-        # grows with the corpus, the exact anti-pattern the df cap
-        # exists to avoid.
-        fps = (
-            fps.withColumn(
-                "__df",
-                F.count(F.lit(1)).over(
-                    Window.partitionBy("fingerprint")
-                ),
+    def _build() -> DataFrame:
+        fps = winnow_fingerprints(docs, k, w, id_col, text_col).select(
+            id_col, "fingerprint"
+        ).distinct()
+        if max_fp_df is not None:
+            # df cap as a WINDOW count over the fingerprint (the
+            # hashed_jaccard_pairs discipline): one shuffle that leaves the
+            # postings hash-partitioned on the self-join key. The previous
+            # shape BROADCAST the under-cap fingerprint list — nearly every
+            # distinct fingerprint (most have df=1), i.e. a broadcast that
+            # grows with the corpus, the exact anti-pattern the df cap
+            # exists to avoid.
+            capped = (
+                fps.withColumn(
+                    "__df",
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy("fingerprint")
+                    ),
+                )
+                .filter(F.col("__df") <= max_fp_df)
+                .drop("__df")
             )
-            .filter(F.col("__df") <= max_fp_df)
-            .drop("__df")
+        else:
+            capped = fps
+        a = capped.select(F.col(id_col).alias("id_a"), "fingerprint")
+        b = capped.select(F.col(id_col).alias("id_b"), "fingerprint")
+        return (
+            a.join(b, "fingerprint")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
         )
-    a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
-    b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
-    return (
-        a.join(b, "fingerprint")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+
+    pairs = cached_index(
+        plan_key(
+            docs, "winnow_overlap_graph", id_col, text_col, k, w, max_fp_df
+        ),
+        _build,
     )
+    return pairs.filter(F.col("n_shared") >= min_shared)
 
 
 def dedup_rate_by_source(

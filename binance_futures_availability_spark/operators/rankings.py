@@ -127,7 +127,18 @@ def volume_rankings(
     )
     if not sort:
         return out
-    return out.orderBy("date", "rank", "symbol")
+    # sized_sort, not a bare orderBy (r13): the archive scales with the
+    # fact, so the cutover keeps the distributed range sort at warehouse
+    # scale — but a bare orderBy's range-sampling pass RE-EXECUTES the
+    # whole two-window pipeline to draw its partition bounds. Below the
+    # cutover the single-partition sort skips sampling outright; above it
+    # the lazy localCheckpoint inside sized_sort makes the sampler read
+    # materialized rows instead of re-running the windows. Both branches
+    # emit the identical (date, rank, symbol) total order
+    # (tests/test_plans.py::test_sized_sort_cutover_branches_identical).
+    from ..functions import sized_sort
+
+    return sized_sort(out, da, "date", "rank", "symbol")
 
 
 def incremental_append(

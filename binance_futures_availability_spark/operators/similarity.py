@@ -540,7 +540,36 @@ def lsh_cosine_pairs_multi(
     a pair colliding in several tables is verified once. The DuckDB oracle
     (oracles.sql_lsh_cosine_pairs_multi) regenerates the identical
     families from the same (table, n_planes) slices.
+
+    The verified pair set is ALSO a session-cached artifact (sparse by
+    the threshold, byte-bounded — r13, mirroring the single-table
+    ``lsh_cosine_pairs`` pair graph): the posexplode + bucket self-join
+    + per-pair verification otherwise re-ran per execution over the
+    same cached bucketed table.
     """
+    return gathered_sort(
+        cached_index(
+            plan_key(
+                emb, "lsh_multi_pair_graph", threshold, id_col, vec_col,
+                n_planes, n_tables,
+            ),
+            lambda: _lsh_multi_pair_graph(
+                emb, threshold, id_col, vec_col, n_planes, n_tables
+            ),
+        ),
+        "id_a",
+        "id_b",
+    )
+
+
+def _lsh_multi_pair_graph(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame:
     key = plan_key(emb, "lsh_multi", vec_col, n_planes, n_tables)
     base = tracked_persist(
         cached_index(
@@ -577,7 +606,7 @@ def lsh_cosine_pairs_multi(
         F.col(id_col).alias("id_b"), F.col("__q").alias("qb"), F.col("__norm").alias("nb")
     )
     dot = int_dot(F.col("qa"), F.col("qb"))
-    return gathered_sort(
+    return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
         .select(
@@ -585,9 +614,7 @@ def lsh_cosine_pairs_multi(
             "id_b",
             cosine_from_quantized(dot, F.col("na"), F.col("nb")).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold),
-        "id_a",
-        "id_b",
+        .filter(F.col("cosine") >= threshold)
     )
 
 
@@ -1682,12 +1709,22 @@ def semantic_dedup_survivors(
             return pd.DataFrame({"vid": pd.Series([], dtype="int64")})
         return pd.DataFrame({"vid": np.unique(ids[j])})
 
-    dups = (
-        assigned.select(F.col(id_col).alias("__id"), "__q", "__norm", "cell")
-        .groupBy("cell")
-        .applyInPandas(dup_ids, "vid long")
-        .select(F.col("vid").alias(id_col))
-        .distinct()
+    # The duplicate-id SET for a fixed (corpus, threshold, n_cells) is the
+    # SemDeDup removal list a deployment materializes once — sparse
+    # (bounded by the dup mass) — so it is session-cached (r13): the
+    # per-cell GEMM kernel otherwise re-ran per execution over the same
+    # cached assignment. In-memory corpora (plan_key None) bypass.
+    dups = cached_index(
+        plan_key(emb, "semdedup_dups", threshold, id_col, vec_col, n_cells),
+        lambda: (
+            assigned.select(
+                F.col(id_col).alias("__id"), "__q", "__norm", "cell"
+            )
+            .groupBy("cell")
+            .applyInPandas(dup_ids, "vid long")
+            .select(F.col("vid").alias(id_col))
+            .distinct()
+        ),
     )
     # survivors are corpus-sized — no output sort (see
     # embedding_dedup_survivors); the dup side is bounded and broadcasts

@@ -50,16 +50,14 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     document — the budget signals a pre-training pipeline needs before a
     real tokenizer pass (``n_subword_est`` tracks BPE counts closely
     enough for packing/mixture budgeting and is pure codegen regex)."""
-    return docs.select(
+    # served as a projection of the session-cached per-doc profile
+    # (r13 — see _doc_profile); the expressions are identical
+    return _doc_profile(docs, id_col, text_col).select(
         id_col,
-        token_count(F.col(text_col)).alias("n_tokens"),
-        F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z0-9]+")).alias(
-            "n_word_tokens"
-        ),
-        F.regexp_count(F.col(text_col), F.lit(SUBWORD_RE)).alias(
-            "n_subword_est"
-        ),
-        F.length(text_col).alias("n_chars_measured"),
+        F.col("__wc").alias("n_tokens"),
+        F.col("__nword").alias("n_word_tokens"),
+        F.col("__nsub").alias("n_subword_est"),
+        F.col("__nchars").alias("n_chars_measured"),
     )
 
 
@@ -78,28 +76,88 @@ def quality_score_expr(t):
     )
 
 
+def _doc_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The per-document PROFILE table — (id, content_md5, __wc,
+    __nonspace, __stop_en_raw, __nword, __nsub, __nchars, __stop_<lang>
+    ×5) — every integer statistic the curation dashboards derive from a
+    raw text scan, computed in ONE scan and session-cached (r13).
+
+    Before this artifact, ``quality_scores``, ``language_id``,
+    ``token_counts``, ``curate_corpus``, ``quality_dup_crosstab``'s hash
+    side, ``classifier_doc_meta`` and ``token_budget_selection``'s build
+    each paid their own full-text scan + regex pass per execution for a
+    different subset of these columns — the most re-run expressions in
+    the catalog after the inverted index. All downstream metrics are
+    pure projections/aggregates of the profile, built from the SAME
+    column expressions as before (bit-identical doubles: the quality
+    score's operand order is unchanged — see ``_profile_quality``).
+    One narrow row per doc (a 32-char hash + ~10 ints), the per-doc
+    metadata table every curation pipeline materializes once per corpus
+    snapshot. In-memory corpora (plan_key None) build the same
+    projection inline, uncached.
+    """
+    from ..index_cache import cached_index, plan_key
+
+    def _build() -> DataFrame:
+        t = F.col(text_col)
+        tl = F.lower(t)
+        return docs.select(
+            F.col(id_col),
+            F.md5(normalized_text(t)).alias("content_md5"),
+            token_count(t).alias("__wc"),
+            F.length(F.regexp_replace(t, r"\s", "")).alias("__nonspace"),
+            _stop_count(t, "en").alias("__stop_en_raw"),
+            F.regexp_count(t, F.lit(r"[A-Za-z0-9]+")).alias("__nword"),
+            F.regexp_count(t, F.lit(SUBWORD_RE)).alias("__nsub"),
+            F.length(t).alias("__nchars"),
+            *[
+                _stop_count(tl, lg).alias(f"__stop_{lg}")
+                for lg in LANG_PRIORITY
+            ],
+        )
+
+    return cached_index(
+        plan_key(docs, "doc_profile", id_col, text_col), _build
+    )
+
+
+def _profile_quality():
+    """``quality_score_expr`` re-expressed over the profile's integer
+    columns — the identical arithmetic (operand order, casts, implicit
+    int→double promotions) over the identical integers, so the score
+    doubles are bit-equal to the direct-scan form."""
+    wc = F.col("__wc")
+    nonspace = F.col("__nonspace")
+    stop = F.col("__stop_en_raw")
+    return (
+        0.4 * F.least(wc.cast("double") / 100.0, F.lit(1.0))
+        + 0.4 * (stop.cast("double") / wc)
+        + 0.2 * F.least((nonspace.cast("double") / wc) / 10.0, F.lit(1.0))
+    )
+
+
 def quality_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Heuristic quality score from length / stopword / word-shape ratios.
 
     All features derive from integer counts, so the score doubles are
-    bit-deterministic across engines.
+    bit-deterministic across engines. Served as a projection of the
+    session-cached per-doc profile (r13 — see ``_doc_profile``).
     """
-    t = F.col(text_col)
-    wc = token_count(t)
-    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
-    stop = _stop_count(t, "en")
-    awl = nonspace.cast("double") / wc
-    stop_ratio = stop.cast("double") / wc
-    score = quality_score_expr(t)
-    return docs.select(
+    p = _doc_profile(docs, id_col, text_col)
+    wc = F.col("__wc")
+    nonspace = F.col("__nonspace")
+    stop = F.col("__stop_en_raw")
+    return p.select(
         id_col,
         wc.alias("word_count"),
-        awl.alias("avg_word_len"),
+        (nonspace.cast("double") / wc).alias("avg_word_len"),
         stop.alias("stopword_count"),
-        stop_ratio.alias("stopword_ratio"),
-        score.alias("quality_score"),
+        (stop.cast("double") / wc).alias("stopword_ratio"),
+        _profile_quality().alias("quality_score"),
     )
 
 
@@ -142,12 +200,19 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     refuses to duplicate non-cheap expressions into the CASE branches),
     so each regex runs exactly once per row — measured 2.5 s → ~0.4 s
     over 50 k docs vs the single-projection form, whose CASE inlined
-    every score into every branch (up to 35 regex evaluations/row)."""
-    t = F.lower(F.col(text_col))
-    scores = language_scores(t)
-    scored = docs.select(
+    every score into every branch (up to 35 regex evaluations/row).
+
+    r13: the five per-language counts come from the session-cached
+    per-doc profile (``_doc_profile``) — same expressions, evaluated
+    once per corpus instead of once per execution; the CASE stays a
+    projection over the materialized columns."""
+    p = _doc_profile(docs, id_col, text_col)
+    scored = p.select(
         id_col,
-        *[scores[lg].alias(f"score_{lg}") for lg in LANG_PRIORITY],
+        *[
+            F.col(f"__stop_{lg}").alias(f"score_{lg}")
+            for lg in LANG_PRIORITY
+        ],
     )
     col_scores = {lg: F.col(f"score_{lg}") for lg in LANG_PRIORITY}
     return scored.select(
@@ -172,22 +237,37 @@ def fingerprints(
     runs md5 interpreted per element (2.6×); carrying content_md5 through
     the groupBy as a key makes the collapsed projection recompute the
     normalize+md5 once per exploded shingle row (6×).
+
+    The joined (id, content_md5, min_shingle_hash) table IS the content
+    fingerprint table a dedup deployment materializes once per corpus
+    snapshot, so it is session-cached (r13, the scored-stream
+    discipline): a warm execution otherwise re-runs the normalize+md5
+    scan and the per-shingle hash+min over the whole cached shingle
+    stream. In-memory corpora (plan_key None) keep the inline pipeline.
     """
+    from ..index_cache import cached_index, plan_key
     from .dedup import shingles  # local import to avoid cycle
 
-    norm_md5 = docs.select(
-        id_col, F.md5(normalized_text(F.col(text_col))).alias("content_md5")
+    def _build() -> DataFrame:
+        # the per-doc hash reads from the shared profile artifact (r13)
+        norm_md5 = _doc_profile(docs, id_col, text_col).select(
+            id_col, "content_md5"
+        )
+        min_sh = (
+            shingles(docs, id_col, text_col)
+            .groupBy(id_col)
+            .agg(F.min(md5_int60(F.col("shingle"))).alias("min_shingle_hash"))
+        )
+        # no output sort: the result is a corpus-sized derived table (one
+        # row per doc, like the other text ops) — a global orderBy would
+        # pay a range-sampling pass that re-executes the join (measured
+        # 2.3 → 1.25 s at sf0.1). Presentation surfaces order the bounded
+        # slice they show.
+        return norm_md5.join(min_sh, id_col, "left")
+
+    return cached_index(
+        plan_key(docs, "fingerprints", id_col, text_col), _build
     )
-    min_sh = (
-        shingles(docs, id_col, text_col)
-        .groupBy(id_col)
-        .agg(F.min(md5_int60(F.col("shingle"))).alias("min_shingle_hash"))
-    )
-    # no output sort: the result is a corpus-sized derived table (one row
-    # per doc, like the other text ops) — a global orderBy would pay a
-    # range-sampling pass that re-executes the join (measured 2.3 → 1.25 s
-    # at sf0.1). Presentation surfaces order the bounded slice they show.
-    return norm_md5.join(min_sh, id_col, "left")
 
 
 #: corpus row counts keyed by (source files, plan md5) — the n_docs literal
@@ -428,17 +508,36 @@ def contamination_check(
     doc_grams = cached_index(
         plan_key(docs, "gram_index", id_col, text_col, str(n)), _build_grams
     )
-    bench_grams = benchmark.select(
-        F.explode(shingle_array(F.col(text_col), n)).alias("bgram")
-    ).distinct()
-    counted = (
-        doc_grams.join(
-            F.broadcast(bench_grams),
-            doc_grams["gram"] == bench_grams["bgram"],
-            "left",
+
+    # The counted (id, n_matched) table for a FIXED (corpus, benchmark)
+    # pair is the decontamination REPORT a pipeline materializes once per
+    # benchmark sweep (r13, the scored-stream discipline): without it a
+    # warm execution re-built + re-broadcast the benchmark gram set and
+    # re-aggregated the corpus-sized posting stream per run. Keyed on
+    # BOTH source frames (multi_plan_key — a rewrite of either side
+    # invalidates) but NOT on min_overlap, which is a pure projection
+    # below. Non-file-backed inputs bypass.
+    from ..index_cache import multi_plan_key
+
+    def _build_counted() -> DataFrame:
+        bench_grams = benchmark.select(
+            F.explode(shingle_array(F.col(text_col), n)).alias("bgram")
+        ).distinct()
+        return (
+            doc_grams.join(
+                F.broadcast(bench_grams),
+                doc_grams["gram"] == bench_grams["bgram"],
+                "left",
+            )
+            .groupBy(id_col)
+            .agg(F.count("bgram").cast("int").alias("n_matched"))
         )
-        .groupBy(id_col)
-        .agg(F.count("bgram").cast("int").alias("n_matched"))
+
+    counted = cached_index(
+        multi_plan_key(
+            [docs, benchmark], "contamination_counts", id_col, text_col, str(n)
+        ),
+        _build_counted,
     )
     return counted.select(
         F.col(id_col),
@@ -460,7 +559,8 @@ def repetition_scores(
     integer ratios (one division each, fixed operand order), so the gate
     hashes match across engines.
 
-    Two branches joined on id:
+    Three branches joined on id, ALL over session-cached index artifacts
+    (the r13 shape):
     - top term count: ``MAX(tf)`` over the session-cached inverted index
       (``term_frequencies``' (doc, term, tf) artifact) — reuses the index
       build instead of an O(tokens²) per-row mode computation; per-doc
@@ -471,48 +571,77 @@ def repetition_scores(
       that CPU tax exceeds the narrow per-doc join it removed. Rejected;
       the join's both sides are per-doc-grain int rows, not corpus
       payloads.)
-    - 2-gram duplication: the same ``zip_with`` self-shift trick as
-      ``shingle_array`` but WITHOUT the distinct, so duplicates are
-      countable — a narrow per-row projection, zero shuffles.
+    - 2-gram duplication: a per-doc aggregate over the session-cached
+      ``bigram_index`` (the LM family's (doc, w1, w2, tf_b) artifact):
+      occurrences = Σ tf_b, distinct = the doc's row count, duplicated =
+      occurrences − distinct. Exactly equal to the previous in-row
+      ``zip_with``-then-``array_distinct`` computation — tokens contain
+      no whitespace (split on \\s+), so the space-joined gram string is
+      injective on (w1, w2) pairs, adjacency is the same self-shift, and
+      a doc with <2 tokens (absent from the index) coalesces to the same
+      0s — but the interpreted per-element concat lambda and the
+      O(grams) array_distinct no longer run per execution: the text scan
+      keeps only the single ``token_count`` split.
+    - the docs scan itself now projects just (id, n_tokens) — needed
+      because dl-style reconstructions can't distinguish empty-text docs
+      (token_count = 1: split('') = ['']) from tokenless ones, and null
+      text must stay null through every derived column.
     """
-    from ..functions import tokens
+    from ..index_cache import cached_index, plan_key
 
-    # the shared inverted-index artifact — NOT a local rebuild: a verbatim
-    # duplicate under the same cache key would silently serve whichever body
-    # was built first if the two ever diverged (advisor r7)
-    tf = tf_index(docs, id_col, text_col)
-    top = tf.groupBy(id_col).agg(F.max("tf").cast("int").alias("top_term_count"))
-
-    toks = tokens(F.col(text_col))
-    grams2 = F.array_compact(
-        F.zip_with(
-            toks,
-            F.slice(toks, 2, F.size(toks)),
-            lambda a, b: F.concat(a, F.lit(" "), b),
+    def _build() -> DataFrame:
+        # the shared inverted-index artifacts — NOT local rebuilds: a
+        # verbatim duplicate under the same cache key would silently serve
+        # whichever body was built first if the two ever diverged
+        # (advisor r7)
+        tf = tf_index(docs, id_col, text_col)
+        top = tf.groupBy(id_col).agg(
+            F.max("tf").cast("int").alias("top_term_count")
         )
-    )
-    base = docs.select(
-        F.col(id_col),
-        token_count(F.col(text_col)).cast("int").alias("n_tokens"),
-        F.size(grams2).cast("int").alias("n_2grams"),
-        (F.size(grams2) - F.size(F.array_distinct(grams2)))
-        .cast("int")
-        .alias("n_dup_2grams"),
-    )
-    joined = base.join(top, id_col, "left")
-    n_tok = F.col("n_tokens")
-    n2 = F.col("n_2grams")
-    topc = F.coalesce(F.col("top_term_count"), F.lit(0))
-    return joined.select(
-        F.col(id_col),
-        "n_tokens",
-        topc.alias("top_term_count"),
-        F.when(n_tok > 0, topc.cast("double") / n_tok).alias("top_term_frac"),
-        "n_2grams",
-        "n_dup_2grams",
-        F.when(n2 > 0, F.col("n_dup_2grams").cast("double") / n2).alias(
-            "dup_2gram_frac"
-        ),
+        bstats = (
+            bigram_index(docs, id_col, text_col)
+            .groupBy(id_col)
+            .agg(
+                F.sum("tf_b").cast("int").alias("__n2"),
+                F.count(F.lit(1)).cast("int").alias("__nd2"),
+            )
+        )
+
+        base = docs.select(
+            F.col(id_col),
+            token_count(F.col(text_col)).cast("int").alias("n_tokens"),
+        )
+        joined = base.join(top, id_col, "left").join(bstats, id_col, "left")
+        n_tok = F.col("n_tokens")
+        # null text ⟹ n_tokens null (size(null array)): every gram column
+        # is null there, exactly like size(null grams) was before the
+        # rewrite
+        n2 = F.when(n_tok.isNotNull(), F.coalesce(F.col("__n2"), F.lit(0)))
+        nd2 = F.when(
+            n_tok.isNotNull(),
+            F.coalesce(F.col("__n2") - F.col("__nd2"), F.lit(0)),
+        )
+        topc = F.coalesce(F.col("top_term_count"), F.lit(0))
+        return joined.select(
+            F.col(id_col),
+            "n_tokens",
+            topc.alias("top_term_count"),
+            F.when(n_tok > 0, topc.cast("double") / n_tok).alias(
+                "top_term_frac"
+            ),
+            n2.alias("n_2grams"),
+            nd2.alias("n_dup_2grams"),
+            F.when(n2 > 0, nd2.cast("double") / n2).alias(
+                "dup_2gram_frac"
+            ),
+        )
+
+    # The per-doc repetition table is the Gopher-rules quality artifact a
+    # filtering pipeline materializes once per corpus (the batch-9/10
+    # scored-stream discipline): one narrow row per doc, 5 ints + 2
+    # doubles. In-memory corpora (plan_key None) keep the inline pipeline.
+    return cached_index(
+        plan_key(docs, "repetition_stats", id_col, text_col), _build
     )
 
 
@@ -905,25 +1034,26 @@ def curate_corpus(
     ~40 bytes/row instead of document bodies (guide §2.3 — shuffle
     metadata, not payloads).
     """
-    t = F.col(text_col)
-
-    q = quality_score_expr(t)
     # The quality gate is applied INSIDE the aggregate input (min ignores
     # nulls), not as a pre-aggregate filter: a Filter above the projection
-    # would be pushed below it and re-evaluate the three-regex quality
-    # expression a second time per row (guide §4.4's duplicated-expensive-
-    # expression trap, visible as the doubled condition in the r12 plan);
-    # inside one projection, codegen's common-subexpression elimination
-    # evaluates it once. Hashes whose docs ALL fail quality surface as
-    # null groups and are dropped after the aggregate.
-    kept = docs.select(
-        F.md5(normalized_text(t)).alias("__md5"),
+    # would be pushed below it and re-evaluate the quality expression a
+    # second time per row (guide §4.4's duplicated-expensive-expression
+    # trap, visible as the doubled condition in the r12 plan); inside one
+    # projection, codegen's common-subexpression elimination evaluates it
+    # once. Hashes whose docs ALL fail quality surface as null groups and
+    # are dropped after the aggregate. r13: every text-derived input
+    # (hash, quality ints, token count) now reads from the session-cached
+    # per-doc profile (_doc_profile) — the scan-side computation is paid
+    # once per corpus, and the exchange still ships ~40-byte rows.
+    q = _profile_quality()
+    kept = _doc_profile(docs, id_col, text_col).select(
+        F.col("content_md5").alias("__md5"),
         F.when(
             q >= min_quality,
             F.struct(
                 F.col(id_col).alias("__id"),
                 q.alias("__q"),
-                token_count(t).alias("__nt"),
+                F.col("__wc").alias("__nt"),
             ),
         ).alias("__row"),
     )
@@ -1003,6 +1133,70 @@ def chunk_documents(
     )
 
 
+def _chunk_stream(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The disjoint/striding chunk stream as a session-cached artifact
+    (r13). Both boilerplate gates re-ran the tokenize+explode+slice
+    chunker per execution (``scrub_boilerplate`` even re-persisted it
+    per CALL through ``tracked_persist``); the stream for a fixed
+    (corpus, width, overlap) is the line-dedup family's span-stream
+    analogue (dedup.span_index precedent — corpus-payload-sized but
+    byte-budgeted under the index_cache LRU). In-memory corpora bypass.
+    """
+    from ..index_cache import cached_index, plan_key
+
+    return cached_index(
+        plan_key(
+            docs, "chunk_stream", id_col, text_col, chunk_tokens, overlap
+        ),
+        lambda: chunk_documents(docs, chunk_tokens, overlap, id_col, text_col),
+    )
+
+
+def _repeated_chunks(
+    docs: DataFrame,
+    chunk_tokens: int,
+    min_docs: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The SPARSE repeated-chunk table (chunk_text, n_docs,
+    n_occurrences), n_docs ≥ min_docs — the boilerplate SET a line-dedup
+    deployment materializes once per corpus (the ``_dup_groups``
+    discipline: bounded by boilerplate mass, not corpus size).
+    Session-cached; shared by ``boilerplate_chunks`` (presents it) and
+    ``scrub_boilerplate`` (anti-joins against it)."""
+    from ..index_cache import cached_index, plan_key
+
+    def _build() -> DataFrame:
+        ch = _chunk_stream(docs, chunk_tokens, 0, id_col, text_col)
+        return (
+            ch.groupBy("chunk_text")
+            .agg(
+                F.countDistinct(id_col).alias("n_docs"),
+                F.count(F.lit(1)).alias("n_occurrences"),
+            )
+            .filter(F.col("n_docs") >= min_docs)
+        )
+
+    return cached_index(
+        plan_key(
+            docs,
+            "repeated_chunks",
+            id_col,
+            text_col,
+            chunk_tokens,
+            min_docs,
+        ),
+        _build,
+    )
+
+
 def boilerplate_chunks(
     docs: DataFrame,
     chunk_tokens: int = 8,
@@ -1020,17 +1214,11 @@ def boilerplate_chunks(
     chunk text — hash-partitioned, map-side combined, and the HAVING
     filter keeps only the (sparse) repeated tail. Granularity is the
     chunk width: smaller windows catch shorter boilerplate at more
-    rows-in-flight.
+    rows-in-flight. Both the chunk stream and the sparse repeated set
+    are session-cached artifacts shared with ``scrub_boilerplate``
+    (r13 — see ``_chunk_stream`` / ``_repeated_chunks``).
     """
-    ch = chunk_documents(docs, chunk_tokens, 0, id_col, text_col)
-    return (
-        ch.groupBy("chunk_text")
-        .agg(
-            F.countDistinct(id_col).alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
-        )
-        .filter(F.col("n_docs") >= min_docs)
-    )
+    return _repeated_chunks(docs, chunk_tokens, min_docs, id_col, text_col)
 
 
 def scrub_boilerplate(
@@ -1051,22 +1239,32 @@ def scrub_boilerplate(
     → one per-doc aggregate whose ordering is handled engine-side
     (array_sort over (chunk_id, text) structs: deterministic regardless
     of partial-agg arrival order, no window needed).
-    """
-    # ONE materialized chunker pass feeds both the repeated-set aggregate
-    # and the keep side: the two consumers are distinct subtree scans
-    # Catalyst will not dedupe, so the intermediate is persisted under
-    # the session's tracked-release discipline (index_cache docstring)
-    from ..index_cache import tracked_persist
 
-    ch = tracked_persist(
-        chunk_documents(docs, chunk_tokens, 0, id_col, text_col)
-    )
-    bp = (
-        ch.groupBy("chunk_text")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("chunk_text")
-    )
+    r13: both inputs are the session-cached artifacts shared with
+    ``boilerplate_chunks`` (``_chunk_stream`` + ``_repeated_chunks``)
+    instead of a per-CALL ``tracked_persist`` of a fresh chunker pass —
+    a warm execution re-chunks nothing and the anti join's build side
+    broadcasts from the sparse artifact's known stats. In-memory corpora
+    (plan_key None) fall back to the per-call persist so the two
+    consumers of the stream still share one materialization.
+    """
+    from ..index_cache import plan_key, tracked_persist
+
+    if plan_key(docs, "chunk_stream") is None:
+        ch = tracked_persist(
+            chunk_documents(docs, chunk_tokens, 0, id_col, text_col)
+        )
+        bp = (
+            ch.groupBy("chunk_text")
+            .agg(F.countDistinct(id_col).alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("chunk_text")
+        )
+    else:
+        ch = _chunk_stream(docs, chunk_tokens, 0, id_col, text_col)
+        bp = _repeated_chunks(
+            docs, chunk_tokens, min_docs, id_col, text_col
+        ).select("chunk_text")
     kept = ch.join(bp, "chunk_text", "left_anti")
     pieces = F.array_sort(
         F.collect_list(F.struct("chunk_id", "chunk_text"))
@@ -1100,20 +1298,30 @@ def doc_keyterms(
     Shape: the cached TF index → one window partitioned by the doc key
     over the (already vocabulary-joined) weights — the per-doc rank
     input is each doc's own term list, so the window never sees
-    corpus-wide state.
+    corpus-wide state. The ranked top-``k`` table (≤ k rows per doc —
+    the keyterm TAG table an indexing pipeline materializes once per
+    corpus) is session-cached (r13): the vocabulary join + per-doc
+    window otherwise re-ran per execution. In-memory corpora bypass.
     """
     from pyspark.sql import Window
 
-    weighted = tfidf_weights(docs, id_col, text_col).withColumn(
-        "tfidf", F.round("tfidf", digits)
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("tfidf").desc(), F.col("term").asc()
-    )
-    return (
-        weighted.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= k)
-        .select(id_col, "term", "tfidf", "rnk")
+    from ..index_cache import cached_index, plan_key
+
+    def _build() -> DataFrame:
+        weighted = tfidf_weights(docs, id_col, text_col).withColumn(
+            "tfidf", F.round("tfidf", digits)
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("tfidf").desc(), F.col("term").asc()
+        )
+        return (
+            weighted.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "term", "tfidf", "rnk")
+        )
+
+    return cached_index(
+        plan_key(docs, "doc_keyterms", id_col, text_col, k, digits), _build
     )
 
 
@@ -1665,15 +1873,15 @@ def classifier_doc_meta(
     stopword-density rule — no float anywhere) plus the deterministic
     per-mille hash split (same md5 bucketing as ``corpus_split``, its own
     salt so the 80/20 classifier split is independent of the pipeline's
-    980/10/10 split). Narrow projection — scan-speed at any corpus size."""
-    t = F.col(text_col)
+    980/10/10 split). Narrow projection over the session-cached per-doc
+    profile (r13 — the stopword/token ints are the profile's columns)."""
     bucket = (
         md5_int60(F.concat(F.lit(CLS_SALT), F.lit(":"), F.col(id_col).cast("string")))
         % 1000
     )
-    return docs.select(
+    return _doc_profile(docs, id_col, text_col).select(
         F.col(id_col),
-        (_stop_count(t, "en") * CLS_STOP_FACTOR >= token_count(t))
+        (F.col("__stop_en_raw") * CLS_STOP_FACTOR >= F.col("__wc"))
         .cast("int")
         .alias("label_good"),
         F.when(bucket < F.lit(CLS_SPLITS[0][1]), F.lit("train"))
@@ -1917,11 +2125,12 @@ def token_budget_selection(
     key = plan_key(docs, "token_budget_run", id_col, text_col)
 
     def _build() -> DataFrame:
-        t = F.col(text_col)
-        base = docs.select(
+        # token count + quality read from the session-cached per-doc
+        # profile (r13): identical expressions, no dedicated text scan
+        base = _doc_profile(docs, id_col, text_col).select(
             F.col(id_col),
-            token_count(t).cast("long").alias("n_tokens"),
-            quality_score_expr(t).alias("quality_score"),
+            F.col("__wc").cast("long").alias("n_tokens"),
+            _profile_quality().alias("quality_score"),
         ).withColumn("__negq", -F.col("quality_score"))
         run, total = global_running_sum(
             base,
@@ -1985,9 +2194,9 @@ def quality_dup_crosstab(
     deciles = quality_deciles(docs, n_tiles, id_col, text_col).select(
         F.col(id_col), "decile"
     )
-    base = docs.select(
+    base = _doc_profile(docs, id_col, text_col).select(
         F.col(id_col),
-        F.md5(normalized_text(F.col(text_col))).alias("__h"),
+        F.col("content_md5").alias("__h"),
     )
     groups = _dup_groups(docs, id_col, text_col).select(
         F.col("content_md5").alias("__h"),

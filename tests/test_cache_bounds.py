@@ -920,3 +920,275 @@ def test_bm25_scored_artifact_shared_and_exact(spark, tmp_path):
         tuple(r) for r in textops.bm25_topk(mem, terms, 10).collect()
     )
     index_cache.clear_indexes()
+
+
+def test_repetition_stats_artifact_exact_and_edge_cases(spark, tmp_path):
+    """repetition_scores' r13 rewrite serves the 2-gram stats from the
+    cached bigram_index and session-caches the per-doc table. The values
+    must equal the original in-row zip_with/array_distinct formula —
+    pinned here literally for every tokenizer edge case (null text, empty
+    text, whitespace-only, single token, all-duplicate grams) — and the
+    file-backed (cached) and in-memory (bypass) paths must agree."""
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import textops
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "one"),
+        (4, "a a a"),
+        (5, "x y x y x"),
+        (6, "p q r"),
+    ]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    docs = spark.read.parquet(path)
+    mem = spark.createDataFrame(rows, "doc_id long, text string")
+    index_cache.clear_indexes()
+
+    # (n_tokens, top_term_count, top_term_frac, n_2grams, n_dup_2grams,
+    #  dup_2gram_frac) under the ORIGINAL semantics: split('')=[''] makes
+    # empty/whitespace-only text 1 token but 0 grams; null text stays
+    # null through every size()-derived column; top_term_count coalesces
+    # to 0 because the inverted index drops empty terms.
+    expected = {
+        0: (None, 0, None, None, None, None),
+        1: (1, 0, 0.0, 0, 0, None),
+        2: (1, 0, 0.0, 0, 0, None),
+        3: (1, 1, 1.0, 0, 0, None),
+        4: (3, 3, 1.0, 2, 1, 0.5),
+        5: (5, 3, 0.6, 4, 2, 0.5),
+        6: (3, 1, 1.0 / 3.0, 2, 0, 0.0),
+    }
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["top_term_count"],
+            r["top_term_frac"],
+            r["n_2grams"],
+            r["n_dup_2grams"],
+            r["dup_2gram_frac"],
+        )
+        for r in textops.repetition_scores(docs).collect()
+    }
+    assert got == expected
+    n_keys = len(
+        [
+            k
+            for k in index_cache._HANDLES
+            if isinstance(k, tuple) and "repetition_stats" in k
+        ]
+    )
+    assert n_keys == 1
+    # in-memory corpus bypasses the cache (plan_key None) but runs the
+    # same pipeline — identical rows
+    got_mem = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["top_term_count"],
+            r["top_term_frac"],
+            r["n_2grams"],
+            r["n_dup_2grams"],
+            r["dup_2gram_frac"],
+        )
+        for r in textops.repetition_scores(mem).collect()
+    }
+    assert got_mem == expected
+    index_cache.clear_indexes()
+
+
+def test_fingerprint_table_artifact_shared_and_exact(spark, tmp_path):
+    """fingerprints' r13 session-cached (id, content_md5,
+    min_shingle_hash) table: one cache entry per file-backed corpus,
+    identical rows to the cache-bypassed (in-memory) build."""
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import textops
+
+    rows = [
+        (i, f"alpha beta gamma doc{i} " + ("dup run " * (i % 3)))
+        for i in range(30)
+    ] + [(99, ""), (100, None)]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    docs = spark.read.parquet(path)
+    mem = spark.createDataFrame(rows, "doc_id long, text string")
+    index_cache.clear_indexes()
+
+    got = sorted(tuple(r) for r in textops.fingerprints(docs).collect())
+    n_keys = len(
+        [
+            k
+            for k in index_cache._HANDLES
+            if isinstance(k, tuple) and "fingerprints" in k
+        ]
+    )
+    assert n_keys == 1
+    # second execution reuses the entry (no new key)
+    textops.fingerprints(docs).collect()
+    assert (
+        len(
+            [
+                k
+                for k in index_cache._HANDLES
+                if isinstance(k, tuple) and "fingerprints" in k
+            ]
+        )
+        == 1
+    )
+    assert got and got == sorted(
+        tuple(r) for r in textops.fingerprints(mem).collect()
+    )
+    index_cache.clear_indexes()
+
+
+def test_doc_profile_artifact_shared_and_exact(spark, tmp_path):
+    """The r13 per-doc profile artifact: quality_scores, language_id,
+    token_counts, curate_corpus and classifier_doc_meta all serve from
+    ONE session-cached profile per file-backed corpus, and each output
+    is identical to the cache-bypassed (in-memory corpus) build —
+    including null and empty texts."""
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import textops
+
+    rows = [
+        (
+            i,
+            "the and is of to " * (2 + i % 3)
+            + f"doc{i} der und la le el "
+            + ("dup run " * (i % 4)),
+        )
+        for i in range(30)
+    ] + [(98, ""), (99, None)]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    docs = spark.read.parquet(path)
+    mem = spark.createDataFrame(rows, "doc_id long, text string")
+    index_cache.clear_indexes()
+
+    ops = {
+        "quality_scores": lambda d: textops.quality_scores(d),
+        "language_id": lambda d: textops.language_id(d),
+        "token_counts": lambda d: textops.token_counts(d),
+        "curate_corpus": lambda d: textops.curate_corpus(d),
+        "classifier_doc_meta": lambda d: textops.classifier_doc_meta(d),
+    }
+    got = {
+        name: sorted(tuple(r) for r in fn(docs).collect())
+        for name, fn in ops.items()
+    }
+    n_profile_keys = len(
+        [
+            k
+            for k in index_cache._HANDLES
+            if isinstance(k, tuple) and "doc_profile" in k
+        ]
+    )
+    assert n_profile_keys == 1  # one artifact serves all five consumers
+    for name, fn in ops.items():
+        assert got[name] == sorted(
+            tuple(r) for r in fn(mem).collect()
+        ), name
+    index_cache.clear_indexes()
+
+
+def test_contamination_counts_artifact_shared_and_exact(spark, tmp_path):
+    """contamination_check's r13 cached (id, n_matched) table: keyed on
+    both source frames, NOT on min_overlap (a projection) — a second
+    threshold reuses the entry — and identical to the in-memory
+    bypass."""
+    from pyspark.sql import functions as F
+
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import textops
+
+    rows = [
+        (i, f"w{i} alpha beta gamma delta epsilon zeta w{i+1}")
+        for i in range(30)
+    ]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    docs = spark.read.parquet(path)
+    train = docs.filter(F.col("doc_id") < 20)
+    bench = docs.filter(F.col("doc_id") >= 20)
+    mem = spark.createDataFrame(rows, "doc_id long, text string")
+    mtrain = mem.filter(F.col("doc_id") < 20)
+    mbench = mem.filter(F.col("doc_id") >= 20)
+    index_cache.clear_indexes()
+
+    def n_keys():
+        return len(
+            [
+                k
+                for k in index_cache._HANDLES
+                if isinstance(k, tuple) and "contamination_counts" in k
+            ]
+        )
+
+    got1 = sorted(
+        tuple(r) for r in textops.contamination_check(train, bench).collect()
+    )
+    assert n_keys() == 1
+    # a different min_overlap is a projection over the SAME artifact
+    textops.contamination_check(train, bench, min_overlap=3).collect()
+    assert n_keys() == 1
+    assert got1 == sorted(
+        tuple(r)
+        for r in textops.contamination_check(mtrain, mbench).collect()
+    )
+    index_cache.clear_indexes()
+
+
+def test_lsh_multi_and_semdedup_artifacts_shared_and_exact(spark, tmp_path):
+    """r13: lsh_cosine_pairs_multi's verified pair graph and
+    semantic_dedup_survivors' duplicate-id set are session-cached
+    artifacts over a file-backed corpus — one key each, outputs
+    identical to the in-memory (cache-bypassed) builds."""
+    import random
+
+    from binance_futures_availability_spark import index_cache
+    from binance_futures_availability_spark.operators import similarity
+
+    random.seed(11)
+    rows = [
+        (i, [random.randint(-50, 50) for _ in range(64)]) for i in range(40)
+    ]
+    rows[1] = (1, rows[0][1])  # exact dups so thresholds keep pairs
+    rows[5] = (5, rows[4][1])
+    path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<int>"
+    ).write.parquet(path)
+    emb = spark.read.parquet(path)
+    mem = spark.createDataFrame(rows, "vec_id long, embedding array<int>")
+    index_cache.clear_indexes()
+
+    def n_keys(tag):
+        return len(
+            [
+                k
+                for k in index_cache._HANDLES
+                if isinstance(k, tuple) and tag in k
+            ]
+        )
+
+    got_multi = sorted(
+        tuple(r) for r in similarity.lsh_cosine_pairs_multi(emb).collect()
+    )
+    assert n_keys("lsh_multi_pair_graph") == 1
+    similarity.lsh_cosine_pairs_multi(emb).collect()
+    assert n_keys("lsh_multi_pair_graph") == 1
+    assert got_multi == sorted(
+        tuple(r) for r in similarity.lsh_cosine_pairs_multi(mem).collect()
+    )
+
+    got_sd = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup_survivors(emb).collect()
+    )
+    assert n_keys("semdedup_dups") == 1
+    assert got_sd == sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup_survivors(mem).collect()
+    )
+    index_cache.clear_indexes()
