@@ -127,18 +127,23 @@ def volume_rankings(
     )
     if not sort:
         return out
-    # sized_sort, not a bare orderBy (r13): the archive scales with the
-    # fact, so the cutover keeps the distributed range sort at warehouse
-    # scale — but a bare orderBy's range-sampling pass RE-EXECUTES the
-    # whole two-window pipeline to draw its partition bounds. Below the
-    # cutover the single-partition sort skips sampling outright; above it
-    # the lazy localCheckpoint inside sized_sort makes the sampler read
-    # materialized rows instead of re-running the windows. Both branches
-    # emit the identical (date, rank, symbol) total order
-    # (tests/test_plans.py::test_sized_sort_cutover_branches_identical).
-    from ..functions import sized_sort
-
-    return sized_sort(out, da, "date", "rank", "symbol")
+    # Bare range sort ON PURPOSE — two r13 alternatives were built,
+    # measured at sf1 (interleaved isolated A/B, two rounds each), and
+    # REVERTED (guide §1: a change the bench rejects does not ship):
+    # (1) sized_sort's gathered branch (1 job/4 stages at sf0.1, the
+    #     sampling job gone) — but the source-bytes cutover mis-fires
+    #     for THIS output: the archive saturates toward fact cardinality
+    #     (#dates × #symbols) while the fact sits under the 300 MB
+    #     cutover, and the single-partition sort measured vr ≈ 1.95 s at
+    #     sf1 vs 1.53 s bare (gathered_sort's docstring already banned
+    #     the archive);
+    # (2) lazy localCheckpoint under the range sort (stops the sampler
+    #     re-executing the two-window pipeline) — vr ≈ 1.64 s at sf1:
+    #     materializing the 13-column archive costs more than the
+    #     8-partition window re-run it saves.
+    # The sampling re-execution is therefore the measured cheapest way
+    # to draw partition bounds for this pipeline at every tested SF.
+    return out.orderBy("date", "rank", "symbol")
 
 
 def incremental_append(
