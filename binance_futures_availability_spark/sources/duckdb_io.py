@@ -7,7 +7,9 @@ database/availability_db.py:32-47) with the 17-column
 (date, symbol)). A user migrating to this engine starts from that file,
 so the connector provides both directions:
 
-- ``import_duckdb``: .duckdb → date-partitioned parquet fact table.
+- ``import_duckdb``: .duckdb → parquet fact table in the engine's layout
+  (``materialize_fact``'s scale decision: range-split files by default,
+  directory-per-date for production volumes).
 - ``export_duckdb``: fact DataFrame → .duckdb with the reference's exact
   CREATE TABLE (PK included), so the reference CLI keeps working on the
   exported file.
@@ -146,6 +148,7 @@ def import_duckdb(
     db_path: str,
     dest_path: str | None = None,
     table: str = "daily_availability",
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Read the reference's DuckDB fact table into Spark.
 
@@ -153,9 +156,19 @@ def import_duckdb(
     multi-threaded export — constant memory, any table size a .duckdb
     can hold); Spark reads the staging file, casts every column to the
     engine's declared StructType, and — when ``dest_path`` is given —
-    writes the date-partitioned fact table there and returns the
-    catalog read over it (partition-pruned downstream). Without
-    ``dest_path`` the cast staging read is returned directly.
+    commits the fact table there and returns the catalog read over it.
+    Without ``dest_path`` the cast staging read is returned directly.
+
+    ``partition_col`` is the same scale decision as
+    ``operators.availability.materialize_fact`` (which performs the
+    write): ``None`` (default) = the engine's small-table layout —
+    range-split files sorted by (date, symbol), footer min/max pruning —
+    exactly what ``availability_fact`` itself commits at this volume;
+    ``"date"`` = directory-per-date for production volumes (≥ tens of
+    MB/date). r14: the import previously hard-coded the date-partitioned
+    layout, paying a 2.5k-directory write (~8-10 s) plus 2.5k-file
+    partition discovery on read-back for a table the engine's own layout
+    rule stores as 8 range files (guide §6 — small files hurt twice).
 
     Columns the source predates (pre-ADR-0007 files lack the nine
     volume columns) are NULL-filled; unknown extra columns are ignored.
@@ -200,10 +213,10 @@ def import_duckdb(
     if dest_path is None:
         atexit.register(shutil.rmtree, staging, ignore_errors=True)
         return cast
-    from .writer import write_partitioned
+    from ..operators.availability import materialize_fact
 
     try:
-        write_partitioned(cast, dest_path)
+        materialize_fact(cast, dest_path, partition_col=partition_col)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     _invalidate_handle(dest_path)

@@ -69,8 +69,29 @@ def upsert(
 def write_partitioned(df: DataFrame, path: str, partition_col: str = "date") -> None:
     """Write the fact table partitioned by date — the layout that replaces
     the reference's indexes (SURVEY.md §1.4): date-equality queries prune to
-    one partition; parquet min/max stats on symbol serve the timeline path."""
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    one partition; parquet min/max stats on symbol serve the timeline path.
+
+    The input is hash-clustered on the partition column before the write
+    (guide §6's shuffle-before-write / Iceberg ``write.distribution-mode=
+    hash`` pattern): without it every input task opens a writer for every
+    partition value it holds — up to tasks × |dates| tiny files and a long
+    sequential per-task file-open tail (measured 8-10 s for a 2.5k-date
+    fact at sf0.1). Clustered, each date is written by exactly one task as
+    one right-sized file (2.5k files, ~4.6 s at width 32). Width scales
+    with the session (cores locally, cluster parallelism via conf), never
+    hard-coded; a deployment whose single partition value outgrows one
+    task adds a salt column to the clustering key (guide §2.5)."""
+    spark = df.sparkSession
+    width = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
+    (
+        df.repartition(width, partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
 
 
 def write_bucketed(
@@ -119,12 +140,37 @@ def upsert_partitioned(
     re-read them (fresh lineage, no dependency on the target) and commit via
     dynamic partition overwrite, which replaces only the touched partition
     directories of the target table.
+
+    Insert-only fast path (r14): when none of the touched partitions exists
+    in the target — the common cron tick, where today's probe window is
+    strictly past the table's max date — the merged rows depend only on
+    ``incoming``, so the staging write + re-read round-trip is skipped and
+    the deduped incoming rows commit directly via dynamic partition
+    overwrite (one partitioned write instead of two). The emptiness probe
+    is one partition-pruned semi-join over the touched dates.
     """
     spark = incoming.sparkSession
     staging = spark_existing_path.rstrip("/") + ".__staging__"
     existing = spark.read.parquet(spark_existing_path)
     touched = incoming.select(partition_col).distinct()
     relevant = existing.join(F.broadcast(touched), partition_col, "left_semi")
+    if relevant.isEmpty():
+        # no overlap: the merge reduces to an intra-incoming dedup (latest
+        # version per key), whose lineage never references the target path
+        merged = upsert(incoming.limit(0), incoming, key, version_col)
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(
+                partition_col
+            ).parquet(spark_existing_path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        return
     merged = upsert(relevant, incoming, key, version_col)
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
 
