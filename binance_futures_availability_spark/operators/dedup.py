@@ -2254,18 +2254,47 @@ def max_duplicated_run_exact(
     key = plan_key(docs, "lrs_exact", id_col, text_col)
 
     def _build() -> DataFrame:
-        toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+        # r14: per-doc suffix truncation from the width-6 census bound.
+        # The windowed census is an UPPER bound on the exact answer for
+        # any duplicated substring of length >= 6 (all its width-6
+        # windows duplicate and are consecutive, so the run arithmetic
+        # certifies >= its length); lengths < 6 are bounded by 5. So no
+        # two suffixes can share more than U = max(census, 5) prefix
+        # tokens, and truncating every suffix slice to its doc's U + 1
+        # tokens is LOSSLESS for every LCP the identity needs — while
+        # cutting the shuffled suffix payload from O(Σ doc_len²) to
+        # O(tokens × (U+1)) (U is tiny outside verbatim-copy docs). The
+        # truncated sort keeps equal prefixes adjacent, which is all the
+        # max-LCP-with-neighbor identity requires; the census rides the
+        # span family's shared session artifacts (span_index/_span_census
+        # at the catalog's width). Bound proven sound in
+        # test_lrs_exact_truncation_bound_is_sound.
+        bound = max_duplicated_run(docs, 6, id_col, text_col).select(
+            F.col(id_col),
+            (F.greatest(F.col("max_run_tokens"), F.lit(5)) + F.lit(1)).alias(
+                "__k"
+            ),
+        )
+        toks = docs.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__t")
+        )
         sfx = (
-            toks.select(
+            toks.join(bound, id_col)
+            .select(
                 F.col(id_col),
                 F.col("__t"),
+                F.col("__k"),
                 F.posexplode("__t").alias("__i0", "__t1"),
             )
             .select(
                 F.col(id_col),
                 "__t1",
                 F.element_at("__t", F.col("__i0") + 2).alias("__t2"),
-                F.slice("__t", F.col("__i0") + 1, F.size("__t")).alias("__s"),
+                F.slice(
+                    "__t",
+                    F.col("__i0") + 1,
+                    F.least(F.size("__t") - F.col("__i0"), F.col("__k")),
+                ).alias("__s"),
                 (F.size("__t") - F.col("__i0")).alias("__slen"),
             )
         )

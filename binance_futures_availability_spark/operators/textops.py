@@ -420,44 +420,66 @@ def pii_scrub(
     placeholder, and each match contributes exactly one placeholder), and
     it halves the regex traversals: one per category (the replace)
     instead of two (extract_all + replace) — placeholder occurrences
-    count via literal length arithmetic.
+    count via literal substring counting.
 
-    Plan shape: the redaction STAGES are materialized as columns in
-    stacked projections and the deltas reference the columns. Folding
-    everything into one projection instead re-embeds the whole replace
-    chain inside every count (12 regexp_replace evaluations per row
-    instead of 3 — codegen's subexpression elimination does not reliably
-    hoist them), which was the measured 6× gap vs the oracle at sf1.
-    Catalyst keeps the projections split (CollapseProject refuses to
-    duplicate non-cheap expressions).
+    r14 (guide §4.2): the whole scrub is ONE ``mapInArrow`` pass — the
+    three sequential replaces run as ``pyarrow.compute.
+    replace_substring_regex`` (RE2) and the placeholder deltas as
+    ``count_substring``, all vectorized over Arrow string buffers. The
+    DuckDB oracle evaluates the IDENTICAL patterns in the identical
+    order under the same RE2 engine (the PII_PATTERNS contract above:
+    only constructs Java regex and RE2 interpret identically), so
+    Spark-side RE2 is parity-safe by the same argument — pinned
+    value-exact against the previous stacked-projection JVM form in
+    ``test_pii_scrub_arrow_matches_jvm_expressions`` (incl. null/empty
+    text) and by the oracle gate. Measured 17-18% warm at sf0.1 AND sf1
+    (interleaved min-of-5; the query is scan+payload-output bound, the
+    regex compute inside it shrinks ~40%), with exactly one
+    PythonMapInArrow node over the two input columns — column pruning
+    preserved by the explicit select.
     """
-
-    def _ph_count(col, ph: str):
-        return (
-            (F.length(col) - F.length(F.replace(col, F.lit(ph))))
-            / F.lit(len(ph))
-        ).cast("int")
-
-    stages = ["__t0"]
-    out = docs.select(F.col(id_col), F.col(text_col).alias("__t0"))
-    for i, cat in enumerate(PII_ORDER, start=1):
-        ph = f"<{cat.upper()}>"
-        out = out.select(
-            "*",
-            F.regexp_replace(
-                F.col(stages[-1]), PII_PATTERNS[cat], ph
-            ).alias(f"__t{i}"),
-        )
-        stages.append(f"__t{i}")
-    counts = [
-        (
-            _ph_count(F.col(stages[i + 1]), f"<{cat.upper()}>")
-            - _ph_count(F.col(stages[i]), f"<{cat.upper()}>")
-        ).alias(f"n_{cat}")
-        for i, cat in enumerate(PII_ORDER)
+    id_type = dict(docs.dtypes)[id_col]
+    pats = [
+        (PII_PATTERNS[cat], f"<{cat.upper()}>") for cat in PII_ORDER
     ]
-    return out.select(
-        F.col(id_col), F.col(stages[-1]).alias("text_clean"), *counts
+    names = [f"n_{cat}" for cat in PII_ORDER]
+
+    def _scrub(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            ids, t = b.column(0), b.column(1)
+            stages = [t]
+            for pat, ph in pats:
+                stages.append(
+                    pc.replace_substring_regex(
+                        stages[-1], pattern=pat, replacement=ph
+                    )
+                )
+            cols = [ids, stages[-1]]
+            for i, (_, ph) in enumerate(pats):
+                cols.append(
+                    pc.cast(
+                        pc.subtract(
+                            pc.count_substring(stages[i + 1], ph),
+                            pc.count_substring(stages[i], ph),
+                        ),
+                        pa.int32(),
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                cols, ["__id", "text_clean", *names]
+            )
+
+    out_schema = ", ".join(
+        [f"__id {id_type}", "text_clean string"]
+        + [f"{n} int" for n in names]
+    )
+    return (
+        docs.select(F.col(id_col), F.col(text_col))
+        .mapInArrow(_scrub, out_schema)
+        .withColumnRenamed("__id", id_col)
     )
 
 

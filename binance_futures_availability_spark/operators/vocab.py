@@ -211,15 +211,26 @@ def bpe_encode(
     order, leftmost-first non-overlapping within a rule.
 
     Scale shape: rules are applied to the DISTINCT-WORD table (vocabulary-
-    sized — the same collapse that makes the trainer cheap), one narrow
-    higher-order-function projection per rule; the per-word token count
-    then broadcast-joins back onto the corpus word stream, which never
-    shuffles on anything wider than the final per-doc aggregate. The
-    per-word token-count table is a session-cached index artifact keyed
-    on (corpus, rules) — a tokenizer's vocabulary is applied many times
-    per training run, so the rank-ordered interpreted-fold rewrite (the
-    expensive part: |rules| chained HOF folds over the vocabulary) is
-    paid once, not per query."""
+    sized — the same collapse that makes the trainer cheap); the per-word
+    token count then broadcast-joins back onto the corpus word stream,
+    which never shuffles on anything wider than the final per-doc
+    aggregate. The per-word token-count table is a session-cached index
+    artifact keyed on (corpus, rules) — a tokenizer's vocabulary is
+    applied many times per training run, so the rule application is paid
+    once, not per query.
+
+    r14 (guide §4.2): the rule application is ONE ``mapInArrow`` pass —
+    the rule list is constructed once per task and each word's fold runs
+    as a tight Python loop with a substring pre-filter (a rule can only
+    fire when ``left+right`` occurs in the word, since symbols are
+    contiguous spans). The previous form — |rules| chained interpreted
+    higher-order ``aggregate`` folds, one per rule over every vocabulary
+    word — was the single most expensive cold build in the catalog
+    (~3.5-8 s at sf0.1; interpreted lambdas evaluate per element with no
+    codegen). Fold semantics are identical to ``_merge_expr`` (leftmost,
+    non-overlapping within a rule, rank order; Spark's ``split(word,'')``
+    on the non-empty words here is exactly ``list(word)``), pinned by
+    ``test_bpe_encode_arrow_matches_hof_fold``."""
     from ..index_cache import cached_index, plan_key
 
     words = docs.select(
@@ -229,12 +240,32 @@ def bpe_encode(
 
     def _build() -> DataFrame:
         uniq = words.select("word").distinct()
-        syms = uniq.select("word", F.split("word", "").alias("syms"))
-        for left, right in merges:
-            syms = syms.select("word", _merge_expr(left, right).alias("syms"))
-        return syms.select(
-            "word", F.size("syms").cast("long").alias("n_tok")
-        )
+        rules = [(left, right, left + right) for left, right in merges]
+
+        def _encode(batches):
+            import pyarrow as pa
+
+            for batch in batches:
+                counts = []
+                for w in batch.column(0).to_pylist():
+                    syms = list(w)
+                    for left, right, merged in rules:
+                        if merged not in w:
+                            continue
+                        out = []
+                        for s in syms:
+                            if out and out[-1] == left and s == right:
+                                out[-1] = merged
+                            else:
+                                out.append(s)
+                        syms = out
+                    counts.append(len(syms))
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(0), pa.array(counts, type=pa.int64())],
+                    ["word", "n_tok"],
+                )
+
+        return uniq.mapInArrow(_encode, "word string, n_tok long")
 
     tok_counts = cached_index(
         plan_key(docs, "bpe_tok_counts", text_col, tuple(merges)), _build

@@ -922,6 +922,64 @@ def test_pack_sequences_packs_near_budget(spark):
             assert tok >= 64 - 11
 
 
+def test_pii_scrub_arrow_matches_jvm_expressions(spark):
+    """The r14 Arrow/RE2 scrub pass is value-identical to the original
+    stacked-projection JVM form (regexp_replace + placeholder-delta
+    counts) on every edge the operator defines: multi-category rows,
+    digit-run attribution order, null text, empty text, text that IS a
+    single PII item, and adjacent matches."""
+    from pyspark.sql import functions as F
+
+    from binance_futures_availability_spark.operators.textops import (
+        PII_ORDER,
+        PII_PATTERNS,
+    )
+
+    rows = [
+        (0, "mail bob@example.com and carol.j+x@sub.example.org today"),
+        (1, "server at 192.168.1.1 and 10.0.0.255 responded"),
+        (2, "call +1 (555) 123-4567 or 020 7946 0958 now"),
+        (3, None),
+        (4, ""),
+        (5, "a@b.co"),
+        (6, "1.2.3.4 5.6.7.8"),
+        (7, "a@b.cc1.2.3.4 tail"),  # email eats leading digits first
+        (8, "mixed: a@b.co then 8.8.8.8 then +44 20 7946 0958 end"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def _ph_count(col, ph):
+        return (
+            (F.length(col) - F.length(F.replace(col, F.lit(ph))))
+            / F.lit(len(ph))
+        ).cast("int")
+
+    stages = ["__t0"]
+    ref = docs.select(F.col("doc_id"), F.col("text").alias("__t0"))
+    for i, cat in enumerate(PII_ORDER, start=1):
+        ref = ref.select(
+            "*",
+            F.regexp_replace(
+                F.col(stages[-1]), PII_PATTERNS[cat], f"<{cat.upper()}>"
+            ).alias(f"__t{i}"),
+        )
+        stages.append(f"__t{i}")
+    ref = ref.select(
+        "doc_id",
+        F.col(stages[-1]).alias("text_clean"),
+        *[
+            (
+                _ph_count(F.col(stages[i + 1]), f"<{cat.upper()}>")
+                - _ph_count(F.col(stages[i]), f"<{cat.upper()}>")
+            ).alias(f"n_{cat}")
+            for i, cat in enumerate(PII_ORDER)
+        ],
+    )
+    want = {r["doc_id"]: r.asDict() for r in ref.collect()}
+    got = {r["doc_id"]: r.asDict() for r in textops.pii_scrub(docs).collect()}
+    assert got == want
+
+
 def test_pii_scrub_redacts_and_attributes_each_category_once(spark):
     docs = spark.createDataFrame(
         [
@@ -2347,6 +2405,38 @@ def test_bpe_pair_counts_and_validation(spark):
         vocab.bpe_merges(docs, 0)
 
 
+def test_bpe_encode_arrow_matches_hof_fold(spark):
+    """The r14 Arrow rule-application pass is byte-equivalent to the
+    original interpreted higher-order fold (_merge_expr) over an
+    adversarial vocabulary: chained merges (a,b)->(ab,c), rules whose
+    merged symbol re-occurs, non-firing rules, single-char words, and
+    words where the pair repeats back-to-back (leftmost non-overlapping
+    within a rule)."""
+    from pyspark.sql import functions as F
+
+    from binance_futures_availability_spark.operators import vocab
+
+    words = [
+        "aaa", "aaaa", "aab", "abab", "ababab", "ba", "b",
+        "abcabc", "cabba", "aabbaabb", "xyz", "zzzzz",
+    ]
+    merges = [("a", "a"), ("a", "b"), ("aa", "b"), ("ab", "c"), ("z", "z")]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    syms = df.select("word", F.split("word", "").alias("syms"))
+    for left, right in merges:
+        syms = syms.select("word", vocab._merge_expr(left, right).alias("syms"))
+    hof = {r["word"]: r["n"] for r in syms.select(
+        "word", F.size("syms").alias("n")).collect()}
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], ["doc_id", "text"]
+    )
+    got = {
+        words[r["doc_id"]]: r["n_bpe_tokens"]
+        for r in vocab.bpe_encode(docs, merges).collect()
+    }
+    assert got == hof
+
+
 def test_bpe_encode_matches_reference(spark):
     """bpe_encode applies trained rules exactly: rank order matters
     (later rules see earlier rules' merged symbols), and counts aggregate
@@ -3063,6 +3153,38 @@ def _lrs_reference(texts: dict) -> dict:
             m = max(m, lcp(s, suffixes[j + 1][0]))
         best[d] = max(best[d], m)
     return best
+
+
+def test_lrs_exact_truncation_bound_is_sound(spark):
+    """The r14 suffix-truncation bound: on random Zipf-ish corpora the
+    width-6 census value (clamped at 5) is always >= the exact longest
+    duplicated substring length per doc — the invariant that makes
+    truncating suffix slices to bound+1 tokens lossless."""
+    import random
+
+    from binance_futures_availability_spark.operators import dedup
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab -> heavy duplication
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60)))
+        for d in range(30)
+    }
+    texts[30] = texts[0]  # verbatim copy: exact == doc length
+    texts[31] = "q q q q q q q q"  # periodic
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    exact = {
+        r["doc_id"]: r["max_run_tokens"]
+        for r in dedup.max_duplicated_run_exact(docs).collect()
+    }
+    census = {
+        r["doc_id"]: r["max_run_tokens"]
+        for r in dedup.max_duplicated_run(docs, width=6).collect()
+    }
+    ref = _lrs_reference(texts)
+    assert exact == ref
+    for d in texts:
+        assert max(census[d], 5) >= exact[d], (d, census[d], exact[d])
 
 
 def test_max_duplicated_run_exact_matches_suffix_array_reference(spark):
