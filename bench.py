@@ -79,9 +79,37 @@ def main() -> None:
     # job) costs ~0.1 s — noise at TB scale, dominant on sub-second queries.
     # The engine default (session.get_session) keeps AQE ON; a cluster run at
     # real scale keeps it and overrides shuffle partitions via spark-submit.
+    #
+    # r14 (verdict r13 item 2): the width DEFAULT is data-adaptive instead
+    # of the constant 8 — ceil(input_bytes / 128 MB) floored at 8 and
+    # capped at $SPARK_GRAFT_CPUS (guide §2.2: size partitions by bytes,
+    # not by a constant tuned to one box). At sf0.1 (~17 MB input) this
+    # still resolves to 8, keeping the warm protocol comparable with every
+    # committed r11-r13 artifact; at sf10+ the width grows with the data
+    # and the low-core/high-core runs genuinely diverge. Setting
+    # BENCH_SHUFFLE to the raw core count was measured and REJECTED:
+    # +24% warm / +13% cold at sf0.1 (23.22 vs 18.67 s warm, same code,
+    # same box) — pure per-task scheduling floor on sub-GB shuffles, a
+    # perverse scaling signal (more cores reads slower). The cold pass
+    # total is now part of the printed contract line (cold_value): cold
+    # does real data work (artifact builds at scan parallelism = cores),
+    # so it is the core-sensitive number for the scaling study.
+    def _adaptive_shuffle() -> int:
+        total = 0
+        for root, _dirs, files in os.walk(SF_DIR):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        return max(8, min(cpus, -(-total // (128 << 20))))
+
     spark = get_session(
         "bench",
-        shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE", "8")),
+        shuffle_partitions=int(
+            os.environ.get("BENCH_SHUFFLE") or _adaptive_shuffle()
+        ),
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
             "spark.locality.wait": "0",
@@ -213,6 +241,12 @@ def main() -> None:
         "sf": sf_val,
         "reps": {"warm": WARM_REPS, "agg": "min"},
         "spread": spread_summary,
+        # r14 (verdict item 2): the cold-pass total rides the contract
+        # line so the driver's low-core/high-core artifacts carry a
+        # core-sensitive number — cold does real data work (one-time
+        # artifact builds at scan parallelism = cores), where warm at
+        # this SF is scheduling-floor + cache-read bound by construction.
+        "cold_value": cold_total,
     }
     if failed_reps:
         out["failed_warm_reps"] = failed_reps

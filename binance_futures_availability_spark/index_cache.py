@@ -133,6 +133,22 @@ def _evict_over_budget(spark, keep_key) -> int:
     return n
 
 
+def is_file_backed(df: DataFrame) -> bool:
+    """True when ``df`` reads identifiable files (directly or through a
+    hot-pinned catalog handle's ``_spark_graft_source``) — i.e. when
+    ``plan_key`` would return a real key and derived artifacts may cache.
+    Use this for BRANCHING on cacheability (advisor r14): probing with
+    ``plan_key(df, "<some-tag>")`` works only because the result is
+    discarded, pays a JVM plan-canonicalization round-trip for nothing,
+    and misleads readers into thinking the probe tag is the cache key."""
+    try:
+        if df.inputFiles():
+            return True
+    except Exception:  # noqa: BLE001 — streaming/exotic plans
+        return False
+    return getattr(df, "_spark_graft_source", None) is not None
+
+
 def plan_key(df: DataFrame, *extra):
     """Cache key for an index artifact derived from ``df``, or None when
     ``df`` is not file-backed (then caching is disabled for safety).

@@ -1448,7 +1448,12 @@ def _star_contraction(pairs: DataFrame, max_iter: int):
     must not grow with rounds) and the fixpoint test is exact set
     equality (counts + exceptAll on DISTINCT sets): at the fixpoint the
     edges ARE the component map. Raises on non-convergence — partial
-    labels are silent wrong answers.
+    labels are silent wrong answers. r14: the input edge set is no
+    longer pre-counted in its own job — round 1's count materializes it,
+    comparisons start at round 2 — so an input that is ALREADY star-form
+    is detected one round later (and ``max_iter=1`` cannot certify a
+    pre-converged input); every normal invocation saves one whole
+    scheduling-floor job.
     """
     E = (
         pairs.select(
@@ -1457,33 +1462,38 @@ def _star_contraction(pairs: DataFrame, max_iter: int):
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        # lazy checkpoint: the count() below materializes the checkpoint
-        # and measures it in ONE job (eager=True spent a separate job per
-        # checkpoint — 2 jobs per round on a loop whose sf0.1 cost is
-        # almost entirely the per-job scheduling floor)
+        # lazy checkpoint: round 1's count materializes it in the SAME
+        # job as round 1's own edges (r14 — the previous standalone
+        # E.count() was one whole scheduling-floor job on a loop whose
+        # sf0.1 cost is almost entirely the per-job floor)
         .localCheckpoint(eager=False)
     )
-    e_count = E.count()
     # Size the iteration's shuffles to the MEASURED edge sliver (guide
-    # §2: scale-adaptive partitioning): each round is 4+ tiny exchanges
-    # over e_count rows, and the session's shuffle width — sized for
+    # §2: scale-adaptive partitioning): each round is 3 tiny exchanges
+    # over the edge rows, and the session's shuffle width — sized for
     # corpus-scale scans — multiplies every one of them into
     # width × rounds near-empty tasks (AQE would coalesce these, but the
     # bench pins AQE off and at cluster scale the sliver is still orders
-    # below the session width). Never raises above the session setting;
-    # restored before the (lazily-consumed) result plans.
+    # below the session width). r14: the width derives from round 1's
+    # measured OUTPUT count (set before round 2 plans), so the initial
+    # standalone count job is gone; round 1 runs at the session width —
+    # its input is un-measured, which is also the honest cluster story
+    # (the first pass over an unknown edge set should not be presized to
+    # 1). Never raised above the session setting; restored in the
+    # caller's finally before the (lazily-consumed) result plans.
     spark = pairs.sparkSession
     width_key = "spark.sql.shuffle.partitions"
     old_width = spark.conf.get(width_key)
-    sliver_width = max(1, min(int(old_width), -(-e_count // 50_000)))
-    spark.conf.set(width_key, str(sliver_width))
     try:
-        return _star_rounds(E, e_count, max_iter)
+        return _star_rounds(E, spark, width_key, int(old_width), max_iter)
     finally:
         spark.conf.set(width_key, old_width)
 
 
-def _star_rounds(E: DataFrame, e_count: int, max_iter: int):
+def _star_rounds(
+    E: DataFrame, spark, width_key: str, session_width: int, max_iter: int
+):
+    e_count = None  # unknown until round 1 is measured (r14: no count job)
     wsrc = Window.partitionBy("src")
     for rounds in range(1, max_iter + 1):
         bidir = E.unionByName(
@@ -1533,8 +1543,25 @@ def _star_rounds(E: DataFrame, e_count: int, max_iter: int):
         # probe, so shrinking rounds pay one tiny count job and nothing
         # else (`and` short-circuits). The count doubles as the lazy
         # checkpoint's materializing action — one job per round, not two.
+        # Round 1 has no previous count (r14: the standalone E.count()
+        # job is gone), so it never probes — an already-converged input
+        # is simply detected one round later, trading a rare extra round
+        # for one fewer job on every normal invocation. (A fused
+        # left-join probe computing |small| and |small ∩ E| in one job
+        # was built and REJECTED by measurement: the per-round SMJ +
+        # single-partition agg cost more than the one exceptAll job it
+        # saves at the converged round — warm 0.74 → 1.04 s isolated.)
         small_count = small.count()
-        stable = small_count == e_count and small.exceptAll(E).isEmpty()
+        stable = (
+            e_count is not None
+            and small_count == e_count
+            and small.exceptAll(E).isEmpty()
+        )
+        # presize the NEXT round's exchanges to the measured sliver
+        spark.conf.set(
+            width_key,
+            str(max(1, min(session_width, -(-small_count // 50_000)))),
+        )
         E, e_count = small, small_count
         if stable:
             # measured size of the converged map, for the caller's

@@ -1270,9 +1270,9 @@ def scrub_boilerplate(
     (plan_key None) fall back to the per-call persist so the two
     consumers of the stream still share one materialization.
     """
-    from ..index_cache import plan_key, tracked_persist
+    from ..index_cache import is_file_backed, tracked_persist
 
-    if plan_key(docs, "chunk_stream") is None:
+    if not is_file_backed(docs):
         ch = tracked_persist(
             chunk_documents(docs, chunk_tokens, 0, id_col, text_col)
         )

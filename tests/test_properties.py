@@ -301,7 +301,12 @@ def test_classify_symbol_matches_python_reference(spark, symbols):
 @SETTINGS
 @given(texts=_texts, max_hamming=st.integers(0, 8))
 def test_simhash_banding_equals_brute_force(spark, texts, max_hamming):
-    """Pigeonhole banding is lossless for any max_hamming."""
+    """Pigeonhole banding is lossless for any max_hamming — and BOTH
+    physical strategies (block_pairs True/False) emit the identical pair
+    set. The explicit two-strategy assertion is the CI guarantee that
+    lets the simhash pair-graph session cache key on logical parameters
+    only (advisor r13: a dual-body-under-one-key cache is safe exactly
+    as long as this property holds)."""
     docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
     s = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     brute = {
@@ -310,11 +315,14 @@ def test_simhash_banding_equals_brute_force(spark, texts, max_hamming):
         for b in s
         if a < b and bin(s[a] ^ s[b]).count("1") <= max_hamming
     }
-    banded = {
-        (r["id_a"], r["id_b"])
-        for r in dedup.simhash_pairs(docs, max_hamming).collect()
-    }
-    assert banded == brute
+    for block_pairs in (None, True, False):
+        banded = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_pairs(
+                docs, max_hamming, block_pairs=block_pairs
+            ).collect()
+        }
+        assert banded == brute, block_pairs
 
 
 _doc_strategy = st.lists(
