@@ -211,26 +211,29 @@ def bpe_encode(
     order, leftmost-first non-overlapping within a rule.
 
     Scale shape: rules are applied to the DISTINCT-WORD table (vocabulary-
-    sized — the same collapse that makes the trainer cheap); the per-word
-    token count then broadcast-joins back onto the corpus word stream,
-    which never shuffles on anything wider than the final per-doc
-    aggregate. The per-word token-count table is a session-cached index
-    artifact keyed on (corpus, rules) — a tokenizer's vocabulary is
-    applied many times per training run, so the rule application is paid
-    once, not per query.
+    sized — the same collapse that makes the trainer cheap), one narrow
+    higher-order-function projection per rule; the per-word token count
+    then broadcast-joins back onto the corpus word stream, which never
+    shuffles on anything wider than the final per-doc aggregate. The
+    per-word token-count table is a session-cached index artifact keyed
+    on (corpus, rules) — a tokenizer's vocabulary is applied many times
+    per training run, so the rank-ordered interpreted-fold rewrite (the
+    expensive part: |rules| chained HOF folds over the vocabulary) is
+    paid once, not per query.
 
-    r14 (guide §4.2): the rule application is ONE ``mapInArrow`` pass —
-    the rule list is constructed once per task and each word's fold runs
-    as a tight Python loop with a substring pre-filter (a rule can only
-    fire when ``left+right`` occurs in the word, since symbols are
-    contiguous spans). The previous form — |rules| chained interpreted
-    higher-order ``aggregate`` folds, one per rule over every vocabulary
-    word — was the single most expensive cold build in the catalog
-    (~3.5-8 s at sf0.1; interpreted lambdas evaluate per element with no
-    codegen). Fold semantics are identical to ``_merge_expr`` (leftmost,
-    non-overlapping within a rule, rank order; Spark's ``split(word,'')``
-    on the non-empty words here is exactly ``list(word)``), pinned by
-    ``test_bpe_encode_arrow_matches_hof_fold``."""
+    r14 rejection ledger (guide §1: a change the bench rejects does not
+    ship): a ``mapInArrow`` rule-application pass (tight Python fold per
+    word, ``merged in word`` pre-filter, semantics pinned equal by
+    ``test_bpe_encode_arrow_matches_hof_fold``) was built on the
+    hypothesis that the interpreted HOF folds dominate the cold build.
+    The catalog pairs refuted it at BOTH scales — cold 3.51 → 3.91/4.25 s
+    at sf0.1 (31-word vocabulary) and 3.25 → 3.90 s at sf1 (50k-word
+    Zipf vocabulary), warm equal: the old cold cost is Catalyst
+    plan/codegen compilation of the 12-fold expression tree, which the
+    Arrow form merely trades for Python-worker pool startup plus
+    per-word Python that nets out slower. The HOF fold stands; the
+    equivalence test is kept (it pins the fold semantics against an
+    independent Python fold either way)."""
     from ..index_cache import cached_index, plan_key
 
     words = docs.select(
@@ -240,32 +243,12 @@ def bpe_encode(
 
     def _build() -> DataFrame:
         uniq = words.select("word").distinct()
-        rules = [(left, right, left + right) for left, right in merges]
-
-        def _encode(batches):
-            import pyarrow as pa
-
-            for batch in batches:
-                counts = []
-                for w in batch.column(0).to_pylist():
-                    syms = list(w)
-                    for left, right, merged in rules:
-                        if merged not in w:
-                            continue
-                        out = []
-                        for s in syms:
-                            if out and out[-1] == left and s == right:
-                                out[-1] = merged
-                            else:
-                                out.append(s)
-                        syms = out
-                    counts.append(len(syms))
-                yield pa.RecordBatch.from_arrays(
-                    [batch.column(0), pa.array(counts, type=pa.int64())],
-                    ["word", "n_tok"],
-                )
-
-        return uniq.mapInArrow(_encode, "word string, n_tok long")
+        syms = uniq.select("word", F.split("word", "").alias("syms"))
+        for left, right in merges:
+            syms = syms.select("word", _merge_expr(left, right).alias("syms"))
+        return syms.select(
+            "word", F.size("syms").cast("long").alias("n_tok")
+        )
 
     tok_counts = cached_index(
         plan_key(docs, "bpe_tok_counts", text_col, tuple(merges)), _build

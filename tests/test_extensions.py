@@ -2406,14 +2406,14 @@ def test_bpe_pair_counts_and_validation(spark):
 
 
 def test_bpe_encode_arrow_matches_hof_fold(spark):
-    """The r14 Arrow rule-application pass is byte-equivalent to the
-    original interpreted higher-order fold (_merge_expr) over an
-    adversarial vocabulary: chained merges (a,b)->(ab,c), rules whose
-    merged symbol re-occurs, non-firing rules, single-char words, and
-    words where the pair repeats back-to-back (leftmost non-overlapping
-    within a rule)."""
-    from pyspark.sql import functions as F
-
+    """bpe_encode's fold semantics against an INDEPENDENT pure-Python
+    fold over an adversarial vocabulary: chained merges (a,b)->(ab,c),
+    rules whose merged symbol re-occurs, non-firing rules, single-char
+    words, and back-to-back pair repeats (leftmost non-overlapping
+    within a rule). Written for the r14 Arrow rule-application variant;
+    that variant was measured slower at both SFs and reverted (the
+    ledger is in the bpe_encode docstring) — the test stays because it
+    pins the fold semantics regardless of the physical form."""
     from binance_futures_availability_spark.operators import vocab
 
     words = [
@@ -2421,12 +2421,20 @@ def test_bpe_encode_arrow_matches_hof_fold(spark):
         "abcabc", "cabba", "aabbaabb", "xyz", "zzzzz",
     ]
     merges = [("a", "a"), ("a", "b"), ("aa", "b"), ("ab", "c"), ("z", "z")]
-    df = spark.createDataFrame([(w,) for w in words], ["word"])
-    syms = df.select("word", F.split("word", "").alias("syms"))
-    for left, right in merges:
-        syms = syms.select("word", vocab._merge_expr(left, right).alias("syms"))
-    hof = {r["word"]: r["n"] for r in syms.select(
-        "word", F.size("syms").alias("n")).collect()}
+
+    def pyfold(w):
+        syms = list(w)
+        for left, right in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    want = {w: pyfold(w) for w in words}
     docs = spark.createDataFrame(
         [(i, w) for i, w in enumerate(words)], ["doc_id", "text"]
     )
@@ -2434,7 +2442,7 @@ def test_bpe_encode_arrow_matches_hof_fold(spark):
         words[r["doc_id"]]: r["n_bpe_tokens"]
         for r in vocab.bpe_encode(docs, merges).collect()
     }
-    assert got == hof
+    assert got == want
 
 
 def test_bpe_encode_matches_reference(spark):
