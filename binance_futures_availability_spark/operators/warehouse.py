@@ -464,8 +464,18 @@ def availability_by_nation(
         )
     )
     joined = per_sym.join(sym_dim, "symbol")
+    # n_symbols = COUNT(DISTINCT symbol), the oracle's declared semantics.
+    # r12-r13 used COUNT(*) here under the invariant that symbol ↔
+    # supplier is 1:1 ('S' || lpad(suppkey, 4) is injective below 10k
+    # suppliers — true at every driver SF); the r14 chunked CHECK_SF10
+    # caught the divergence on a generated fixture with 100k suppliers,
+    # where the truncating lpad makes the dimension join many-to-many and
+    # a symbol can match several suppliers of one nation. The distinct
+    # runs over the already-collapsed |symbols × multiplicity| join
+    # output, NOT the fact, so the r12 no-Expand-over-the-fact property
+    # is preserved.
     return joined.groupBy("nation_name").agg(
-        F.count(F.lit(1)).cast("long").alias("n_symbols"),
+        F.countDistinct("symbol").cast("long").alias("n_symbols"),
         F.sum("__n").alias("n_records"),
         F.sum("__a").alias("available_records"),
         (
